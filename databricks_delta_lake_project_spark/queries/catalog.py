@@ -1,0 +1,844 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 exposed
+as a ``(spark, sf_dir) -> DataFrame`` callable plus (where expressible)
+an ANSI-SQL DuckDB oracle string.
+
+Cross-engine parity rules used throughout (the driver hash-compares
+values):
+
+* Money aggregations are computed on ``DECIMAL(12,2)`` (exact,
+  order-independent) and cast to ``double`` at the end — identical bits
+  in Spark and DuckDB regardless of partial-aggregation order.
+* Ratios/averages are expressed as one deterministic IEEE expression
+  (``cast(exact_sum as double) / count``) in both engines.
+* Every ordering used for window functions or top-k carries a unique
+  tiebreak column so ties never make results engine-dependent.
+* Computed columns are aliased identically on both sides.
+
+Reference citations in each docstring point into
+``/root/reference`` (file:line) for parity checking.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+# Columns stored as TIMESTAMP(NANOS) parquet, which Spark cannot read
+# natively: read as long (nanos) and truncate to microseconds, matching
+# DuckDB/Python datetime truncation.
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst pushes filters/projections into it.
+
+    Pins session timezone to UTC so timestamp->date casts are stable no
+    matter how the caller's session was built (the DuckDB oracle is
+    timezone-naive).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name in _NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def _dec(c: str | Column) -> Column:
+    """Exact money arithmetic: DECIMAL(12,2) keeps sums order-independent
+    so Spark and the DuckDB oracle agree bit-for-bit after a final cast
+    to double. (12,2)*(12,2)->(25,4) and a further *(12,2)->(38,6) stay
+    within both engines' 38-digit limit with no rounding.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(12,2)")
+
+
+STOPWORDS = ("the", "a", "and", "of", "to")
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: hash group-by with a multi-aggregate block (A1 in
+    SURVEY §2.5; reference shape ``src/gold/customer_360_view.py:48-92``)
+    over the largest table. TPC-H-Q1-style pricing summary on lineitem.
+
+    Scale notes: single shuffle on a 6-value grouping key; partial
+    aggregation (map-side combine) keeps shuffle volume at
+    O(partitions * groups). Filter is pushed to the parquet scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    price = _dec("l_extendedprice")
+    disc = _dec("l_discount")
+    tax = _dec("l_tax")
+    disc_price = price * (F.lit(1).cast("decimal(12,2)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(12,2)") + tax)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(disc).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue rollup with running total + 7-day moving average
+    (A5/W3/W4/A9; reference ``src/gold/revenue_analytics.py:40-68``,
+    ``src/databricks_sql/sql_queries_and_dashboards.py:117-136``).
+
+    Scale notes: the date-grain aggregate is small (one row per day),
+    so the global-ordered window runs on a tiny intermediate — the
+    single-partition window hazard does not apply after reduction.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.sum(_dec("o_totalprice")).alias("_rev_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("order_date")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last7 = w.rowsBetween(-6, Window.currentRow)
+    return (
+        daily.withColumn("revenue", F.col("_rev_dec").cast("double"))
+        .withColumn("cum_revenue", F.sum("_rev_dec").over(cum).cast("double"))
+        .withColumn(
+            "moving_avg_7d",
+            F.sum("_rev_dec").over(last7).cast("double")
+            / F.count(F.lit(1)).over(last7),
+        )
+        .select("order_date", "n_orders", "revenue", "cum_revenue", "moving_avg_7d")
+    )
+
+
+Q02_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS order_date,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT order_date, n_orders,
+  CAST(rev_dec AS DOUBLE) AS revenue,
+  CAST(SUM(rev_dec) OVER (ORDER BY order_date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue,
+  CAST(SUM(rev_dec) OVER (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(*) OVER (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_avg_7d
+FROM daily
+"""
+
+
+def q03_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-360 star join: dimension LEFT JOIN per-customer
+    aggregates from two fact tables, null-fill, tier scoring
+    (J1/A1/P4/P5; reference ``src/gold/customer_360_view.py:48-234``).
+
+    Scale notes: both aggregates shuffle on customer key once; the
+    final joins are key-aligned (AQE picks SMJ or broadcasts the
+    reduced aggregates). fillna avoids null-skew in downstream filters.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    e = load(spark, sf_dir, "events")
+
+    order_agg = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total_spent"),
+        (
+            F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_order_value"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+    )
+    event_agg = e.groupBy(F.col("user_id").alias("customer_id")).agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchase_events"
+        ),
+    )
+    j = (
+        c.withColumnRenamed("c_custkey", "customer_id")
+        .join(order_agg, "customer_id", "left")
+        .join(event_agg, "customer_id", "left")
+        .na.fill(
+            {
+                "order_count": 0,
+                "total_spent": 0.0,
+                "event_count": 0,
+                "purchase_events": 0,
+            }
+        )
+    )
+    tier = (
+        F.when(F.col("total_spent") > 400000, "platinum")
+        .when(F.col("total_spent") > 200000, "gold")
+        .when(F.col("total_spent") > 50000, "silver")
+        .otherwise("bronze")
+    )
+    return j.select(
+        "customer_id",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        "order_count",
+        "total_spent",
+        "avg_order_value",
+        "last_order_date",
+        "event_count",
+        "purchase_events",
+        tier.alias("value_tier"),
+    )
+
+
+Q03_SQL = """
+WITH order_agg AS (
+  SELECT o_custkey AS customer_id,
+         COUNT(*) AS order_count,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_order_value,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order_date
+  FROM orders GROUP BY 1
+), event_agg AS (
+  SELECT user_id AS customer_id,
+         COUNT(*) AS event_count,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events
+  FROM events GROUP BY 1
+)
+SELECT c.c_custkey AS customer_id, c.c_name, c.c_mktsegment, c.c_acctbal,
+  COALESCE(o.order_count, 0) AS order_count,
+  COALESCE(o.total_spent, 0.0) AS total_spent,
+  o.avg_order_value,
+  o.last_order_date,
+  COALESCE(e.event_count, 0) AS event_count,
+  COALESCE(e.purchase_events, 0) AS purchase_events,
+  CASE WHEN COALESCE(o.total_spent, 0.0) > 400000 THEN 'platinum'
+       WHEN COALESCE(o.total_spent, 0.0) > 200000 THEN 'gold'
+       WHEN COALESCE(o.total_spent, 0.0) > 50000 THEN 'silver'
+       ELSE 'bronze' END AS value_tier
+FROM customer c
+LEFT JOIN order_agg o ON c.c_custkey = o.customer_id
+LEFT JOIN event_agg e ON c.c_custkey = e.customer_id
+"""
+
+
+def q04_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation with ntile scores and segment names
+    (W5/P4; reference ``src/gold/customer_segmentation.py:45-100``).
+
+    Scale notes: the reference's global ntile serializes through one
+    partition; that is acceptable here because it runs on the *reduced*
+    per-customer aggregate, not raw facts. At 100TB the engine-side
+    alternative is percentile binning (see operators.dedup docstring).
+    Unique custkey tiebreaks make quintile assignment deterministic.
+    """
+    o = load(spark, sf_dir, "orders")
+    ref_date = F.lit("2001-09-01").cast("date")
+    per_cust = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.datediff(ref_date, F.max(F.col("o_orderdate").cast("date"))).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("monetary"),
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("customer_id").asc())
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col("customer_id").asc())
+    m_w = Window.orderBy(F.col("monetary").asc(), F.col("customer_id").asc())
+    scored = (
+        per_cust.withColumn("r_score", F.lit(6) - F.ntile(5).over(r_w))
+        .withColumn("f_score", F.ntile(5).over(f_w))
+        .withColumn("m_score", F.ntile(5).over(m_w))
+    )
+    total = F.col("r_score") + F.col("f_score") + F.col("m_score")
+    segment = (
+        F.when(total >= 13, "champion")
+        .when(total >= 10, "loyal")
+        .when(total >= 7, "potential")
+        .when(total >= 5, "at_risk")
+        .otherwise("hibernating")
+    )
+    return scored.select(
+        "customer_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        segment.alias("segment"),
+    )
+
+
+Q04_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey AS customer_id,
+         DATEDIFF('day', MAX(CAST(o_orderdate AS DATE)), DATE '2001-09-01') AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT *,
+    6 - NTILE(5) OVER (ORDER BY recency_days ASC, customer_id ASC) AS r_score,
+    NTILE(5) OVER (ORDER BY frequency ASC, customer_id ASC) AS f_score,
+    NTILE(5) OVER (ORDER BY monetary ASC, customer_id ASC) AS m_score
+  FROM per_cust
+)
+SELECT customer_id, recency_days, frequency, monetary, r_score, f_score, m_score,
+  CASE WHEN r_score + f_score + m_score >= 13 THEN 'champion'
+       WHEN r_score + f_score + m_score >= 10 THEN 'loyal'
+       WHEN r_score + f_score + m_score >= 7 THEN 'potential'
+       WHEN r_score + f_score + m_score >= 5 THEN 'at_risk'
+       ELSE 'hibernating' END AS segment
+FROM scored
+"""
+
+
+SESSION_GAP_MIN = 30  # reference: src/silver/transform_clickstream.py:28
+
+
+def q05_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag -> new-session flag -> running-sum
+    session number -> session-level aggregate (T3/W2/W3; reference
+    ``src/silver/transform_clickstream.py:47-126``).
+
+    Scale notes: both windows partition by user_id, so work distributes
+    across the keyspace; no global window. Timestamp math uses integer
+    microseconds (unix_micros / epoch_us) for exact cross-engine
+    parity.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    with_flag = e.withColumn(
+        "_new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+                > gap_us
+            ),
+            1,
+        ).otherwise(0),
+    )
+    with_num = with_flag.withColumn(
+        "session_num",
+        F.sum("_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_num.groupBy("user_id", "session_num")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "n_views"
+            ),
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "has_purchase"
+            ),
+            (
+                (F.max(F.unix_micros(F.col("ts"))) - F.min(F.unix_micros(F.col("ts"))))
+                / F.lit(1_000_000.0)
+            ).alias("duration_sec"),
+        )
+        .withColumn(
+            "session_id",
+            F.concat_ws("_", F.col("user_id"), F.col("session_num")),
+        )
+        .select(
+            "session_id",
+            "user_id",
+            "session_num",
+            "session_start",
+            "session_end",
+            "n_events",
+            "n_views",
+            "has_purchase",
+            "duration_sec",
+        )
+    )
+
+
+Q05_SQL = f"""
+WITH flagged AS (
+  SELECT *,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_MIN * 60 * 1_000_000}
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  FROM flagged
+)
+SELECT CONCAT(CAST(user_id AS VARCHAR), '_', CAST(session_num AS VARCHAR)) AS session_id,
+  user_id, session_num,
+  MIN(ts) AS session_start, MAX(ts) AS session_end,
+  COUNT(*) AS n_events,
+  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
+  (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS duration_sec
+FROM numbered
+GROUP BY user_id, session_num
+"""
+
+
+def q06_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number dedup keeping the latest row per business key
+    (W1; reference ``src/utils/common_functions.py:15-34``,
+    ``src/silver/transform_customers.py:49-59``).
+
+    Scale notes: one shuffle on the dedup key; row_number + filter is
+    executed as a single WindowExec after the shuffle, no extra pass.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+Q06_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q07_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation funnel: per-user event-type counts and
+    conversion rate (A2; reference
+    ``src/silver/transform_clickstream.py:111-114``,
+    ``src/gold/customer_360_view.py:78-90``).
+    """
+    e = load(spark, sf_dir, "events")
+
+    def cnt(t: str) -> Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        cnt("view").alias("n_views"),
+        cnt("click").alias("n_clicks"),
+        cnt("purchase").alias("n_purchases"),
+        cnt("error").alias("n_errors"),
+        (
+            cnt("purchase").cast("double")
+            / F.greatest(cnt("view"), F.lit(1)).cast("double")
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+Q07_SQL = """
+SELECT user_id,
+  COUNT(*) AS n_events,
+  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
+  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(GREATEST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 1) AS DOUBLE)
+    AS view_to_purchase_rate
+FROM events GROUP BY user_id
+"""
+
+
+def q08_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 customers by revenue: enrichment join + group + ordered
+    limit (J3/O1/O2; reference
+    ``src/databricks_sql/sql_queries_and_dashboards.py:182-199``).
+
+    Scale notes: orderBy().limit() compiles to TakeOrderedAndProject —
+    per-partition top-k then a driver merge of k*partitions rows, never
+    a global sort.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_name", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"), "c_name", "c_mktsegment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("customer_id").asc())
+        .limit(50)
+    )
+
+
+Q08_SQL = """
+SELECT c.c_custkey AS customer_id, c.c_name, c.c_mktsegment,
+  COUNT(*) AS order_count,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, customer_id ASC
+LIMIT 50
+"""
+
+
+def q09_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way dimension join + share-of-total window (J1/J4/W6;
+    reference ``src/databricks_sql/sql_queries_and_dashboards.py:90,105``
+    pct-of-total, ``src/gold/revenue_analytics.py:31-57`` enrichment).
+
+    Scale notes: nation/region are tiny -> explicit broadcast keeps the
+    plan shuffle-free until the final small aggregate; the empty-frame
+    total window runs over ~25 rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    dims = (
+        c.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    per_nation = (
+        o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).alias("_rev_dec"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    total_w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_nation.withColumn("revenue", F.col("_rev_dec").cast("double"))
+        .withColumn(
+            "revenue_share",
+            F.col("_rev_dec").cast("double")
+            / F.sum("_rev_dec").over(total_w).cast("double"),
+        )
+        .select("r_name", "n_name", "n_orders", "revenue", "revenue_share")
+    )
+
+
+Q09_SQL = """
+WITH per_nation AS (
+  SELECT r.r_name, n.n_name,
+         SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+         COUNT(*) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, n_orders,
+  CAST(rev_dec AS DOUBLE) AS revenue,
+  CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS revenue_share
+FROM per_nation
+"""
+
+
+def q10_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly z-scores over daily event counts (A10/J5;
+    reference ``src/databricks_sql/sql_alerts_monitoring.py:147-171``).
+
+    Variance is computed from exact integer sums (sum, sum-of-squares)
+    in one deterministic IEEE expression, so Spark and DuckDB agree
+    bitwise — avoids engine-specific streaming-variance algorithms.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("event_date")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("cnt").alias("sum_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_cnt"),
+    )
+    joined = daily.crossJoin(F.broadcast(stats))
+    mean = F.col("sum_cnt").cast("double") / F.col("n_days").cast("double")
+    var = (
+        F.col("sumsq_cnt").cast("double")
+        - F.col("n_days").cast("double") * mean * mean
+    ) / (F.col("n_days").cast("double") - F.lit(1.0))
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return joined.select(
+        "event_date",
+        "cnt",
+        mean.alias("mean_cnt"),
+        z.alias("z_score"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
+
+
+Q10_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS cnt FROM events GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_days, SUM(cnt) AS sum_cnt, SUM(cnt * cnt) AS sumsq_cnt FROM daily
+)
+SELECT event_date, cnt,
+  CAST(sum_cnt AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_cnt,
+  (CAST(cnt AS DOUBLE) - CAST(sum_cnt AS DOUBLE) / CAST(n_days AS DOUBLE))
+    / SQRT((CAST(sumsq_cnt AS DOUBLE) - CAST(n_days AS DOUBLE)
+        * (CAST(sum_cnt AS DOUBLE) / CAST(n_days AS DOUBLE))
+        * (CAST(sum_cnt AS DOUBLE) / CAST(n_days AS DOUBLE)))
+      / (CAST(n_days AS DOUBLE) - 1.0)) AS z_score,
+  ABS((CAST(cnt AS DOUBLE) - CAST(sum_cnt AS DOUBLE) / CAST(n_days AS DOUBLE))
+    / SQRT((CAST(sumsq_cnt AS DOUBLE) - CAST(n_days AS DOUBLE)
+        * (CAST(sum_cnt AS DOUBLE) / CAST(n_days AS DOUBLE))
+        * (CAST(sum_cnt AS DOUBLE) / CAST(n_days AS DOUBLE)))
+      / (CAST(n_days AS DOUBLE) - 1.0))) > 3.0 AS is_anomaly
+FROM daily CROSS JOIN stats
+"""
+
+
+def q11_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join / set-difference: customers with no orders (J7/O4;
+    reference ``src/databricks_connect/local_testing.py:145-151`` orphan
+    check, ``delta_lake_features.py:140-145`` subtract).
+
+    Scale notes: left_anti compiles to a broadcast/SMJ anti join —
+    never a driver-side subtract.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_anti",
+    )
+
+
+Q11_SQL = """
+SELECT * FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q12_period_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current-vs-previous-period revenue with pct change: two 1-row
+    CTEs cross-joined (J5/O6; reference
+    ``src/databricks_sql/sql_alerts_monitoring.py:108-129``,
+    ``sql_queries_and_dashboards.py:43-73``).
+    """
+    o = load(spark, sf_dir, "orders")
+    month = F.date_format(F.col("o_orderdate"), "yyyy-MM")
+    cur = o.filter(month == "2001-07").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("current_revenue")
+    )
+    prev = o.filter(month == "2001-06").agg(
+        F.sum(_dec("o_totalprice")).cast("double").alias("previous_revenue")
+    )
+    return cur.crossJoin(prev).select(
+        "current_revenue",
+        "previous_revenue",
+        (
+            (F.col("current_revenue") - F.col("previous_revenue"))
+            / F.col("previous_revenue")
+            * 100.0
+        ).alias("pct_change"),
+    )
+
+
+Q12_SQL = """
+WITH cur AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS current_revenue
+  FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '2001-07'
+), prev AS (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS previous_revenue
+  FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '2001-06'
+)
+SELECT current_revenue, previous_revenue,
+  (current_revenue - previous_revenue) / previous_revenue * 100.0 AS pct_change
+FROM cur CROSS JOIN prev
+"""
+
+
+def q13_duplicate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-style duplicate detection (A8; reference
+    ``src/databricks_sql/sql_alerts_monitoring.py:93-99``)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", "event_type", F.col("ts").cast("date").alias("event_date")
+        )
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .filter(F.col("n_dup") > 5)
+    )
+
+
+Q13_SQL = """
+SELECT user_id, event_type, CAST(ts AS DATE) AS event_date, COUNT(*) AS n_dup
+FROM events
+GROUP BY 1, 2, 3
+HAVING COUNT(*) > 5
+"""
+
+
+def q14_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring for training-data curation: token count,
+    stopword ratio, length-based quality score (beyond-reference
+    LLM-pipeline operator; brief requires text analysis over
+    ``documents``).
+
+    Pure built-in functions (split + higher-order filter) — stays in
+    whole-stage codegen, no Python UDF.
+    """
+    d = load(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(tokens, lambda t: F.array_contains(stop_arr, t))
+    )
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast(
+        "double"
+    )
+    len_score = F.least(
+        F.col("n_chars").cast("double") / F.lit(500.0), F.lit(1.0)
+    )
+    quality = F.lit(0.6) * len_score + F.lit(0.4) * (
+        F.lit(1.0) - stop_ratio
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+        (quality > 0.5).alias("is_quality"),
+    )
+
+
+Q14_SQL = f"""
+SELECT doc_id, lang, source, n_chars,
+  len(string_split(text, ' ')) AS n_tokens,
+  len(list_filter(string_split(text, ' '),
+      t -> t IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS n_stopwords,
+  CAST(len(list_filter(string_split(text, ' '),
+      t -> t IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS DOUBLE)
+    / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE) AS stopword_ratio,
+  0.6 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+    + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        t -> t IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS DOUBLE)
+      / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE)) AS quality_score,
+  (0.6 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+    + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        t -> t IN ({", ".join("'" + s + "'" for s in STOPWORDS)}))) AS DOUBLE)
+      / CAST(GREATEST(len(string_split(text, ' ')), 1) AS DOUBLE))) > 0.5 AS is_quality
+FROM documents
+"""
+
+
+def q15_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication with content fingerprint: md5 fingerprint +
+    keep-lowest-id per business key (beyond-reference dedup operator;
+    W1 shape from ``common_functions.py:15-34`` applied to documents).
+    """
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang", "n_chars").orderBy(
+        F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("fingerprint", F.md5(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_canonical", F.col("_rn") == 1)
+        .select("doc_id", "source", "lang", "n_chars", "fingerprint", "is_canonical")
+    )
+
+
+Q15_SQL = """
+SELECT doc_id, source, lang, n_chars, md5(text) AS fingerprint,
+  ROW_NUMBER() OVER (PARTITION BY source, lang, n_chars ORDER BY doc_id ASC) = 1
+    AS is_canonical
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_revenue_daily": (q02_revenue_daily, Q02_SQL),
+    "q03_customer_360": (q03_customer_360, Q03_SQL),
+    "q04_rfm_segments": (q04_rfm_segments, Q04_SQL),
+    "q05_sessionization": (q05_sessionization, Q05_SQL),
+    "q06_dedup_latest": (q06_dedup_latest, Q06_SQL),
+    "q07_user_funnel": (q07_user_funnel, Q07_SQL),
+    "q08_top_customers": (q08_top_customers, Q08_SQL),
+    "q09_market_share": (q09_market_share, Q09_SQL),
+    "q10_volume_anomaly": (q10_volume_anomaly, Q10_SQL),
+    "q11_customers_without_orders": (q11_customers_without_orders, Q11_SQL),
+    "q12_period_compare": (q12_period_compare, Q12_SQL),
+    "q13_duplicate_check": (q13_duplicate_check, Q13_SQL),
+    "q14_doc_quality": (q14_doc_quality, Q14_SQL),
+    "q15_doc_dedup": (q15_doc_dedup, Q15_SQL),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Mirrors the cluster/session configuration surface of the reference
+(``config/cluster_config.json:29-45`` — AQE, coalescePartitions,
+broadcast threshold; ``src/utils/performance_optimization.py:374-407``)
+on open-source Spark running locally. Designed so the same settings
+scale to a real multi-executor cluster: AQE handles skew + partition
+coalescing at runtime, the broadcast threshold keeps dimension joins
+shuffle-free, and shuffle partitions default to the local core count
+(on a cluster you'd size this to 2-3x total cores or let AQE coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "databricks_delta_lake_project_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard conf.
+
+    Session-level settings are applied even when an active session
+    already exists, so tests and the driver harness see consistent
+    behavior (UTC timestamps, AQE, Arrow).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Runtime re-planning: partition coalescing, skew-join splitting,
+        # SMJ->BHJ conversion (reference: performance_optimization.py:398-407).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # 10MB auto-broadcast threshold (reference: performance_optimization.py:374-391).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        # Deterministic cross-engine timestamps for the DuckDB oracle.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for the pandas-UDF path (similarity / multimodal operators).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Testdata `events.ts` is TIMESTAMP(NANOS) parquet; Spark reads it
+        # as long and the scan layer converts to microsecond timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Enforce the confs that matter for correctness/parity even on a
+    # pre-existing session handed to us by the driver.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
