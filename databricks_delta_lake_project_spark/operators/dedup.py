@@ -1,0 +1,192 @@
+"""Deduplication operators.
+
+``deduplicate`` ports the generic helper the reference applies in every
+silver transform (``/root/reference/src/utils/common_functions.py:15-34``,
+used at ``src/silver/transform_customers.py:49-59``,
+``transform_support_tickets.py:63-73``).
+
+The fuzzy/near-dup family (MinHash-LSH, SimHash, n-gram Jaccard) is the
+beyond-reference training-data-pipeline surface: everything is built
+from Spark built-ins (xxhash64, higher-order array functions, explode +
+group-join) so the hot path stays in the JVM — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def deduplicate(
+    df: DataFrame, keys: list[str], order_by: list[Column | str]
+) -> DataFrame:
+    """Keep exactly one row per key, latest-first by ``order_by``
+    (row_number window, W1). One shuffle on the dedup key."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact duplicate removal (hash-aggregate distinct)."""
+    return df.dropDuplicates(cols) if cols else df.dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# fuzzy dedup building blocks
+# ---------------------------------------------------------------------------
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization with lowercase normalization."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles via higher-order functions (JVM-side)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))
+    )
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed k, min over shingles of
+    xxhash64(seed, shingle). Arrays stay JVM-side; no UDFs."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingle_col, lambda s, k=k: F.xxhash64(F.lit(k), s))
+            )
+            for k in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash + banded LSH.
+
+    Pipeline: shingle -> minhash signature -> split into ``bands``
+    bands -> hash each band -> self-join on (band_idx, band_hash).
+    Scale: the self-join shuffles on the band hash, so only documents
+    sharing a band collide; with b bands of r rows the collision
+    probability is 1-(1-s^r)^b for Jaccard similarity s. Returns
+    distinct (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature(
+            shingles(tokenize(F.col(text_col)), shingle_n), num_hashes
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col("sig")[i]
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (the verify
+    stage after LSH): join shingle sets back and compute
+    |A∩B| / |A∪B| with array built-ins."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias(
+            "sh"
+        ),
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return out.select(
+        "id_a",
+        "id_b",
+        (inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash document fingerprint: sign-sum of per-token hash bits.
+
+    JVM-only formulation: per token t, xxhash64(t) gives 64 bits; for
+    each bit position the fingerprint bit is 1 when more tokens set it
+    than clear it. Near-dups then differ in few bits (hamming).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fingerprint = sum(
+        (
+            F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(bits)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Popcount of XOR via bit_count (Spark >= 3.3)."""
+    return F.bit_count(a.bitwiseXOR(b))

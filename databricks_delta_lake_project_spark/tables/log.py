@@ -1,0 +1,172 @@
+"""Transaction log for the engine's ACID table format ("lakehouse-lite").
+
+Stands in for the Delta `_delta_log` the reference relies on
+(``/root/reference/src/utils/delta_lake_features.py:37-60`` — the
+reference describes Delta as "Parquet + transaction log"; this module
+provides exactly that on open-source Spark without delta-spark).
+
+Layout under a table root:
+
+    <root>/_log/00000000000000000000.json   one JSON doc per commit
+    <root>/data/part-*.parquet              immutable data files
+    <root>/_changes/version=N/*.parquet     change-data-feed rows
+
+Commit protocol: the commit file for version N is created with
+``open(path, "x")`` (put-if-absent). Two concurrent writers racing on
+the same version -> exactly one wins; the loser re-reads the log and
+retries. This is the same optimistic-concurrency contract Delta uses
+on object stores.
+
+Each commit document:
+
+    {"version": N, "timestamp_ms": ..., "operation": "WRITE|APPEND|MERGE|...",
+     "operationParameters": {...}, "operationMetrics": {...},
+     "add": [{"path": "data/part-...", "rows": n, "bytes": n,
+              "stats": {"col": {"min": .., "max": .., "nulls": n}}}],
+     "remove": ["data/part-..."],
+     "schema": "<spark schema json>", "properties": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Any
+
+LOG_DIR = "_log"
+DATA_DIR = "data"
+CHANGES_DIR = "_changes"
+
+
+def _commit_path(root: str, version: int) -> Path:
+    return Path(root) / LOG_DIR / f"{version:020d}.json"
+
+
+def list_versions(root: str) -> list[int]:
+    log = Path(root) / LOG_DIR
+    if not log.is_dir():
+        return []
+    out = []
+    for p in log.iterdir():
+        if p.suffix == ".json" and p.stem.isdigit():
+            out.append(int(p.stem))
+    return sorted(out)
+
+
+def latest_version(root: str) -> int | None:
+    versions = list_versions(root)
+    return versions[-1] if versions else None
+
+
+def read_commit(root: str, version: int) -> dict[str, Any]:
+    with open(_commit_path(root, version)) as f:
+        return json.load(f)
+
+
+def read_log(root: str, up_to: int | None = None) -> list[dict[str, Any]]:
+    return [
+        read_commit(root, v)
+        for v in list_versions(root)
+        if up_to is None or v <= up_to
+    ]
+
+
+def try_commit(root: str, commit: dict[str, Any]) -> bool:
+    """Atomically publish a commit; False if the version already exists
+    (optimistic-concurrency conflict — caller re-reads and retries)."""
+    path = _commit_path(root, commit["version"])
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = json.dumps(commit)
+    try:
+        with open(path, "x") as f:
+            f.write(tmp)
+        return True
+    except FileExistsError:
+        return False
+
+
+def commit(
+    root: str,
+    operation: str,
+    add: list[dict[str, Any]],
+    remove: list[str],
+    schema_json: str,
+    parameters: dict[str, Any] | None = None,
+    metrics: dict[str, Any] | None = None,
+    properties: dict[str, Any] | None = None,
+    max_retries: int = 20,
+) -> int:
+    """Append a commit with optimistic retry; returns the version."""
+    for _ in range(max_retries):
+        prev = latest_version(root)
+        version = 0 if prev is None else prev + 1
+        doc = {
+            "version": version,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "operationParameters": parameters or {},
+            "operationMetrics": metrics or {},
+            "add": add,
+            "remove": remove,
+            "schema": schema_json,
+            "properties": properties or {},
+        }
+        if try_commit(root, doc):
+            return version
+    raise RuntimeError(f"commit conflict: lost {max_retries} races on {root}")
+
+
+def active_files(root: str, up_to: int | None = None) -> list[dict[str, Any]]:
+    """Replay the log: files added and not yet removed as of a version."""
+    files: dict[str, dict[str, Any]] = {}
+    for c in read_log(root, up_to):
+        for r in c.get("remove", []):
+            files.pop(r, None)
+        for a in c.get("add", []):
+            files[a["path"]] = a
+    return list(files.values())
+
+
+def version_at_timestamp(root: str, ts_ms: int) -> int:
+    """Largest version whose commit timestamp <= ts_ms (time travel)."""
+    best = None
+    for c in read_log(root):
+        if c["timestamp_ms"] <= ts_ms:
+            best = c["version"]
+    if best is None:
+        raise ValueError(f"no commit at or before timestamp {ts_ms} in {root}")
+    return best
+
+
+def schema_at(root: str, version: int | None = None) -> str:
+    commits = read_log(root, version)
+    if not commits:
+        raise ValueError(f"not a table: {root}")
+    return commits[-1]["schema"]
+
+
+def table_properties(root: str) -> dict[str, Any]:
+    props: dict[str, Any] = {}
+    for c in read_log(root):
+        props.update(c.get("properties", {}))
+    return props
+
+
+def referenced_files_all_versions(root: str) -> set[str]:
+    refs: set[str] = set()
+    for c in read_log(root):
+        for a in c.get("add", []):
+            refs.add(a["path"])
+    return refs
+
+
+def data_dir(root: str) -> Path:
+    return Path(root) / DATA_DIR
+
+
+def ensure_layout(root: str) -> None:
+    (Path(root) / LOG_DIR).mkdir(parents=True, exist_ok=True)
+    (Path(root) / DATA_DIR).mkdir(parents=True, exist_ok=True)
+    (Path(root) / CHANGES_DIR).mkdir(parents=True, exist_ok=True)
