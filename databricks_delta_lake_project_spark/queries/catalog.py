@@ -836,9 +836,23 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 }
 
 
+def _extend_registry() -> None:
+    """Merge the extension query modules into the registry. Imported
+    lazily at module bottom to avoid circular imports (the extension
+    modules use catalog.load/_dec)."""
+    from . import relational, similarity, text
+
+    QUERIES.update(relational.RELATIONAL_QUERIES)
+    QUERIES.update(text.TEXT_QUERIES)
+    QUERIES.update(similarity.SIMILARITY_QUERIES)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+
+
+_extend_registry()

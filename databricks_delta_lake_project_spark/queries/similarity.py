@@ -1,0 +1,260 @@
+"""Embedding similarity search over ``array<float>`` columns
+(beyond-reference training-data surface, SURVEY §7 phase 7):
+brute-force cosine top-k as the correctness baseline and a
+sign-LSH-bucketed approximate variant as the scale path.
+
+Parity design: float components are quantized to integers with
+``floor(x * 1e6)`` — float->double is exact, the double multiply and
+floor are IEEE-deterministic, so both engines produce identical
+BIGINTs (a float->decimal cast is NOT portable: Spark rounds the
+shortest-string repr, DuckDB the binary value, and they disagree in
+the 9th decimal). Dot products and norms are then exact integer sums
+(order-independent); the only IEEE steps (sqrt + one division) are a
+single deterministic expression in both engines.
+
+Scale notes: the exploded-decimal formulation is the parity oracle
+path. At 100 TB the same plan shape holds (explode shuffles on the
+pair key), but the pragmatic fast path is a float dot product via
+``F.zip_with``/``F.aggregate`` or an Arrow-batched pandas UDF over a
+broadcast query matrix — same top-k semantics, ~10x fewer bytes
+shuffled. The sign-LSH variant prunes candidates by bucket before any
+dot product is computed, which is what makes top-k tractable when the
+candidate side no longer fits a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load
+
+N_QUERIES = 5  # vec_id < 5 act as the query set
+TOP_K = 10
+LSH_BITS = 4
+LSH_TOP_K = 5
+
+
+QUANT = 1_000_000.0  # 1e-6 component quantization
+
+
+def _exploded(e: DataFrame) -> DataFrame:
+    """(vec_id, pos, xd) with exact integer-quantized components."""
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("x").cast("double") * QUANT).cast("long").alias("xd"),
+    )
+
+
+def _norms(ex: DataFrame) -> DataFrame:
+    """Exact squared norm per vector (integer sum of squares, in
+    quantized units: 64 dims * (1e6)^2 ~ 6e13 << 2^63)."""
+    return ex.groupBy("vec_id").agg(
+        F.sum(F.col("xd") * F.col("xd")).alias("norm2")
+    )
+
+
+def q33_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + dimensionality — the embedding-column
+    sanity profile (exact decimal sum of squares, IEEE sqrt at the
+    end)."""
+    e = load(spark, sf_dir, "embeddings")
+    ex = _exploded(e)
+    norms = _norms(ex).select(
+        "vec_id",
+        (F.sqrt(F.col("norm2").cast("double")) / QUANT).alias("l2_norm"),
+    )
+    dims = ex.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_dims"))
+    return (
+        e.select("vec_id", "label")
+        .join(norms, "vec_id")
+        .join(dims, "vec_id")
+        .select("vec_id", "label", "n_dims", "l2_norm")
+    )
+
+
+Q33_SQL = """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xd
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, SQRT(CAST(SUM(xd * xd) AS DOUBLE)) / 1000000.0 AS l2_norm,
+         COUNT(*) AS n_dims
+  FROM ex GROUP BY 1
+)
+SELECT e.vec_id, e.label, n.n_dims, n.l2_norm
+FROM embeddings e JOIN norms n ON e.vec_id = n.vec_id
+"""
+
+
+def q34_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the exact ANN baseline. Query vectors
+    (vec_id < N_QUERIES) against all other vectors; dot product via
+    dimension-aligned equijoin + exact decimal sum; per-query top-k by
+    (cosine desc, neighbor asc) row_number.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ex = _exploded(e)
+    norms = _norms(ex)
+    q = ex.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "pos", F.col("xd").alias("qd")
+    )
+    dots = (
+        q.join(ex, "pos")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum(F.col("qd") * F.col("xd")).alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("query_id"), F.col("norm2").alias("qn2"))
+    cn = norms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("norm2").alias("cn2")
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dots.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "knn_rank", "cosine")
+    )
+
+
+Q34_SQL = f"""
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xd
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, SUM(xd * xd) AS norm2 FROM ex GROUP BY 1
+), dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, SUM(q.xd * c.xd) AS dot
+  FROM ex q JOIN ex c ON q.pos = c.pos AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+    CAST(d.dot AS DOUBLE)
+      / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(cn.norm2 AS DOUBLE))) AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.query_id
+  JOIN norms cn ON cn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, knn_rank, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS knn_rank
+  FROM scored
+) WHERE knn_rank <= {TOP_K}
+"""
+
+
+def q35_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors with sign-LSH bucketing: bucket =
+    sign bits of the first LSH_BITS dimensions (coordinate-hyperplane
+    LSH); candidates are restricted to the query's bucket BEFORE any
+    dot product — the pruning that keeps ANN tractable at scale.
+    Exact-decimal cosine within the bucket, top-k per query.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit(1 << i)).otherwise(
+                0
+            )
+            for i in range(LSH_BITS)
+        ),
+        F.lit(0),
+    )
+    buckets = e.select("vec_id", bucket.alias("bucket"))
+    ex = _exploded(e)
+    norms = _norms(ex)
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cand = qb.join(buckets.alias("c"), "bucket").filter(
+        F.col("c.vec_id") != F.col("query_id")
+    ).select("query_id", F.col("c.vec_id").alias("neighbor_id"), "bucket")
+    qx = ex.select(F.col("vec_id").alias("query_id"), "pos", F.col("xd").alias("qd"))
+    cx = ex.select(F.col("vec_id").alias("neighbor_id"), "pos", F.col("xd").alias("cd"))
+    dots = (
+        cand.join(qx, "query_id")
+        .join(cx, ["neighbor_id", "pos"])
+        .groupBy("query_id", "neighbor_id", "bucket")
+        .agg(F.sum(F.col("qd") * F.col("cd")).alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("query_id"), F.col("norm2").alias("qn2"))
+    cn = norms.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("norm2").alias("cn2")
+    )
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dots.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", "bucket", cosine.alias("cosine"))
+        .withColumn("ann_rank", F.row_number().over(w))
+        .filter(F.col("ann_rank") <= LSH_TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "ann_rank", "cosine")
+    )
+
+
+_D_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(LSH_BITS)
+)
+
+Q35_SQL = f"""
+WITH buckets AS (
+  SELECT vec_id, {_D_BUCKET} AS bucket FROM embeddings
+), ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xd
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, SUM(xd * xd) AS norm2 FROM ex GROUP BY 1
+), cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket
+  FROM buckets q JOIN buckets c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), dots AS (
+  SELECT cd.query_id, cd.neighbor_id, cd.bucket, SUM(qx.xd * cx.xd) AS dot
+  FROM cand cd
+  JOIN ex qx ON qx.vec_id = cd.query_id
+  JOIN ex cx ON cx.vec_id = cd.neighbor_id AND cx.pos = qx.pos
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT d.query_id, d.neighbor_id, d.bucket,
+    CAST(d.dot AS DOUBLE)
+      / (SQRT(CAST(qn.norm2 AS DOUBLE)) * SQRT(CAST(cn.norm2 AS DOUBLE))) AS cosine
+  FROM dots d
+  JOIN norms qn ON qn.vec_id = d.query_id
+  JOIN norms cn ON cn.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, bucket, ann_rank, cosine
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS ann_rank
+  FROM scored
+) WHERE ann_rank <= {LSH_TOP_K}
+"""
+
+
+SIMILARITY_QUERIES = {
+    "q33_embedding_norms": (q33_embedding_norms, Q33_SQL),
+    "q34_knn_bruteforce": (q34_knn_bruteforce, Q34_SQL),
+    "q35_ann_sign_lsh": (q35_ann_sign_lsh, Q35_SQL),
+}

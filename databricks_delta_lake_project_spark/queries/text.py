@@ -1,0 +1,375 @@
+"""Text-analysis and document-dedup operators for training-data
+curation (SURVEY §7 phase 7; beyond-reference LLM-pipeline surface):
+language-ID heuristic, BPE-ish token stats, content fingerprints,
+exact n-gram Jaccard, SimHash, MinHash-LSH.
+
+Everything except the LSH entry is expressed with JVM-side built-ins
+(regexp, higher-order array functions, md5/conv bit math) so the hot
+path stays in whole-stage codegen AND has an exact DuckDB oracle.
+Hash choices are engine-portable on purpose: md5 (identical hex in
+Spark/DuckDB) rather than xxhash64 (Spark-only) wherever an oracle
+exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load
+
+TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]+"
+SHINGLE_N = 3
+
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "en", "y"),
+    "fr": ("le", "la", "et", "un", "dans"),
+}
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _shingles(tokens: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-grams; when the doc has < n tokens the whole doc is one
+    shingle. Mirrored exactly in the DuckDB oracle strings below."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)))
+
+
+# DuckDB fragments mirroring _tokens/_shingles
+_D_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_D_SHINGLES = (
+    f"list_transform(range(0, greatest(len({_D_TOKS}) - {SHINGLE_N}, 0) + 1), "
+    f"i -> array_to_string(({_D_TOKS})[i+1:i+{SHINGLE_N}], ' '))"
+)
+
+
+def q27_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification: score the token set
+    against per-language stopword lists, argmax with a fixed priority
+    tiebreak (beyond-reference text analysis; the n-gram-heuristic
+    shape the training-data brief asks for).
+
+    Pure map-side projection — at 100 TB this pipelines into the scan
+    with zero shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+
+    def hits(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    h = {lang: hits(words) for lang, words in LANG_PROFILES.items()}
+    predicted = (
+        F.when((h["en"] >= h["es"]) & (h["en"] >= h["fr"]), "en")
+        .when(h["es"] >= h["fr"], "es")
+        .otherwise("fr")
+    )
+    best = F.greatest(*h.values())
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        h["en"].alias("hits_en"),
+        h["es"].alias("hits_es"),
+        h["fr"].alias("hits_fr"),
+        predicted.alias("predicted_lang"),
+        (
+            best.cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("confidence"),
+    )
+
+
+def _d_hits(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_D_TOKS}, t -> t IN ({inlist})))"
+
+
+Q27_SQL = f"""
+SELECT doc_id, lang AS labeled_lang,
+  {_d_hits(LANG_PROFILES['en'])} AS hits_en,
+  {_d_hits(LANG_PROFILES['es'])} AS hits_es,
+  {_d_hits(LANG_PROFILES['fr'])} AS hits_fr,
+  CASE WHEN {_d_hits(LANG_PROFILES['en'])} >= {_d_hits(LANG_PROFILES['es'])}
+        AND {_d_hits(LANG_PROFILES['en'])} >= {_d_hits(LANG_PROFILES['fr'])} THEN 'en'
+       WHEN {_d_hits(LANG_PROFILES['es'])} >= {_d_hits(LANG_PROFILES['fr'])} THEN 'es'
+       ELSE 'fr' END AS predicted_lang,
+  CAST(GREATEST({_d_hits(LANG_PROFILES['en'])}, {_d_hits(LANG_PROFILES['es'])},
+                {_d_hits(LANG_PROFILES['fr'])}) AS DOUBLE)
+    / CAST(GREATEST(len({_D_TOKS}), 1) AS DOUBLE) AS confidence
+FROM documents
+"""
+
+
+def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: regex lexer splitting words vs
+    punctuation runs, with unique-token and char-length stats
+    (beyond-reference token-counting operator).
+
+    regexp_extract_all + integer higher-order aggregate — exact math,
+    no floats until the final ratio.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    n_tokens = F.size(toks)
+    n_unique = F.size(F.array_distinct(toks))
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_unique.alias("n_unique_tokens"),
+        total_chars.alias("total_token_chars"),
+        (
+            total_chars.cast("double")
+            / F.greatest(n_tokens, F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+        (
+            n_unique.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
+        ).alias("unique_ratio"),
+    )
+
+
+_D_BPE = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+
+Q28_SQL = f"""
+SELECT doc_id, n_chars,
+  len({_D_BPE}) AS n_tokens,
+  len(list_distinct({_D_BPE})) AS n_unique_tokens,
+  list_sum(list_transform({_D_BPE}, t -> len(t))) AS total_token_chars,
+  CAST(list_sum(list_transform({_D_BPE}, t -> len(t))) AS DOUBLE)
+    / CAST(GREATEST(len({_D_BPE}), 1) AS DOUBLE) AS avg_token_len,
+  CAST(len(list_distinct({_D_BPE})) AS DOUBLE)
+    / CAST(GREATEST(len({_D_BPE}), 1) AS DOUBLE) AS unique_ratio
+FROM documents
+"""
+
+
+def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: raw content hash, whitespace-normalized
+    hash, and min-shingle-hash (the min-hash-of-one-permutation rolling
+    fingerprint used for cheap near-dup bucketing).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    norm = F.concat_ws(" ", toks)
+    shingle_hashes = F.transform(_shingles(toks), lambda s: F.md5(s))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("content_hash"),
+        F.md5(norm).alias("normalized_hash"),
+        F.array_min(shingle_hashes).alias("min_shingle_hash"),
+        F.size(shingle_hashes).alias("n_shingles"),
+    )
+
+
+Q29_SQL = f"""
+SELECT doc_id,
+  md5(text) AS content_hash,
+  md5(array_to_string({_D_TOKS}, ' ')) AS normalized_hash,
+  list_sort(list_transform({_D_SHINGLES}, s -> md5(s)))[1] AS min_shingle_hash,
+  len({_D_SHINGLES}) AS n_shingles
+FROM documents
+"""
+
+
+JACCARD_THRESHOLD = 0.2
+
+
+def q30_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup detection over candidate pairs
+    from (lang, source) blocking (beyond-reference dedup operator).
+
+    |A∩B| via a shingle-equijoin between candidate pair sides,
+    |A∪B| = |A|+|B|-|A∩B| from per-doc distinct-shingle counts — all
+    integer-exact. At 100 TB the blocking key becomes the LSH band
+    (q32) instead of dimension columns; the verify math is identical.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", _shingles(_tokens(F.col("text"))).alias("sh")
+    )
+    sh = d.select("doc_id", F.explode("sh").alias("shingle")).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("id_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+Q30_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, source, {_D_SHINGLES} AS sh FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM docs a JOIN docs b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+), inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_inter,
+  na.n_sh + nb.n_sh - i.n_inter AS n_union,
+  CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+SIMHASH_BITS = 32
+HAMMING_THRESHOLD = 8
+
+
+def q31_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection: 32-bit fingerprint from md5-derived
+    token hashes (portable across engines, unlike xxhash64), then
+    within-source pairs under a Hamming-distance threshold
+    (beyond-reference dedup operator).
+
+    Fingerprint bit j = sign of sum over distinct tokens of
+    (bit_j(hash(token)) ? +1 : -1). One shuffle to the per-doc
+    aggregate; the pair join blocks on source.
+    """
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    tok = d.select(
+        "doc_id", "source", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("t")
+    )
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("h", h)
+    aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = tok.groupBy("doc_id", "source").agg(*aggs)
+    fp: Column = F.lit(0)
+    for j in range(SIMHASH_BITS):
+        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
+    fps = per_doc.select("doc_id", "source", fp.cast("long").alias("simhash"))
+    a, b = fps.alias("a"), fps.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    )
+
+
+_D_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(SIMHASH_BITS)
+)
+_D_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+Q31_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(list_distinct({_D_TOKS})) AS t FROM documents
+), hashed AS (
+  SELECT doc_id, source, ('0x' || substr(md5(t), 1, 8))::UBIGINT AS h FROM tok
+), per_doc AS (
+  SELECT doc_id, source, {_D_SIMHASH_SUMS} FROM hashed GROUP BY 1, 2
+), fps AS (
+  SELECT doc_id, source, CAST({_D_SIMHASH_FP} AS BIGINT) AS simhash FROM per_doc
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  a.simhash AS simhash_a, b.simhash AS simhash_b,
+  bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT))::INT AS hamming
+FROM fps a JOIN fps b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {HAMMING_THRESHOLD}
+"""
+
+
+def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then exact Jaccard
+    verification — the full fuzzy-dedup pipeline at scale
+    (shingle -> signature -> band-bucket join -> verify; SURVEY §7
+    phase 7). Uses Spark-native xxhash64 for signatures, so this entry
+    has no SQL oracle (driver records the rows-only check); the verify
+    stage's Jaccard math is the oracle-checked q30 logic.
+    """
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, id_col="doc_id", text_col="text", num_hashes=16, bands=4, shingle_n=SHINGLE_N
+    )
+    verified = ngram_jaccard(
+        d, pairs, id_col="doc_id", text_col="text", shingle_n=SHINGLE_N
+    )
+    return verified.filter(F.col("jaccard") >= 0.5).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+TEXT_QUERIES = {
+    "q27_language_id": (q27_language_id, Q27_SQL),
+    "q28_token_stats": (q28_token_stats, Q28_SQL),
+    "q29_doc_fingerprint": (q29_doc_fingerprint, Q29_SQL),
+    "q30_ngram_jaccard_pairs": (q30_ngram_jaccard_pairs, Q30_SQL),
+    "q31_simhash_pairs": (q31_simhash_pairs, Q31_SQL),
+    "q32_minhash_lsh": (q32_minhash_lsh, None),
+}
