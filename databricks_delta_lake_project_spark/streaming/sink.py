@@ -1,0 +1,120 @@
+"""Streaming sinks and monitoring (T6-T11 in SURVEY §2.8).
+
+The reference lands every stream either as a direct Delta append
+(``ingest_crm_customers.py:130-141``) or through a foreachBatch MERGE
+(``transform_transactions.py:98-146``). Here the targets are engine
+LakeTables: the foreachBatch callback runs a batch MERGE per
+micro-batch, which is idempotent-by-key, so at-least-once delivery of
+a batch still converges to exactly-once table state (reference
+``README.md:281`` late-data-via-MERGE contract, T11).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..tables import LakeTable
+
+
+def stream_to_lake_table(
+    df: DataFrame,
+    table: LakeTable,
+    checkpoint: str,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """Append-mode stream into a LakeTable (K1-equivalent; reference
+    ``ingest_crm_customers.py:130-141``). Each micro-batch is one
+    atomic table commit."""
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        table.append(batch_df)
+
+    return _start(df, land, checkpoint, available_now, processing_time)
+
+
+def merge_stream(
+    df: DataFrame,
+    table: LakeTable,
+    key: str,
+    checkpoint: str,
+    when_matched_update: dict[str, str] | None = None,
+    available_now: bool = True,
+    processing_time: str | None = None,
+) -> StreamingQuery:
+    """foreachBatch + MERGE upsert (T7/K2; reference
+    ``transform_transactions.py:98-146``): per micro-batch, update
+    matched keys (conditionally, if ``when_matched_update`` given) and
+    insert new ones. Idempotent under batch replay."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        m = table.merge(batch_df, f"t.{key} = s.{key}")
+        if when_matched_update:
+            m = m.whenMatchedUpdate(set=when_matched_update)
+        else:
+            m = m.whenMatchedUpdateAll()
+        m.whenNotMatchedInsertAll().execute()
+
+    return _start(df, upsert, checkpoint, available_now, processing_time)
+
+
+def _start(
+    df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    available_now: bool,
+    processing_time: str | None,
+) -> StreamingQuery:
+    writer = (
+        df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(batch_fn)
+    )
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    elif available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+class StreamMonitor:
+    """Stream health introspection (T10; reference
+    ``stream_transactions.py:118-147``,
+    ``orchestration/workflow_streaming.py:61-99``)."""
+
+    def __init__(self, query: StreamingQuery):
+        self.query = query
+
+    def status(self) -> dict[str, Any]:
+        q = self.query
+        progress = q.lastProgress or {}
+        input_rate = progress.get("inputRowsPerSecond") or 0.0
+        processed_rate = progress.get("processedRowsPerSecond") or 0.0
+        return {
+            "id": str(q.id),
+            "is_active": q.isActive,
+            "status": q.status,
+            "input_rows_per_sec": input_rate,
+            "processed_rows_per_sec": processed_rate,
+            # backlog heuristic from the reference: falling behind when
+            # arrivals outpace processing by 1.5x (workflow_streaming.py:83-92)
+            "backlogged": bool(
+                processed_rate and input_rate > 1.5 * processed_rate
+            ),
+            "batch_id": progress.get("batchId"),
+            "num_input_rows": progress.get("numInputRows"),
+        }
+
+    def await_all_data(self, timeout_sec: float = 120.0) -> None:
+        """Block until an availableNow query drains and stops."""
+        deadline = time.time() + timeout_sec
+        while self.query.isActive and time.time() < deadline:
+            time.sleep(0.2)
+        if self.query.isActive:
+            raise TimeoutError("stream did not finish draining")

@@ -1,0 +1,237 @@
+"""Streaming layer tests: Auto-Loader-equivalent file source (schema
+registry, hints, rescue column), watermarked windows cross-checked
+against the batch plan, session windows, streaming dedup, and the
+foreachBatch-MERGE exactly-once sink."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_delta_lake_project_spark.sources import (
+    SchemaRegistry,
+    infer_schema,
+    read_file_stream,
+)
+from databricks_delta_lake_project_spark.streaming import (
+    StreamMonitor,
+    merge_stream,
+    sessionized_stream,
+    stream_dedup,
+    stream_to_lake_table,
+    tumbling_counts,
+)
+from databricks_delta_lake_project_spark.tables import LakeTable
+
+from conftest import SF_SMALL
+
+
+def _write_json(dirpath, name, rows):
+    dirpath.mkdir(parents=True, exist_ok=True)
+    (dirpath / name).write_text("\n".join(json.dumps(r) for r in rows))
+
+
+def _drain(query, timeout=120):
+    StreamMonitor(query).await_all_data(timeout)
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+def test_infer_schema_with_hints(spark, tmp_path):
+    src = tmp_path / "in"
+    _write_json(src, "a.json", [{"id": 1, "amount": "12.5", "name": "x"}])
+    schema = infer_schema(
+        spark, str(src), "json", hints="amount double, extra_col string"
+    )
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    assert by_name["amount"] == "double"  # hint overrides inferred string
+    assert by_name["extra_col"] == "string"  # hint-only column appended
+    assert by_name["id"] == "bigint"
+
+
+def test_file_stream_rescue_column(spark, tmp_path):
+    src = tmp_path / "in"
+    _write_json(
+        src,
+        "a.json",
+        [{"id": 1, "amount": 5.0}, {"id": 2, "amount": 6.0}],
+    )
+    # a malformed line lands in _rescued_data instead of being dropped
+    with open(src / "b.json", "w") as f:
+        f.write('{"id": 3, "amount": "not-a-number"}\n')
+        f.write("this is not json\n")
+    stream = read_file_stream(
+        spark,
+        str(src),
+        "json",
+        schema_location=str(tmp_path / "registry"),
+        hints="amount double",
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rescue_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = spark.sql("SELECT * FROM rescue_t").collect()
+    assert len(rows) == 4
+    rescued = [r for r in rows if r["_rescued_data"] is not None]
+    assert len(rescued) == 2  # bad-typed field + non-JSON line
+    ok = {r["id"]: r["amount"] for r in rows if r["_rescued_data"] is None}
+    assert ok == {1: 5.0, 2: 6.0}
+
+
+def test_schema_registry_evolution(spark, tmp_path):
+    src = tmp_path / "in"
+    reg_loc = str(tmp_path / "registry")
+    _write_json(src, "a.json", [{"id": 1}])
+    s1 = read_file_stream(spark, str(src), "json", schema_location=reg_loc).schema
+    assert "new_col" not in s1.names
+    # new column arrives -> restart picks it up (addNewColumns mode)
+    _write_json(src, "b.json", [{"id": 2, "new_col": "v"}])
+    s2 = read_file_stream(spark, str(src), "json", schema_location=reg_loc).schema
+    assert "new_col" in s2.names
+    # registry recorded both versions
+    reg = SchemaRegistry(reg_loc)
+    assert reg.latest().json() == s2.json()
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregation: streaming result == batch result
+# ---------------------------------------------------------------------------
+
+
+def test_tumbling_window_stream_matches_batch(spark, tmp_path):
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    src = tmp_path / "events_parquet"
+    events.write.parquet(str(src))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    q = (
+        tumbling_counts(stream, "ts", "1 hour")
+        .writeStream.format("memory")
+        .queryName("win_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        (r["window_start"], r["event_count"])
+        for r in spark.sql("SELECT * FROM win_t").collect()
+    }
+    want = {
+        (r["window_start"], r["event_count"])
+        for r in tumbling_counts(events, "ts", "1 hour").collect()
+    }
+    # append-mode emits only watermark-closed windows: subset of batch,
+    # and every emitted window must agree exactly with the batch plan
+    assert got
+    assert got <= want
+
+
+def test_session_window_stream(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:00:00", 1, "view"),
+        ("2024-01-01 00:10:00", 1, "purchase"),
+        ("2024-01-01 02:00:00", 1, "view"),  # new session after 30min gap
+        ("2024-01-01 00:05:00", 2, "view"),
+        # sentinel far in the future: advances the watermark so every
+        # earlier session closes and is emitted in append mode
+        ("2024-01-01 09:00:00", 99, "view"),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, user_id long, event_type string")
+    df = df.select(F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type")
+    src = tmp_path / "sess_parquet"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        sessionized_stream(stream, "ts", "user_id", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.sql(
+        "SELECT * FROM sess_t WHERE user_id != 99 ORDER BY user_id, session_start"
+    ).collect()
+    # user 1: two sessions (2 events, then 1); user 2: one session
+    sessions = [(r["user_id"], r["n_events"], r["n_purchases"]) for r in got]
+    assert sessions == [(1, 2, 1), (1, 1, 0), (2, 1, 0)]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    rows = [
+        ("2024-01-01 00:00:00", 100),
+        ("2024-01-01 00:00:30", 100),  # duplicate id within watermark
+        ("2024-01-01 00:01:00", 101),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, txn_id long").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "txn_id"
+    )
+    src = tmp_path / "dedup_parquet"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        stream_dedup(stream, ["txn_id"], "ts")
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = spark.sql("SELECT txn_id FROM dedup_t").collect()
+    assert sorted(r["txn_id"] for r in got) == [100, 101]
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+
+
+def test_stream_append_to_lake_table(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    src = tmp_path / "in_parquet"
+    df.write.parquet(str(src))
+    table = LakeTable.create(spark, str(tmp_path / "t"), schema=df.schema)
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = stream_to_lake_table(stream, table, str(tmp_path / "ckpt"))
+    _drain(q)
+    assert table.to_df().count() == 2
+
+
+def test_merge_stream_upsert_and_idempotency(spark, tmp_path):
+    init = spark.createDataFrame([(1, "old"), (2, "old")], "id long, v string")
+    table = LakeTable.create(spark, str(tmp_path / "t"), df=init)
+
+    upd = spark.createDataFrame([(2, "new"), (3, "new")], "id long, v string")
+    src = tmp_path / "in_parquet"
+    upd.write.parquet(str(src))
+
+    def run(ckpt: str):
+        stream = spark.readStream.schema(upd.schema).parquet(str(src))
+        q = merge_stream(stream, table, key="id", checkpoint=ckpt)
+        _drain(q)
+
+    run(str(tmp_path / "ckpt1"))
+    state = {r["id"]: r["v"] for r in table.to_df().collect()}
+    assert state == {1: "old", 2: "new", 3: "new"}
+
+    # replaying the same data through a FRESH checkpoint re-merges the
+    # same keys -> state unchanged (idempotent-by-key MERGE, T11)
+    run(str(tmp_path / "ckpt2"))
+    state2 = {r["id"]: r["v"] for r in table.to_df().collect()}
+    assert state2 == state
+    assert table.to_df().count() == 3
