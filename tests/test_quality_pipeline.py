@@ -1,0 +1,195 @@
+"""Quality engine (WARN/DROP/FAIL/QUARANTINE, single-pass metrics),
+monitors/alerts, and the declarative pipeline DAG runner.
+
+Golden values mirror the reference's notebook assertions
+(``tests/test_quality_rules.py:45-129``: 2-pass/4-fail combined rule,
+quarantine split at amount >= 100000).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_delta_lake_project_spark.plans import Pipeline
+from databricks_delta_lake_project_spark.quality import (
+    Action,
+    QualityEngine,
+    QualityRule,
+    evaluate_alerts,
+    freshness,
+    volume_anomaly,
+)
+from databricks_delta_lake_project_spark.quality.expectations import (
+    QualityViolation,
+    transaction_rules,
+)
+from databricks_delta_lake_project_spark.quality.monitors import standard_alerts
+from databricks_delta_lake_project_spark.tables import LakeTable
+
+
+@pytest.fixture()
+def txns(spark):
+    rows = [
+        (1, 10, 50.0),
+        (2, 20, -5.0),      # fails positive_amount
+        (None, 30, 60.0),   # fails valid_transaction_id
+        (4, None, 70.0),    # fails valid_customer_fk
+        (5, 50, 150000.0),  # quarantined (amount cap)
+        (6, 60, 80.0),
+    ]
+    return spark.createDataFrame(
+        rows, "transaction_id long, customer_id long, amount double"
+    )
+
+
+def test_measure_single_pass(spark, txns):
+    engine = QualityEngine()
+    results = engine.measure(txns, transaction_rules())
+    by_name = {r.rule.name: r for r in results}
+    assert by_name["valid_transaction_id"].n_fail == 1
+    assert by_name["valid_customer_fk"].n_fail == 1
+    assert by_name["positive_amount"].n_fail == 1
+    assert by_name["amount_below_cap"].n_fail == 1
+    assert by_name["positive_amount"].n_total == 6
+
+
+def test_apply_drop_and_quarantine(spark, txns, tmp_path):
+    quarantine = LakeTable.create(
+        spark, str(tmp_path / "quarantine"),
+        schema=txns.schema.add("_quarantine_rule", "string")
+        .add("_quarantine_source", "string")
+        .add("_quarantine_at", "timestamp"),
+    )
+    metrics = LakeTable.create(
+        spark, str(tmp_path / "metrics"),
+        schema=spark.createDataFrame(
+            [],
+            "source string, rule string, action string, n_total long, "
+            "n_pass long, n_fail long, pass_rate double, measured_at timestamp",
+        ).schema,
+    )
+    engine = QualityEngine(quarantine_table=quarantine, metrics_table=metrics)
+    kept, results = engine.apply(txns, transaction_rules(), "txn_test")
+    # 6 rows - 3 dropped - 1 quarantined = 2 kept
+    assert sorted(r["transaction_id"] for r in kept.collect()) == [1, 6]
+    q = quarantine.to_df().collect()
+    assert len(q) == 1 and q[0]["transaction_id"] == 5
+    assert q[0]["_quarantine_rule"] == "amount_below_cap"
+    m = metrics.to_df()
+    assert m.count() == 4
+    assert m.filter(F.col("rule") == "positive_amount").first()["n_fail"] == 1
+
+
+def test_apply_fail_action(spark, txns):
+    engine = QualityEngine()
+    rules = [QualityRule("no_nulls", "transaction_id IS NOT NULL", Action.FAIL)]
+    with pytest.raises(QualityViolation, match="no_nulls"):
+        engine.apply(txns, rules)
+
+
+def test_warn_keeps_rows(spark, txns):
+    engine = QualityEngine()
+    rules = [QualityRule("warn_only", "amount < 100", Action.WARN)]
+    kept, results = engine.apply(txns, rules)
+    assert kept.count() == 6  # WARN never filters
+    assert results[0].n_fail == 1  # only 150000.0 violates amount < 100
+
+
+def test_volume_anomaly_and_alerts(spark, tmp_path):
+    # 10 normal days + 1 spike
+    rows = [(f"2024-01-{d:02d} 00:00:00", i) for d in range(1, 11) for i in range(10)]
+    rows += [("2024-01-11 00:00:00", i) for i in range(200)]
+    df = spark.createDataFrame(rows, "ts_s string, i long").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "i"
+    )
+    res = volume_anomaly(df, "ts")
+    anomalies = [r["date"].isoformat() for r in res.filter("is_anomaly").collect()]
+    assert anomalies == ["2024-01-11"]
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), df=df)
+    alerts = standard_alerts({"t": t}, freshness_hours=24.0,
+                             null_rate_caps={"t": ("i", 0.05)})
+    fired = {a["name"]: a["fired"] for a in evaluate_alerts(alerts)}
+    assert fired == {"freshness_t": False, "null_rate_t_i": False}
+    assert freshness(t)["hours_since_write"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# pipeline DAG
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_topo_and_materialization(spark, tmp_path):
+    p = Pipeline(str(tmp_path / "lake"))
+
+    @p.table(name="gold")  # declared first, depends on both silvers
+    def gold(ctx):
+        a = ctx.read("silver_a")
+        b = ctx.read("silver_b")
+        return a.join(b, "id")
+
+    @p.table(name="silver_a", expectations=[
+        QualityRule("pos_id", "id IS NOT NULL", Action.DROP)
+    ])
+    def silver_a(ctx):
+        return ctx.read("bronze").select("id", "x")
+
+    @p.table(name="silver_b")
+    def silver_b(ctx):
+        return ctx.read("bronze").select("id", (F.col("x") * 2).alias("y"))
+
+    @p.table(name="bronze")
+    def bronze(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (None, 30.0)], "id long, x double"
+        )
+
+    res = p.run(spark)
+    # bronze before silvers before gold
+    assert res.order.index("bronze") < res.order.index("silver_a")
+    assert res.order.index("silver_a") < res.order.index("gold")
+    assert res.order.index("silver_b") < res.order.index("gold")
+    assert res.metrics["silver_a"]["rows"] == 2  # null id dropped
+    assert res.metrics["silver_a"]["expectations"]["pos_id"]["n_fail"] == 1
+    assert res.metrics["gold"]["rows"] == 2
+
+    g = p.table_df(spark, "gold").orderBy("id").collect()
+    assert [(r["id"], r["x"], r["y"]) for r in g] == [(1, 10.0, 20.0), (2, 20.0, 40.0)]
+
+
+def test_pipeline_incremental_merge(spark, tmp_path):
+    p = Pipeline(str(tmp_path / "lake"))
+    state = {"batch": [(1, "v1"), (2, "v1")]}
+
+    @p.table(name="src")
+    def src(ctx):
+        return ctx.spark.createDataFrame(state["batch"], "id long, v string")
+
+    @p.table(name="agg", incremental=True, key="id")
+    def agg(ctx):
+        return ctx.read("src")
+
+    res1 = p.run(spark)
+    assert res1.metrics["agg"]["action"] == "create"
+
+    state["batch"] = [(2, "v2"), (3, "v2")]
+    res2 = p.run(spark)
+    assert res2.metrics["agg"]["action"] == "merge"
+    got = {r["id"]: r["v"] for r in p.table_df(spark, "agg").collect()}
+    assert got == {1: "v1", 2: "v2", 3: "v2"}
+
+
+def test_pipeline_cycle_detection(spark, tmp_path):
+    p = Pipeline(str(tmp_path / "lake"))
+
+    @p.table(name="a")
+    def a(ctx):
+        return ctx.read("b")
+
+    @p.table(name="b")
+    def b(ctx):
+        return ctx.read("a")
+
+    with pytest.raises(ValueError, match="cycle"):
+        p.run(spark)
