@@ -1,0 +1,155 @@
+"""Cleaning/masking/scoring expression library + multimodal pandas-UDF
+operators. Golden values mirror the reference's notebook assertions
+(``tests/test_silver_transforms.py:60-183``)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_delta_lake_project_spark.functions import (
+    age_bucket,
+    clean_email,
+    clean_phone,
+    engagement_score,
+    full_name,
+    health_score,
+    is_group_member,
+    mask_email,
+    mask_phone,
+    secured_view,
+    validate_domain,
+)
+from databricks_delta_lake_project_spark.functions.masking import GROUPS_CONF_KEY
+from databricks_delta_lake_project_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    fake_decoder,
+    resize_images,
+    sample_frames,
+)
+
+
+def test_cleaning_golden_values(spark):
+    df = spark.createDataFrame(
+        [
+            ("  John@EXAMPLE.com  ", " john ", " doe ", "+1 (555) 123-4567", "GOLD"),
+            (None, None, "x", None, "bad-tier"),
+        ],
+        "email string, first string, last string, phone string, tier string",
+    )
+    out = df.select(
+        clean_email(F.col("email")).alias("email"),
+        full_name(F.col("first"), F.col("last")).alias("name"),
+        clean_phone(F.col("phone")).alias("phone"),
+        validate_domain(
+            F.col("tier"), ["bronze", "silver", "gold", "platinum"]
+        ).alias("tier"),
+    ).collect()
+    assert out[0]["email"] == "john@example.com"
+    assert out[0]["name"] == "John Doe"
+    assert out[0]["phone"] == "+15551234567"
+    assert out[0]["tier"] == "gold"
+    assert out[1]["email"] is None  # nulls preserved
+    assert out[1]["tier"] == "unknown"  # invalid -> fallback
+
+
+def test_scoring_golden_values(spark):
+    df = spark.createDataFrame(
+        [(22, 10, 2, 0, 10, 6, 0), (70, 0, 0, 30, 200, 0, 1)],
+        "age int, sessions int, purchases int, tickets int, "
+        "recency int, orders int, open_tickets int",
+    )
+    out = df.select(
+        age_bucket(F.col("age")).alias("bucket"),
+        engagement_score(
+            F.col("sessions"), F.col("purchases"), F.col("tickets")
+        ).alias("score"),
+        health_score(F.col("recency"), F.col("orders"), F.col("open_tickets")).alias(
+            "health"
+        ),
+    ).collect()
+    assert out[0]["bucket"] == "18-24"
+    assert out[0]["score"] == 40  # 10*2 + 2*10 - 0, under cap
+    assert out[0]["health"] == "excellent"
+    assert out[1]["bucket"] == "65+"
+    assert out[1]["score"] == 0  # floor at 0
+    assert out[1]["health"] == "churned"
+
+
+def test_masking_and_secured_view(spark):
+    df = spark.createDataFrame(
+        [(1, "alice@example.com", "5551234567", "US"),
+         (2, None, None, "DE")],
+        "id long, email string, phone string, country string",
+    )
+    masks = {
+        "email": mask_email(F.col("email")),
+        "phone": mask_phone(F.col("phone")),
+    }
+    # unprivileged session: masked + row-filtered
+    spark.conf.set(GROUPS_CONF_KEY, "analysts")
+    assert not is_group_member(spark, "pii_readers")
+    v = secured_view(
+        spark, df, "v_masked", masks, row_filter=F.col("country") == "US"
+    )
+    rows = v.collect()
+    assert len(rows) == 1
+    assert rows[0]["email"] == "al***@example.com"
+    assert rows[0]["phone"] == "***-***-4567"
+    assert spark.sql("SELECT email FROM v_masked").first()["email"].startswith("al***")
+
+    # privileged session: untouched
+    spark.conf.set(GROUPS_CONF_KEY, "analysts,pii_readers")
+    v2 = secured_view(spark, df, "v_clear", masks)
+    assert {r["email"] for r in v2.collect()} == {"alice@example.com", None}
+    spark.conf.unset(GROUPS_CONF_KEY)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", bytes(range(200)), (10, 20, None, None, "raw")),
+        (2, "audio", bytes([100] * 64), (None, None, 16000, None, "pcm")),
+        (3, "video", bytes(range(120)), (4, 5, None, 6, "rawv")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_stub_raises(media):
+    with pytest.raises(Exception, match="no codec"):
+        extract_features(media).collect()
+
+
+def test_extract_features_fake_decoder(media):
+    out = {r["media_id"]: r for r in extract_features(media, decoder=fake_decoder).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_bytes"] == 200
+    f1 = out[1]["feature"]
+    assert len(f1) == 8 and abs(sum(f1) - 1.0) < 1e-9
+    # audio payload is constant 100 -> all mass in one bin
+    f2 = out[2]["feature"]
+    assert max(f2) == 1.0 and sum(1 for x in f2 if x > 0) == 1
+
+
+def test_resize_images(media):
+    out = resize_images(media, width=4, height=3, decoder=fake_decoder).collect()
+    assert len(out) == 1  # only the image row
+    r = out[0]
+    assert r["width"] == 4 and r["height"] == 3
+    assert len(r["payload"]) == 12  # 4*3 resampled bytes
+    assert r["payload"][0] == 0 and r["payload"][-1] == 199  # endpoints kept
+
+
+def test_sample_frames(media):
+    out = sample_frames(media, every_n=2, decoder=fake_decoder).collect()
+    # video: 6 frames, every 2nd -> frames 0, 2, 4
+    assert [(r["media_id"], r["frame_idx"]) for r in out] == [
+        (3, 0), (3, 2), (3, 4)
+    ]
+    assert all(len(r["frame"]) == 20 for r in out)  # 120 bytes / 6 frames
