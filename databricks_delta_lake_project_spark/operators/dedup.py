@@ -133,12 +133,18 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (the verify
     stage after LSH): join shingle sets back and compute
-    |A∩B| / |A∪B| with array built-ins."""
+    |A∩B| / |A∪B| with array built-ins. Shingles are represented by
+    their xxhash64 — 8-byte array elements instead of strings makes
+    the per-pair intersect ~10x cheaper; set counts are unchanged
+    barring a 2^-64-scale hash collision."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_n)).alias(
-            "sh"
-        ),
+        F.array_distinct(
+            F.transform(
+                shingles(tokenize(F.col(text_col)), shingle_n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("sh"),
     )
     out = (
         pairs.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

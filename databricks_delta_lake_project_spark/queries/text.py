@@ -157,13 +157,19 @@ def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint used for cheap near-dup bucketing).
     """
     d = load(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    norm = F.concat_ws(" ", toks)
-    shingle_hashes = F.transform(_shingles(toks), lambda s: F.md5(s))
-    return d.select(
+    # bind the token array once; multi-referenced non-trivial aliases
+    # are not re-inlined by CollapseProject, so the regex split runs
+    # one time per row instead of three
+    with_toks = d.select(
+        "doc_id", "text", _tokens(F.col("text")).alias("toks")
+    )
+    shingle_hashes = F.transform(
+        _shingles(F.col("toks")), lambda s: F.md5(s)
+    )
+    return with_toks.select(
         "doc_id",
         F.md5(F.col("text")).alias("content_hash"),
-        F.md5(norm).alias("normalized_hash"),
+        F.md5(F.concat_ws(" ", F.col("toks"))).alias("normalized_hash"),
         F.array_min(shingle_hashes).alias("min_shingle_hash"),
         F.size(shingle_hashes).alias("n_shingles"),
     )
@@ -191,45 +197,43 @@ def q30_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact. At 100 TB the blocking key becomes the LSH band
     (q32) instead of dimension columns; the verify math is identical.
     """
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "source", _shingles(_tokens(F.col("text"))).alias("sh")
+    docs = load(spark, sf_dir, "documents")
+    # distinct shingle SET per doc, kept as an array of 64-bit hashes:
+    # the intersection runs as JVM array_intersect per candidate pair —
+    # no exploded-shingle shuffle (pairs x shingles would be ~100x the
+    # pair count in intermediate rows), and hashing shrinks the arrays
+    # ~10x vs strings so the broadcast + intersect stay cheap. Counts
+    # equal the string-set counts unless xxhash64 collides within a
+    # pair's ~200 shingles (P ~ 2e-15 per pair) — the DuckDB oracle
+    # keeps exact strings, so a collision would surface as a diff.
+    sh_arr = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(
+            F.transform(
+                _shingles(_tokens(F.col("text"))), lambda s: F.xxhash64(s)
+            )
+        ).alias("sh"),
     )
-    sh = d.select("doc_id", F.explode("sh").alias("shingle")).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pairs = (
-        d.alias("a")
-        .join(
-            d.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    a, b = sh_arr.alias("a"), sh_arr.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
-    inter = (
-        pairs.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("id_a"))
-        .join(
-            sh.alias("sb"),
-            (F.col("sb.doc_id") == F.col("id_b"))
-            & (F.col("sb.shingle") == F.col("sa.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    ).cast("double")
+    n_inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    n_union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - n_inter
     return (
-        inter.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "n_inter",
-            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
-            jac.alias("jaccard"),
+        paired.select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            n_inter.alias("n_inter"),
+            n_union.alias("n_union"),
+            (
+                n_inter.cast("double") / n_union.cast("double")
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

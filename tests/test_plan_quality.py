@@ -1,0 +1,101 @@
+"""Physical-plan quality gates: these tests pin the optimizer
+behaviors the 100 TB design depends on (SURVEY §4). A regression that
+silently turns a broadcast join into a shuffle, or drops a filter
+pushdown, fails here long before it shows up in a benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from databricks_delta_lake_project_spark.queries.catalog import QUERIES
+
+from conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name][0](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q01_partial_aggregation(spark):
+    # partial (map-side) aggregate before the shuffle: two HashAggregate
+    # levels around one Exchange — shuffle volume is O(groups), not O(rows)
+    plan = _plan(spark, "q01_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    agg_section = plan[: plan.index("Exchange")]
+    assert "HashAggregate" in agg_section
+
+
+def test_q01_column_pruning(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # only the 7 needed columns are read, not the full 11-column table
+    assert "l_orderkey" not in scan
+    assert "l_partkey" not in scan
+    assert "l_quantity" in scan and "l_returnflag" in scan
+
+
+def test_q08_top_k_not_global_sort(spark):
+    plan = _plan(spark, "q08_top_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q09_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "q09_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3  # nation, region, dims
+    assert "SortMergeJoin" not in plan
+
+
+def test_q11_anti_join_strategy(spark):
+    plan = _plan(spark, "q11_customers_without_orders")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_semi_join_strategy(spark):
+    plan = _plan(spark, "q17_order_priority_exists")
+    assert "LeftSemi" in plan
+
+
+def test_q05_sessionization_single_user_shuffle(spark):
+    # both windows and the final aggregate partition on user_id: the
+    # plan must not re-shuffle between window and aggregate
+    plan = _plan(spark, "q05_sessionization")
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles == 1, f"expected 1 user_id shuffle, got {n_shuffles}"
+
+
+def test_q14_no_python_udf(spark):
+    # text scoring must stay JVM-side (higher-order functions), never a
+    # Python row-path
+    plan = _plan(spark, "q14_doc_quality")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_no_python_udf_anywhere(spark):
+    # the whole catalog is JVM-side except the deliberate pandas-UDF
+    # multimodal operators (not in the catalog)
+    offenders = []
+    for name in QUERIES:
+        plan = _plan(spark, name)
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE shows the final plan only after execution; codegen stages are
+    # the `*(n)` markers on operators
+    import re
+
+    df = QUERIES["q01_pricing_summary"][0](spark, SF_SMALL)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:500]
