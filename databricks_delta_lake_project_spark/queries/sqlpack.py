@@ -1,0 +1,181 @@
+"""SQL-string entry path (SURVEY §3.2): the reference drives
+dashboards/alerts through Databricks-flavored SQL
+(``src/databricks_sql/sql_queries_and_dashboards.py``). The engine
+accepts that dialect, normalizes it to OSS Spark SQL, and runs it via
+``spark.sql`` over registered views — exercising the parse -> analyze
+-> optimize lifecycle (not the DataFrame DSL).
+
+Dialect translations (SURVEY §3.2 / §2.11 mapping table):
+
+* ``DATEADD(unit, n, ts)``      -> ``timestampadd(unit, n, ts)``
+* ``DATEDIFF(unit, a, b)``      -> ``timestampdiff(unit, a, b)``
+* ``TIMESTAMPDIFF``/``TIMESTAMPADD`` pass through (Spark >= 3.3)
+* ``GETDATE()``                 -> ``current_timestamp()``
+* ``IS_ACCOUNT_GROUP_MEMBER(g)``-> ``engine_is_group_member(g)``
+  (registered UDF over session-configured groups, U3)
+* ``FROM (DESCRIBE HISTORY t)`` -> ``FROM t__history`` (a view the
+  engine registers from ``LakeTable.history()``, X5)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.masking import GROUPS_CONF_KEY
+from .catalog import TABLES, load
+
+_RULES: list[tuple[str, str]] = [
+    (r"\bDATEADD\s*\(", "timestampadd("),
+    (r"\bDATEDIFF\s*\(\s*(DAY|HOUR|MINUTE|SECOND|MONTH|YEAR)\b", r"timestampdiff(\1"),
+    (r"\bGETDATE\s*\(\s*\)", "current_timestamp()"),
+    (r"\bIS_ACCOUNT_GROUP_MEMBER\s*\(", "engine_is_group_member("),
+    (r"FROM\s*\(\s*DESCRIBE\s+HISTORY\s+(\w+)\s*\)", r"FROM \1__history"),
+]
+
+
+def normalize_sql(sql: str) -> str:
+    """Databricks dialect -> OSS Spark SQL."""
+    out = sql
+    for pat, repl in _RULES:
+        out = re.sub(pat, repl, out, flags=re.IGNORECASE)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Temp views for every engine table + the group-membership UDF, so
+    SQL-pack queries resolve like the reference's catalog tables."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+    # snapshot the session principal's groups on the driver — the UDF
+    # closure must not capture the SparkSession (not serializable)
+    try:
+        raw = spark.conf.get(GROUPS_CONF_KEY)
+    except Exception:
+        raw = ""
+    groups = frozenset(g.strip() for g in (raw or "").split(",") if g.strip())
+
+    def _is_member(group: str) -> bool:
+        return group in groups
+
+    spark.udf.register("engine_is_group_member", _is_member, "boolean")
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(normalize_sql(sql))
+
+
+# ---------------------------------------------------------------------------
+# dashboard pack (Databricks dialect on the Spark side, on purpose)
+# ---------------------------------------------------------------------------
+
+# 30-day KPI block (reference ``sql_queries_and_dashboards.py:25-39``),
+# pinned to a fixed reference date for determinism.
+_Q36_SPARK = """
+SELECT
+  COUNT(DISTINCT o_custkey) AS active_customers,
+  COUNT(*) AS order_count,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+FROM orders
+WHERE o_orderdate >= DATEADD(DAY, -30, TIMESTAMP '2001-08-01 00:00:00')
+"""
+
+Q36_SQL = """
+SELECT
+  COUNT(DISTINCT o_custkey) AS active_customers,
+  COUNT(*) AS order_count,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_order_value
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '2001-08-01 00:00:00' - INTERVAL 30 DAY
+"""
+
+
+def q36_kpi_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-entry KPI block with Databricks ``DATEADD`` normalized to
+    ``timestampadd`` (§3.2 dialect path)."""
+    return run_sql(spark, sf_dir, _Q36_SPARK)
+
+
+# month-over-month trend with LAG over grouped output
+# (reference ``sql_queries_and_dashboards.py:43-73`` period compare,
+# expressed as the window form)
+_Q37_SPARK = """
+WITH monthly AS (
+  SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+         COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY ALL
+)
+SELECT month, n_orders,
+  CAST(rev_dec AS DOUBLE) AS revenue,
+  CAST(LAG(rev_dec) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+  CASE WHEN LAG(rev_dec) OVER (ORDER BY month) IS NULL THEN NULL
+       ELSE (CAST(rev_dec AS DOUBLE) - CAST(LAG(rev_dec) OVER (ORDER BY month) AS DOUBLE))
+            / CAST(LAG(rev_dec) OVER (ORDER BY month) AS DOUBLE) * 100.0
+  END AS mom_pct
+FROM monthly
+"""
+
+Q37_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev_dec,
+         COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY ALL
+)
+SELECT month, n_orders,
+  CAST(rev_dec AS DOUBLE) AS revenue,
+  CAST(LAG(rev_dec) OVER (ORDER BY month) AS DOUBLE) AS prev_revenue,
+  CASE WHEN LAG(rev_dec) OVER (ORDER BY month) IS NULL THEN NULL
+       ELSE (CAST(rev_dec AS DOUBLE) - CAST(LAG(rev_dec) OVER (ORDER BY month) AS DOUBLE))
+            / CAST(LAG(rev_dec) OVER (ORDER BY month) AS DOUBLE) * 100.0
+  END AS mom_pct
+FROM monthly
+"""
+
+
+def q37_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-entry month-over-month revenue trend (GROUP BY ALL + LAG —
+    A7/W2 at the SQL surface)."""
+    return run_sql(spark, sf_dir, _Q37_SPARK)
+
+
+# market-segment share with pct-of-total (reference
+# ``sql_queries_and_dashboards.py:78-106`` shape)
+_Q38_SPARK = """
+SELECT c_mktsegment,
+  COUNT(*) AS n_customers,
+  CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS total_customers,
+  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) * 100.0 AS pct_share
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+Q38_SQL = """
+SELECT c_mktsegment,
+  COUNT(*) AS n_customers,
+  CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS total_customers,
+  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) * 100.0 AS pct_share
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def q38_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-entry share-of-total over grouped output (W6/A9 at the SQL
+    surface)."""
+    return run_sql(spark, sf_dir, _Q38_SPARK)
+
+
+SQLPACK_QUERIES = {
+    "q36_kpi_dashboard": (q36_kpi_dashboard, Q36_SQL),
+    "q37_monthly_trend": (q37_monthly_trend, Q37_SQL),
+    "q38_segment_share": (q38_segment_share, Q38_SQL),
+}
