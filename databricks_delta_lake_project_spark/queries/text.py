@@ -347,6 +347,10 @@ WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {HAMMING_THRESHO
 """
 
 
+MINHASH_K = 16
+MINHASH_BANDS = 4
+
+
 def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidate generation, then exact Jaccard
     verification — the full fuzzy-dedup pipeline at scale
@@ -354,18 +358,81 @@ def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase 7). Uses Spark-native xxhash64 for signatures, so this entry
     has no SQL oracle (driver records the rows-only check); the verify
     stage's Jaccard math is the oracle-checked q30 logic.
-    """
-    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard
 
-    d = load(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
-        d, id_col="doc_id", text_col="text", num_hashes=16, bands=4, shingle_n=SHINGLE_N
+    Plan shape: ONE tokenize+shingle+hash pass produces the per-doc
+    hash-set array; the k seeded minhashes AND the band hashes AND the
+    verify intersect all derive from that array in the same projection
+    (a multi-referenced alias is not re-inlined by CollapseProject).
+    The LSH join shuffles on (band, band_hash) carrying the ~1 KB
+    hash-set payload — at 100 TB swap the payload join for a re-join
+    against the doc table on id to keep the bucket shuffle narrow.
+    (Generic library forms: ``operators.dedup.minhash_lsh_pairs`` /
+    ``ngram_jaccard``.)
+    """
+    docs = load(spark, sf_dir, "documents")
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sh_arr = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                _shingles(_tokens(F.col("text"))), lambda s: F.xxhash64(s)
+            )
+        ).alias("sh"),
     )
-    verified = ngram_jaccard(
-        d, pairs, id_col="doc_id", text_col="text", shingle_n=SHINGLE_N
+    sig = sh_arr.select(
+        "doc_id",
+        "sh",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("sh"), lambda h, k=k: F.xxhash64(F.lit(k), h))
+                )
+                for k in range(MINHASH_K)
+            ]
+        ).alias("sig"),
     )
-    return verified.filter(F.col("jaccard") >= 0.5).select(
-        "id_a", "id_b", "jaccard"
+    banded = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col("sig")[i]
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ]
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    n_union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - n_inter
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
     )
 
 

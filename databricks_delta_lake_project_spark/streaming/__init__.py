@@ -1,4 +1,5 @@
 from .ops import (
+    enrich_stream,
     sessionized_stream,
     stream_dedup,
     tumbling_counts,
@@ -7,6 +8,7 @@ from .ops import (
 from .sink import StreamMonitor, merge_stream, stream_to_lake_table
 
 __all__ = [
+    "enrich_stream",
     "sessionized_stream",
     "stream_dedup",
     "tumbling_counts",

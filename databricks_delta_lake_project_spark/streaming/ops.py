@@ -106,3 +106,20 @@ def stream_dedup(
     ``stream_transactions.py:59-65``)."""
     wm = events.withWatermark(ts_col, watermark)
     return wm.dropDuplicatesWithinWatermark(keys)
+
+
+def enrich_stream(
+    stream: DataFrame,
+    static_dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join (J8; reference declares the
+    pattern at ``src/silver/transform_transactions.py:13`` and executes
+    it inside foreachBatch). Spark natively supports stream-static
+    joins micro-batch-side; broadcasting the dimension keeps every
+    micro-batch shuffle-free — the right default whenever the dim fits
+    the broadcast threshold."""
+    dim = F.broadcast(static_dim) if broadcast_dim else static_dim
+    return stream.join(dim, on, how)

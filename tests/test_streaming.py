@@ -235,3 +235,51 @@ def test_merge_stream_upsert_and_idempotency(spark, tmp_path):
     state2 = {r["id"]: r["v"] for r in table.to_df().collect()}
     assert state2 == state
     assert table.to_df().count() == 3
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    txns = spark.createDataFrame(
+        [(1, 100, 5.0), (2, 101, 6.0), (3, 999, 7.0)],
+        "txn_id long, customer_id long, amount double",
+    )
+    src = tmp_path / "txn_parquet"
+    txns.write.parquet(str(src))
+    dims = spark.createDataFrame(
+        [(100, "gold"), (101, "silver")], "customer_id long, tier string"
+    )
+    from databricks_delta_lake_project_spark.streaming import enrich_stream
+
+    stream = spark.readStream.schema(txns.schema).parquet(str(src))
+    q = (
+        enrich_stream(stream, dims, on="customer_id")
+        .writeStream.format("memory")
+        .queryName("enrich_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    got = {
+        r["txn_id"]: r["tier"]
+        for r in spark.sql("SELECT * FROM enrich_t").collect()
+    }
+    assert got == {1: "gold", 2: "silver", 3: None}  # left join keeps orphans
+
+
+def test_sliding_window_agg(spark, tmp_path):
+    from databricks_delta_lake_project_spark.streaming import windowed_agg
+
+    rows = [
+        ("2024-01-01 00:02:00", 1),
+        ("2024-01-01 00:07:00", 2),
+        ("2024-01-01 00:12:00", 3),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, v long").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "v"
+    )
+    out = windowed_agg(
+        df, "ts", "10 minutes", [F.count(F.lit(1)).alias("n")], slide="5 minutes"
+    ).collect()
+    # each event lands in two overlapping 10-min windows
+    by_start = {r["window_start"].strftime("%H:%M"): r["n"] for r in out}
+    assert by_start == {"23:55": 1, "00:00": 2, "00:05": 2, "00:10": 1}
