@@ -27,6 +27,7 @@ Scale design (what keeps this working at 100 TB):
 from __future__ import annotations
 
 import json
+import re
 import shutil
 import time
 import uuid
@@ -222,7 +223,8 @@ class LakeTable:
     def delete(self, condition: str | Column) -> dict[str, Any]:
         """Copy-on-write DELETE (``compliance_policies.py:136-212``)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        touched = self._touched_files(cond)
+        bounds = predicate_bounds(condition) if isinstance(condition, str) else {}
+        touched = self._touched_files(cond, bounds)
         if not touched:
             return {"numRemovedFiles": 0, "numDeletedRows": 0}
         tdf = self._read_files(touched).persist()
@@ -246,7 +248,8 @@ class LakeTable:
     def update(self, condition: str | Column, set: dict[str, str | Column]) -> dict[str, Any]:
         """Copy-on-write UPDATE (``compliance_policies.py:277-295``)."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        touched = self._touched_files(cond)
+        bounds = predicate_bounds(condition) if isinstance(condition, str) else {}
+        touched = self._touched_files(cond, bounds)
         if not touched:
             return {"numUpdatedRows": 0}
         tdf = self._read_files(touched).persist()
@@ -414,15 +417,22 @@ class LakeTable:
     # -- internals ---------------------------------------------------------
 
     def _touched_files(
-        self, cond: Column, source_keys: DataFrame | None = None,
-        key_col: str | None = None,
+        self, cond: Column, bounds: dict[str, tuple[Any, Any]] | None = None,
     ) -> list[dict[str, Any]]:
         """Files containing at least one row matching ``cond``.
 
-        Stats pruning first (driver-side, file metadata only), then an
-        exact check via a file-path aggregate over the candidate files.
+        Two stages: (1) driver-side stats pruning against the commit
+        log's per-file min/max (``bounds`` — extracted from the
+        predicate or from MERGE source keys; file metadata only, no
+        data read); (2) an exact membership probe via a file-path
+        distinct over the surviving candidates.
         """
         files = self._files()
+        if bounds is None and isinstance(cond, Column):
+            bounds = {}
+        if bounds is None:
+            bounds = {}
+        files = _prune_by_stats(files, bounds)
         if not files:
             return []
         df = self._read_files(files).withColumn(
@@ -437,6 +447,70 @@ class LakeTable:
             for e in files
             if any(hp.endswith(e["path"]) for hp in hit_paths)
         ]
+
+
+_CMP_RE = re.compile(
+    r"^\s*`?(\w+)`?\s*(==|=|<=|>=|<|>)\s*"
+    r"(-?\d+(?:\.\d+)?|'[^']*'|\"[^\"]*\")\s*$"
+)
+
+
+def predicate_bounds(condition: str) -> dict[str, tuple[Any, Any]]:
+    """Extract per-column (lo, hi) bounds from a *conjunctive* SQL
+    predicate of simple comparisons — the file-skipping contract Delta
+    derives from its stats. Returns {} (no pruning) for anything with
+    OR/NOT/parentheses: pruning must only ever skip files that
+    provably cannot match."""
+    if re.search(r"\bor\b|\bnot\b|\(", condition, flags=re.IGNORECASE):
+        return {}
+    bounds: dict[str, tuple[Any, Any]] = {}
+    for part in condition.split(" AND "):
+        m = _CMP_RE.match(part.strip())
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        value: Any
+        if lit[0] in "'\"":
+            value = lit[1:-1]
+        else:
+            value = float(lit) if "." in lit else int(lit)
+        lo, hi = bounds.get(col, (None, None))
+        if op in ("=", "=="):
+            lo, hi = value, value
+        elif op in (">", ">="):
+            lo = value if lo is None else max(lo, value)
+        elif op in ("<", "<="):
+            hi = value if hi is None else min(hi, value)
+        bounds[col] = (lo, hi)
+    return bounds
+
+
+def _prune_by_stats(
+    files: list[dict[str, Any]], bounds: dict[str, tuple[Any, Any]]
+) -> list[dict[str, Any]]:
+    """Keep files whose [min, max] intervals can intersect ``bounds``.
+    Missing stats or incomparable types keep the file (never unsafe)."""
+    if not bounds:
+        return files
+    kept = []
+    for e in files:
+        ok = True
+        for col, (lo, hi) in bounds.items():
+            st = (e.get("stats") or {}).get(col)
+            if not st or st.get("min") is None or st.get("max") is None:
+                continue
+            try:
+                if lo is not None and st["max"] < lo:
+                    ok = False
+                    break
+                if hi is not None and st["min"] > hi:
+                    ok = False
+                    break
+            except TypeError:
+                continue  # mixed types: do not prune
+        if ok:
+            kept.append(e)
+    return kept
 
 
 def _write_files(
@@ -518,6 +592,33 @@ class MergeBuilder:
         self._not_matched.append((condition, None))
         return self
 
+    def _source_key_bounds(self) -> dict[str, tuple[Any, Any]]:
+        """For each ``t.col = s.col`` equality in the merge condition,
+        the source's [min, max] of s.col becomes a pruning interval on
+        the target column — one tiny aggregate over the source."""
+        pairs = re.findall(
+            r"\bt\.`?(\w+)`?\s*=\s*s\.`?(\w+)`?", self.condition
+        ) + [
+            (tc, sc)
+            for sc, tc in re.findall(
+                r"\bs\.`?(\w+)`?\s*=\s*t\.`?(\w+)`?", self.condition
+            )
+        ]
+        if not pairs:
+            return {}
+        aggs = []
+        for tcol, scol in pairs:
+            aggs.append(F.min(scol).alias(f"__lo_{tcol}"))
+            aggs.append(F.max(scol).alias(f"__hi_{tcol}"))
+        row = self.source.agg(*aggs).collect()[0]
+        return {
+            tcol: (
+                _json_safe(row[f"__lo_{tcol}"]),
+                _json_safe(row[f"__hi_{tcol}"]),
+            )
+            for tcol, _ in pairs
+        }
+
     def execute(self) -> dict[str, Any]:
         t = self.table
         tgt_cols = [f.name for f in t.schema.fields]
@@ -525,14 +626,18 @@ class MergeBuilder:
         cond = F.expr(self.condition)
 
         src = self.source.withColumn("__se", F.lit(1)).alias("s")
-        snapshot = t._read_files(files)
 
-        # 1. touched files
+        # 1. touched files: stats-prune by source key range first (an
+        # equality MERGE whose source keys span a narrow range never
+        # probes files outside that range), then the exact semi-join
+        files = _prune_by_stats(files, self._source_key_bounds())
         touched: list[dict[str, Any]] = []
         if files:
-            with_file = snapshot.withColumn(
-                "__file", F.col("_metadata.file_path")
-            ).alias("t")
+            with_file = (
+                t._read_files(files)
+                .withColumn("__file", F.col("_metadata.file_path"))
+                .alias("t")
+            )
             hit = {
                 r[0]
                 for r in with_file.join(src, cond, "left_semi")
