@@ -39,9 +39,70 @@ LOG_DIR = "_log"
 DATA_DIR = "data"
 CHANGES_DIR = "_changes"
 
+# fold state into a checkpoint every N commits (same role as Delta's
+# _delta_log checkpoint.parquet): snapshot reads replay O(interval)
+# commits instead of O(version). Commit JSONs are never deleted, so
+# time travel to pre-checkpoint versions still replays from zero.
+CHECKPOINT_INTERVAL = 20
+
 
 def _commit_path(root: str, version: int) -> Path:
     return Path(root) / LOG_DIR / f"{version:020d}.json"
+
+
+def _checkpoint_path(root: str, version: int) -> Path:
+    return Path(root) / LOG_DIR / f"checkpoint_{version:020d}.json"
+
+
+def _checkpoint_versions(root: str) -> list[int]:
+    log = Path(root) / LOG_DIR
+    if not log.is_dir():
+        return []
+    return sorted(
+        int(p.stem.split("_")[1])
+        for p in log.iterdir()
+        if p.stem.startswith("checkpoint_") and p.suffix == ".json"
+    )
+
+
+def latest_checkpoint(
+    root: str, up_to: int | None = None
+) -> dict[str, Any] | None:
+    """Newest checkpoint at or before ``up_to`` (latest if None)."""
+    versions = [
+        v for v in _checkpoint_versions(root) if up_to is None or v <= up_to
+    ]
+    if not versions:
+        return None
+    with open(_checkpoint_path(root, versions[-1])) as f:
+        return json.load(f)
+
+
+def write_checkpoint(root: str, version: int) -> None:
+    """Fold the log through ``version`` into a checkpoint document.
+    Atomic create; racing writers produce the same content so the
+    loser's FileExistsError is ignorable."""
+    files: dict[str, dict[str, Any]] = {}
+    props: dict[str, Any] = {}
+    schema = None
+    for c in read_log(root, version, use_checkpoint=False):
+        for r in c.get("remove", []):
+            files.pop(r, None)
+        for a in c.get("add", []):
+            files[a["path"]] = a
+        props.update(c.get("properties", {}))
+        schema = c["schema"]
+    doc = {
+        "version": version,
+        "files": files,
+        "schema": schema,
+        "properties": props,
+    }
+    try:
+        with open(_checkpoint_path(root, version), "x") as f:
+            f.write(json.dumps(doc))
+    except FileExistsError:
+        pass
 
 
 def list_versions(root: str) -> list[int]:
@@ -65,11 +126,21 @@ def read_commit(root: str, version: int) -> dict[str, Any]:
         return json.load(f)
 
 
-def read_log(root: str, up_to: int | None = None) -> list[dict[str, Any]]:
+def read_log(
+    root: str, up_to: int | None = None, use_checkpoint: bool = False
+) -> list[dict[str, Any]]:
+    """Commits <= up_to. With ``use_checkpoint`` the list starts AFTER
+    the newest eligible checkpoint (callers must seed their fold from
+    it); without, the full history is returned."""
+    lo = -1
+    if use_checkpoint:
+        ckpt = latest_checkpoint(root, up_to)
+        if ckpt is not None:
+            lo = ckpt["version"]
     return [
         read_commit(root, v)
         for v in list_versions(root)
-        if up_to is None or v <= up_to
+        if v > lo and (up_to is None or v <= up_to)
     ]
 
 
@@ -114,14 +185,18 @@ def commit(
             "properties": properties or {},
         }
         if try_commit(root, doc):
+            if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+                write_checkpoint(root, version)
             return version
     raise RuntimeError(f"commit conflict: lost {max_retries} races on {root}")
 
 
 def active_files(root: str, up_to: int | None = None) -> list[dict[str, Any]]:
-    """Replay the log: files added and not yet removed as of a version."""
-    files: dict[str, dict[str, Any]] = {}
-    for c in read_log(root, up_to):
+    """Files added and not yet removed as of a version: seed from the
+    newest eligible checkpoint, replay the remaining commits."""
+    ckpt = latest_checkpoint(root, up_to)
+    files: dict[str, dict[str, Any]] = dict(ckpt["files"]) if ckpt else {}
+    for c in read_log(root, up_to, use_checkpoint=True):
         for r in c.get("remove", []):
             files.pop(r, None)
         for a in c.get("add", []):
@@ -141,15 +216,19 @@ def version_at_timestamp(root: str, ts_ms: int) -> int:
 
 
 def schema_at(root: str, version: int | None = None) -> str:
-    commits = read_log(root, version)
-    if not commits:
-        raise ValueError(f"not a table: {root}")
-    return commits[-1]["schema"]
+    commits = read_log(root, version, use_checkpoint=True)
+    if commits:
+        return commits[-1]["schema"]
+    ckpt = latest_checkpoint(root, version)
+    if ckpt is not None and ckpt["schema"] is not None:
+        return ckpt["schema"]
+    raise ValueError(f"not a table: {root}")
 
 
 def table_properties(root: str) -> dict[str, Any]:
-    props: dict[str, Any] = {}
-    for c in read_log(root):
+    ckpt = latest_checkpoint(root)
+    props: dict[str, Any] = dict(ckpt["properties"]) if ckpt else {}
+    for c in read_log(root, use_checkpoint=True):
         props.update(c.get("properties", {}))
     return props
 

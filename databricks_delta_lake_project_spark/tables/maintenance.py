@@ -44,12 +44,21 @@ def run_maintenance(
     return out
 
 
-def analyze_table(spark: SparkSession, df: DataFrame, view_name: str) -> None:
+def analyze_table(
+    spark: SparkSession, df: DataFrame, table_name: str,
+    for_columns: list[str] | None = None,
+) -> None:
     """ANALYZE TABLE ... COMPUTE STATISTICS for the CBO (X6;
-    ``performance_optimization.py:195-198``) — register + analyze a
-    frame-backed view so join reordering sees row counts."""
-    df.createOrReplaceTempView(view_name)
-    spark.sql(f"ANALYZE TABLE {view_name} COMPUTE STATISTICS")
+    ``performance_optimization.py:195-198``). ANALYZE requires a
+    catalog table (Spark 4 rejects temp views), so the frame is
+    registered as a managed table first; caller drops it when done."""
+    df.write.mode("overwrite").saveAsTable(table_name)
+    spark.sql(f"ANALYZE TABLE {table_name} COMPUTE STATISTICS")
+    if for_columns:
+        cols = ", ".join(for_columns)
+        spark.sql(
+            f"ANALYZE TABLE {table_name} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
 
 
 def cache_hot(df: DataFrame) -> DataFrame:
