@@ -460,6 +460,89 @@ WITH m AS (
 """
 
 
+def q39_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance — correlated
+    scalar-subquery semantics (O5; reference scalar subqueries
+    ``sql_queries_and_dashboards.py:239-253``), expressed Spark-side as
+    a partitioned window (one shuffle, no per-row subquery execution).
+    The per-nation average uses exact decimal sums so both engines
+    compute the identical double.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    nation_avg = (
+        F.sum(_dec("c_acctbal")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    acct = _dec("c_acctbal").cast("double")
+    return (
+        c.select(
+            F.col("c_custkey").alias("customer_id"),
+            "c_nationkey",
+            acct.alias("acctbal"),
+            nation_avg.alias("nation_avg"),
+        )
+        .filter(F.col("acctbal") > F.col("nation_avg"))
+    )
+
+
+Q39_SQL = """
+SELECT * FROM (
+  SELECT c.c_custkey AS customer_id, c.c_nationkey,
+    CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal,
+    (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+     FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) AS nation_avg
+  FROM customer c
+) WHERE acctbal > nation_avg
+"""
+
+
+SEQ_CAP = 20
+
+
+def q40_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered event sequence, capped at SEQ_CAP items (A4
+    ``collect_list(struct(...))`` with the SURVEY §4 size cap;
+    reference ``transform_clickstream.py:106-108``). Serialized as a
+    '|'-joined string so the cross-engine value hash is
+    representation-stable.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.withColumn("_rn", F.row_number().over(w))
+    seq = F.concat_ws(
+        "|",
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_rn") <= SEQ_CAP,
+                        F.struct(F.col("_rn"), F.col("event_type")),
+                    )
+                )
+            ),
+            lambda s: s["event_type"],
+        ),
+    )
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        seq.alias("event_seq"),
+    )
+
+
+Q40_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+  COALESCE(STRING_AGG(CASE WHEN rn <= {SEQ_CAP} THEN event_type END, '|' ORDER BY rn), '')
+    AS event_seq
+FROM ranked GROUP BY user_id
+"""
+
+
 RELATIONAL_QUERIES = {
     "q16_customer_clean": (q16_customer_clean, Q16_SQL),
     "q17_order_priority_exists": (q17_order_priority_exists, Q17_SQL),
@@ -472,4 +555,6 @@ RELATIONAL_QUERIES = {
     "q24_monetary_deciles": (q24_monetary_deciles, Q24_SQL),
     "q25_table_stats": (q25_table_stats, Q25_SQL),
     "q26_quality_metrics": (q26_quality_metrics, Q26_SQL),
+    "q39_above_nation_avg": (q39_above_nation_avg, Q39_SQL),
+    "q40_event_sequences": (q40_event_sequences, Q40_SQL),
 }

@@ -201,15 +201,45 @@ class LakeTable:
 
     # -- writes ------------------------------------------------------------
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append with schema-on-write enforcement (§1.3): extra
+        columns are rejected unless ``merge_schema`` (the Delta
+        ``mergeSchema``/``autoMerge`` contract,
+        ``delta_lake_features.py:182-262``); missing columns are
+        null-filled. Old files read under an evolved schema null-fill
+        the new columns, exactly like Delta."""
+        df = self._conform(df, merge_schema)
         adds, n = _write_files(df, self.root)
         v = tlog.commit(
             self.root, "WRITE", adds, [], df.schema.json(),
-            parameters={"mode": "Append"},
+            parameters={"mode": "Append", "mergeSchema": merge_schema},
             metrics={"numOutputRows": n, "numFiles": len(adds)},
         )
         self._write_cdf(self._read_files(adds), "insert", v)
         return v
+
+    def _conform(self, df: DataFrame, merge_schema: bool) -> DataFrame:
+        """Align an incoming frame with the table schema: cast known
+        columns, null-fill missing ones, and either reject or (with
+        ``merge_schema``) append net-new columns."""
+        current = self.schema
+        have = {f.name for f in current.fields}
+        extra = [c for c in df.columns if c not in have]
+        if extra and not merge_schema:
+            raise ValueError(
+                f"schema enforcement: unknown columns {extra}; "
+                "pass merge_schema=True to evolve the table schema"
+            )
+        cols = [
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in current.fields
+        ]
+        cols += [F.col(c) for c in extra]  # evolved columns keep their type
+        return df.select(*cols)
 
     def overwrite(self, df: DataFrame) -> int:
         old = [e["path"] for e in self._files()]
