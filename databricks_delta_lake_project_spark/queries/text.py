@@ -13,7 +13,7 @@ exists.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load
@@ -225,17 +225,23 @@ def q30_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     n_union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - n_inter
+    stats = paired.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        n_inter.alias("n_inter"),
+        n_union.alias("n_union"),
+        (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
+    )
+    # window barrier: without it Catalyst pushes the threshold filter
+    # into the join condition and the array_intersect evaluates twice
+    # per candidate row (condition + projection). The window forces
+    # intersect-once -> shuffle tiny (id,id,stats) rows -> filter; each
+    # (id_a, id_b) pair is unique so max(jaccard) == jaccard.
+    w = Window.partitionBy("id_a", "id_b")
     return (
-        paired.select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            n_inter.alias("n_inter"),
-            n_union.alias("n_union"),
-            (
-                n_inter.cast("double") / n_union.cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        stats.withColumn("_j", F.max("jaccard").over(w))
+        .filter(F.col("_j") >= JACCARD_THRESHOLD)
+        .drop("_j")
     )
 
 
