@@ -43,11 +43,19 @@ def normalize_sql(sql: str) -> str:
     return out
 
 
+_registered: dict[int, str] = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Temp views for every engine table + the group-membership UDF, so
-    SQL-pack queries resolve like the reference's catalog tables."""
-    for t in TABLES:
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    SQL-pack queries resolve like the reference's catalog tables.
+    View creation is cached per (session, sf_dir); the UDF re-registers
+    every call because the principal's groups may have changed."""
+    key = id(spark._jsparkSession)
+    if _registered.get(key) != sf_dir:
+        for t in TABLES:
+            load(spark, sf_dir, t).createOrReplaceTempView(t)
+        _registered[key] = sf_dir
 
     # snapshot the session principal's groups on the driver — the UDF
     # closure must not capture the SparkSession (not serializable)

@@ -432,13 +432,18 @@ def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     n_union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - n_inter
+    stats = cand.select(
+        "id_a",
+        "id_b",
+        (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
+    )
+    # same window barrier as q30: keep the verify intersect out of the
+    # join condition (it would evaluate twice per candidate row)
+    w = Window.partitionBy("id_a", "id_b")
     return (
-        cand.select(
-            "id_a",
-            "id_b",
-            (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.5)
+        stats.withColumn("_j", F.max("jaccard").over(w))
+        .filter(F.col("_j") >= 0.5)
+        .drop("_j")
     )
 
 

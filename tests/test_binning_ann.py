@@ -1,0 +1,64 @@
+"""Quantile binning (the scale-safe ntile replacement) and the
+pandas-UDF cosine top-k fast path, cross-checked against the
+exact-decimal oracle query."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_delta_lake_project_spark.operators.ann import cosine_topk
+from databricks_delta_lake_project_spark.operators.binning import (
+    bin_expr,
+    quantile_bins,
+)
+from databricks_delta_lake_project_spark.queries.catalog import load
+from databricks_delta_lake_project_spark.queries.similarity import (
+    q34_knn_bruteforce,
+)
+
+from conftest import SF_SMALL
+
+
+def test_quantile_bins_balanced(spark):
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    out = quantile_bins(df, "x", 5, "bucket", relative_error=0.0001)
+    counts = {
+        r["bucket"]: r["n"]
+        for r in out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == {1, 2, 3, 4, 5}
+    # equal-frequency within approximation error
+    assert all(150 <= n <= 250 for n in counts.values())
+    # binning is monotone in x
+    rows = out.orderBy("x").collect()
+    buckets = [r["bucket"] for r in rows]
+    assert buckets == sorted(buckets)
+
+
+def test_bin_expr_edges(spark):
+    df = spark.createDataFrame([(0.0,), (5.0,), (10.0,), (99.0,)], "x double")
+    out = df.select("x", bin_expr(F.col("x"), [5.0, 10.0]).alias("b")).collect()
+    got = {r["x"]: r["b"] for r in out}
+    assert got == {0.0: 1, 5.0: 1, 10.0: 2, 99.0: 3}  # <= breakpoint stays low
+
+
+def test_cosine_topk_matches_exact_oracle_query(spark):
+    e = load(spark, SF_SMALL, "embeddings")
+    fast = cosine_topk(e, "vec_id", "embedding", query_ids=[0, 1, 2, 3, 4], k=10)
+    exact = q34_knn_bruteforce(spark, SF_SMALL)
+
+    f = {(r["query_id"], r["knn_rank"]): (r["neighbor_id"], r["cosine"])
+         for r in fast.collect()}
+    x = {(r["query_id"], r["knn_rank"]): (r["neighbor_id"], r["cosine"])
+         for r in exact.collect()}
+    assert set(f) == set(x)
+    mismatched_ids = 0
+    for key, (fn, fc) in f.items():
+        xn, xc = x[key]
+        # float path vs 1e-6-quantized exact path: cosines agree to ~1e-5
+        assert abs(fc - xc) < 1e-4
+        if fn != xn:
+            mismatched_ids += 1
+    # neighbor ordering may flip only between near-tied cosines
+    assert mismatched_ids <= 2
