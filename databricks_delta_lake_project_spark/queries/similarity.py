@@ -253,8 +253,96 @@ FROM (
 """
 
 
+NEAR_DUP_COSINE = 0.35
+
+
+def q41_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS — the dedup flavor of
+    similarity (vs q34/q35's search flavor): all within-bucket pairs
+    whose exact cosine clears a threshold. Blocking = sign-LSH bucket
+    (high-cosine vectors agree on sign bits with high probability), so
+    the candidate set is |bucket|^2/2 per bucket, not n^2/2 global —
+    the property that keeps the pair join tractable at 100 TB. Same
+    integer-quantized exact math as q34, so DuckDB matches bit-for-bit.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    bucket = sum(
+        (
+            F.when(
+                F.element_at(F.col("embedding"), i + 1) >= 0, F.lit(1 << i)
+            ).otherwise(0)
+            for i in range(LSH_BITS)
+        ),
+        F.lit(0),
+    )
+    buckets = e.select("vec_id", bucket.alias("bucket"))
+    ex = _exploded(e)
+    norms = _norms(ex)
+    a, c = buckets.alias("a"), buckets.alias("c")
+    cand = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") < F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("c.vec_id").alias("id_b"),
+        F.col("a.bucket").alias("bucket"),
+    )
+    qx = ex.select(F.col("vec_id").alias("id_a"), "pos", F.col("xd").alias("ad"))
+    cx = ex.select(F.col("vec_id").alias("id_b"), "pos", F.col("xd").alias("bd"))
+    dots = (
+        cand.join(qx, "id_a")
+        .join(cx, ["id_b", "pos"])
+        .groupBy("id_a", "id_b", "bucket")
+        .agg(F.sum(F.col("ad") * F.col("bd")).alias("dot"))
+    )
+    an = norms.select(F.col("vec_id").alias("id_a"), F.col("norm2").alias("an2"))
+    bn = norms.select(F.col("vec_id").alias("id_b"), F.col("norm2").alias("bn2"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("an2").cast("double")) * F.sqrt(F.col("bn2").cast("double"))
+    )
+    return (
+        dots.join(an, "id_a")
+        .join(bn, "id_b")
+        .select("id_a", "id_b", "bucket", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+Q41_SQL = f"""
+WITH buckets AS (
+  SELECT vec_id, {_D_BUCKET} AS bucket FROM embeddings
+), ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xd
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, SUM(xd * xd) AS norm2 FROM ex GROUP BY 1
+), cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b, a.bucket
+  FROM buckets a JOIN buckets c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+), dots AS (
+  SELECT cd.id_a, cd.id_b, cd.bucket, SUM(qx.xd * cx.xd) AS dot
+  FROM cand cd
+  JOIN ex qx ON qx.vec_id = cd.id_a
+  JOIN ex cx ON cx.vec_id = cd.id_b AND cx.pos = qx.pos
+  GROUP BY 1, 2, 3
+)
+SELECT d.id_a, d.id_b, d.bucket,
+  CAST(d.dot AS DOUBLE)
+    / (SQRT(CAST(an.norm2 AS DOUBLE)) * SQRT(CAST(bn.norm2 AS DOUBLE))) AS cosine
+FROM dots d
+JOIN norms an ON an.vec_id = d.id_a
+JOIN norms bn ON bn.vec_id = d.id_b
+WHERE CAST(d.dot AS DOUBLE)
+    / (SQRT(CAST(an.norm2 AS DOUBLE)) * SQRT(CAST(bn.norm2 AS DOUBLE)))
+    >= {NEAR_DUP_COSINE}
+"""
+
+
 SIMILARITY_QUERIES = {
     "q33_embedding_norms": (q33_embedding_norms, Q33_SQL),
     "q34_knn_bruteforce": (q34_knn_bruteforce, Q34_SQL),
     "q35_ann_sign_lsh": (q35_ann_sign_lsh, Q35_SQL),
+    "q41_embedding_near_dup": (q41_embedding_near_dup, Q41_SQL),
 }

@@ -444,6 +444,26 @@ class LakeTable:
         Streaming file source for downstream incremental pipelines."""
         return str(Path(self.root) / tlog.CHANGES_DIR)
 
+    def read_changes_stream(self) -> DataFrame:
+        """Streaming CDF scan (S4-equivalent: the OSS
+        ``readStream.option("readChangeFeed", ...)`` role): tail this
+        table's change feed as a Structured Streaming source. Each
+        downstream checkpoint tracks its own offset into the feed."""
+        if not self._cdf_enabled():
+            raise ValueError(
+                "change data feed not enabled; create the table with "
+                "properties={'enableChangeDataFeed': True}"
+            )
+        schema = self.schema.add(CDF_TYPE_COL, "string").add(
+            CDF_VERSION_COL, "long"
+        )
+        base = self.changes_dir()
+        return (
+            self.spark.readStream.schema(schema)
+            .option("basePath", base)
+            .parquet(base + "/*")
+        )
+
     # -- internals ---------------------------------------------------------
 
     def _touched_files(

@@ -82,11 +82,7 @@ def test_cdf_feeds_incremental_consumer(spark, tmp_path):
     assert (1, "delete") in by_type
 
     # stream the change feed into a downstream aggregate
-    stream = (
-        spark.readStream.schema(changes.schema)
-        .option("basePath", t.changes_dir())
-        .parquet(t.changes_dir() + "/*")
-    )
+    stream = t.read_changes_stream()
     q = (
         stream.groupBy("_change_type")
         .count()
