@@ -34,6 +34,15 @@ def main() -> None:
     list(QUERIES.values())[0][0](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Warm the Python worker pool (reused daemons) so Arrow/pandas-UDF
+    # queries measure steady-state execution, not one-time worker spawn.
+    import pandas as _pd  # noqa: F401
+
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     t_all = time.time()

@@ -58,6 +58,24 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Ensure a scan feeding CPU-heavy per-row work (shingle hashing,
+    minhash signatures, posexplode math, pandas UDFs) is at least as
+    wide as the cluster. A small parquet file arrives as ONE split —
+    one row group can't be range-split — so without this the whole
+    derivation serializes through a single core (measured 5.9s -> 0.9s
+    on the sf0.1 shingle pass, local[32]).
+
+    Guarded: at 100 TB a scan already has thousands of splits, the
+    condition is false, and NO extra shuffle is added — this only
+    trades a few MB of shuffle for full parallelism on narrow inputs.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dec(c: str | Column) -> Column:
     """Exact money arithmetic: DECIMAL(12,2) keeps sums order-independent
     so Spark and the DuckDB oracle agree bit-for-bit after a final cast

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import extract_features, fake_decoder
-from .catalog import load
+from .catalog import load, widen
 
 MODALITIES = ("image", "audio", "video")
 
@@ -24,7 +24,7 @@ MODALITIES = ("image", "audio", "video")
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, modality, payload, meta) rows derived from documents:
     the opaque-binary + typed-metadata shape of a real media lake."""
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     modality = F.element_at(
         F.array(*[F.lit(m) for m in MODALITIES]),
         (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import load
+from .catalog import load, widen
 
 N_QUERIES = 5  # vec_id < 5 act as the query set
 TOP_K = 10
@@ -61,7 +61,7 @@ def q33_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector L2 norm + dimensionality — the embedding-column
     sanity profile (exact decimal sum of squares, IEEE sqrt at the
     end)."""
-    e = load(spark, sf_dir, "embeddings")
+    e = widen(load(spark, sf_dir, "embeddings"))
     ex = _exploded(e)
     norms = _norms(ex).select(
         "vec_id",
@@ -97,7 +97,7 @@ def q34_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension-aligned equijoin + exact decimal sum; per-query top-k by
     (cosine desc, neighbor asc) row_number.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = widen(load(spark, sf_dir, "embeddings"))
     ex = _exploded(e)
     norms = _norms(ex)
     q = ex.filter(F.col("vec_id") < N_QUERIES).select(
@@ -165,7 +165,7 @@ def q35_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot product — the pruning that keeps ANN tractable at scale.
     Exact-decimal cosine within the bucket, top-k per query.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = widen(load(spark, sf_dir, "embeddings"))
     bucket = sum(
         (
             F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit(1 << i)).otherwise(
@@ -265,7 +265,7 @@ def q41_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the property that keeps the pair join tractable at 100 TB. Same
     integer-quantized exact math as q34, so DuckDB matches bit-for-bit.
     """
-    e = load(spark, sf_dir, "embeddings")
+    e = widen(load(spark, sf_dir, "embeddings"))
     bucket = sum(
         (
             F.when(

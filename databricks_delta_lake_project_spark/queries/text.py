@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import load
+from .catalog import load, widen
 
 TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]+"
 SHINGLE_N = 3
@@ -56,7 +56,7 @@ def q27_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure map-side projection — at 100 TB this pipelines into the scan
     with zero shuffle.
     """
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     toks = _tokens(F.col("text"))
 
     def hits(words: tuple[str, ...]) -> Column:
@@ -113,7 +113,7 @@ def q28_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_extract_all + integer higher-order aggregate — exact math,
     no floats until the final ratio.
     """
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
     n_tokens = F.size(toks)
     n_unique = F.size(F.array_distinct(toks))
@@ -156,7 +156,7 @@ def q29_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, and min-shingle-hash (the min-hash-of-one-permutation rolling
     fingerprint used for cheap near-dup bucketing).
     """
-    d = load(spark, sf_dir, "documents")
+    d = widen(load(spark, sf_dir, "documents"))
     # bind the token array once; multi-referenced non-trivial aliases
     # are not re-inlined by CollapseProject, so the regex split runs
     # one time per row instead of three
@@ -197,7 +197,7 @@ def q30_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact. At 100 TB the blocking key becomes the LSH band
     (q32) instead of dimension columns; the verify math is identical.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(load(spark, sf_dir, "documents"))
     # distinct shingle SET per doc, kept as an array of 64-bit hashes:
     # the intersection runs as JVM array_intersect per candidate pair —
     # no exploded-shingle shuffle (pairs x shingles would be ~100x the
@@ -289,7 +289,7 @@ def q31_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit_j(hash(token)) ? +1 : -1). One shuffle to the per-doc
     aggregate; the pair join blocks on source.
     """
-    d = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = widen(load(spark, sf_dir, "documents")).select("doc_id", "source", "text")
     tok = d.select(
         "doc_id", "source", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("t")
     )
@@ -375,7 +375,7 @@ def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Generic library forms: ``operators.dedup.minhash_lsh_pairs`` /
     ``ngram_jaccard``.)
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = widen(load(spark, sf_dir, "documents"))
     rows_per_band = MINHASH_K // MINHASH_BANDS
     sh_arr = docs.select(
         "doc_id",

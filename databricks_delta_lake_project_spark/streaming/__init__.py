@@ -6,8 +6,10 @@ from .ops import (
     windowed_agg,
 )
 from .sink import StreamMonitor, merge_stream, stream_to_lake_table
+from .stateful import running_totals
 
 __all__ = [
+    "running_totals",
     "enrich_stream",
     "sessionized_stream",
     "stream_dedup",

@@ -283,3 +283,56 @@ def test_sliding_window_agg(spark, tmp_path):
     # each event lands in two overlapping 10-min windows
     by_start = {r["window_start"].strftime("%H:%M"): r["n"] for r in out}
     assert by_start == {"23:55": 1, "00:00": 2, "00:05": 2, "00:10": 1}
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-key totals accumulate across
+    micro-batches AND across a restart from the same checkpoint."""
+    from databricks_delta_lake_project_spark.streaming import running_totals
+
+    src = tmp_path / "state_src"
+    ckpt = str(tmp_path / "state_ckpt")
+    batch1 = spark.createDataFrame(
+        [("a", 10.0), ("a", 5.0), ("b", 1.0)], "key string, amount double"
+    )
+    src.mkdir()
+    batch1.write.parquet(str(src / "f1.parquet"))
+
+    updates: list = []
+
+    def run():
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+        def collect_batch(bdf, _bid):
+            updates.extend(bdf.collect())
+
+        q = (
+            running_totals(stream, "key", "amount")
+            .writeStream.foreachBatch(collect_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        out = {}
+        for r in updates:  # keep the latest update per key
+            if r["key"] not in out or r["n_events"] > out[r["key"]][0]:
+                out[r["key"]] = (r["n_events"], r["total_amount"])
+        return out
+
+    assert run() == {"a": (2, 15.0), "b": (1, 1.0)}
+
+    # second file lands; restart from the SAME checkpoint -> state
+    # resumes, totals are cumulative over both files
+    spark.createDataFrame(
+        [("a", 2.0), ("c", 7.0)], "key string, amount double"
+    ).write.parquet(str(src / "f2.parquet"))
+    got = run()
+    assert got["a"] == (3, 17.0)  # resumed state: 2+1 events, 15+2
+    assert got["c"] == (1, 7.0)
+    assert got["b"] == (1, 1.0)  # untouched key keeps batch-1 totals
