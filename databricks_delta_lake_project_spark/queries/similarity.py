@@ -275,11 +275,36 @@ def q41_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    buckets = e.select("vec_id", bucket.alias("bucket"))
-    ex = _exploded(e)
-    norms = _norms(ex)
-    a, c = buckets.alias("a"), buckets.alias("c")
-    cand = a.join(
+    # array-native formulation: ONE pass quantizes the vector and its
+    # squared norm; the pair join carries the ~0.5 KB long arrays and
+    # the dot product runs map-side as zip_with+aggregate — one shuffle
+    # (the bucket join) total, vs three for the exploded-row plan.
+    # Integer sums are order-independent, so this matches the exploded
+    # DuckDB oracle bit-for-bit.
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * QUANT).cast("long")
+    )
+    vecs = e.select(
+        "vec_id", bucket.alias("bucket"), qv.alias("qv")
+    ).withColumn(
+        "norm2",
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+    a, c = vecs.alias("a"), vecs.alias("c")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("c.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cosine = dot.cast("double") / (
+        F.sqrt(F.col("a.norm2").cast("double"))
+        * F.sqrt(F.col("c.norm2").cast("double"))
+    )
+    pairs = a.join(
         c,
         (F.col("a.bucket") == F.col("c.bucket"))
         & (F.col("a.vec_id") < F.col("c.vec_id")),
@@ -287,25 +312,15 @@ def q41_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("id_a"),
         F.col("c.vec_id").alias("id_b"),
         F.col("a.bucket").alias("bucket"),
+        cosine.alias("cosine"),
     )
-    qx = ex.select(F.col("vec_id").alias("id_a"), "pos", F.col("xd").alias("ad"))
-    cx = ex.select(F.col("vec_id").alias("id_b"), "pos", F.col("xd").alias("bd"))
-    dots = (
-        cand.join(qx, "id_a")
-        .join(cx, ["id_b", "pos"])
-        .groupBy("id_a", "id_b", "bucket")
-        .agg(F.sum(F.col("ad") * F.col("bd")).alias("dot"))
-    )
-    an = norms.select(F.col("vec_id").alias("id_a"), F.col("norm2").alias("an2"))
-    bn = norms.select(F.col("vec_id").alias("id_b"), F.col("norm2").alias("bn2"))
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("an2").cast("double")) * F.sqrt(F.col("bn2").cast("double"))
-    )
+    # window barrier (as in q30/q32): keep the cosine out of the join
+    # condition so zip_with+aggregate evaluates once per pair
+    w = Window.partitionBy("id_a", "id_b")
     return (
-        dots.join(an, "id_a")
-        .join(bn, "id_b")
-        .select("id_a", "id_b", "bucket", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        pairs.withColumn("_c", F.max("cosine").over(w))
+        .filter(F.col("_c") >= NEAR_DUP_COSINE)
+        .drop("_c")
     )
 
 

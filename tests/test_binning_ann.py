@@ -62,3 +62,38 @@ def test_cosine_topk_matches_exact_oracle_query(spark):
             mismatched_ids += 1
     # neighbor ordering may flip only between near-tied cosines
     assert mismatched_ids <= 2
+
+
+def test_ivf_topk_prunes_and_recalls(spark):
+    """IVF-Flat: probes n_probe/n_lists of the data yet keeps useful
+    recall vs the exact brute force; ranks are deterministic."""
+    from databricks_delta_lake_project_spark.operators.ann import ivf_topk
+
+    e = load(spark, SF_SMALL, "embeddings")
+    query_ids = [0, 1, 2]
+    exact = cosine_topk(e, "vec_id", "embedding", query_ids, k=10)
+    exact_sets = {
+        qid: {r["neighbor_id"] for r in rows}
+        for qid, rows in _group(exact.collect()).items()
+    }
+    approx = ivf_topk(
+        e, "vec_id", "embedding", query_ids, k=10, n_lists=8, n_probe=4
+    )
+    rows = approx.collect()
+    got = _group(rows)
+    assert set(got) == set(query_ids)
+    for qid, rws in got.items():
+        assert len(rws) == 10
+        ranks = [r["ivf_rank"] for r in rws]
+        assert sorted(ranks) == list(range(1, 11))
+        # probing half the lists of near-random data must still find a
+        # fair share of the true neighborhood
+        hits = len({r["neighbor_id"] for r in rws} & exact_sets[qid])
+        assert hits >= 3, f"recall too low for query {qid}: {hits}/10"
+
+
+def _group(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], []).append(r)
+    return out
