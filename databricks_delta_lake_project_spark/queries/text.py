@@ -290,22 +290,32 @@ def q31_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the pair join blocks on source.
     """
     d = widen(load(spark, sf_dir, "documents")).select("doc_id", "source", "text")
-    tok = d.select(
-        "doc_id", "source", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("t")
+    # map-side fingerprint: hash the distinct-token array ONCE (alias
+    # barrier keeps md5 from re-evaluating per bit), then 32 integer
+    # array-aggregates derive the per-bit sums — no explode, no
+    # per-token shuffle; the only shuffle left is the pair join. Same
+    # exact integer sums as the exploded groupBy, so the DuckDB oracle
+    # is unchanged.
+    hashed = d.select(
+        "doc_id",
+        "source",
+        F.transform(
+            F.array_distinct(_tokens(F.col("text"))),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ).alias("h"),
     )
-    h = F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("long")
-    tok = tok.withColumn("h", h)
-    aggs = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(SIMHASH_BITS)
-    ]
-    per_doc = tok.groupBy("doc_id", "source").agg(*aggs)
+    def _bit_sum(j: int) -> Column:
+        mask = F.lit(1 << j)
+        return F.aggregate(
+            F.col("h"),
+            F.lit(0),
+            lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
     fp: Column = F.lit(0)
     for j in range(SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(0)
-    fps = per_doc.select("doc_id", "source", fp.cast("long").alias("simhash"))
+        fp = fp + F.when(_bit_sum(j) > 0, F.lit(1 << j)).otherwise(0)
+    fps = hashed.select("doc_id", "source", fp.cast("long").alias("simhash"))
     a, b = fps.alias("a"), fps.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
