@@ -1,3 +1,15 @@
-from .autoload import SchemaRegistry, infer_schema, read_file_stream
+from .autoload import (
+    EVOLUTION_MODES,
+    NewColumnsError,
+    SchemaRegistry,
+    infer_schema,
+    read_file_stream,
+)
 
-__all__ = ["SchemaRegistry", "infer_schema", "read_file_stream"]
+__all__ = [
+    "EVOLUTION_MODES",
+    "NewColumnsError",
+    "SchemaRegistry",
+    "infer_schema",
+    "read_file_stream",
+]

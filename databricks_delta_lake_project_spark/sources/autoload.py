@@ -27,6 +27,7 @@ import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     StringType,
     StructField,
@@ -98,6 +99,15 @@ def infer_schema(
     return StructType(fields)
 
 
+EVOLUTION_MODES = ("addNewColumns", "rescue", "failOnNewColumns", "none")
+
+
+class NewColumnsError(RuntimeError):
+    """Raised by ``failOnNewColumns`` when the landing zone grows
+    columns the registered schema doesn't know (the Auto Loader mode
+    that treats schema drift as an operator-attention event)."""
+
+
 def read_file_stream(
     spark: SparkSession,
     path: str,
@@ -105,34 +115,62 @@ def read_file_stream(
     schema_location: str,
     hints: str | None = None,
     rescue: bool = True,
-    evolve: bool = True,
+    evolution_mode: str = "addNewColumns",
     max_files_per_trigger: int | None = 100,
     options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Incremental file stream with registry-backed schema.
+    """Incremental file stream with registry-backed schema, mirroring
+    the four Auto Loader ``cloudFiles.schemaEvolutionMode`` values
+    (reference ``ingest_crm_customers.py:94-104,113``):
 
-    ``evolve=True`` mirrors ``cloudFiles.schemaEvolutionMode =
-    addNewColumns`` (``ingest_crm_customers.py:113``): each start
-    re-infers and appends net-new columns to the registered schema
-    (a restart picks them up — same operational contract as Auto
-    Loader, which also restarts the stream on schema change).
+    * ``addNewColumns`` — each start re-infers and appends net-new
+      columns to the registered schema (a restart picks them up — the
+      same operational contract as Auto Loader, which also restarts
+      the stream on schema change).
+    * ``rescue`` — the registered schema is frozen; for JSON, fields
+      NOT in the schema are captured into ``_rescued_data`` as a JSON
+      object (emulated with a text scan + ``from_json`` + JVM-side
+      map_filter over the raw keys — no Python in the row path).
+    * ``failOnNewColumns`` — raise :class:`NewColumnsError` at start
+      if inference finds columns beyond the registered schema.
+    * ``none`` — frozen schema; unknown fields are silently dropped.
+
+    Malformed rows (all modes, JSON/CSV) land in ``_rescued_data``
+    via PERMISSIVE parsing when ``rescue=True``.
     """
+    if evolution_mode not in EVOLUTION_MODES:
+        raise ValueError(f"evolution_mode must be one of {EVOLUTION_MODES}")
     registry = SchemaRegistry(schema_location)
     known = registry.latest()
     if known is None:
         schema = infer_schema(spark, path, fmt, hints, options)
-    elif evolve:
+    elif evolution_mode == "addNewColumns":
         fresh = infer_schema(spark, path, fmt, hints, options)
         have = {f.name for f in known.fields}
         schema = StructType(
             list(known.fields)
             + [f for f in fresh.fields if f.name not in have]
         )
-    else:
+    elif evolution_mode == "failOnNewColumns":
+        fresh = infer_schema(spark, path, fmt, hints, options)
+        have = {f.name for f in known.fields} | {RESCUE_COL}
+        extra = [f.name for f in fresh.fields if f.name not in have]
+        if extra:
+            raise NewColumnsError(
+                f"new columns in landing zone: {extra}; evolve the "
+                "registered schema or switch evolution_mode"
+            )
+        schema = known
+    else:  # rescue | none: frozen schema
         schema = known
     if rescue and fmt in ("json", "csv") and RESCUE_COL not in schema.names:
         schema = schema.add(StructField(RESCUE_COL, StringType(), True))
     registry.save(schema)
+
+    if evolution_mode == "rescue" and fmt == "json":
+        return _json_stream_with_rescued_fields(
+            spark, path, schema, max_files_per_trigger, options
+        )
 
     reader = (
         spark.readStream.format(fmt)
@@ -148,3 +186,36 @@ def read_file_stream(
             "columnNameOfCorruptRecord", RESCUE_COL
         )
     return reader.load(path)
+
+
+def _json_stream_with_rescued_fields(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int | None,
+    options: dict[str, str] | None,
+) -> DataFrame:
+    """``rescue`` emulation for line-delimited JSON: scan as text,
+    parse the known columns with ``from_json``, and collect any raw
+    top-level keys NOT in the schema into ``_rescued_data`` (a JSON
+    object string, like Auto Loader's rescued-data column). All
+    expressions are JVM built-ins — the extra cost over a native JSON
+    scan is one ``from_json`` into a string map."""
+    data_fields = [f for f in schema.fields if f.name != RESCUE_COL]
+    known = F.array(*[F.lit(f.name) for f in data_fields])
+    reader = spark.readStream.options(**(options or {}))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.text(path)
+    parsed = F.from_json(F.col("value"), StructType(data_fields))
+    raw_map = F.from_json(F.col("value"), "map<string,string>")
+    extras = F.map_filter(raw_map, lambda k, _: ~F.array_contains(known, k))
+    # from_json is PERMISSIVE (all-null struct on malformed input), so
+    # malformed detection uses the raw string-map parse: null map <=>
+    # the line isn't a JSON object at all -> rescue the whole line
+    rescued = F.when(
+        raw_map.isNull(), F.col("value")
+    ).when(F.size(F.map_keys(extras)) > 0, F.to_json(extras))
+    return raw.select(parsed.alias("r"), rescued.alias(RESCUE_COL)).select(
+        "r.*", RESCUE_COL
+    )

@@ -336,3 +336,56 @@ def test_stateful_running_totals(spark, tmp_path):
     assert got["a"] == (3, 17.0)  # resumed state: 2+1 events, 15+2
     assert got["c"] == (1, 7.0)
     assert got["b"] == (1, 1.0)  # untouched key keeps batch-1 totals
+
+
+def test_evolution_mode_rescue_captures_new_fields(spark, tmp_path):
+    """rescue mode: schema frozen; unknown top-level JSON fields land
+    in _rescued_data as a JSON object; malformed lines rescue whole."""
+    src = tmp_path / "rescue_src"
+    _write_json(src, "a.json", [{"id": 1, "name": "x"}])
+    reg = str(tmp_path / "reg")
+    # first start registers {id, name}
+    read_file_stream(spark, str(src), "json", schema_location=reg)
+    # new field arrives; rescue mode must NOT evolve
+    _write_json(src, "b.json", [{"id": 2, "name": "y", "extra": "боль"}])
+    (src / "c.json").write_text('{"id": broken')
+    stream = read_file_stream(
+        spark, str(src), "json", schema_location=reg, evolution_mode="rescue"
+    )
+    assert "extra" not in stream.columns
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rescue_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    rows = {r["id"]: r for r in spark.sql("SELECT * FROM rescue_t").collect()}
+    assert rows[1]["_rescued_data"] is None
+    assert json.loads(rows[2]["_rescued_data"]) == {"extra": "боль"}
+    malformed = [r for r in rows.values() if r["id"] is None]
+    assert malformed and malformed[0]["_rescued_data"] == '{"id": broken'
+
+
+def test_evolution_mode_fail_on_new_columns(spark, tmp_path):
+    from databricks_delta_lake_project_spark.sources import NewColumnsError
+
+    src = tmp_path / "fail_src"
+    _write_json(src, "a.json", [{"id": 1}])
+    reg = str(tmp_path / "reg")
+    read_file_stream(spark, str(src), "json", schema_location=reg)
+    _write_json(src, "b.json", [{"id": 2, "surprise": 1}])
+    with pytest.raises(NewColumnsError, match="surprise"):
+        read_file_stream(
+            spark,
+            str(src),
+            "json",
+            schema_location=reg,
+            evolution_mode="failOnNewColumns",
+        )
+    # mode "none": frozen schema, new field silently dropped
+    stream = read_file_stream(
+        spark, str(src), "json", schema_location=reg, evolution_mode="none"
+    )
+    assert "surprise" not in stream.columns
