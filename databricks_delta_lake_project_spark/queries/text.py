@@ -457,6 +457,59 @@ def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate CLUSTERS: connected components over
+    the q30 Jaccard pair graph (min-label propagation,
+    ``operators/graph.py``), every document labeled with its
+    component's minimum doc_id and the canonical survivor flagged.
+    This is the step that makes pair-finding an actual dedup: keep
+    ``is_canonical`` rows, drop the rest.
+
+    Iterative (join + groupBy-min per round, lineage truncated with
+    localCheckpoint) — the oracle is a DuckDB recursive CTE computing
+    the same min-reachable-id labeling.
+    """
+    from ..operators.graph import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = q30_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(pairs, docs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+Q43_SQL = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, lang, source, list_distinct({_D_SHINGLES}) AS sh FROM documents
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM docs
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.sh, b.sh)) AS n_inter
+  FROM docs a JOIN docs b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+), pairs_t AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sizes na ON na.doc_id = c.id_a
+  JOIN sizes nb ON nb.doc_id = c.id_b
+  WHERE CAST(c.n_inter AS DOUBLE)
+        / CAST(na.n_sh + nb.n_sh - c.n_inter AS DOUBLE) >= {JACCARD_THRESHOLD}
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs_t
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs_t
+), reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node
+)
+SELECT node AS doc_id, MIN(label) AS cluster_id,
+       MIN(label) = node AS is_canonical
+FROM reach GROUP BY node
+"""
+
+
 TEXT_QUERIES = {
     "q27_language_id": (q27_language_id, Q27_SQL),
     "q28_token_stats": (q28_token_stats, Q28_SQL),
@@ -464,4 +517,5 @@ TEXT_QUERIES = {
     "q30_ngram_jaccard_pairs": (q30_ngram_jaccard_pairs, Q30_SQL),
     "q31_simhash_pairs": (q31_simhash_pairs, Q31_SQL),
     "q32_minhash_lsh": (q32_minhash_lsh, None),
+    "q43_dedup_clusters": (q43_dedup_clusters, Q43_SQL),
 }
