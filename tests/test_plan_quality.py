@@ -80,14 +80,28 @@ def test_q14_no_python_udf(spark):
 
 
 def test_no_python_udf_anywhere(spark):
-    # the whole catalog is JVM-side except the deliberate pandas-UDF
-    # multimodal operators (not in the catalog)
+    # the whole catalog is JVM-side; the ONE deliberate Python crossing
+    # is q42's Arrow-batched MapInPandas (never row-at-a-time
+    # BatchEvalPython / scalar ArrowEvalPython)
     offenders = []
     for name in QUERIES:
         plan = _plan(spark, name)
         if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_q42_arrow_batched_python(spark):
+    plan = _plan(spark, "q42_multimodal_features")
+    assert "MapInPandas" in plan
+
+
+def test_q31_q41_no_explode(spark):
+    # map-side array formulations: the SimHash fingerprint and the
+    # near-dup cosine must NOT explode per-token/per-dimension rows
+    for name in ("q31_simhash_pairs", "q41_embedding_near_dup"):
+        plan = _plan(spark, name)
+        assert "Generate" not in plan, f"{name} regressed to explode"
 
 
 def test_whole_stage_codegen_active(spark):
