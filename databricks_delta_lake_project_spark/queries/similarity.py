@@ -38,22 +38,32 @@ LSH_TOP_K = 5
 QUANT = 1_000_000.0  # 1e-6 component quantization
 
 
-def _exploded(e: DataFrame) -> DataFrame:
-    """(vec_id, pos, xd) with exact integer-quantized components."""
-    return e.select(
-        "vec_id", F.posexplode("embedding").alias("pos", "x")
-    ).select(
-        "vec_id",
-        "pos",
-        F.floor(F.col("x").cast("double") * QUANT).cast("long").alias("xd"),
+def _quantized(e: DataFrame) -> DataFrame:
+    """(vec_id, qv: array<long>, norm2) — one map-side pass quantizes
+    the vector and its exact squared norm (integer units: 64 dims *
+    (1e6)^2 ~ 6e13 << 2^63). Array-native: no per-dimension explode,
+    so deriving it is shuffle-free and the arrays ride later joins as
+    ~0.5 KB payloads."""
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * QUANT).cast("long")
+    )
+    return e.select("vec_id", qv.alias("qv")).withColumn(
+        "norm2",
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
     )
 
 
-def _norms(ex: DataFrame) -> DataFrame:
-    """Exact squared norm per vector (integer sum of squares, in
-    quantized units: 64 dims * (1e6)^2 ~ 6e13 << 2^63)."""
-    return ex.groupBy("vec_id").agg(
-        F.sum(F.col("xd") * F.col("xd")).alias("norm2")
+def _dot(a, b) -> Column:
+    """Exact integer dot product of two quantized arrays (order-
+    independent sum -> bit-identical to the oracle's exploded SUM)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
 
 
@@ -62,17 +72,25 @@ def q33_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sanity profile (exact decimal sum of squares, IEEE sqrt at the
     end)."""
     e = widen(load(spark, sf_dir, "embeddings"))
-    ex = _exploded(e)
-    norms = _norms(ex).select(
-        "vec_id",
-        (F.sqrt(F.col("norm2").cast("double")) / QUANT).alias("l2_norm"),
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * QUANT).cast("long")
     )
-    dims = ex.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_dims"))
-    return (
-        e.select("vec_id", "label")
-        .join(norms, "vec_id")
-        .join(dims, "vec_id")
-        .select("vec_id", "label", "n_dims", "l2_norm")
+    # fully map-side: quantize + exact integer sum of squares + sqrt in
+    # one projection — zero shuffles at any scale
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("n_dims"),
+        (
+            F.sqrt(
+                F.aggregate(
+                    F.transform(qv, lambda x: x * x),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+            )
+            / QUANT
+        ).alias("l2_norm"),
     )
 
 
@@ -98,31 +116,30 @@ def q34_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cosine desc, neighbor asc) row_number.
     """
     e = widen(load(spark, sf_dir, "embeddings"))
-    ex = _exploded(e)
-    norms = _norms(ex)
-    q = ex.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "pos", F.col("xd").alias("qd")
+    vecs = _quantized(e)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("qn2"),
     )
-    dots = (
-        q.join(ex, "pos")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.sum(F.col("qd") * F.col("xd")).alias("dot"))
+    # broadcast the tiny query side; each candidate row computes all
+    # query dot products map-side (zip_with over the quantized arrays)
+    # — the only shuffle left is the per-query top-k window
+    cand = vecs.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
     )
-    qn = norms.select(F.col("vec_id").alias("query_id"), F.col("norm2").alias("qn2"))
-    cn = norms.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("norm2").alias("cn2")
-    )
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    cosine = _dot(F.col("qv"), F.col("q_qv")).cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("norm2").cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        dots.join(qn, "query_id")
-        .join(cn, "neighbor_id")
-        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine.alias("cosine"),
+        )
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= TOP_K)
         .select("query_id", "neighbor_id", "knn_rank", "cosine")
@@ -175,37 +192,44 @@ def q35_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(0),
     )
-    buckets = e.select("vec_id", bucket.alias("bucket"))
-    ex = _exploded(e)
-    norms = _norms(ex)
-    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "bucket"
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * QUANT).cast("long")
     )
-    cand = qb.join(buckets.alias("c"), "bucket").filter(
-        F.col("c.vec_id") != F.col("query_id")
-    ).select("query_id", F.col("c.vec_id").alias("neighbor_id"), "bucket")
-    qx = ex.select(F.col("vec_id").alias("query_id"), "pos", F.col("xd").alias("qd"))
-    cx = ex.select(F.col("vec_id").alias("neighbor_id"), "pos", F.col("xd").alias("cd"))
-    dots = (
-        cand.join(qx, "query_id")
-        .join(cx, ["neighbor_id", "pos"])
-        .groupBy("query_id", "neighbor_id", "bucket")
-        .agg(F.sum(F.col("qd") * F.col("cd")).alias("dot"))
+    vecs = e.select(
+        "vec_id", bucket.alias("bucket"), qv.alias("qv")
+    ).withColumn(
+        "norm2",
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
     )
-    qn = norms.select(F.col("vec_id").alias("query_id"), F.col("norm2").alias("qn2"))
-    cn = norms.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("norm2").alias("cn2")
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("bucket"),
+        F.col("qv").alias("q_qv"),
+        F.col("norm2").alias("qn2"),
     )
-    cosine = F.col("dot").cast("double") / (
-        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))
+    # bucket equijoin prunes candidates BEFORE any dot product; the
+    # broadcast query side keeps it shuffle-free, and zip_with computes
+    # the exact dot map-side (no per-dimension explode)
+    cand = vecs.join(F.broadcast(queries), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cosine = _dot(F.col("qv"), F.col("q_qv")).cast("double") / (
+        F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("norm2").cast("double"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
     return (
-        dots.join(qn, "query_id")
-        .join(cn, "neighbor_id")
-        .select("query_id", "neighbor_id", "bucket", cosine.alias("cosine"))
+        cand.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            cosine.alias("cosine"),
+        )
         .withColumn("ann_rank", F.row_number().over(w))
         .filter(F.col("ann_rank") <= LSH_TOP_K)
         .select("query_id", "neighbor_id", "bucket", "ann_rank", "cosine")

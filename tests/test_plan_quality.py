@@ -96,12 +96,26 @@ def test_q42_arrow_batched_python(spark):
     assert "MapInPandas" in plan
 
 
-def test_q31_q41_no_explode(spark):
-    # map-side array formulations: the SimHash fingerprint and the
-    # near-dup cosine must NOT explode per-token/per-dimension rows
-    for name in ("q31_simhash_pairs", "q41_embedding_near_dup"):
+def test_array_native_queries_no_explode(spark):
+    # map-side array formulations: SimHash fingerprints and every
+    # embedding query must NOT explode per-token/per-dimension rows
+    for name in (
+        "q31_simhash_pairs",
+        "q33_embedding_norms",
+        "q34_knn_bruteforce",
+        "q35_ann_sign_lsh",
+        "q41_embedding_near_dup",
+    ):
         plan = _plan(spark, name)
         assert "Generate" not in plan, f"{name} regressed to explode"
+
+
+def test_q34_q35_broadcast_query_side(spark):
+    # the tiny query set must broadcast — a shuffled join here would
+    # move the full candidate table at scale
+    for name in ("q34_knn_bruteforce", "q35_ann_sign_lsh"):
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, name
 
 
 def test_whole_stage_codegen_active(spark):
