@@ -192,20 +192,31 @@ def q30_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup detection over candidate pairs
     from (lang, source) blocking (beyond-reference dedup operator).
 
-    |A∩B| via a shingle-equijoin between candidate pair sides,
-    |A∪B| = |A|+|B|-|A∩B| from per-doc distinct-shingle counts — all
-    integer-exact. At 100 TB the blocking key becomes the LSH band
-    (q32) instead of dimension columns; the verify math is identical.
+    |A∩B| as JVM ``array_intersect`` over per-doc distinct-shingle hash
+    sets, |A∪B| = |A|+|B|-|A∩B| — all integer-exact. At 100 TB the
+    blocking key becomes the LSH band (q32) instead of dimension
+    columns; the verify math is identical.
+
+    Plan shape: ONE tokenize+shingle+hash pass (a self-join would run
+    it twice — Catalyst does not share the derivation across join
+    sides), one shuffle collecting each block's (doc_id, sh) structs,
+    then every within-block pair AND its intersection are generated
+    map-side inside a nested ``transform``; the threshold filter reads
+    the already-materialized struct fields, so the intersect evaluates
+    exactly once per pair (no double evaluation, no window barrier).
+
+    Scale contract: a block must fit in one task (collect_list). That
+    is inherent to blocked all-pairs — a block too big to collect is
+    also too big to pair quadratically — so blocking keys must bound
+    block size; for heavy blocks use banded LSH (q32), which re-blocks
+    by signature and keeps buckets tiny.
     """
     docs = widen(load(spark, sf_dir, "documents"))
-    # distinct shingle SET per doc, kept as an array of 64-bit hashes:
-    # the intersection runs as JVM array_intersect per candidate pair —
-    # no exploded-shingle shuffle (pairs x shingles would be ~100x the
-    # pair count in intermediate rows), and hashing shrinks the arrays
-    # ~10x vs strings so the broadcast + intersect stay cheap. Counts
-    # equal the string-set counts unless xxhash64 collides within a
-    # pair's ~200 shingles (P ~ 2e-15 per pair) — the DuckDB oracle
-    # keeps exact strings, so a collision would surface as a diff.
+    # distinct shingle SET per doc as an array of 64-bit hashes: ~10x
+    # smaller than the strings, and counts equal the string-set counts
+    # unless xxhash64 collides within a pair's ~200 shingles
+    # (P ~ 2e-15) — the DuckDB oracle keeps exact strings, so a
+    # collision would surface as a diff.
     sh_arr = docs.select(
         "doc_id",
         "lang",
@@ -216,33 +227,39 @@ def q30_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sh"),
     )
-    a, b = sh_arr.alias("a"), sh_arr.alias("b")
-    paired = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    blocks = (
+        sh_arr.groupBy("lang", "source")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
+        # spread the quadratic pair work back across the cluster: the
+        # grouped output is one row per block, which AQE would coalesce
+        # into a couple of partitions otherwise
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    n_inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    n_union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - n_inter
-    stats = paired.select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
-        n_inter.alias("n_inter"),
-        n_union.alias("n_union"),
-        (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
+    n = F.size("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + F.lit(2), n),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    F.size(F.array_intersect(x["sh"], y["sh"])).alias("n_inter"),
+                    (F.size(x["sh"]) + F.size(y["sh"])).alias("n_ab"),
+                ),
+            ),
+        )
     )
-    # window barrier: without it Catalyst pushes the threshold filter
-    # into the join condition and the array_intersect evaluates twice
-    # per candidate row (condition + projection). The window forces
-    # intersect-once -> shuffle tiny (id,id,stats) rows -> filter; each
-    # (id_a, id_b) pair is unique so max(jaccard) == jaccard.
-    w = Window.partitionBy("id_a", "id_b")
-    return (
-        stats.withColumn("_j", F.max("jaccard").over(w))
-        .filter(F.col("_j") >= JACCARD_THRESHOLD)
-        .drop("_j")
+    stats = blocks.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        F.col("p.n_inter").alias("n_inter"),
+        (F.col("p.n_ab") - F.col("p.n_inter")).alias("n_union"),
     )
+    return stats.withColumn(
+        "jaccard",
+        F.col("n_inter").cast("double") / F.col("n_union").cast("double"),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 Q30_SQL = f"""
@@ -286,8 +303,8 @@ def q31_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (beyond-reference dedup operator).
 
     Fingerprint bit j = sign of sum over distinct tokens of
-    (bit_j(hash(token)) ? +1 : -1). One shuffle to the per-doc
-    aggregate; the pair join blocks on source.
+    (bit_j(hash(token)) ? +1 : -1). One map-side fingerprint pass, one
+    shuffle to per-source blocks, pairs + Hamming generated map-side.
     """
     d = widen(load(spark, sf_dir, "documents")).select("doc_id", "source", "text")
     # map-side fingerprint: hash the distinct-token array ONCE (alias
@@ -304,37 +321,68 @@ def q31_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
         ).alias("h"),
     )
-    def _bit_sum(j: int) -> Column:
-        mask = F.lit(1 << j)
-        return F.aggregate(
-            F.col("h"),
-            F.lit(0),
-            lambda acc, x: acc + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
-
-    fp: Column = F.lit(0)
-    for j in range(SIMHASH_BITS):
-        fp = fp + F.when(_bit_sum(j) > 0, F.lit(1 << j)).otherwise(0)
-    fps = hashed.select("doc_id", "source", fp.cast("long").alias("simhash"))
-    a, b = fps.alias("a"), fps.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # single-pass fingerprint: ONE traversal of the token-hash array
+    # carries all 32 signed bit counters in an array accumulator
+    # (zip_with against a literal mask array), ~1.5x faster than 32
+    # separate F.aggregate passes and identical integer math
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(SIMHASH_BITS)])
+    sums = F.aggregate(
+        "h",
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, x: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(x.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.simhash").alias("simhash_a"),
-            F.col("b.simhash").alias("simhash_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= HAMMING_THRESHOLD)
+    fp = F.aggregate(
+        F.zip_with(
+            sums, masks, lambda s, m: F.when(s > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
     )
+    fps = hashed.select("doc_id", "source", fp.alias("simhash"))
+    # block-collect pair stage (same shape as q30): a self-join would
+    # run the fingerprint derivation twice — once per join side — so
+    # instead ONE derivation pass feeds a per-source collect_list and
+    # within-block pairs are generated map-side. The Hamming filter
+    # runs INSIDE the array expression (bit_count on scalars, ~free),
+    # so only surviving pairs allocate result structs — at sf0.1 that
+    # skips struct-building for the ~70% of 1.25M pairs that fail.
+    # Fingerprints are 12-byte scalars, so even million-doc sources
+    # collect in tens of MB; beyond that, re-block on simhash prefix
+    # bands (the standard SimHash index).
+    blocks = (
+        fps.groupBy("source")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    n = F.size("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice("ds", i + F.lit(2), n),
+                    lambda y: F.bit_count(
+                        x["simhash"].bitwiseXOR(y["simhash"])
+                    )
+                    <= HAMMING_THRESHOLD,
+                ),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    x["simhash"].alias("simhash_a"),
+                    y["simhash"].alias("simhash_b"),
+                    F.bit_count(
+                        x["simhash"].bitwiseXOR(y["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return blocks.select(F.explode(pair_structs).alias("p")).select("p.*")
 
 
 _D_SIMHASH_SUMS = ", ".join(
@@ -424,36 +472,47 @@ def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # bucket-collect candidate stage (q30/q31 shape): a band self-join
+    # would derive sig+sh twice and shuffle the shingle payloads on
+    # both sides; instead buckets collect once per (band, band_hash)
+    # and pairs + the exact-Jaccard verify run map-side inside the
+    # bucket. The >= 0.5 filter sits inside the array expression, so
+    # only verified pairs leave the bucket — the final dropDuplicates
+    # (a true pair can collide in several bands) shuffles a handful of
+    # scalar rows. LSH buckets are tiny by construction (that is the
+    # point of banding), so collect_list per bucket is bounded.
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    n_union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - n_inter
-    stats = cand.select(
-        "id_a",
-        "id_b",
-        (n_inter.cast("double") / n_union.cast("double")).alias("jaccard"),
+    n = F.size("ds")
+
+    def _jac(x, y) -> Column:
+        ni = F.size(F.array_intersect(x["sh"], y["sh"]))
+        nu = F.size(x["sh"]) + F.size(y["sh"]) - ni
+        return ni.cast("double") / nu.cast("double")
+
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice("ds", i + F.lit(2), n), lambda y: _jac(x, y) >= 0.5
+                ),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    _jac(x, y).alias("jaccard"),
+                ),
+            ),
+        )
     )
-    # same window barrier as q30: keep the verify intersect out of the
-    # join condition (it would evaluate twice per candidate row)
-    w = Window.partitionBy("id_a", "id_b")
     return (
-        stats.withColumn("_j", F.max("jaccard").over(w))
-        .filter(F.col("_j") >= 0.5)
-        .drop("_j")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -97,10 +97,9 @@ def test_q42_arrow_batched_python(spark):
 
 
 def test_array_native_queries_no_explode(spark):
-    # map-side array formulations: SimHash fingerprints and every
-    # embedding query must NOT explode per-token/per-dimension rows
+    # map-side array formulations: every embedding query must NOT
+    # explode per-dimension rows
     for name in (
-        "q31_simhash_pairs",
         "q33_embedding_norms",
         "q34_knn_bruteforce",
         "q35_ann_sign_lsh",
@@ -108,6 +107,16 @@ def test_array_native_queries_no_explode(spark):
     ):
         plan = _plan(spark, name)
         assert "Generate" not in plan, f"{name} regressed to explode"
+
+
+def test_block_collect_pair_queries_single_generate(spark):
+    # q30/q31 derive shingle-sets/fingerprints ONCE (a self-join would
+    # run the derivation per side) and generate within-block pairs
+    # map-side: exactly one Generate (the pair explode) and no join
+    for name in ("q30_ngram_jaccard_pairs", "q31_simhash_pairs"):
+        plan = _plan(spark, name)
+        assert plan.count("Generate") == 1, f"{name}: {plan.count('Generate')}"
+        assert "Join" not in plan, f"{name} regressed to a pair self-join"
 
 
 def test_q34_q35_broadcast_query_side(spark):
