@@ -49,11 +49,12 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     und = und.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
 
+    # iterate over edge-touched nodes ONLY: isolated vertices can never
+    # change label, so they skip the propagation loop entirely and
+    # rejoin at the end. In a dedup graph the edge set is a tiny
+    # fraction of the corpus — every per-round join/groupBy scales
+    # with duplicate-cluster membership, not corpus size.
     labels = und.select(F.col("a").alias("node")).distinct()
-    if nodes is not None:
-        labels = labels.union(
-            nodes.select(F.col(node_col).alias("node"))
-        ).distinct()
     labels = labels.select("node", F.col("node").alias("component"))
     labels = labels.localCheckpoint()
 
@@ -87,6 +88,15 @@ def connected_components(
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
+    # isolated vertices (never in an edge) label themselves
+    if nodes is not None:
+        edge_nodes = labels.select("node")
+        isolated = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(edge_nodes, "node", "left_anti")
+            .select("node", F.col("node").alias("component"))
+        )
+        labels = labels.union(isolated)
     # materialize the final labeling, then free every precursor block
     final = labels.localCheckpoint()
     retired.append(checkpointed)

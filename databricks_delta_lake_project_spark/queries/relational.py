@@ -288,34 +288,59 @@ def q23_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup (J9; reference ``src/ml_operations/feature_store.py:186-201``
     ``timestamp_lookup_key`` semantics).
 
-    Implementation: range left-join + per-event row_number, the window
-    form SURVEY §2.4 J9 prescribes. Scale path: the range join keys on
-    user_id so it shuffles once on the user key; per-user order history
-    is small. For very deep histories the union-sort
-    ``last(..., ignorenulls)`` as-of pattern avoids the row multiply.
+    Implementation: the union-sort as-of pattern. A range left-join
+    multiplies every event by its user's full order history before a
+    row_number throws all but one row away; instead events and orders
+    union into one per-user timeline (orders sort before events at
+    equal timestamps, larger orderkey later so it wins ties) and a
+    running ``last(order_struct, ignorenulls)`` carries the most
+    recent at-or-before order onto each event row. One shuffle on the
+    user key, zero row multiplication — per-user history depth only
+    affects sort width, never output rows.
     """
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    joined = e.join(
-        o,
-        (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts),
-        "left",
+    ord_struct = F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+    ord_side = o.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(1).alias("is_order"),
+        ord_struct.alias("ord"),
+        F.lit(None).cast(dict(e.dtypes)["event_id"]).alias("event_id"),
+        F.lit(None).cast(dict(e.dtypes)["ts"]).alias("ts"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    ev_side = e.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast(ord_side.schema["ord"].dataType).alias("ord"),
+        "event_id",
+        "ts",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(
+            F.col("t").asc(),
+            F.col("is_order").desc(),
+            F.col("ord.o_orderkey").asc_nulls_first(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
+        ord_side.unionByName(ev_side)
+        .withColumn("last_ord", F.last("ord", ignorenulls=True).over(w))
+        .filter(F.col("is_order") == 0)
         .select(
             "event_id",
-            "user_id",
+            F.col("uid").alias("user_id"),
             "ts",
-            F.col("o_orderkey").alias("last_order_id"),
-            F.col("o_orderdate").cast("date").alias("last_order_date"),
-            _dec("o_totalprice").cast("double").alias("last_order_price"),
+            F.col("last_ord.o_orderkey").alias("last_order_id"),
+            F.col("last_ord.o_orderdate").cast("date").alias("last_order_date"),
+            _dec(F.col("last_ord.o_totalprice")).cast("double").alias(
+                "last_order_price"
+            ),
         )
     )
 
