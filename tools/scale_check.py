@@ -1,0 +1,136 @@
+"""Scale-up validation: replicate the driver's sf0.1 tables N× with
+shifted keys and measure how the catalog's headline plans scale.
+
+The replica models realistic growth: primary/foreign keys shift per
+copy (key cardinality grows with data), `documents.source` gets a
+per-copy suffix (corpus grows by adding sources, so dedup BLOCK SIZE
+stays constant while block count grows — the regime blocking is
+designed for; within-block quadratic growth is what q32's banding
+exists to re-block), and fixed dimensions (region, nation, supplier)
+stay fixed.
+
+Usage:
+    python tools/scale_check.py [N]        # default N=10 (~sf1)
+
+Prints one JSON line per scale with per-query wall seconds; a plan
+that scales linearly in data should show ~N× on scan-bound queries
+(local[32] is CPU-bound, so wall-clock tracks total work) and the
+ratio column makes super-linear blowups (a join that stopped
+broadcasting, a window that collapsed to one partition) obvious.
+
+Replica lives under .scale/ (gitignored) — build is idempotent and
+skipped if present.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from pyspark.sql import functions as F
+
+from databricks_delta_lake_project_spark.queries.catalog import QUERIES, load
+from databricks_delta_lake_project_spark.session import get_spark
+
+BASE = "/root/testdata/sf0.1"
+
+# key columns shifted per copy (cardinality grows with the data);
+# documents.source is suffixed instead (block count grows, block size
+# does not)
+SHIFT_KEYS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SUFFIX_COLS = {"documents": ["source"]}
+FIXED = ["region", "nation", "supplier"]
+
+# representative plan shapes; q30/q43 (dimension-blocked pairs) ride
+# the suffixed sources, q32 is the banded re-blocking scale path
+HEADLINE = [
+    "q01_pricing_summary",      # scan + multi-agg
+    "q02_revenue_daily",        # agg + running windows
+    "q03_customer_360",         # star join
+    "q05_sessionization",       # lag/cumsum windows
+    "q17_order_priority_exists",  # semi join
+    "q18_shipping_priority",    # 3-way join top-k
+    "q23_asof_join",            # union-sort as-of
+    "q27_language_id",          # text map stage
+    "q31_simhash_pairs",        # block-collect pairs
+    "q32_minhash_lsh",          # banded LSH + verify
+    "q34_knn_bruteforce",       # broadcast kNN
+    "q43_dedup_clusters",       # pairs -> connected components
+]
+
+
+def build_replica(spark, n: int, out: Path) -> None:
+    if (out / "_SUCCESS_REPLICA").exists():
+        return
+    if out.exists():
+        shutil.rmtree(out)
+    out.mkdir(parents=True)
+    for name in FIXED:
+        shutil.copy(f"{BASE}/{name}.parquet", out / f"{name}.parquet")
+    for name, keys in SHIFT_KEYS.items():
+        df = load(spark, BASE, name)
+        shifts = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        copies = []
+        for i in range(n):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(int(shifts[k]) * i))
+            for col in SUFFIX_COLS.get(name, ()):
+                c = c.withColumn(
+                    col, F.concat(F.col(col), F.lit(f"_{i}" if i else ""))
+                )
+            copies.append(c)
+        u = copies[0]
+        for c in copies[1:]:
+            u = u.unionByName(c)
+        # one file per copy keeps the scan split count proportional
+        u.repartition(n).write.mode("overwrite").parquet(
+            str(out / f"{name}.parquet")
+        )
+    (out / "_SUCCESS_REPLICA").touch()
+
+
+def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    timings = {}
+    for name in names:
+        fn = QUERIES[name][0]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale_check")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = REPO / ".scale" / f"x{n}"
+    build_replica(spark, n, out)
+
+    # warm codegen/worker paths so both scales measure execution
+    run(spark, BASE, HEADLINE)
+    base = run(spark, BASE, HEADLINE)
+    big = run(spark, str(out), HEADLINE)
+    ratios = {q: round(big[q] / base[q], 1) for q in base}
+    print(json.dumps({"scale": 1, "queries": base}))
+    print(json.dumps({"scale": n, "queries": big}))
+    print(json.dumps({"ratio": ratios}))
+
+
+if __name__ == "__main__":
+    main()
