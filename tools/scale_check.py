@@ -117,6 +117,10 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    if len(sys.argv) > 2:  # comma-separated subset, e.g. q01,q17
+        want = sys.argv[2].split(",")
+        global HEADLINE
+        HEADLINE = [q for q in HEADLINE if any(q.startswith(w) for w in want)]
     spark = get_spark(app_name="scale_check")
     spark.sparkContext.setLogLevel("ERROR")
     out = REPO / ".scale" / f"x{n}"
