@@ -161,6 +161,147 @@ def ngram_jaccard(
     )
 
 
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Persistent MinHash-LSH bucket index: one row per (band_idx,
+    band_hash, doc_id) carrying the doc's distinct-shingle hash set.
+
+    This is the corpus-side artifact for INCREMENTAL dedup at scale:
+    derive once, write to a lake table partitioned/bucketed on
+    (band_idx, band_hash), and every future batch probes it without
+    re-tokenizing a single corpus document. b bands ⇒ the index is b×
+    the corpus row count with a ~1 KB payload per row.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(
+            F.transform(
+                shingles(tokenize(F.col(text_col)), shingle_n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("sh"),
+    )
+    sig = sh.select(
+        "doc_id",
+        "sh",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("sh"), lambda h, k=k: F.xxhash64(F.lit(k), h))
+                )
+                for k in range(num_hashes)
+            ]
+        ).alias("sig"),
+    )
+    return sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col("sig")[i]
+                            for i in range(
+                                b * rows_per_band, (b + 1) * rows_per_band
+                            )
+                        ]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_hash"),
+    ).select("band_idx", "band_hash", "doc_id", "sh")
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs introduced by a NEW batch against an indexed
+    corpus (``minhash_index`` output) plus within the batch itself —
+    without re-pairing or re-deriving the corpus.
+
+    This is the steady-state 100 TB dedup pattern: the quadratic
+    full-corpus pass (q30/q32) runs once to bootstrap; every
+    subsequent ingest pays O(batch) derivation + a bucket probe.
+    The batch side (bands + payload) broadcasts — a daily batch is
+    tiny next to the corpus — so the probe is a map-side hash join
+    against the index scan with NO corpus shuffle; the exact-Jaccard
+    verify runs in the same map stage and only verified pairs leave.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, at least one side
+    a new document; jaccard >= threshold.
+    """
+    new_idx = minhash_index(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    )
+
+    def _jac(sa: Column, sb: Column) -> Column:
+        ni = F.size(F.array_intersect(sa, sb))
+        nu = F.size(sa) + F.size(sb) - ni
+        return ni.cast("double") / F.greatest(nu, F.lit(1)).cast("double")
+
+    probe = F.broadcast(
+        new_idx.select(
+            "band_idx",
+            "band_hash",
+            F.col("doc_id").alias("new_id"),
+            F.col("sh").alias("new_sh"),
+        )
+    )
+    jac = _jac(F.col("sh"), F.col("new_sh"))
+    cross = (
+        index.join(probe, ["band_idx", "band_hash"])
+        .filter(F.col("doc_id") != F.col("new_id"))
+        # verify in the probe's map stage; only survivors shuffle into
+        # the pair dedup
+        .filter(jac >= threshold)
+        .select(
+            F.least("doc_id", "new_id").alias("id_a"),
+            F.greatest("doc_id", "new_id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+    )
+    within = (
+        new_idx.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    n = F.size("ds")
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.filter(
+                    F.slice("ds", i + F.lit(2), n),
+                    lambda y: _jac(x["sh"], y["sh"]) >= threshold,
+                ),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    _jac(x["sh"], y["sh"]).alias("jaccard"),
+                ),
+            ),
+        )
+    )
+    within_pairs = within.select(F.explode(pair_structs).alias("p")).select("p.*")
+    return cross.unionByName(within_pairs).dropDuplicates(["id_a", "id_b"])
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """SimHash document fingerprint: sign-sum of per-token hash bits.
 

@@ -41,6 +41,37 @@ TABLES = (
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    The driver may import ``__spark_entry__`` by path from any cwd with
+    any PYTHONPATH; executor-side Python workers (pandas UDFs /
+    mapInPandas in q42/q44 paths) then unpickle closures that reference
+    package modules and die with ModuleNotFoundError unless the package
+    rides along as an archive. Zips once per session (guarded by a
+    SparkContext attribute), ~100 KB — negligible next to task launch.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_ddlps_shipped", False):
+        return
+    import pathlib
+    import tempfile
+    import zipfile
+
+    pkg_root = pathlib.Path(__file__).resolve().parents[1]
+    sources = sorted(pkg_root.rglob("*.py"))
+    zip_path = pathlib.Path(tempfile.gettempdir()) / "ddlps_pkg.zip"
+    fresh = zip_path.exists() and zip_path.stat().st_mtime >= max(
+        p.stat().st_mtime for p in sources
+    )
+    if not fresh:
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in sources:
+                zf.write(py, py.relative_to(pkg_root.parent))
+    sc.addPyFile(str(zip_path))
+    sc._ddlps_shipped = True
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes filters/projections into it.
 
@@ -49,6 +80,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     timezone-naive).
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _ensure_shipped(spark)
     if name in _NANOS_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

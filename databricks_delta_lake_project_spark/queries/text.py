@@ -569,6 +569,30 @@ FROM reach GROUP BY node
 """
 
 
+def q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: a NEW ingest batch (20% of the
+    documents table, deterministic ``doc_id % 5`` split) probed against
+    a persistent MinHash-LSH index of the remaining corpus
+    (``operators.dedup.minhash_index`` / ``incremental_near_dup_pairs``).
+
+    This is the steady-state 100 TB dedup shape: the quadratic
+    full-corpus pass (q32) runs once to bootstrap the index; every
+    later ingest pays O(batch) signature derivation + a broadcast
+    probe of the bucketed index — NO corpus re-tokenization and NO
+    corpus-side shuffle. xxhash64 signatures have no DuckDB
+    equivalent, so like q32 this entry takes the rows-only check; the
+    probe-vs-full-pass equivalence is pinned by
+    ``tests/test_incremental_dedup.py``.
+    """
+    from ..operators.dedup import incremental_near_dup_pairs, minhash_index
+
+    docs = widen(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    index = minhash_index(corpus, "doc_id", "text")
+    return incremental_near_dup_pairs(batch, index, "doc_id", "text", 0.5)
+
+
 TEXT_QUERIES = {
     "q27_language_id": (q27_language_id, Q27_SQL),
     "q28_token_stats": (q28_token_stats, Q28_SQL),
@@ -577,4 +601,5 @@ TEXT_QUERIES = {
     "q31_simhash_pairs": (q31_simhash_pairs, Q31_SQL),
     "q32_minhash_lsh": (q32_minhash_lsh, None),
     "q43_dedup_clusters": (q43_dedup_clusters, Q43_SQL),
+    "q44_incremental_dedup": (q44_incremental_dedup, None),
 }
