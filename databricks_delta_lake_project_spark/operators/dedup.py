@@ -230,6 +230,7 @@ def incremental_near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    batch_index: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs introduced by a NEW batch against an indexed
     corpus (``minhash_index`` output) plus within the batch itself —
@@ -246,8 +247,10 @@ def incremental_near_dup_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, at least one side
     a new document; jaccard >= threshold.
     """
-    new_idx = minhash_index(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    new_idx = (
+        batch_index
+        if batch_index is not None
+        else minhash_index(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
     )
 
     def _jac(sa: Column, sb: Column) -> Column:
@@ -300,6 +303,83 @@ def incremental_near_dup_pairs(
     )
     within_pairs = within.select(F.explode(pair_structs).alias("p")).select("p.*")
     return cross.unionByName(within_pairs).dropDuplicates(["id_a", "id_b"])
+
+
+def minhash_index_write(
+    spark,
+    docs: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+):
+    """Materialize ``minhash_index`` as a lake table range-clustered on
+    ``band_hash`` (OPTIMIZE sort-cluster), so every file covers a
+    narrow, disjoint hash interval and footer stats make index probes
+    stab O(|batch|) files instead of scanning the corpus index.
+
+    LSH parameters are recorded as table properties; ``minhash_index_probe``
+    reads them back so index and probe can never silently disagree.
+    """
+    from ..tables import LakeTable
+
+    idx = minhash_index(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    table = LakeTable.create(
+        spark,
+        path,
+        df=idx,
+        properties={
+            "minhash.num_hashes": num_hashes,
+            "minhash.bands": bands,
+            "minhash.shingle_n": shingle_n,
+        },
+    )
+    table.optimize(zorder_by=["band_hash"])
+    return table
+
+
+def minhash_index_probe(
+    table,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Probe a persisted MinHash index (``minhash_index_write``) with a
+    new ingest batch: derive the batch's band hashes once, data-skip
+    the index to just the files whose [min, max] band_hash interval
+    contains a probe hash (``LakeTable.read_in``), and run the
+    broadcast verify join against that pruned scan.
+
+    Cost at steady state: O(batch) signature derivation + one driver
+    collect of the batch's distinct band hashes (|batch| x bands
+    longs) + a scan of the stabbed files only. The corpus is never
+    re-tokenized and never shuffled.
+    """
+    props = table.properties()
+    num_hashes = int(props.get("minhash.num_hashes", 16))
+    bands = int(props.get("minhash.bands", 4))
+    shingle_n = int(props.get("minhash.shingle_n", 3))
+    new_idx = minhash_index(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+    ).localCheckpoint()  # derive once: reused for the hash collect AND the probe
+    hashes = [r[0] for r in new_idx.select("band_hash").distinct().collect()]
+    # prune_only: the probe join on (band_idx, band_hash) re-applies the
+    # equality exactly, so the residual InSet filter would be pure waste
+    pruned = table.read_in("band_hash", hashes, prune_only=True)
+    return incremental_near_dup_pairs(
+        new_docs,
+        pruned,
+        id_col,
+        text_col,
+        threshold,
+        num_hashes,
+        bands,
+        shingle_n,
+        batch_index=new_idx,
+    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

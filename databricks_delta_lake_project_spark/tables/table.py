@@ -26,6 +26,7 @@ Scale design (what keeps this working at 100 TB):
 
 from __future__ import annotations
 
+import bisect
 import json
 import re
 import shutil
@@ -180,6 +181,58 @@ class LakeTable:
                 raise ValueError("version and timestamp are exclusive")
             version = tlog.version_at_timestamp(self.root, timestamp_ms)
         return self._read_files(self._files(version), version)
+
+    def read_where(self, condition: str) -> DataFrame:
+        """Data-skipping read: open only files whose footer [min, max]
+        stats can contain rows matching ``condition``, then apply the
+        full filter (the read-path twin of the DELETE/UPDATE/MERGE
+        pruning; Delta's "skip 99%+ of files" claim, reference
+        ``performance_optimization.py:175-184``).
+
+        Pruning uses the conjunctive-comparison bounds contract of
+        ``predicate_bounds`` — anything it can't prove keeps every
+        file, so results always equal ``to_df().filter(condition)``.
+        After ``optimize(zorder_by=[cols...])`` files are
+        range-disjoint on the cluster columns and a point/range
+        predicate touches O(1) of them.
+        """
+        kept = _prune_by_stats(self._files(), predicate_bounds(condition))
+        return self._read_files(kept).filter(condition)
+
+    def read_in(
+        self, column: str, values: list[Any], prune_only: bool = False
+    ) -> DataFrame:
+        """IN-list data-skipping read: keep a file only if at least one
+        probe value lands inside its [min, max] for ``column``; then
+        apply the exact ``isin`` filter.
+
+        This is the index-probe primitive ``read_where`` can't express
+        (an IN list is a disjunction): with files range-clustered on
+        ``column``, a small probe set stabs O(|values|) files out of
+        the whole table. ``values`` lives on the driver — suitable for
+        batch-sized probe sets (thousands to low millions), not for
+        table-sized ones; beyond that, fall back to a join against
+        ``to_df()``. ``prune_only=True`` skips the residual ``isin``
+        filter for callers that apply their own equality (e.g. a
+        subsequent join on ``column``) — with a large probe list the
+        redundant InSet just burns CPU.
+        """
+        if not values:
+            return self._read_files([]).filter(F.lit(False))
+        probe = sorted(values)
+
+        def _hits(e: dict[str, Any]) -> bool:
+            st = (e.get("stats") or {}).get(column)
+            if not st or st.get("min") is None or st.get("max") is None:
+                return True  # no stats: never unsafe to keep
+            try:
+                i = bisect.bisect_left(probe, st["min"])
+                return i < len(probe) and probe[i] <= st["max"]
+            except TypeError:
+                return True
+        kept = [e for e in self._files() if _hits(e)]
+        df = self._read_files(kept)
+        return df if prune_only else df.filter(F.col(column).isin(values))
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY equivalent (``delta_lake_features.py:46-60``)."""

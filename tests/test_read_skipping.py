@@ -1,0 +1,104 @@
+"""Data-skipping reads: read_where/read_in must open only the files
+whose footer stats can match, and always return exactly what a full
+scan + filter would."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_delta_lake_project_spark.operators.dedup import (
+    incremental_near_dup_pairs,
+    minhash_index,
+    minhash_index_probe,
+    minhash_index_write,
+)
+from databricks_delta_lake_project_spark.tables import LakeTable
+
+from conftest import SF_MED
+
+
+@pytest.fixture()
+def ranged_table(spark, tmp_path):
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), df=df)
+    t.optimize(zorder_by=["k"], target_files=10)
+    assert len(t._files()) == 10
+    return t
+
+
+def test_read_where_prunes_and_matches(spark, ranged_table):
+    got = ranged_table.read_where("k >= 250 AND k < 270")
+    # only one of 10 range-disjoint files can contain [250, 270)
+    assert len(got.inputFiles()) == 1
+    want = ranged_table.to_df().filter("k >= 250 AND k < 270")
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in want.collect()
+    )
+
+
+def test_read_where_unprovable_predicate_keeps_all(spark, ranged_table):
+    got = ranged_table.read_where("k = 5 OR k = 995")
+    assert len(got.inputFiles()) == 10  # disjunction: no pruning
+    assert sorted(r.k for r in got.collect()) == [5, 995]
+
+
+def test_read_in_stabs_files(spark, ranged_table):
+    got = ranged_table.read_in("k", [7, 13, 550])
+    # 7 and 13 share the 0-99 file; 550 is in the 500-599 file
+    assert len(got.inputFiles()) == 2
+    assert sorted(r.k for r in got.collect()) == [7, 13, 550]
+    assert ranged_table.read_in("k", []).count() == 0
+
+
+def test_persisted_minhash_index_probe(spark, tmp_path):
+    docs = (
+        spark.read.parquet(f"{SF_MED}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    cut = docs.agg(F.expr("percentile(doc_id, 0.8)")).collect()[0][0]
+    corpus = docs.filter(F.col("doc_id") <= cut)
+    batch = docs.filter(F.col("doc_id") > cut)
+
+    table = minhash_index_write(
+        spark, corpus, str(tmp_path / "idx"), "doc_id", "text"
+    )
+    got = minhash_index_probe(table, batch, "doc_id", "text", 0.5)
+
+    want = incremental_near_dup_pairs(
+        batch,
+        minhash_index(corpus, "doc_id", "text"),
+        "doc_id",
+        "text",
+        0.5,
+    )
+    g = {(r.id_a, r.id_b): r.jaccard for r in got.collect()}
+    w = {(r.id_a, r.id_b): r.jaccard for r in want.collect()}
+    assert g == w
+    assert w, "no near-dup pairs crossed the split; test is vacuous"
+
+
+def test_persisted_index_probe_prunes_files(spark, tmp_path):
+    docs = (
+        spark.read.parquet(f"{SF_MED}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    batch = docs.filter(F.col("doc_id") % 20 == 0).limit(5)
+
+    table = minhash_index_write(
+        spark, corpus, str(tmp_path / "idx"), "doc_id", "text"
+    )
+    # force many small band_hash-disjoint files so stabbing is visible
+    table.optimize(zorder_by=["band_hash"], target_files=32)
+    n_files = len(table._files())
+    assert n_files == 32
+
+    new_idx = minhash_index(batch, "doc_id", "text").localCheckpoint()
+    hashes = [r[0] for r in new_idx.select("band_hash").distinct().collect()]
+    pruned = table.read_in("band_hash", hashes, prune_only=True)
+    # 5 docs x 4 bands = <= 20 probe hashes stab at most 20 of 32 files
+    assert len(pruned.inputFiles()) <= len(hashes)
+    assert len(pruned.inputFiles()) < n_files
