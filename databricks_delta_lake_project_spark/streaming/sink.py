@@ -29,10 +29,16 @@ def stream_to_lake_table(
 ) -> StreamingQuery:
     """Append-mode stream into a LakeTable (K1-equivalent; reference
     ``ingest_crm_customers.py:130-141``). Each micro-batch is one
-    atomic table commit."""
+    atomic table commit, tagged (app_id=checkpoint, version=batch_id)
+    so a replayed micro-batch (checkpoint rewind after mid-batch
+    failure) is detected in the commit log and skipped — exactly-once
+    without a dedup scan of the table (Delta txnAppId/txnVersion
+    semantics)."""
+
+    app_id = f"stream:{checkpoint}"
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        table.append(batch_df)
+        table.append_txn(batch_df, app_id, batch_id)
 
     return _start(df, land, checkpoint, available_now, processing_time)
 

@@ -84,6 +84,7 @@ def write_checkpoint(root: str, version: int) -> None:
     loser's FileExistsError is ignorable."""
     files: dict[str, dict[str, Any]] = {}
     props: dict[str, Any] = {}
+    txns: dict[str, int] = {}
     schema = None
     for c in read_log(root, version, use_checkpoint=False):
         for r in c.get("remove", []):
@@ -91,12 +92,18 @@ def write_checkpoint(root: str, version: int) -> None:
         for a in c.get("add", []):
             files[a["path"]] = a
         props.update(c.get("properties", {}))
+        txn = c.get("operationParameters", {}).get("txn")
+        if txn:
+            txns[txn["appId"]] = max(
+                txns.get(txn["appId"], -1), int(txn["version"])
+            )
         schema = c["schema"]
     doc = {
         "version": version,
         "files": files,
         "schema": schema,
         "properties": props,
+        "txns": txns,
     }
     try:
         with open(_checkpoint_path(root, version), "x") as f:

@@ -271,6 +271,46 @@ class LakeTable:
         self._write_cdf(self._read_files(adds), "insert", v)
         return v
 
+    def txn_version(self, app_id: str) -> int:
+        """Highest committed transaction version for ``app_id``, or -1.
+        Mirrors Delta's idempotent-writer tracking (txnAppId/txnVersion).
+        Seeds from the newest checkpoint so replay detection is
+        O(checkpoint interval), not O(table history)."""
+        ckpt = tlog.latest_checkpoint(self.root)
+        latest = int(ckpt.get("txns", {}).get(app_id, -1)) if ckpt else -1
+        for c in tlog.read_log(self.root, use_checkpoint=True):
+            txn = c.get("operationParameters", {}).get("txn")
+            if txn and txn.get("appId") == app_id:
+                latest = max(latest, int(txn["version"]))
+        return latest
+
+    def append_txn(self, df: DataFrame, app_id: str, version: int) -> int:
+        """Idempotent append: commit ``df`` tagged (app_id, version);
+        if that version (or a later one) is already in the log, skip —
+        the micro-batch was already landed and this is a replay.
+
+        This is the scalable exactly-once primitive for streaming
+        sinks: O(commit log) replay detection with NO table scan, where
+        a MERGE-based dedup would join the batch against the whole
+        table (reference exactly-once contract,
+        ``transform_transactions.py:98-146``; Delta txnAppId/txnVersion
+        semantics). Returns the commit version, or -1 on skip.
+        """
+        if self.txn_version(app_id) >= version:
+            return -1
+        out = self._conform(df, merge_schema=False)
+        adds, n = _write_files(out, self.root)
+        v = tlog.commit(
+            self.root, "WRITE", adds, [], out.schema.json(),
+            parameters={
+                "mode": "Append",
+                "txn": {"appId": app_id, "version": version},
+            },
+            metrics={"numOutputRows": n, "numFiles": len(adds)},
+        )
+        self._write_cdf(self._read_files(adds), "insert", v)
+        return v
+
     def _conform(self, df: DataFrame, merge_schema: bool) -> DataFrame:
         """Align an incoming frame with the table schema: cast known
         columns, null-fill missing ones, and either reject or (with

@@ -56,6 +56,42 @@ def test_checkpoint_preserves_properties_and_schema(spark, tmp_path):
     assert t.read_changes(starting_version=21).count() == 1
 
 
+def test_append_txn_idempotent_and_checkpointed(spark, tmp_path):
+    """Idempotent-writer tracking (Delta txnAppId/txnVersion): a replayed
+    (app_id, version) append is skipped, and the watermark survives
+    checkpoint folding so detection never replays the full log."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        spark, root, df=spark.createDataFrame([(0,)], "id long")
+    )
+    for b in range(21):  # crosses the checkpoint at commit 20
+        v = t.append_txn(
+            spark.createDataFrame([(100 + b,)], "id long"), "streamA", b
+        )
+        assert v > 0
+    assert tlog._checkpoint_versions(root) == [20]
+    assert t.to_df().count() == 22
+
+    # replays of already-landed batches are skipped (no rows, no commit)
+    before = t.version()
+    assert t.append_txn(
+        spark.createDataFrame([(999,)], "id long"), "streamA", 20
+    ) == -1
+    assert t.append_txn(
+        spark.createDataFrame([(999,)], "id long"), "streamA", 5
+    ) == -1
+    assert t.version() == before
+    assert t.to_df().count() == 22
+
+    # watermark is per-app: a different writer at version 5 lands fine
+    assert t.append_txn(
+        spark.createDataFrame([(500,)], "id long"), "streamB", 5
+    ) > 0
+    assert t.txn_version("streamA") == 20
+    assert t.txn_version("streamB") == 5
+    assert t.txn_version("absent") == -1
+
+
 def test_delete_after_checkpoint(spark, tmp_path):
     root = str(tmp_path / "t")
     t = LakeTable.create(
