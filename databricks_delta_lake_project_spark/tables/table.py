@@ -421,10 +421,27 @@ class LakeTable:
     # -- maintenance -------------------------------------------------------
 
     def optimize(
-        self, zorder_by: list[str] | None = None, target_files: int | None = None
+        self,
+        zorder_by: list[str] | None = None,
+        target_files: int | None = None,
+        where: str | None = None,
+        max_file_bytes: int = 128 * 1024 * 1024,
     ) -> dict[str, Any]:
-        """Compaction + clustering (reference OPTIMIZE/ZORDER,
-        ``performance_optimization.py:27-134``).
+        """Compaction + clustering (reference OPTIMIZE/ZORDER incl. the
+        WHERE partition filter, ``performance_optimization.py:27-134``).
+
+        Scale contract: OPTIMIZE must be incremental — at 100 TB you
+        compact the hot partition, never rewrite the table. Two guards
+        enforce that here:
+
+        * ``where`` scopes the candidate set by file stats (same
+          pruning as reads). Whole files are rewritten, never filtered,
+          so an over-approximate candidate set is still correct.
+        * plain compaction (no ``zorder_by``) only touches files under
+          ``max_file_bytes`` — already-compacted files are left alone,
+          so repeated OPTIMIZE runs are O(new small files), not
+          O(table). ZORDER rewrites its whole scope (re-clustering by
+          definition relocates rows across files).
 
         Multi-dim clustering is approximated with range-partition +
         in-partition sort on the cluster columns: per-file min/max
@@ -432,6 +449,12 @@ class LakeTable:
         the same effect Z-ORDER targets, without interleaved bit codes.
         """
         files = self._files()
+        if where:
+            files = _prune_by_stats(files, predicate_bounds(where))
+        if not zorder_by:
+            files = [e for e in files if e.get("bytes", 0) < max_file_bytes]
+            if len(files) < 2:
+                return {"numFilesRemoved": 0, "numFilesAdded": 0}
         if not files:
             return {"numFilesRemoved": 0, "numFilesAdded": 0}
         df = self._read_files(files)
@@ -452,7 +475,7 @@ class LakeTable:
         tlog.commit(
             self.root, "OPTIMIZE", adds, [e["path"] for e in files],
             tlog.schema_at(self.root),
-            parameters={"zOrderBy": zorder_by or []},
+            parameters={"zOrderBy": zorder_by or [], "predicate": where or ""},
             metrics=metrics,
         )
         return metrics

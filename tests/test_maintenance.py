@@ -36,6 +36,37 @@ def test_run_maintenance_compacts_and_clusters(spark, tmp_path):
     assert res["numDeletedRows"] > 0
 
 
+def test_optimize_scoped_and_incremental(spark, tmp_path):
+    """OPTIMIZE WHERE only rewrites files whose stats intersect the
+    predicate, and repeated compaction is a no-op once nothing is
+    fragmented — the table is never rewritten wholesale."""
+    schema = "day int, x long"
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), df=spark.createDataFrame([(1, 0)], schema)
+    )
+    for i in range(4):
+        t.append(spark.createDataFrame([(1, i + 1)], schema))
+    for i in range(4):
+        t.append(spark.createDataFrame([(2, i)], schema))
+    day2 = {
+        e["path"] for e in t._files() if e["stats"]["day"]["min"] == 2
+    }
+    assert len(day2) == 4
+
+    m = t.optimize(where="day = 1")
+    assert m["numFilesRemoved"] == 5 and m["numFilesAdded"] == 1
+    assert day2 <= {e["path"] for e in t._files()}  # out-of-scope untouched
+    assert t.to_df().count() == 9
+
+    # already compacted -> second scoped run is a no-op
+    assert t.optimize(where="day = 1")["numFilesRemoved"] == 0
+
+    # unscoped compaction picks up only the small-file tail, and goes
+    # quiescent once a single file remains
+    assert t.optimize()["numFilesRemoved"] == 5
+    assert t.optimize()["numFilesRemoved"] == 0
+
+
 def test_analyze_table_feeds_cbo(spark):
     df = spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("g"))
     try:
