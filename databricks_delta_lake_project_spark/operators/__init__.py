@@ -8,6 +8,7 @@ from .dedup import (
     simhash,
 )
 from .multimodal import extract_features, resize_images, sample_frames
+from .sampling import hash_bucket, hash_split, stratified_sample
 from .scd import scd2_apply, scd2_prepare_initial
 from .skew import capped_collect_list, salted_distinct_count, salted_join
 
@@ -23,6 +24,9 @@ __all__ = [
     "extract_features",
     "resize_images",
     "sample_frames",
+    "hash_bucket",
+    "hash_split",
+    "stratified_sample",
     "scd2_apply",
     "scd2_prepare_initial",
     "capped_collect_list",

@@ -593,6 +593,49 @@ def q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_near_dup_pairs(batch, index, "doc_id", "text", 0.5)
 
 
+def q45_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash
+    (beyond-reference training-data surface): every doc lands in the
+    same split regardless of partition layout, row order, or later
+    appends — unlike ``randomSplit``, whose assignment shifts with the
+    physical plan. Verified bit-identically by the DuckDB oracle
+    running the same int64 hash arithmetic.
+
+    Pure map-side projection + one O(3-group) aggregation; the hash
+    never overflows int64 under ANSI mode for any bigint id.
+    """
+    from ..operators.sampling import hash_split
+
+    d = widen(load(spark, sf_dir, "documents"))
+    return (
+        hash_split(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum("n_chars").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+def _q45_sql() -> str:
+    from ..operators.sampling import split_column_sql
+
+    case = split_column_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+SELECT {case} AS split, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+  COUNT(DISTINCT lang) AS n_langs
+FROM documents GROUP BY 1
+"""
+
+
+Q45_SQL = _q45_sql()
+
+
 TEXT_QUERIES = {
     "q27_language_id": (q27_language_id, Q27_SQL),
     "q28_token_stats": (q28_token_stats, Q28_SQL),
@@ -602,4 +645,5 @@ TEXT_QUERIES = {
     "q32_minhash_lsh": (q32_minhash_lsh, None),
     "q43_dedup_clusters": (q43_dedup_clusters, Q43_SQL),
     "q44_incremental_dedup": (q44_incremental_dedup, None),
+    "q45_hash_split": (q45_hash_split, Q45_SQL),
 }
