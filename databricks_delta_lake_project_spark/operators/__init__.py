@@ -8,7 +8,14 @@ from .dedup import (
     simhash,
 )
 from .multimodal import extract_features, resize_images, sample_frames
-from .sampling import hash_bucket, hash_split, stratified_sample
+from .sampling import (
+    deterministic_shuffle,
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    mixture_sample,
+    stratified_sample,
+)
 from .scd import scd2_apply, scd2_prepare_initial
 from .skew import capped_collect_list, salted_distinct_count, salted_join
 
@@ -24,8 +31,11 @@ __all__ = [
     "extract_features",
     "resize_images",
     "sample_frames",
+    "deterministic_shuffle",
     "hash_bucket",
+    "hash_sample",
     "hash_split",
+    "mixture_sample",
     "stratified_sample",
     "scd2_apply",
     "scd2_prepare_initial",

@@ -20,6 +20,8 @@ sampling which pipelines into the scan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -98,3 +100,97 @@ def stratified_sample(
     so repeatable on identical input data; for append-stable sampling
     use :func:`hash_split` buckets instead."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, buckets: int = 1_000_000
+) -> DataFrame:
+    """Append-stable Bernoulli sample: keep a row iff
+    ``hash(id) % buckets < fraction * buckets``. Unlike ``df.sample``
+    (whose per-partition seeded RNG shifts with physical layout), the
+    keep/drop decision reads only the row's own id — re-partitioning,
+    re-ordering, or appending new rows never flips an existing row.
+    Pure map-side filter: pipelines into the scan with zero shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    thresh = int(round(fraction * buckets))
+    return df.filter(hash_bucket(F.col(id_col), buckets) < F.lit(thresh))
+
+
+def hash_sample_sql(
+    id_expr: str, fraction: float, buckets: int = 1_000_000
+) -> str:
+    """Oracle-SQL predicate twin of :func:`hash_sample`."""
+    thresh = int(round(fraction * buckets))
+    return f"{hash_bucket_sql(id_expr, buckets)} < {thresh}"
+
+
+def mixture_fractions(
+    counts: dict[str, int], targets: dict[str, float], out_rows: int | None = None
+) -> dict[str, float]:
+    """Per-domain keep-fractions that reshape observed ``counts`` into
+    the ``targets`` mixture by downsampling only (never upsampling).
+
+    With ``out_rows`` unset, picks the largest output satisfying every
+    target share exactly: bounded by the scarcest domain's
+    ``count / share``. Driver-side arithmetic over the (small) domain
+    list — the heavy per-row work stays in :func:`hash_sample`."""
+    total_share = sum(targets.values())
+    if abs(total_share - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {total_share}")
+    missing = set(targets) - set(counts)
+    if missing:
+        raise ValueError(f"no observed rows for target domains: {sorted(missing)}")
+    feasible = min(counts[d] / share for d, share in targets.items() if share > 0)
+    n_out = feasible if out_rows is None else min(out_rows, feasible)
+    return {d: min(1.0, (share * n_out) / counts[d]) for d, share in targets.items()}
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    targets: dict[str, float],
+    out_rows: int | None = None,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Resample to a target domain mixture (e.g. 50% en / 30% fr /
+    20% es for training-corpus composition) with append-stable hash
+    decisions per domain. Domains absent from ``targets`` are dropped.
+
+    One small count aggregation (|domains| rows to the driver) decides
+    fractions; the sample itself is a map-side when-ladder filter —
+    no shuffle of the data, safe at 100 TB."""
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    fracs = mixture_fractions(counts, targets, out_rows)
+    bucket = hash_bucket(F.col(id_col), buckets)
+    keep = None
+    for d, f in fracs.items():
+        # floor(x+0.5), not round(): Python round() is banker's, and
+        # the oracle recomputes this threshold with SQL FLOOR(x+0.5)
+        thresh = int(math.floor(f * buckets + 0.5))
+        cond = (F.col(domain_col) == d) & (bucket < thresh)
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)
+
+
+def shuffle_key(id_col: Column, seed: int = 0) -> Column:
+    """Deterministic pseudo-random sort key for training order: a
+    second Knuth multiply over the seed-shifted id. ``orderBy``
+    (range-partition sort) or ``repartitionByRange`` on this key gives
+    a reproducible global shuffle that any engine can replay."""
+    h = F.pmod(id_col.cast("bigint") + F.lit(seed), F.lit(_MERSENNE)) * F.lit(_KNUTH)
+    folded = F.pmod(h, F.lit(_FOLD))
+    h2 = F.pmod(folded, F.lit(_MERSENNE)) * F.lit(_KNUTH)
+    return F.pmod(h2, F.lit(_FOLD))
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
+    """Globally reorder rows by :func:`shuffle_key` — same order every
+    run, on any cluster size or partition layout."""
+    return df.orderBy(shuffle_key(F.col(id_col), seed), F.col(id_col))

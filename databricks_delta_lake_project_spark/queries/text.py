@@ -636,6 +636,74 @@ FROM documents GROUP BY 1
 Q45_SQL = _q45_sql()
 
 
+_MIX_TARGETS = {"en": 0.5, "fr": 0.3, "es": 0.2}
+
+
+def q46_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (beyond-reference training-data
+    surface): downsample the documents table to a 50/30/20 en/fr/es
+    corpus using append-stable per-domain hash sampling. Keep/drop
+    reads only (lang, hash(doc_id)), so the sampled corpus is
+    reproducible across engines — the oracle re-runs the identical
+    threshold arithmetic in DuckDB.
+
+    One |domains|-row count agg picks thresholds; the sample itself is
+    a map-side filter that pipelines into the scan (no data shuffle).
+    """
+    from ..operators.sampling import mixture_sample
+
+    d = widen(load(spark, sf_dir, "documents"))
+    return (
+        mixture_sample(d, "doc_id", "lang", _MIX_TARGETS)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )
+
+
+def _q46_sql() -> str:
+    # Mirror mixture_fractions in SQL: per-lang counts -> feasible
+    # output size bounded by the scarcest lang -> per-lang keep
+    # thresholds -> identical hash predicate per row.
+    from ..operators.sampling import hash_bucket_sql
+
+    shares = ", ".join(
+        f"('{d}', {s})" for d, s in _MIX_TARGETS.items()
+    )
+    bucket = hash_bucket_sql("doc_id", 1_000_000)
+    return f"""
+WITH shares(lang, share) AS (VALUES {shares}),
+counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+),
+feasible AS (
+  SELECT MIN(CAST(n AS DOUBLE) / CAST(share AS DOUBLE)) AS n_out
+  FROM counts JOIN shares USING (lang)
+),
+thresholds AS (
+  -- same IEEE double ops, same order, same floor(x+0.5) rounding as
+  -- mixture_fractions/mixture_sample on the Spark side
+  SELECT lang,
+    CAST(FLOOR(LEAST(1.0, (CAST(share AS DOUBLE) * n_out) / CAST(n AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS thresh
+  FROM counts JOIN shares USING (lang) CROSS JOIN feasible
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents JOIN thresholds USING (lang)
+WHERE {bucket} < thresh
+GROUP BY lang
+"""
+
+
+Q46_SQL = _q46_sql()
+
+
 TEXT_QUERIES = {
     "q27_language_id": (q27_language_id, Q27_SQL),
     "q28_token_stats": (q28_token_stats, Q28_SQL),
@@ -646,4 +714,5 @@ TEXT_QUERIES = {
     "q43_dedup_clusters": (q43_dedup_clusters, Q43_SQL),
     "q44_incremental_dedup": (q44_incremental_dedup, None),
     "q45_hash_split": (q45_hash_split, Q45_SQL),
+    "q46_mixture_sample": (q46_mixture_sample, Q46_SQL),
 }
