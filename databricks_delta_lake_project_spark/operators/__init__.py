@@ -8,6 +8,7 @@ from .dedup import (
     simhash,
 )
 from .multimodal import extract_features, resize_images, sample_frames
+from .packing import pack_chunked, pack_greedy, pack_stats
 from .sampling import (
     deterministic_shuffle,
     hash_bucket,
@@ -36,6 +37,9 @@ __all__ = [
     "hash_sample",
     "hash_split",
     "mixture_sample",
+    "pack_chunked",
+    "pack_greedy",
+    "pack_stats",
     "stratified_sample",
     "scd2_apply",
     "scd2_prepare_initial",

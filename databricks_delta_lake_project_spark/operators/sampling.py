@@ -190,6 +190,15 @@ def shuffle_key(id_col: Column, seed: int = 0) -> Column:
     return F.pmod(h2, F.lit(_FOLD))
 
 
+def shuffle_key_sql(id_expr: str, seed: int = 0) -> str:
+    """Oracle-SQL twin of :func:`shuffle_key` (positive ids only,
+    where ``%`` and ``pmod`` agree)."""
+    return (
+        f"(((({id_expr}) + {seed}) % {_MERSENNE}) * {_KNUTH} % {_FOLD})"
+        f" % {_MERSENNE} * {_KNUTH} % {_FOLD}"
+    )
+
+
 def deterministic_shuffle(df: DataFrame, id_col: str, seed: int = 0) -> DataFrame:
     """Globally reorder rows by :func:`shuffle_key` — same order every
     run, on any cluster size or partition layout."""

@@ -704,6 +704,65 @@ GROUP BY lang
 Q46_SQL = _q46_sql()
 
 
+PACK_BUDGET = 2048
+PACK_BUCKETS = 32
+
+
+def q47_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches (beyond-reference
+    LLM-pipeline surface): deal documents into hash buckets, order
+    each bucket with the deterministic shuffle key, cut the
+    concatenated token stream at 2048-token boundaries, and report
+    per-bucket packing efficiency. Every assignment reads only
+    (doc_id, token_count), so the batch layout reproduces across
+    engines — the oracle reruns the identical window arithmetic.
+
+    One hash-partition shuffle + the window sort; token counting is
+    map-side regex (q28's lexer). Whole-doc first-fit lives in
+    ``operators.packing.pack_greedy`` (per-bucket applyInPandas).
+    """
+    from ..operators.packing import pack_chunked, pack_stats
+
+    d = widen(load(spark, sf_dir, "documents"))
+    docs = d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).alias("n_tokens"),
+    )
+    packed = pack_chunked(docs, "doc_id", "n_tokens", PACK_BUDGET, PACK_BUCKETS)
+    return pack_stats(packed, "n_tokens", PACK_BUDGET)
+
+
+def _q47_sql() -> str:
+    from ..operators.packing import pack_chunked_sql
+
+    bucket, seq = pack_chunked_sql("doc_id", "n_tokens", PACK_BUDGET, PACK_BUCKETS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len({_D_BPE}) AS n_tokens FROM documents
+), packed AS (
+  SELECT doc_id, n_tokens, {bucket} AS pack_bucket, {seq} AS seq_id FROM toks
+), per_seq AS (
+  SELECT pack_bucket, seq_id, COUNT(*) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+  FROM packed GROUP BY 1, 2
+), marked AS (
+  SELECT *, seq_id = MAX(seq_id) OVER (PARTITION BY pack_bucket) AS is_open
+  FROM per_seq
+)
+SELECT pack_bucket, COUNT(*) AS n_seqs, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+  CAST(SUM(seq_tokens) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN NOT is_open THEN seq_tokens ELSE 0 END) AS DOUBLE)
+    / (CAST(GREATEST(SUM(CASE WHEN NOT is_open THEN 1 ELSE 0 END), 1) AS DOUBLE)
+       * {float(PACK_BUDGET)}) AS closed_fill_ratio
+FROM marked GROUP BY 1
+"""
+
+
+Q47_SQL = _q47_sql()
+
+
 TEXT_QUERIES = {
     "q27_language_id": (q27_language_id, Q27_SQL),
     "q28_token_stats": (q28_token_stats, Q28_SQL),
@@ -715,4 +774,5 @@ TEXT_QUERIES = {
     "q44_incremental_dedup": (q44_incremental_dedup, None),
     "q45_hash_split": (q45_hash_split, Q45_SQL),
     "q46_mixture_sample": (q46_mixture_sample, Q46_SQL),
+    "q47_sequence_packing": (q47_sequence_packing, Q47_SQL),
 }
