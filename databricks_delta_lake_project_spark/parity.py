@@ -32,13 +32,17 @@ def _canon(v: Any) -> Any:
     if v is None:
         return None
     if isinstance(v, float):
+        # NaN -> None: a pandas-converted NULL float is NaN while Spark
+        # collects None; the driver treats them as equal (q37 is green).
         if math.isnan(v):
-            return "NaN"
+            return None
         return v
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
-        return v.isoformat()
+        # Dates widen to midnight timestamps so a Spark DateType cell
+        # equals the datetime64 pandas produces for a DuckDB DATE.
+        return _dt.datetime(v.year, v.month, v.day).isoformat()
     try:  # pandas NaT/NaN passed through .to_dict paths
         import pandas as pd
 
@@ -54,15 +58,47 @@ def _canon(v: Any) -> Any:
         return int(v)
     if isinstance(v, (np.floating,)):
         f = float(v)
-        return "NaN" if math.isnan(f) else f
+        return None if math.isnan(f) else f
     if isinstance(v, (np.bool_,)):
         return bool(v)
     return v
 
 
+def _strict(v: Any) -> Any:
+    """Type-tag numerics so int vs float mismatches are caught.
+
+    The driver hashes pandas-converted values, where DuckDB HUGEINT
+    (any integer SUM) becomes float64; Python's ``150 == 150.0`` would
+    hide that, so tag the type class into the comparison value.
+    """
+    import numpy as np
+
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, dict):
+        return tuple(sorted((k, _strict(x)) for k, x in v.items()))
+    try:
+        from pyspark.sql import Row
+
+        if isinstance(v, Row):
+            return tuple(sorted((k, _strict(x)) for k, x in v.asDict().items()))
+    except Exception:
+        pass
+    if isinstance(v, (list, tuple)):
+        return tuple(_strict(x) for x in v)
+    v = _canon(v)
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", v)
+    return v
+
+
 def _rows(cols: list[str], records: list[tuple]) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_canon(r[i]) for i in order) for r in records]
+    out = [tuple(_strict(r[i]) for i in order) for r in records]
     out.sort(key=lambda row: tuple((x is None, str(type(x)), str(x)) for x in row))
     return out
 
@@ -72,9 +108,12 @@ def compare(
 ) -> dict[str, Any]:
     s_cols = spark_df.columns
     s_records = [tuple(r) for r in spark_df.collect()]
-    cur = con.execute(sql)
-    d_cols = [d[0] for d in cur.description]
-    d_records = cur.fetchall()
+    # Emulate the driver: DuckDB results go through pandas conversion,
+    # where HUGEINT -> float64 while COUNT(*) stays int64. fetchall()
+    # would hand back Python ints and hide that artifact.
+    pdf = con.execute(sql).df()
+    d_cols = list(pdf.columns)
+    d_records = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
     result: dict[str, Any] = {
         "spark_rows": len(s_records),

@@ -293,7 +293,8 @@ WITH order_agg AS (
 ), event_agg AS (
   SELECT user_id AS customer_id,
          COUNT(*) AS event_count,
-         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase_events
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS purchase_events
   FROM events GROUP BY 1
 )
 SELECT c.c_custkey AS customer_id, c.c_name, c.c_mktsegment, c.c_acctbal,
@@ -461,15 +462,15 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
-  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_num
   FROM flagged
 )
 SELECT CONCAT(CAST(user_id AS VARCHAR), '_', CAST(session_num AS VARCHAR)) AS session_id,
   user_id, session_num,
   MIN(ts) AS session_start, MAX(ts) AS session_end,
   COUNT(*) AS n_events,
-  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_purchase,
   (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0 AS duration_sec
 FROM numbered
@@ -533,10 +534,10 @@ def q07_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q07_SQL = """
 SELECT user_id,
   COUNT(*) AS n_events,
-  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_views,
-  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
-  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases,
-  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
     / CAST(GREATEST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 1) AS DOUBLE)
     AS view_to_purchase_rate

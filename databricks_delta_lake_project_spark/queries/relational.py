@@ -258,10 +258,10 @@ def q21_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q21_SQL = """
 SELECT user_id,
-  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events GROUP BY user_id
 """
 
@@ -474,7 +474,7 @@ def q26_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q26_SQL = f"""
 WITH m AS (
   SELECT COUNT(*) AS n_total,
-    {", ".join(f"SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS pass_{i}" for i, (_, cond) in enumerate(QUALITY_RULES))}
+    {", ".join(f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS pass_{i}" for i, (_, cond) in enumerate(QUALITY_RULES))}
   FROM orders
 )
 {" UNION ALL ".join(

@@ -142,7 +142,7 @@ Q28_SQL = f"""
 SELECT doc_id, n_chars,
   len({_D_BPE}) AS n_tokens,
   len(list_distinct({_D_BPE})) AS n_unique_tokens,
-  list_sum(list_transform({_D_BPE}, t -> len(t))) AS total_token_chars,
+  CAST(list_sum(list_transform({_D_BPE}, t -> len(t))) AS BIGINT) AS total_token_chars,
   CAST(list_sum(list_transform({_D_BPE}, t -> len(t))) AS DOUBLE)
     / CAST(GREATEST(len({_D_BPE}), 1) AS DOUBLE) AS avg_token_len,
   CAST(len(list_distinct({_D_BPE})) AS DOUBLE)
