@@ -30,26 +30,41 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM/codegen paths once so per-query numbers measure the
-    # plan, not session startup.
-    list(QUERIES.values())[0][0](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # plan, not session startup. Best-effort: a broken warm-up query must
+    # not kill the benchmark.
+    try:
+        list(QUERIES.values())[0][0](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001
+        pass
     # Warm the Python worker pool (reused daemons) so Arrow/pandas-UDF
     # queries measure steady-state execution, not one-time worker spawn.
-    import pandas as _pd  # noqa: F401
+    try:
+        import pandas as _pd  # noqa: F401
 
-    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
-        spark.sparkContext.defaultParallelism
-    ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
-        "overwrite"
-    ).save()
+        spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+            spark.sparkContext.defaultParallelism
+        ).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001
+        pass
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken query must never zero the
+    # whole benchmark — record its error string and keep timing the rest.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     t_all = time.time()
     for name, (fn, _) in QUERIES.items():
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
+            timings[name] = {"err": msg}
+            errors[name] = msg
     total = round(time.time() - t_all, 3)
 
     print(
@@ -59,6 +74,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
             }
         )

@@ -35,9 +35,11 @@ TABLES = (
 ).split()
 
 
-# Columns stored as TIMESTAMP(NANOS) parquet, which Spark cannot read
-# natively: read as long (nanos) and truncate to microseconds, matching
-# DuckDB/Python datetime truncation.
+# Columns that some fixture vintages store as TIMESTAMP(NANOS) parquet,
+# which Spark cannot read natively: read as long (nanos) and truncate to
+# microseconds, matching DuckDB/Python datetime truncation. Newer fixture
+# vintages store the same columns as timestamp[us] (isAdjustedToUTC=false),
+# which pyspark reads as TIMESTAMP_NTZ — load() normalizes those too.
 _NANOS_TS_COLS = {"events": ["ts"]}
 
 
@@ -84,9 +86,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in _NANOS_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+    return _normalize_timestamps(df, _NANOS_TS_COLS.get(name, ()))
+
+
+def _normalize_timestamps(df: DataFrame, nanos_cols=()) -> DataFrame:
+    """Normalize timestamp storage across fixture vintages.
+
+    * bigint nanos (legacy TIMESTAMP(NANOS) read via nanosAsLong) ->
+      truncate to micros, matching DuckDB/Python datetime truncation.
+    * TIMESTAMP_NTZ (parquet timestamp[us], isAdjustedToUTC=false) ->
+      plain TIMESTAMP. Session timezone is pinned UTC before every
+      read, so the cast is a deterministic no-op on the stored micros
+      and downstream unix_micros/window arithmetic type-checks.
+    """
+    dtypes = dict(df.dtypes)
+    for c in nanos_cols:
+        if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c, t in dtypes.items():
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -23,6 +23,7 @@ from databricks_delta_lake_project_spark.streaming import (
     stream_to_lake_table,
     tumbling_counts,
 )
+from databricks_delta_lake_project_spark.queries.catalog import load
 from databricks_delta_lake_project_spark.tables import LakeTable
 
 from conftest import SF_SMALL
@@ -109,9 +110,7 @@ def test_schema_registry_evolution(spark, tmp_path):
 
 
 def test_tumbling_window_stream_matches_batch(spark, tmp_path):
-    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = load(spark, SF_SMALL, "events")
     src = tmp_path / "events_parquet"
     events.write.parquet(str(src))
 
