@@ -7,8 +7,17 @@ used at ``src/silver/transform_customers.py:49-59``,
 
 The fuzzy/near-dup family (MinHash-LSH, SimHash, n-gram Jaccard) is the
 beyond-reference training-data-pipeline surface: everything is built
-from Spark built-ins (xxhash64, higher-order array functions, explode +
-group-join) so the hot path stays in the JVM — no Python UDFs.
+from Spark built-ins (md5 bit math, higher-order array functions,
+explode + group-join) so the hot path stays in the JVM — no Python
+UDFs.
+
+MinHash signatures use engine-portable double hashing: ONE md5 per
+shingle split into two 56-bit halves (h1, h2), and seed k's hash is
+``h1 + k*h2`` (Kirsch-Mitzenmacher). DuckDB reproduces the exact same
+int64 values via ``('0x'||substr(md5(s),1,14))::BIGINT`` — so the LSH
+pipeline has a real SQL oracle, unlike the earlier xxhash64 variant.
+Max value h1 + 15*h2 < 2^60, so the arithmetic never overflows int64
+under ANSI mode in either engine.
 """
 
 from __future__ import annotations
@@ -53,17 +62,58 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for seed k, min over shingles of
-    xxhash64(seed, shingle). Arrays stay JVM-side; no UDFs."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingle_col, lambda s, k=k: F.xxhash64(F.lit(k), s))
-            )
-            for k in range(num_hashes)
-        ]
+def portable_hash56(s: Column) -> Column:
+    """56-bit md5-derived hash, bit-identical across Spark and DuckDB
+    (``('0x'||substr(md5(s),1,14))::BIGINT`` on the DuckDB side)."""
+    return F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long")
+
+
+def portable_hash_pairs(shingle_col: Column) -> Column:
+    """Per-shingle ``struct<h1,h2>`` of the two md5 56-bit halves —
+    the double-hashing basis for all portable MinHash seeds. Alias the
+    result in a projection before fanning out per-seed mins so the md5
+    evaluates once per shingle, not once per seed."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 14), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring(F.md5(s), 17, 14), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        ),
     )
+
+
+def seeded_minhash(hp: Column, k: int) -> Column:
+    """Seed-k minhash over a ``portable_hash_pairs`` array:
+    min(h1 + k*h2). Duplicate shingles can't change the min, so no
+    distinct pass is needed first."""
+    return F.array_min(
+        F.transform(hp, lambda p: p["h1"] + F.lit(k).cast("long") * p["h2"])
+    )
+
+
+def portable_band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
+    """Bucket key for one LSH band: md5 of the comma-joined signature
+    slice, folded to 56 bits (identical ``CAST(s AS VARCHAR)`` decimal
+    rendering in both engines)."""
+    joined = F.concat_ws(
+        ",",
+        *[
+            sig[i].cast("string")
+            for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+        ],
+    )
+    return portable_hash56(joined)
+
+
+def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed k, min over shingles of the portable
+    double hash h1 + k*h2. Arrays stay JVM-side; no UDFs."""
+    hp = portable_hash_pairs(shingle_col)
+    return F.array(*[seeded_minhash(hp, k) for k in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -84,10 +134,17 @@ def minhash_lsh_pairs(
     distinct (id_a, id_b) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
-        minhash_signature(
-            shingles(tokenize(F.col(text_col)), shingle_n), num_hashes
+        # alias barrier: md5 once per shingle, reused by all seeds
+        portable_hash_pairs(
+            shingles(tokenize(F.col(text_col)), shingle_n)
+        ).alias("hp"),
+    )
+    sig = base.select(
+        "doc_id",
+        F.array(
+            *[seeded_minhash(F.col("hp"), k) for k in range(num_hashes)]
         ).alias("sig"),
     )
     banded = sig.select(
@@ -95,14 +152,7 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        *[
-                            F.col("sig")[i]
-                            for i in range(
-                                b * rows_per_band, (b + 1) * rows_per_band
-                            )
-                        ]
-                    )
+                    portable_band_hash(F.col("sig"), b, rows_per_band)
                     for b in range(bands)
                 ]
             )
@@ -134,15 +184,16 @@ def ngram_jaccard(
     """Exact n-gram Jaccard similarity for candidate pairs (the verify
     stage after LSH): join shingle sets back and compute
     |A∩B| / |A∪B| with array built-ins. Shingles are represented by
-    their xxhash64 — 8-byte array elements instead of strings makes
-    the per-pair intersect ~10x cheaper; set counts are unchanged
-    barring a 2^-64-scale hash collision."""
+    their portable 56-bit md5 hash — 8-byte array elements instead of
+    strings makes the per-pair intersect ~10x cheaper; set counts are
+    unchanged barring a 2^-56-scale hash collision (and the DuckDB
+    oracle runs the identical hash, so even a collision matches)."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(
             F.transform(
                 shingles(tokenize(F.col(text_col)), shingle_n),
-                lambda s: F.xxhash64(s),
+                lambda s: portable_hash56(s),
             )
         ).alias("sh"),
     )
@@ -179,25 +230,21 @@ def minhash_index(
     the corpus row count with a ~1 KB payload per row.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
+    base = df.select(
         F.col(id_col).alias("doc_id"),
-        F.array_distinct(
-            F.transform(
-                shingles(tokenize(F.col(text_col)), shingle_n),
-                lambda s: F.xxhash64(s),
-            )
-        ).alias("sh"),
+        # alias barrier: md5 once per shingle, reused by the Jaccard
+        # set, every seed's min, and the band hashes
+        portable_hash_pairs(
+            shingles(tokenize(F.col(text_col)), shingle_n)
+        ).alias("hp"),
     )
-    sig = sh.select(
+    sig = base.select(
         "doc_id",
-        "sh",
+        F.array_distinct(
+            F.transform(F.col("hp"), lambda p: p["h1"])
+        ).alias("sh"),
         F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("sh"), lambda h, k=k: F.xxhash64(F.lit(k), h))
-                )
-                for k in range(num_hashes)
-            ]
+            *[seeded_minhash(F.col("hp"), k) for k in range(num_hashes)]
         ).alias("sig"),
     )
     return sig.select(
@@ -206,14 +253,7 @@ def minhash_index(
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        *[
-                            F.col("sig")[i]
-                            for i in range(
-                                b * rows_per_band, (b + 1) * rows_per_band
-                            )
-                        ]
-                    )
+                    portable_band_hash(F.col("sig"), b, rows_per_band)
                     for b in range(bands)
                 ]
             )

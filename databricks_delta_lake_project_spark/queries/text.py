@@ -419,40 +419,40 @@ def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH candidate generation, then exact Jaccard
     verification — the full fuzzy-dedup pipeline at scale
     (shingle -> signature -> band-bucket join -> verify; SURVEY §7
-    phase 7). Uses Spark-native xxhash64 for signatures, so this entry
-    has no SQL oracle (driver records the rows-only check); the verify
-    stage's Jaccard math is the oracle-checked q30 logic.
+    phase 7). Signatures use engine-portable double hashing (one md5
+    per shingle split into 56-bit halves h1/h2; seed k = min(h1+k*h2),
+    Kirsch-Mitzenmacher), so the WHOLE pipeline — buckets, candidates,
+    verify — has an exact DuckDB oracle (Q32_SQL).
 
-    Plan shape: ONE tokenize+shingle+hash pass produces the per-doc
-    hash-set array; the k seeded minhashes AND the band hashes AND the
-    verify intersect all derive from that array in the same projection
-    (a multi-referenced alias is not re-inlined by CollapseProject).
+    Plan shape: ONE tokenize+shingle+md5 pass produces the per-doc
+    (h1,h2) array; the k seeded minhashes AND the band hashes AND the
+    verify intersect all derive from that aliased array (a
+    multi-referenced alias is not re-inlined by CollapseProject).
     The LSH join shuffles on (band, band_hash) carrying the ~1 KB
     hash-set payload — at 100 TB swap the payload join for a re-join
     against the doc table on id to keep the bucket shuffle narrow.
     (Generic library forms: ``operators.dedup.minhash_lsh_pairs`` /
     ``ngram_jaccard``.)
     """
+    from ..operators.dedup import (
+        portable_band_hash,
+        portable_hash_pairs,
+        seeded_minhash,
+    )
+
     docs = widen(load(spark, sf_dir, "documents"))
     rows_per_band = MINHASH_K // MINHASH_BANDS
-    sh_arr = docs.select(
+    base = docs.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                _shingles(_tokens(F.col("text"))), lambda s: F.xxhash64(s)
-            )
-        ).alias("sh"),
+        portable_hash_pairs(_shingles(_tokens(F.col("text")))).alias("hp"),
     )
-    sig = sh_arr.select(
+    sig = base.select(
         "doc_id",
-        "sh",
+        F.array_distinct(F.transform(F.col("hp"), lambda p: p["h1"])).alias(
+            "sh"
+        ),
         F.array(
-            *[
-                F.array_min(
-                    F.transform(F.col("sh"), lambda h, k=k: F.xxhash64(F.lit(k), h))
-                )
-                for k in range(MINHASH_K)
-            ]
+            *[seeded_minhash(F.col("hp"), k) for k in range(MINHASH_K)]
         ).alias("sig"),
     )
     banded = sig.select(
@@ -461,12 +461,7 @@ def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        *[
-                            F.col("sig")[i]
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ]
-                    )
+                    portable_band_hash(F.col("sig"), b, rows_per_band)
                     for b in range(MINHASH_BANDS)
                 ]
             )
@@ -514,6 +509,71 @@ def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# DuckDB mirror of the portable MinHash pipeline: identical int64
+# double-hash arithmetic, band hashing, bucket candidates, and exact
+# Jaccard over the distinct-h1 sets.
+_MH_RPB = MINHASH_K // MINHASH_BANDS
+_MH_SIG_COLS = ", ".join(
+    f"MIN(h1 + {k} * h2) AS s{k}" for k in range(MINHASH_K)
+)
+_MH_BANDED = "\n  UNION ALL\n  ".join(
+    "SELECT doc_id, {b} AS band, ('0x' || substr(md5({cat}), 1, 14))::BIGINT"
+    " AS band_hash FROM sig".format(
+        b=b,
+        cat=" || ',' || ".join(
+            f"CAST(s{i} AS VARCHAR)"
+            for i in range(b * _MH_RPB, (b + 1) * _MH_RPB)
+        ),
+    )
+    for b in range(MINHASH_BANDS)
+)
+_MH_CTES = f"""
+sh0 AS (
+  SELECT doc_id, unnest({_D_SHINGLES}) AS s FROM documents
+), shing AS (
+  SELECT DISTINCT doc_id,
+    ('0x' || substr(md5(s), 1, 14))::BIGINT AS h1,
+    ('0x' || substr(md5(s), 17, 14))::BIGINT AS h2
+  FROM sh0
+), sig AS (
+  SELECT doc_id, {_MH_SIG_COLS} FROM shing GROUP BY doc_id
+), banded AS (
+  {_MH_BANDED}
+), sh1 AS (
+  SELECT DISTINCT doc_id, h1 FROM shing
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh1 GROUP BY 1
+)"""
+
+
+def _mh_verify_select(extra_pred: str = "") -> str:
+    return f"""
+, cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id{extra_pred}
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh1 a ON a.doc_id = c.id_a
+  JOIN sh1 b ON b.doc_id = c.id_b AND b.h1 = a.h1
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+  CAST(i.n_inter AS DOUBLE)
+    / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.id_a
+JOIN sizes nb ON nb.doc_id = i.id_b
+WHERE CAST(i.n_inter AS DOUBLE)
+    / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.5
+"""
+
+
+Q32_SQL = "WITH " + _MH_CTES + _mh_verify_select()
 
 
 def q43_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,10 +639,11 @@ def q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus pass (q32) runs once to bootstrap the index; every
     later ingest pays O(batch) signature derivation + a broadcast
     probe of the bucketed index — NO corpus re-tokenization and NO
-    corpus-side shuffle. xxhash64 signatures have no DuckDB
-    equivalent, so like q32 this entry takes the rows-only check; the
-    probe-vs-full-pass equivalence is pinned by
-    ``tests/test_incremental_dedup.py``.
+    corpus-side shuffle. Signatures use the same portable md5 double
+    hash as q32, so the probe result has an exact DuckDB oracle
+    (Q44_SQL: bucket-collision pairs where at least one side is in the
+    batch); the probe-vs-full-pass equivalence is additionally pinned
+    by ``tests/test_incremental_dedup.py``.
     """
     from ..operators.dedup import incremental_near_dup_pairs, minhash_index
 
@@ -591,6 +652,18 @@ def q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 5 == 4)
     index = minhash_index(corpus, "doc_id", "text")
     return incremental_near_dup_pairs(batch, index, "doc_id", "text", 0.5)
+
+
+# Same portable-MinHash CTEs as Q32_SQL; the candidate stage keeps only
+# pairs touching the ingest batch (doc_id % 5 = 4) — exactly the
+# corpus-probe + within-batch union the Spark operator produces.
+Q44_SQL = (
+    "WITH "
+    + _MH_CTES
+    + _mh_verify_select(
+        "\n   AND (a.doc_id % 5 = 4 OR b.doc_id % 5 = 4)"
+    )
+)
 
 
 def q45_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,9 +842,9 @@ TEXT_QUERIES = {
     "q29_doc_fingerprint": (q29_doc_fingerprint, Q29_SQL),
     "q30_ngram_jaccard_pairs": (q30_ngram_jaccard_pairs, Q30_SQL),
     "q31_simhash_pairs": (q31_simhash_pairs, Q31_SQL),
-    "q32_minhash_lsh": (q32_minhash_lsh, None),
+    "q32_minhash_lsh": (q32_minhash_lsh, Q32_SQL),
     "q43_dedup_clusters": (q43_dedup_clusters, Q43_SQL),
-    "q44_incremental_dedup": (q44_incremental_dedup, None),
+    "q44_incremental_dedup": (q44_incremental_dedup, Q44_SQL),
     "q45_hash_split": (q45_hash_split, Q45_SQL),
     "q46_mixture_sample": (q46_mixture_sample, Q46_SQL),
     "q47_sequence_packing": (q47_sequence_packing, Q47_SQL),
