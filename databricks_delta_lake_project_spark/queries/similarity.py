@@ -338,14 +338,13 @@ def q41_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.bucket").alias("bucket"),
         cosine.alias("cosine"),
     )
-    # window barrier (as in q30/q32): keep the cosine out of the join
-    # condition so zip_with+aggregate evaluates once per pair
-    w = Window.partitionBy("id_a", "id_b")
-    return (
-        pairs.withColumn("_c", F.max("cosine").over(w))
-        .filter(F.col("_c") >= NEAR_DUP_COSINE)
-        .drop("_c")
-    )
+    # projection alias barrier: the select above materializes "cosine"
+    # as a named column, so the threshold filter references the alias
+    # and the zip_with+aggregate evaluates once per pair — no extra
+    # pair-scale window shuffle (the old Window.partitionBy(id_a,id_b)
+    # barrier re-shuffled every candidate pair just to stop a double
+    # evaluation Catalyst already avoids across a projection boundary).
+    return pairs.filter(F.col("cosine") >= NEAR_DUP_COSINE)
 
 
 Q41_SQL = f"""

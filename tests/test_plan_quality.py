@@ -119,6 +119,17 @@ def test_block_collect_pair_queries_single_generate(spark):
         assert "Join" not in plan, f"{name} regressed to a pair self-join"
 
 
+def test_q41_no_pair_scale_window_shuffle(spark):
+    # the cosine threshold reads a projected alias, not a
+    # Window.partitionBy(id_a, id_b) barrier: zero Window operators and
+    # zero hash-partitioned exchanges on the candidate-pair keys — at
+    # 100 TB pair volume that second pair-scale exchange dominates
+    plan = _plan(spark, "q41_embedding_near_dup")
+    assert "Window" not in plan, "q41 regressed to a pair-key window barrier"
+    assert "hashpartitioning(id_a" not in plan
+    assert "BroadcastExchange" in plan  # bucket self-join stays broadcast
+
+
 def test_q34_q35_broadcast_query_side(spark):
     # the tiny query set must broadcast — a shuffled join here would
     # move the full candidate table at scale
