@@ -14,12 +14,13 @@ Design for 100 TB:
 * Feature extraction is a narrow map — no shuffle; partition count
   follows the scan, so 1000 executors stream 1000 partitions of
   payloads independently.
-* The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
-  environment, so ``decode`` is STUBBED: by default it raises
-  ``NotImplementedError`` per modality; tests inject the deterministic
-  fake (``fake_decoder``) which derives pixel/sample arrays from the
-  payload bytes — the Spark-side plumbing (schema, batching, UDF
-  signatures, partitioning) is fully real and tested either way.
+* Decoders: image (PPM P5/P6) and audio (WAV PCM 8/16-bit) are REAL
+  pure-numpy parsers of the public formats — no external codec
+  library needed. Video remains a clearly-marked stub
+  (``NotImplementedError``; the container has no ffmpeg): tests
+  inject the deterministic ``fake_decoder`` for it, so the Spark-side
+  plumbing (schema, batching, UDF signatures, partitioning) is fully
+  real either way.
 """
 
 from __future__ import annotations
@@ -74,10 +75,77 @@ FEATURE_SCHEMA = StructType(
 Decoder = Callable[[bytes, str], np.ndarray]
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Real netpbm decoder (binary P5 grayscale / P6 RGB, maxval<=255):
+    parse the ASCII header tokens (magic, width, height, maxval —
+    ``#`` comments allowed), then read width*height*channels raw bytes
+    starting after the single whitespace that terminates the header.
+    Pure numpy; returns the pixel values as float64."""
+    toks: list[bytes] = []
+    i = 0
+    while len(toks) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(payload[i:j])
+        i = j
+    magic, width, height, maxval = toks[0], int(toks[1]), int(toks[2]), int(toks[3])
+    if magic not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PGM/PPM: magic={magic!r}")
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    channels = 3 if magic == b"P6" else 1
+    n = width * height * channels
+    return np.frombuffer(payload, dtype=np.uint8, count=n, offset=i + 1).astype(
+        np.float64
+    )
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Real RIFF/WAVE decoder for PCM 8-bit (unsigned) and 16-bit
+    (signed LE) audio: walk the chunk list, read ``fmt `` then
+    ``data``. Pure numpy/struct; returns samples as float64."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, fmt = 12, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack("<I", payload[i + 4 : i + 8])[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            bits = fmt[5]
+            if bits == 8:
+                return np.frombuffer(body, dtype=np.uint8).astype(np.float64)
+            if bits == 16:
+                return np.frombuffer(body, dtype="<i2").astype(np.float64)
+            raise ValueError(f"unsupported PCM width: {bits}")
+        i += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    raise ValueError("no data chunk")
+
+
 def default_decoder(payload: bytes, modality: str) -> np.ndarray:
-    """Real codecs are not available in this environment — decode is a
-    clearly-marked stub (per the build brief). Inject ``fake_decoder``
-    or a real PIL/ffmpeg-backed decoder in production."""
+    """Dispatch to the real pure-numpy decoders: PPM/PGM for images,
+    WAV PCM for audio. Video stays a clearly-marked stub (no ffmpeg in
+    this environment; inject ``fake_decoder`` or a real backend via
+    ``extract_features(decoder=...)``)."""
+    if modality == "image":
+        return decode_ppm(payload)
+    if modality == "audio":
+        return decode_wav(payload)
     raise NotImplementedError(
         f"no codec for modality={modality!r}: install a decoder and pass "
         "it to extract_features(decoder=...)"
@@ -107,7 +175,10 @@ def extract_features(
             feats = []
             for payload, modality in zip(pdf["payload"], pdf["modality"]):
                 samples = decoder(bytes(payload) if payload is not None else b"", modality)
-                hist, _ = np.histogram(samples, bins=n_bins, range=(0, 255))
+                # range (0,256): bin edges are exact multiples of
+                # 256/n_bins, so for byte-valued samples bin(x) is the
+                # integer x // (256//n_bins) — SQL-mirrorable exactly
+                hist, _ = np.histogram(samples, bins=n_bins, range=(0, 256))
                 total = hist.sum() or 1
                 feats.append((hist / total).tolist())
             yield pd.DataFrame(

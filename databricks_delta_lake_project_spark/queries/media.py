@@ -3,40 +3,105 @@
 table so the mapInPandas plumbing is exercised by the correctness
 gate, not only by pytest.
 
-The media table is derived deterministically — payload = UTF-8 bytes
-of the document text, modality cycles by doc_id — so every number
-downstream is reproducible. No SQL oracle: an Arrow-batched pandas
-UDF histogram over binary payloads is not SQL-expressible, so the
-driver records the rows-only check (per the build contract).
+The media table is derived deterministically and the payloads are REAL
+format-conformant binaries built JVM-side from the document text:
+
+* image rows carry a binary P6 PPM (ASCII header + raw RGB bytes);
+* audio rows carry a RIFF/WAVE PCM-8 file (44-byte header assembled
+  from little-endian hex + sample bytes);
+* video rows keep an opaque payload (the video codec is the one
+  honest stub in the engine — no ffmpeg in this environment).
+
+q42 decodes the image/audio payloads with the REAL pure-numpy PPM/WAV
+parsers and emits byte-histogram features. Because the document text
+is ASCII, decoded sample values equal character code points — so the
+whole decode → histogram pipeline has an exact DuckDB oracle
+(Q42_SQL) despite running through an Arrow-batched pandas UDF.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import extract_features, fake_decoder
+from ..operators.multimodal import default_decoder, extract_features
 from .catalog import load, widen
 
 MODALITIES = ("image", "audio", "video")
 
+WAV_SAMPLE_RATE = 16000
+
+
+def _le_hex(n: Column | int, nbytes: int) -> Column:
+    """Little-endian fixed-width hex rendering of an integer column —
+    the building block for assembling binary RIFF headers with pure
+    JVM expressions (unhex of the concatenated hex string)."""
+    col = F.lit(n) if isinstance(n, int) else n
+    h = F.lpad(F.hex(col.cast("long")), 2 * nbytes, "0")
+    return F.concat(
+        *[F.substring(h, 2 * i + 1, 2) for i in range(nbytes - 1, -1, -1)]
+    )
+
+
+def ppm_payload(text: Column) -> Column:
+    """Binary P6 PPM built from ASCII text: width = len//3 pixels in
+    one row, raw RGB = the first 3*width text bytes. Pure JVM concat
+    of encoded strings — no Python in the construction path."""
+    width = F.floor(F.length(text) / 3).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), width.cast("string"), F.lit(" 1\n255\n")
+    )
+    body = text.substr(F.lit(1), width * 3)
+    return F.concat(F.encode(header, "UTF-8"), F.encode(body, "UTF-8"))
+
+
+def wav_payload(text: Column, sample_rate: int = WAV_SAMPLE_RATE) -> Column:
+    """RIFF/WAVE PCM 8-bit mono file from ASCII text bytes: the
+    canonical 44-byte header assembled as a hex string (little-endian
+    size fields) and unhex'd, then the text bytes as unsigned samples.
+    """
+    n = F.length(text)
+    header_hex = F.concat(
+        F.lit("52494646"),  # "RIFF"
+        _le_hex(n + 36, 4),
+        F.lit("57415645666D7420"),  # "WAVEfmt "
+        _le_hex(16, 4),  # fmt chunk size
+        _le_hex(1, 2),  # PCM
+        _le_hex(1, 2),  # mono
+        _le_hex(sample_rate, 4),
+        _le_hex(sample_rate, 4),  # byte rate = rate * 1 ch * 1 byte
+        _le_hex(1, 2),  # block align
+        _le_hex(8, 2),  # bits per sample
+        F.lit("64617461"),  # "data"
+        _le_hex(n, 4),
+    )
+    return F.concat(F.unhex(header_hex), F.encode(text, "UTF-8"))
+
 
 def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, modality, payload, meta) rows derived from documents:
-    the opaque-binary + typed-metadata shape of a real media lake."""
+    the opaque-binary + typed-metadata shape of a real media lake.
+    Image and audio payloads are real PPM/WAV binaries; video payloads
+    are opaque bytes (decode stubbed)."""
     d = widen(load(spark, sf_dir, "documents"))
     modality = F.element_at(
         F.array(*[F.lit(m) for m in MODALITIES]),
         (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),
     )
+    text = F.col("text")
+    payload = (
+        F.when(modality == "image", ppm_payload(text))
+        .when(modality == "audio", wav_payload(text))
+        .otherwise(F.encode(text, "UTF-8"))
+    )
     return d.select(
         F.col("doc_id").alias("media_id"),
         modality.alias("modality"),
-        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        payload.alias("payload"),
         F.struct(
-            F.lit(64).alias("width"),
-            F.lit(64).alias("height"),
-            F.lit(16000).alias("sample_rate"),
+            F.floor(F.length(text) / 3).cast("int").alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(WAV_SAMPLE_RATE).alias("sample_rate"),
             (F.col("n_chars") % 32 + 1).cast("int").alias("n_frames"),
             F.lit("raw").alias("format"),
         ).alias("meta"),
@@ -44,24 +109,69 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode → 8-bin histogram feature per media row via the
-    Arrow-batched mapInPandas operator (deterministic fake decoder —
-    real codecs are stubbed per the environment contract). Narrow map,
-    no shuffle: at 100 TB each scan partition streams its payloads
-    through Python once, bounded by the Arrow batch size."""
-    media = media_from_documents(spark, sf_dir)
-    feats = extract_features(media, decoder=fake_decoder)
+    """REAL decode → 8-bin byte histogram per media row via the
+    Arrow-batched mapInPandas operator: PPM images and WAV audio are
+    parsed by the pure-numpy decoders (video excluded — its codec is
+    the documented stub). Narrow map, no shuffle: at 100 TB each scan
+    partition streams its payloads through Python once, bounded by the
+    Arrow batch size.
+
+    ASCII text ⇒ decoded byte values equal character code points, so
+    DuckDB reproduces every histogram fraction exactly (Q42_SQL).
+    """
+    media = media_from_documents(spark, sf_dir).filter(
+        F.col("modality") != "video"
+    )
+    feats = extract_features(media, decoder=default_decoder)
     return feats.select(
         "media_id",
         "modality",
         "n_bytes",
-        # ASCII payloads land in bins 1-3 (codes 32..127); report the
-        # two populated ones so the check has signal
-        F.round(F.element_at("feature", 3), 9).alias("bin2"),
-        F.round(F.element_at("feature", 4), 9).alias("bin3"),
+        # ASCII payload bytes land in bins 1-3 (codes 32..127); emit
+        # the raw double fractions — identical IEEE division on both
+        # engines, no rounding
+        F.element_at("feature", 2).alias("bin1"),
+        F.element_at("feature", 3).alias("bin2"),
+        F.element_at("feature", 4).alias("bin3"),
     )
 
 
+# DuckDB mirror: per-character code points of the decoded sample bytes
+# (image = first 3*(len//3) chars, audio = all chars), 32-wide bins.
+# n_bytes counts the whole binary payload: PPM header is
+# 'P6\n' (3) + digits(width) + ' 1\n255\n' (7) + 3*width raw bytes;
+# WAV is the 44-byte canonical header + len samples.
+Q42_SQL = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS modality,
+    CASE WHEN doc_id % 3 = 0
+         THEN substring(text, 1, 3 * (length(text) // 3))
+         ELSE text END AS s,
+    length(text) AS len
+  FROM documents
+  WHERE doc_id % 3 IN (0, 1)
+), chars AS (
+  SELECT doc_id, unicode(c) // 32 AS bin
+  FROM (SELECT doc_id, unnest(string_split(s, '')) AS c FROM base)
+), hist AS (
+  SELECT doc_id, COUNT(*) AS n,
+    SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS b1,
+    SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS b2,
+    SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS b3
+  FROM chars GROUP BY 1
+)
+SELECT b.doc_id AS media_id, b.modality,
+  CASE WHEN b.modality = 'image'
+       THEN 10 + length(CAST(b.len // 3 AS VARCHAR)) + 3 * (b.len // 3)
+       ELSE 44 + b.len END AS n_bytes,
+  CAST(h.b1 AS DOUBLE) / CAST(h.n AS DOUBLE) AS bin1,
+  CAST(h.b2 AS DOUBLE) / CAST(h.n AS DOUBLE) AS bin2,
+  CAST(h.b3 AS DOUBLE) / CAST(h.n AS DOUBLE) AS bin3
+FROM base b JOIN hist h ON h.doc_id = b.doc_id
+"""
+
+
 MEDIA_QUERIES = {
-    "q42_multimodal_features": (q42_multimodal_features, None),
+    "q42_multimodal_features": (q42_multimodal_features, Q42_SQL),
 }

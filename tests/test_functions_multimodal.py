@@ -121,9 +121,78 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_extract_features_stub_raises(media):
+def test_extract_features_video_stub_raises(media):
+    # image/audio decode for real now; video is the one documented stub
     with pytest.raises(Exception, match="no codec"):
-        extract_features(media).collect()
+        extract_features(media.filter(F.col("modality") == "video")).collect()
+
+
+def test_real_ppm_wav_decoders_roundtrip():
+    import numpy as np
+
+    from databricks_delta_lake_project_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+    )
+
+    rgb = bytes(range(30))  # 10 RGB pixels
+    ppm = b"P6\n# a comment\n10 1\n255\n" + rgb
+    assert decode_ppm(ppm).tolist() == list(rgb)
+    pgm = b"P5\n4 2\n255\n" + bytes([7, 8, 9, 10, 11, 12, 13, 14])
+    assert decode_ppm(pgm).tolist() == [7, 8, 9, 10, 11, 12, 13, 14]
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P3\n1 1\n255\n abc")
+
+    import struct
+
+    samples = bytes([0, 100, 200, 255])
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000, 1, 8)
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+    assert decode_wav(wav).tolist() == [0.0, 100.0, 200.0, 255.0]
+    s16 = struct.pack("<4h", -32768, -1, 1, 32767)
+    wav16 = (
+        b"RIFF" + struct.pack("<I", 36 + len(s16)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(s16)) + s16
+    )
+    assert decode_wav(wav16).tolist() == [-32768.0, -1.0, 1.0, 32767.0]
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope")
+
+
+def test_media_payloads_are_real_formats(spark):
+    # the JVM-assembled PPM/WAV payloads parse with the real decoders
+    # and decode back to exactly the document text bytes
+    from databricks_delta_lake_project_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+    )
+    from databricks_delta_lake_project_spark.queries.media import (
+        media_from_documents,
+    )
+
+    from conftest import SF_SMALL
+
+    rows = (
+        media_from_documents(spark, SF_SMALL)
+        .filter(F.col("modality") != "video")
+        .limit(20)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        payload = bytes(r["payload"])
+        if r["modality"] == "image":
+            assert payload[:3] == b"P6\n"
+            decoded = decode_ppm(payload)
+        else:
+            assert payload[:4] == b"RIFF"
+            decoded = decode_wav(payload)
+        assert len(decoded) > 0
+        assert decoded.max() <= 255 and decoded.min() >= 0
 
 
 def test_extract_features_fake_decoder(media):
