@@ -8,10 +8,10 @@ semantics: filters and column pruning are pushed into the generated
 remote SQL (``pushDownPredicate``/``pushDownAggregate``), and
 ``partitionColumn`` splits the remote read across executors.
 
-No JDBC drivers ship in this environment, so these helpers are
-config-builders + a mirror routine; they are exercised against a real
-driver jar in production, and the mirror path is unit-testable by
-injecting any DataFrame.
+Exercised end-to-end in ``tests/test_jdbc.py`` against embedded Apache
+Derby (whose driver ships inside the Spark distribution): round-trip
+write/scan, predicate + column pushdown into the JDBC relation,
+partitioned parallel reads, and mirror overwrite/MERGE refresh.
 """
 
 from __future__ import annotations
