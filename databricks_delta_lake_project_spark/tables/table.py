@@ -141,7 +141,19 @@ class LakeTable:
         return tlog.latest_version(str(Path(path))) is not None
 
     @classmethod
-    def for_path(cls, spark: SparkSession, path: str) -> "LakeTable":
+    def for_path(cls, spark: SparkSession, path: str):
+        """Open a table at ``path``. A native LakeTable opens
+        read-write; a directory carrying a real Delta Lake
+        ``_delta_log`` opens read-only through the interop reader
+        (``delta_interop.DeltaInteropTable`` — same ``to_df``/
+        ``schema``/``version``/``history`` read surface), so existing
+        Delta tables from the reference stack remain queryable."""
+        root = str(Path(path))
+        if tlog.latest_version(root) is None:
+            from .delta_interop import DeltaInteropTable, is_delta_table
+
+            if is_delta_table(root):
+                return DeltaInteropTable(spark, root)
         return cls(spark, path)
 
     # -- reads -------------------------------------------------------------
