@@ -15,11 +15,17 @@ Dialect translations (SURVEY §3.2 / §2.11 mapping table):
   (registered UDF over session-configured groups, U3)
 * ``FROM (DESCRIBE HISTORY t)`` -> ``FROM t__history`` (a view the
   engine registers from ``LakeTable.history()``, X5)
+* ``delta.`/path` VERSION AS OF n`` / ``TIMESTAMP AS OF 'ts'`` ->
+  snapshot temp view over ``LakeTable.for_path(...).to_df(...)``
+  (reference ``src/utils/delta_lake_features.py:103-108``; the
+  time-travel rewrite needs a session so it runs in ``run_sql``, not
+  the pure-string ``normalize_sql``)
 """
 
 from __future__ import annotations
 
 import re
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -71,9 +77,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     spark.udf.register("engine_is_group_member", _is_member, "boolean")
 
 
+# `delta.`/path`` or bare `` `/path` `` followed by a time-travel
+# clause. Matches in FROM and JOIN positions alike.
+_TIME_TRAVEL_RE = re.compile(
+    r"(?:\bdelta\s*\.\s*)?`([^`]+)`\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\d+)",
+    re.IGNORECASE,
+)
+
+
+def _travel_ts_ms(literal: str) -> int:
+    dt = datetime.fromisoformat(literal.strip("'"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def rewrite_time_travel(spark: SparkSession, sql: str) -> str:
+    """Replace each ``<path> VERSION|TIMESTAMP AS OF <v>`` table ref
+    with a temp view holding that snapshot. Path tables resolve through
+    ``LakeTable.for_path`` — native tables get both forms; external
+    Delta tables (read-only interop) support ``VERSION AS OF``."""
+    from ..tables import LakeTable
+
+    def _sub(m: re.Match) -> str:
+        path, kind, literal = m.group(1), m.group(2).upper(), m.group(3)
+        t = LakeTable.for_path(spark, path)
+        if kind == "VERSION":
+            df = t.to_df(version=int(literal))
+            tag = literal
+        else:
+            ts_ms = _travel_ts_ms(literal)
+            df = t.to_df(timestamp_ms=ts_ms)
+            tag = str(ts_ms)
+        view = "tt_" + re.sub(r"\W", "_", f"{path}_{kind}_{tag}").strip("_")
+        df.createOrReplaceTempView(view)
+        return view
+
+    return _TIME_TRAVEL_RE.sub(_sub, sql)
+
+
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(normalize_sql(sql))
+    return spark.sql(normalize_sql(rewrite_time_travel(spark, sql)))
 
 
 # ---------------------------------------------------------------------------
