@@ -19,15 +19,49 @@ Scale design:
   by iteration ~10 (the classic iterative-Spark failure mode).
 * The convergence check is one tiny count per round on the changed
   set (an aggregate over the already-shuffled join output).
-* For adversarial long-chain graphs, swap in the large-star/small-star
-  variant (same join primitives, O(log n) rounds) — not needed for
-  dedup workloads.
+* For adversarial long-chain graphs, ``algorithm="star"`` runs the
+  alternating large-star/small-star variant (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC'14): the same
+  join + groupBy-min primitives, but each round contracts path length
+  multiplicatively, so a diameter-d graph closes in O(log d) rounds
+  instead of d — a 10k-node chain converges in ~⌈log2 n⌉ rounds where
+  label propagation would need 10k.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _cut(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Materialize ``df`` and CUT both lineage and cost statistics.
+
+    ``localCheckpoint()`` alone is not enough for iterative algorithms:
+    the resulting ``LogicalRDD`` carries the origin plan's Catalyst
+    statistics across the checkpoint, so each round's join/aggregate
+    *multiplies* the inherited ``sizeInBytes`` — the estimate's
+    BigInteger doubles in digit count per round (measured: 134 digits
+    at round 2 → 2,419 at round 6 → ~10^6 by round 20), and the
+    optimizer ends up spending minutes in BigInteger.multiply. Round
+    time degrades from ~0.4 s to >100 s by round ~20 on a long-chain
+    graph.
+
+    The cut rewraps the checkpointed RDD in a fresh ``LogicalRDD``
+    with no origin stats (falling back to the constant
+    ``spark.sql.defaultSizeInBytes``), which keeps every round's
+    estimate O(1)-sized. Returns ``(fresh_df, checkpoint_handle)`` —
+    the handle owns the cached blocks; ``unpersist()`` it once the
+    NEXT round's checkpoint has materialized, not before (the fresh
+    frame reads those blocks).
+    """
+    ck = df.localCheckpoint()
+    spark = df.sparkSession
+    jdf = ck._jdf
+    fresh = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return ck.__class__(fresh, spark), ck
 
 
 def connected_components(
@@ -37,17 +71,30 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str = "node",
     max_iter: int = 25,
+    algorithm: str = "label",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id reachable from it
     (deterministic component id). ``nodes`` optionally supplies
     isolated vertices (they keep their own id as the label).
 
+    ``algorithm``: ``"label"`` (min-label propagation, rounds ~
+    diameter, best for star/clique dedup graphs) or ``"star"``
+    (large-star/small-star, rounds ~ log diameter, best for long
+    chains). ``stats``, if given, receives ``{"rounds": n}``.
+
     Returns (node, component).
     """
+    if algorithm == "star":
+        return _connected_components_star(
+            edges, src, dst, nodes, node_col, max_iter, stats
+        )
+    if algorithm != "label":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     und = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
     ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-    und = und.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+    und, und_ck = _cut(und.filter(F.col("a") != F.col("b")).distinct())
 
     # iterate over edge-touched nodes ONLY: isolated vertices can never
     # change label, so they skip the propagation loop entirely and
@@ -55,16 +102,18 @@ def connected_components(
     # fraction of the corpus — every per-round join/groupBy scales
     # with duplicate-cluster membership, not corpus size.
     labels = und.select(F.col("a").alias("node")).distinct()
-    labels = labels.select("node", F.col("node").alias("component"))
-    labels = labels.localCheckpoint()
+    labels, checkpointed = _cut(
+        labels.select("node", F.col("node").alias("component"))
+    )
 
-    # intermediate checkpoint blocks pin executor storage memory; track
-    # and release them so a long-lived session doesn't pay for this
-    # operator on every later query (measured: leaving them cached
-    # slowed the whole downstream bench by ~30%)
-    retired = [und]
-    checkpointed = labels
+    # a superseded round's checkpoint blocks are dead the moment the
+    # next round's checkpoint has materialized — release them EAGERLY
+    # so executor storage memory stays O(1) across rounds (leaving
+    # blocks cached after return also slowed the downstream bench
+    # ~30%).
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # neighbor labels: for edge (a,b), b's current label reaches a
         msgs = und.join(
             labels.select(
@@ -72,7 +121,7 @@ def connected_components(
             ),
             "b",
         ).select(F.col("a").alias("node"), "nbr_label")
-        new_labels = (
+        new_labels, new_ck = _cut(
             labels.join(msgs, "node", "left")
             .groupBy("node")
             .agg(
@@ -81,13 +130,15 @@ def connected_components(
                 ).alias("component"),
                 F.first("component").alias("_old"),
             )
-        ).localCheckpoint()
+        )
         changed = new_labels.filter(F.col("component") < F.col("_old")).count()
-        retired.append(checkpointed)
-        checkpointed = new_labels
+        checkpointed.unpersist()
+        checkpointed = new_ck
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     # isolated vertices (never in an edge) label themselves
     if nodes is not None:
         edge_nodes = labels.select("node")
@@ -97,11 +148,126 @@ def connected_components(
             .select("node", F.col("node").alias("component"))
         )
         labels = labels.union(isolated)
-    # materialize the final labeling, then free every precursor block
+    # materialize the final labeling, then free the remaining blocks
     final = labels.localCheckpoint()
-    retired.append(checkpointed)
-    for df in retired:
-        df.unpersist()
+    und_ck.unpersist()
+    checkpointed.unpersist()
+    return final
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    nodes: DataFrame | None,
+    node_col: str,
+    max_iter: int,
+    stats: dict | None,
+) -> DataFrame:
+    """Alternating large-star / small-star min-labeling (Kiveris et
+    al., SoCC'14). Each round:
+
+    * large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+      re-wires each strictly-larger neighbor v > u to m;
+    * small-star: edges oriented high→low; every high end u re-wires
+      its low neighbors AND itself to m = min(Γ⁻(u)).
+
+    Both steps preserve connectivity and only ever lower the high end
+    of an edge toward the component minimum, halving path lengths —
+    O(log d) rounds to a fixpoint where every edge is (node, root).
+
+    Scale shape: two groupBy-min + join rounds per iteration, all
+    partitioned on node id; per-round driver traffic is a single
+    2-value checksum row (count + bit_xor of pair hashes; xor is safe
+    because the pair set is distinct, and it cannot overflow under
+    ANSI mode) used for the fixpoint test — a collision masking a real
+    change is ~2^-64, acceptable for a convergence check because one
+    extra round is a no-op, not a correctness change.
+    """
+    # oriented high→low, self-loops dropped
+    e, e_ck = _cut(
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .filter(F.col("x") != F.col("y"))
+        .select(
+            F.greatest("x", "y").alias("hi"), F.least("x", "y").alias("lo")
+        )
+        .distinct()
+    )
+    all_nodes, nodes_ck = _cut(
+        e.select(F.col("hi").alias("node"))
+        .union(e.select(F.col("lo").alias("node")))
+        .distinct()
+    )
+
+    def _checksum(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(hi, lo))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sum = _checksum(e)
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star over the symmetric view ------------------------
+        und = e.select("hi", "lo").union(
+            e.select(F.col("lo").alias("hi"), F.col("hi").alias("lo"))
+        )
+        mins = und.groupBy(F.col("hi").alias("u")).agg(
+            F.least(F.min("lo"), F.first("hi")).alias("m")
+        )
+        large = (
+            und.join(mins, und["hi"] == mins["u"])
+            .filter(F.col("lo") > F.col("hi"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        large = large.filter(F.col("hi") != F.col("lo")).distinct()
+        # -- small-star over the oriented view -------------------------
+        mins2 = large.groupBy(F.col("hi").alias("u")).agg(
+            F.min("lo").alias("m")
+        )
+        joined = large.join(mins2, large["hi"] == mins2["u"])
+        small, small_ck = _cut(
+            joined.select(
+                F.greatest(F.col("lo"), F.col("m")).alias("hi"),
+                F.least(F.col("lo"), F.col("m")).alias("lo"),
+            )
+            .union(mins2.select(F.col("u").alias("hi"), F.col("m").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # previous round's edge blocks are dead once `small` is
+        # materialized — release eagerly (see label-prop loop note)
+        e_ck.unpersist()
+        e, e_ck = small, small_ck
+        cur = _checksum(e)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # fixpoint edges are (node, root); roots + isolated nodes label
+    # themselves
+    labels = e.groupBy(F.col("hi").alias("node")).agg(
+        F.min("lo").alias("component")
+    )
+    roots = (
+        all_nodes.join(labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    labels = labels.union(roots)
+    if nodes is not None:
+        isolated = (
+            nodes.select(F.col(node_col).alias("node"))
+            .join(all_nodes, "node", "left_anti")
+            .select("node", F.col("node").alias("component"))
+        )
+        labels = labels.union(isolated)
+    final = labels.localCheckpoint()
+    nodes_ck.unpersist()
+    e_ck.unpersist()
     return final
 
 

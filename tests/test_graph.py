@@ -33,3 +33,47 @@ def test_dedup_clusters_canonical_survivor(spark):
     assert by_id[7]["cluster_id"] == 7
     canon = sorted(r["doc_id"] for r in rows if r["is_canonical"])
     assert canon == [3, 7]  # exactly one survivor per cluster
+
+
+def test_star_matches_label_on_random_graph(spark):
+    """large-star/small-star and label propagation must agree exactly
+    on an arbitrary mixed graph (chains, a clique, pairs, isolates)."""
+    import random
+
+    rng = random.Random(7)
+    edges = [(i, i + 1) for i in range(0, 40)]               # chain
+    edges += [(100 + a, 100 + b) for a in range(6) for b in range(a)]  # clique
+    edges += [(rng.randrange(200, 260), rng.randrange(200, 260)) for _ in range(80)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(0, 300)], "node long"
+    )
+    lab = {
+        r["node"]: r["component"]
+        for r in connected_components(e, nodes=nodes, max_iter=60).collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            e, nodes=nodes, algorithm="star", max_iter=60
+        ).collect()
+    }
+    assert star == lab
+
+
+def test_star_converges_logarithmically_on_long_chain(spark):
+    """A 10k-node chain (diameter 10k) must close in ~log2(n) rounds —
+    the whole point of the star variant; label propagation would need
+    10k rounds."""
+    import math
+
+    n = 10_000
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    ).repartition(8)
+    stats: dict = {}
+    comp = connected_components(e, algorithm="star", max_iter=40, stats=stats)
+    assert stats["rounds"] <= math.ceil(math.log2(n)) + 5, stats
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["component"] == 0 for r in rows)
