@@ -528,7 +528,14 @@ class LakeTable:
     # -- change data feed --------------------------------------------------
 
     def _cdf_enabled(self) -> bool:
-        return bool(self.properties().get("enableChangeDataFeed", False))
+        # both spellings accepted: the engine's own short key and the
+        # Delta TBLPROPERTIES name users carry over from the reference
+        # stack (delta_lake_features.py:335-341)
+        props = self.properties()
+        v = props.get(
+            "enableChangeDataFeed", props.get("delta.enableChangeDataFeed", False)
+        )
+        return str(v).lower() in ("true", "1")
 
     def _write_cdf(self, df: DataFrame, change_type: str, version: int) -> None:
         if not self._cdf_enabled():

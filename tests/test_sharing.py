@@ -1,0 +1,140 @@
+"""Delta-Sharing-style provider/recipient flow over the filesystem
+transport (S9 + X10; reference ``delta_sharing_provider.py:39-106``,
+``delta_sharing_recipient.py:121-205``)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from databricks_delta_lake_project_spark.governance.sharing import (
+    ShareProvider,
+    SharingClient,
+)
+from databricks_delta_lake_project_spark.tables import LakeTable
+
+
+@pytest.fixture()
+def shared_world(spark, tmp_path):
+    """Provider with one share holding a native table (partition-
+    filtered alias + plain alias) and one recipient profile."""
+    table_path = str(tmp_path / "gold_revenue")
+    LakeTable.create(
+        spark,
+        table_path,
+        df=spark.createDataFrame(
+            [
+                Row(region="US", customer_id=1, revenue=100.0),
+                Row(region="US", customer_id=2, revenue=250.0),
+                Row(region="EU", customer_id=3, revenue=75.0),
+            ]
+        ),
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    provider = ShareProvider(str(tmp_path / "shares_root"))
+    provider.create_share("c360_share", comment="gold analytics")
+    provider.add_table("c360_share", table_path, "analytics.revenue")
+    provider.add_table(
+        "c360_share",
+        table_path,
+        "analytics.revenue_us_only",
+        partition_filter="region = 'US'",
+    )
+    profile = str(tmp_path / "config.share")
+    provider.create_recipient("partner_team", profile)
+    provider.grant("c360_share", "partner_team")
+    return provider, profile, table_path
+
+
+def test_profile_handshake_and_listing(shared_world):
+    _, profile, _ = shared_world
+    client = SharingClient(profile)
+    assert client.list_shares() == ["c360_share"]
+    assert client.list_schemas("c360_share") == ["analytics"]
+    assert client.list_tables("c360_share") == [
+        "analytics.revenue",
+        "analytics.revenue_us_only",
+    ]
+
+
+def test_load_table_and_partition_filter(spark, shared_world):
+    _, profile, _ = shared_world
+    client = SharingClient(profile)
+    full = client.load_table(spark, "config.share#c360_share.analytics.revenue")
+    assert full.count() == 3
+    us = client.load_table(spark, "c360_share.analytics.revenue_us_only")
+    rows = us.collect()
+    assert len(rows) == 2 and all(r["region"] == "US" for r in rows)
+
+
+def test_revoke_and_bad_token(spark, shared_world, tmp_path):
+    provider, profile, _ = shared_world
+    provider.revoke("c360_share", "partner_team")
+    client = SharingClient(profile)
+    assert client.list_shares() == []
+    with pytest.raises(PermissionError, match="not granted"):
+        client.load_table(spark, "c360_share.analytics.revenue")
+    # forged token
+    forged = tmp_path / "forged.share"
+    prof = json.loads(open(profile).read())
+    prof["bearerToken"] = "0" * 32
+    forged.write_text(json.dumps(prof))
+    with pytest.raises(PermissionError, match="token"):
+        SharingClient(str(forged)).list_shares()
+    # re-grant restores access without a new profile
+    provider.grant("c360_share", "partner_team")
+    assert SharingClient(profile).list_shares() == ["c360_share"]
+
+
+def test_shared_cdf_reflects_provider_writes(spark, shared_world):
+    _, profile, table_path = shared_world
+    t = LakeTable.for_path(spark, table_path)
+    t.append(
+        spark.createDataFrame([Row(region="EU", customer_id=4, revenue=10.0)])
+    )
+    client = SharingClient(profile)
+    cdf = client.load_cdf(spark, "c360_share.analytics.revenue", starting_version=1)
+    assert (
+        cdf.filter(F.col("_change_type") == "insert")
+        .filter(F.col("customer_id") == 4)
+        .count()
+        == 1
+    )
+
+
+def test_share_external_delta_table(spark, shared_world, tmp_path):
+    """An external `_delta_log` table shares through the same path
+    (read-only interop)."""
+    provider, profile, _ = shared_world
+    root = tmp_path / "ext_delta"
+    df = spark.createDataFrame([Row(id=1), Row(id=2)])
+    tmp = root / "_t"
+    df.coalesce(1).write.parquet(str(tmp))
+    data = root / "f0.parquet"
+    next(tmp.glob("part-*.parquet")).rename(
+        (data.parent.mkdir(parents=True, exist_ok=True) or data)
+    )
+    log = root / "_delta_log"
+    log.mkdir()
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "x",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": df.schema.json(),
+                "partitionColumns": [],
+                "configuration": {},
+            }
+        },
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+    ]
+    (log / f"{0:020d}.json").write_text("\n".join(json.dumps(a) for a in actions))
+    provider.add_table("c360_share", str(root), "external.events")
+    client = SharingClient(profile)
+    got = client.load_table(spark, "c360_share.external.events")
+    assert {r["id"] for r in got.collect()} == {1, 2}
+    with pytest.raises(NotImplementedError):
+        client.load_cdf(spark, "c360_share.external.events")
