@@ -112,6 +112,7 @@ def connected_components(
     # blocks cached after return also slowed the downstream bench
     # ~30%).
     rounds = 0
+    changed = 0
     for _ in range(max_iter):
         rounds += 1
         # neighbor labels: for edge (a,b), b's current label reaches a
@@ -139,6 +140,10 @@ def connected_components(
             break
     if stats is not None:
         stats["rounds"] = rounds
+        # max_iter exhaustion returns the best labels so far — callers
+        # that care (and tests) can detect it here instead of silently
+        # accepting unconverged components.
+        stats["converged"] = changed == 0
     # isolated vertices (never in an edge) label themselves
     if nodes is not None:
         edge_nodes = labels.select("node")
@@ -180,9 +185,12 @@ def _connected_components_star(
     partitioned on node id; per-round driver traffic is a single
     2-value checksum row (count + bit_xor of pair hashes; xor is safe
     because the pair set is distinct, and it cannot overflow under
-    ANSI mode) used for the fixpoint test — a collision masking a real
-    change is ~2^-64, acceptable for a convergence check because one
-    extra round is a no-op, not a correctness change.
+    ANSI mode) used for the fixpoint test. A checksum collision between
+    rounds would end the loop EARLY on an unconverged edge set — wrong
+    component labels, not a wasted round — so the first checksum match
+    is confirmed with one exact set comparison (exceptAll both ways);
+    the exact check runs exactly once per call, at convergence, and a
+    collision (~2^-64/round) just costs one more loop iteration.
     """
     # oriented high→low, self-loops dropped
     e, e_ck = _cut(
@@ -237,16 +245,30 @@ def _connected_components_star(
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
         )
-        # previous round's edge blocks are dead once `small` is
-        # materialized — release eagerly (see label-prop loop note)
-        e_ck.unpersist()
+        prev_e, prev_ck = e, e_ck
         e, e_ck = small, small_ck
         cur = _checksum(e)
         if cur == prev_sum:
-            break
+            # Confirm the fixpoint exactly before trusting it: both
+            # sets are distinct, so an empty symmetric difference means
+            # the round was a true no-op. Runs once, at convergence.
+            diff = (
+                e.exceptAll(prev_e).count() + prev_e.exceptAll(e).count()
+            )
+            prev_ck.unpersist()
+            if diff == 0:
+                converged = True
+                break
+        else:
+            # previous round's edge blocks are dead once `small` is
+            # materialized — release eagerly (see label-prop loop note)
+            prev_ck.unpersist()
         prev_sum = cur
+    else:
+        converged = False
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = converged
 
     # fixpoint edges are (node, root); roots + isolated nodes label
     # themselves

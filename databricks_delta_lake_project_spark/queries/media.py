@@ -78,12 +78,17 @@ def wav_payload(text: Column, sample_rate: int = WAV_SAMPLE_RATE) -> Column:
     return F.concat(F.unhex(header_hex), F.encode(text, "UTF-8"))
 
 
-def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_from_documents(
+    spark: SparkSession, sf_dir: str, docs_predicate: Column | None = None
+) -> DataFrame:
     """(media_id, modality, payload, meta) rows derived from documents:
     the opaque-binary + typed-metadata shape of a real media lake.
     Image and audio payloads are real PPM/WAV binaries; video payloads
-    are opaque bytes (decode stubbed)."""
+    are opaque bytes (decode stubbed). ``docs_predicate`` filters the
+    source documents before payload construction (oracle guards)."""
     d = widen(load(spark, sf_dir, "documents"))
+    if docs_predicate is not None:
+        d = d.filter(docs_predicate)
     modality = F.element_at(
         F.array(*[F.lit(m) for m in MODALITIES]),
         (F.col("doc_id") % len(MODALITIES) + 1).cast("int"),
@@ -117,9 +122,23 @@ def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch size.
 
     ASCII text ⇒ decoded byte values equal character code points, so
-    DuckDB reproduces every histogram fraction exactly (Q42_SQL).
+    DuckDB reproduces every histogram fraction exactly (Q42_SQL). The
+    identity needs two guards, applied identically in both engines:
+
+    * length: an image doc with len(text) < 3 would build a 0-pixel
+      PPM — Spark would emit zero fractions while the oracle's hist
+      join sees no characters; empty audio likewise. Both sides filter
+      to length(text) >= 3, so every surviving payload decodes to >= 1
+      sample under either modality.
+    * ASCII-only: a multi-byte UTF-8 character desyncs Spark's byte
+      histogram from the oracle's per-codepoint one, so non-ASCII docs
+      are excluded on both sides (rlike / regexp_matches on the same
+      [\\x00-\\x7F]* pattern).
     """
-    media = media_from_documents(spark, sf_dir).filter(
+    guards = (F.length("text") >= 3) & F.col("text").rlike(
+        "^[\\x00-\\x7F]*$"
+    )
+    media = media_from_documents(spark, sf_dir, docs_predicate=guards).filter(
         F.col("modality") != "video"
     )
     feats = extract_features(media, decoder=default_decoder)
@@ -151,6 +170,8 @@ WITH base AS (
     length(text) AS len
   FROM documents
   WHERE doc_id % 3 IN (0, 1)
+    AND length(text) >= 3
+    AND regexp_matches(text, '^[\\x00-\\x7F]*$')
 ), chars AS (
   SELECT doc_id, unicode(c) // 32 AS bin
   FROM (SELECT doc_id, unnest(string_split(s, '')) AS c FROM base)

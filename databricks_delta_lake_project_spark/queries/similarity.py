@@ -338,12 +338,15 @@ def q41_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.bucket").alias("bucket"),
         cosine.alias("cosine"),
     )
-    # projection alias barrier: the select above materializes "cosine"
-    # as a named column, so the threshold filter references the alias
-    # and the zip_with+aggregate evaluates once per pair — no extra
-    # pair-scale window shuffle (the old Window.partitionBy(id_a,id_b)
-    # barrier re-shuffled every candidate pair just to stop a double
-    # evaluation Catalyst already avoids across a projection boundary).
+    # The win of filtering on the aliased projection is removing the
+    # old pair-scale Window.partitionBy(id_a,id_b) SHUFFLE, not single
+    # evaluation: Catalyst's PushDownPredicates re-inlines the aliased
+    # expression into the pushed filter (zip_with appears twice in the
+    # optimized plan), so the cosine runs once per candidate pair in
+    # the filter and again for survivors in the projection. Survivors
+    # are a tiny fraction of candidates, so the re-evaluation is noise
+    # next to the shuffle it replaced; if it ever mattered, the fix is
+    # an exchange-free barrier (localCheckpoint) below the filter.
     return pairs.filter(F.col("cosine") >= NEAR_DUP_COSINE)
 
 

@@ -25,9 +25,12 @@ Scale notes:
 from __future__ import annotations
 
 import json
+import uuid
 from pathlib import Path
 from typing import Any
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -36,7 +39,178 @@ DELTA_LOG_DIR = "_delta_log"
 
 # Reader features this scan implements. Anything else advertised by a
 # protocol action with minReaderVersion >= 3 is refused.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint"}
+_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint", "deletionVectors"}
+
+# ---------------------------------------------------------------------------
+# Deletion vectors (open Delta protocol, PROTOCOL.md "Deletion Vectors")
+#
+# A `deletionVector` descriptor on an add action marks row INDICES of the
+# data file as deleted. The bitmap is a RoaringBitmapArray (64-bit values
+# split into a 32-bit bitmap index + a standard 32-bit roaring bitmap),
+# stored inline (z85) or in a `deletion_vector_<uuid>.bin` sidecar file.
+# The scan applies them as: read the marked files with
+# `_metadata.row_index`, anti-join the deleted (file, index) pairs.
+# ---------------------------------------------------------------------------
+
+# ZeroMQ Z85 alphabet (the base85 variant the Delta spec mandates for
+# encoding DV file UUIDs and inline bitmaps).
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_INDEX = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+_ROARING_ARRAY_MAGIC = 1681511377
+_SERIAL_COOKIE = 12347  # portable roaring, may contain run containers
+_SERIAL_COOKIE_NO_RUN = 12346
+
+
+def _z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError(f"z85 length must be a multiple of 5, got {len(s)}")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i : i + 5]:
+            v = v * 85 + _Z85_INDEX[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def _z85_encode(b: bytes) -> str:
+    if len(b) % 4:
+        raise ValueError("z85 input must be a multiple of 4 bytes")
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _parse_portable_roaring32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
+    """Parse one standard portable-format 32-bit roaring bitmap
+    (RoaringFormatSpec): cookie, descriptive headers, optional offset
+    header, then array/bitmap/run containers. Returns (sorted int64
+    values, next offset)."""
+    cookie = int.from_bytes(buf[pos : pos + 4], "little")
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        pos += 4
+        nrun_bytes = (n + 7) // 8
+        run_flags = buf[pos : pos + nrun_bytes]
+        pos += nrun_bytes
+
+        def has_run(i: int) -> bool:
+            return bool((run_flags[i // 8] >> (i % 8)) & 1)
+
+        has_offsets = n >= 4  # NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        n = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        pos += 8
+
+        def has_run(i: int) -> bool:
+            return False
+
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie {cookie} at offset {pos}")
+    keys, cards = [], []
+    for _ in range(n):
+        keys.append(int.from_bytes(buf[pos : pos + 2], "little"))
+        cards.append(int.from_bytes(buf[pos + 2 : pos + 4], "little") + 1)
+        pos += 4
+    if has_offsets:
+        pos += 4 * n  # containers are laid out sequentially anyway
+    values: list[np.ndarray] = []
+    for i in range(n):
+        key = keys[i] << 16
+        card = cards[i]
+        if has_run(i):
+            nruns = int.from_bytes(buf[pos : pos + 2], "little")
+            pos += 2
+            runs = (
+                np.frombuffer(buf, dtype="<u2", count=2 * nruns, offset=pos)
+                .astype(np.int64)
+                .reshape(-1, 2)
+            )
+            pos += 4 * nruns
+            for start, length in runs:
+                values.append(key + np.arange(start, start + length + 1, dtype=np.int64))
+        elif card <= 4096:
+            arr = np.frombuffer(buf, dtype="<u2", count=card, offset=pos).astype(np.int64)
+            pos += 2 * card
+            values.append(key + arr)
+        else:  # bitmap container: 1024 x 64-bit words
+            words = np.frombuffer(buf, dtype="<u8", count=1024, offset=pos)
+            pos += 8192
+            bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+            values.append(key + np.nonzero(bits)[0].astype(np.int64))
+    if not values:
+        return np.empty(0, dtype=np.int64), pos
+    return np.concatenate(values), pos
+
+
+def _parse_roaring_bitmap_array(data: bytes) -> np.ndarray:
+    """Parse Delta's portable RoaringBitmapArray: magic (4B LE), number
+    of 32-bit bitmaps (8B LE), then each bitmap in standard portable
+    format; bitmap i holds the low 32 bits of values with high bits i."""
+    magic = int.from_bytes(data[:4], "little")
+    if magic != _ROARING_ARRAY_MAGIC:
+        raise ValueError(f"bad RoaringBitmapArray magic {magic}")
+    nmaps = int.from_bytes(data[4:12], "little")
+    pos = 12
+    out: list[np.ndarray] = []
+    for high in range(nmaps):
+        vals, pos = _parse_portable_roaring32(data, pos)
+        out.append((high << 32) + vals)
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out)
+
+
+def _dv_positions(root: str, dv: dict[str, Any]) -> np.ndarray:
+    """Resolve a deletionVector descriptor to the sorted int64 row
+    indices it marks deleted. Driver-side and O(cardinality) — the same
+    contract every Delta reader has (DVs are bounded by design; a file
+    whose DV outgrows memory would have been rewritten by OPTIMIZE)."""
+    st = dv["storageType"]
+    size = int(dv["sizeInBytes"])
+    if st == "i":
+        data = _z85_decode(dv["pathOrInlineDv"])[:size]
+    elif st in ("u", "p"):
+        if st == "p":
+            dv_path = Path(dv["pathOrInlineDv"])
+        else:
+            enc = dv["pathOrInlineDv"]
+            prefix, tail = enc[:-20], enc[-20:]
+            u = uuid.UUID(bytes=_z85_decode(tail))
+            base = Path(root) / prefix if prefix else Path(root)
+            dv_path = base / f"deletion_vector_{u}.bin"
+        blob = dv_path.read_bytes()
+        if blob[0] != 1:
+            raise ValueError(f"unsupported DV file format version {blob[0]}")
+        off = int(dv["offset"])
+        stored = int.from_bytes(blob[off : off + 4], "big")
+        if stored != size:
+            raise ValueError(
+                f"DV size mismatch at {dv_path}:{off}: header {stored} != "
+                f"descriptor {size}"
+            )
+        data = blob[off + 4 : off + 4 + size]
+    else:
+        raise NotImplementedError(f"DV storageType {st!r} not supported")
+    positions = _parse_roaring_bitmap_array(data)
+    card = dv.get("cardinality")
+    if card is not None and len(positions) != int(card):
+        raise ValueError(
+            f"DV cardinality mismatch: bitmap has {len(positions)}, "
+            f"descriptor says {card}"
+        )
+    return positions
 
 
 def is_delta_table(path: str) -> bool:
@@ -92,9 +266,16 @@ class _State:
             raise NotImplementedError(
                 f"Delta reader features not supported: {sorted(unsupported)}"
             )
-        if any(a.get("deletionVector") for a in self.adds.values()):
+        # Column mapping predates reader features: a minReaderVersion=2
+        # table advertises it only via the table property, so checking
+        # readerFeatures alone would silently scan physical col-<uuid>
+        # parquet columns against logical names and return all NULLs.
+        mapping_mode = self.properties.get("delta.columnMapping.mode", "none")
+        if mapping_mode != "none":
             raise NotImplementedError(
-                "Delta deletion vectors not supported (rows would be wrong)"
+                f"Delta column mapping (mode={mapping_mode!r}) not supported "
+                "(physical parquet columns differ from the logical schema; "
+                "rows would be silently NULL)"
             )
 
 
@@ -118,6 +299,20 @@ def _replay_checkpoint(spark: SparkSession, root: str, version: int, state: _Sta
     if "add" in cols:
         for r in cp.filter(F.col("add.path").isNotNull()).select("add").collect():
             state.apply({"add": r["add"].asDict(recursive=True)})
+    if "sidecar" in cols:
+        # V2 checkpoints move most file actions into sidecar parquet
+        # files under _delta_log/_sidecars/, referenced by `sidecar`
+        # action rows in the top-level checkpoint. Folding only the
+        # top-level adds would yield a silently incomplete file set.
+        sidecar_paths = [
+            str(log / "_sidecars" / r["sidecar"]["path"])
+            for r in cp.filter(F.col("sidecar.path").isNotNull()).select("sidecar").collect()
+        ]
+        if sidecar_paths:
+            sc = spark.read.parquet(*sidecar_paths)
+            if "add" in sc.columns:
+                for r in sc.filter(F.col("add.path").isNotNull()).select("add").collect():
+                    state.apply({"add": r["add"].asDict(recursive=True)})
     # A checkpoint's `remove` rows are tombstones for VACUUM, not part
     # of the active set — files already absent from `add` stay absent.
 
@@ -196,7 +391,39 @@ class DeltaInteropTable:
         schema = StructType.fromJson(json.loads(state.schema_json))
         if not state.adds:
             return self.spark.createDataFrame([], schema)
-        paths = [str(Path(self.root) / a["path"]) for a in state.adds.values()]
+        plain = [a for a in state.adds.values() if not a.get("deletionVector")]
+        dvd = [a for a in state.adds.values() if a.get("deletionVector")]
+        parts = []
+        if plain:
+            parts.append(self._scan(state, schema, plain))
+        if dvd:
+            parts.append(self._scan_with_dv(state, schema, dvd))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _scan(
+        self,
+        state: _State,
+        schema: StructType,
+        adds: list[dict[str, Any]],
+        with_row_index: bool = False,
+    ) -> DataFrame:
+        extra = (
+            [
+                # normalize "file:/", "file://", "file:///" to a bare
+                # absolute path so the DV anti-join key matches the
+                # driver-side Path string
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            ]
+            if with_row_index
+            else []
+        )
+        paths = [str(Path(self.root) / a["path"]) for a in adds]
         if state.partition_columns:
             # Delta lays partitioned data out hive-style; basePath makes
             # one scan recover the partition columns for all files. If a
@@ -208,22 +435,54 @@ class DeltaInteropTable:
                     .parquet(*paths)
                 )
                 return df.select(
-                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+                    *extra,
                 )
             parts = []
-            for a in state.adds.values():
+            for a in adds:
                 pdf = self.spark.read.parquet(str(Path(self.root) / a["path"]))
                 for c in state.partition_columns:
                     field = schema[c]
                     pdf = pdf.withColumn(
                         c, F.lit(a["partitionValues"].get(c)).cast(field.dataType)
                     )
-                parts.append(pdf.select(*[f.name for f in schema.fields]))
+                parts.append(pdf.select(*[f.name for f in schema.fields], *extra))
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
             return out
-        return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        if extra:
+            df = df.select("*", *extra)
+        return df
+
+    def _scan_with_dv(
+        self, state: _State, schema: StructType, adds: list[dict[str, Any]]
+    ) -> DataFrame:
+        """Scan DV-marked files and drop their deleted row indices.
+
+        The deleted set is (file, row_index) pairs materialized from the
+        roaring bitmaps — O(sum of DV cardinalities), which the protocol
+        keeps small by design — broadcast into a map-side anti-join, so
+        the data files themselves stream through with no shuffle."""
+        frames = []
+        for a in adds:
+            positions = _dv_positions(self.root, a["deletionVector"])
+            fpath = str((Path(self.root) / a["path"]).resolve())
+            frames.append(
+                pd.DataFrame(
+                    {"__dv_file": [fpath] * len(positions), "__dv_pos": positions}
+                )
+            )
+        deleted = pd.concat(frames, ignore_index=True)
+        scan = self._scan(state, schema, adds, with_row_index=True)
+        if deleted.empty:
+            return scan.drop("__dv_file", "__dv_pos")
+        deleted_df = self.spark.createDataFrame(deleted)
+        alive = scan.join(
+            F.broadcast(deleted_df), ["__dv_file", "__dv_pos"], "left_anti"
+        )
+        return alive.drop("__dv_file", "__dv_pos")
 
     def history(self) -> DataFrame:
         rows = []

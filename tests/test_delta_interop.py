@@ -188,8 +188,141 @@ def test_checkpoint_replay(spark, delta_table):
 
 
 def test_unsupported_reader_features_refused(spark, tmp_path):
-    root = tmp_path / "ext_delta_dv"
+    root = tmp_path / "ext_delta_unsup"
     _write_data(spark, root, "f0.parquet", [(1, "a", 0)])
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["typeWidening"]}},
+            _meta(),
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+        ],
+    )
+    t = DeltaInteropTable(spark, str(root))
+    with pytest.raises(NotImplementedError, match="typeWidening"):
+        t.to_df()
+
+
+def test_column_mapping_refused_even_on_legacy_protocol(spark, tmp_path):
+    """A minReaderVersion=2 table advertises column mapping only via the
+    table property (no readerFeatures array exists below v3) — it must
+    still be refused, not scanned into all-NULL columns."""
+    root = tmp_path / "ext_delta_cm"
+    _write_data(spark, root, "f0.parquet", [(1, "a", 0)])
+    meta = _meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "name"
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta,
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+        ],
+    )
+    t = DeltaInteropTable(spark, str(root))
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        t.to_df()
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: an INDEPENDENT serializer (not the library parser
+# run backwards) builds protocol-conformant roaring bitmaps and DV
+# files, then the interop scan must drop exactly the marked row indices.
+# ---------------------------------------------------------------------------
+
+def _ser_roaring32(values) -> bytes:
+    """Portable-format 32-bit roaring bitmap (RoaringFormatSpec),
+    array/bitmap containers, no-run cookie."""
+    import struct
+
+    by_key: dict[int, list[int]] = {}
+    for v in sorted(values):
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    out = struct.pack("<II", 12346, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    # offset header: container start offsets from the bitmap start
+    containers = []
+    for k in keys:
+        vals = by_key[k]
+        if len(vals) <= 4096:
+            containers.append(struct.pack(f"<{len(vals)}H", *vals))
+        else:
+            words = [0] * 1024
+            for v in vals:
+                words[v >> 6] |= 1 << (v & 63)
+            containers.append(struct.pack("<1024Q", *words))
+    pos = len(out) + 4 * len(keys)
+    for c in containers:
+        out += struct.pack("<I", pos)
+        pos += len(c)
+    return out + b"".join(containers)
+
+
+def _ser_dv_data(positions) -> bytes:
+    """Delta RoaringBitmapArray: magic, 64-bit bitmap count, then one
+    portable 32-bit bitmap per high word."""
+    import struct
+
+    by_high: dict[int, list[int]] = {}
+    for p in positions:
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    nmaps = (max(by_high) + 1) if by_high else 0
+    out = struct.pack("<iq", 1681511377, nmaps)
+    for h in range(nmaps):
+        out += _ser_roaring32(by_high.get(h, []))
+    return out
+
+
+def _z85e(b: bytes) -> str:
+    alphabet = (
+        "0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+    )
+    out = []
+    for i in range(0, len(b), 4):
+        v = int.from_bytes(b[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(alphabet[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def _write_dv_file(root: Path, positions) -> dict:
+    """Write a deletion_vector_<uuid>.bin (version byte, BE size-framed
+    bitmap + CRC32) and return its add-action descriptor."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    data = _ser_dv_data(positions)
+    u = _uuid.uuid4()
+    blob = b"\x01" + struct.pack(">I", len(data)) + data + struct.pack(
+        ">I", zlib.crc32(data)
+    )
+    (root / f"deletion_vector_{u}.bin").write_bytes(blob)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": _z85e(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": len(positions),
+    }
+
+
+def test_deletion_vector_file_scan(spark, tmp_path):
+    """f0 keeps rows, f1 has a DV marking row indices 0 and 2 deleted:
+    the scan returns f1's row 1 only, plus f0 untouched."""
+    root = tmp_path / "ext_delta_dvf"
+    _write_data(spark, root, "f0.parquet", [(1, "a", 0), (2, "b", 0)])
+    _write_data(spark, root, "f1.parquet", [(10, "x", 1), (11, "y", 1), (12, "z", 1)])
+    root.mkdir(parents=True, exist_ok=True)
+    dv = _write_dv_file(root, [0, 2])
     _commit(
         root,
         0,
@@ -197,11 +330,111 @@ def test_unsupported_reader_features_refused(spark, tmp_path):
             {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"]}},
             _meta(),
             {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+            {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True, "deletionVector": dv}},
+            {"commitInfo": {"operation": "DELETE", "timestamp": 1}},
         ],
     )
     t = DeltaInteropTable(spark, str(root))
-    with pytest.raises(NotImplementedError, match="deletionVectors"):
-        t.to_df()
+    got = {(r["id"], r["name"]) for r in t.to_df().collect()}
+    assert got == {(1, "a"), (2, "b"), (11, "y")}
+
+
+def test_deletion_vector_inline(spark, tmp_path):
+    root = tmp_path / "ext_delta_dvi"
+    _write_data(spark, root, "f0.parquet", [(1, "a", 0), (2, "b", 0), (3, "c", 0)])
+    data = _ser_dv_data([1])
+    padded = data + b"\x00" * (-len(data) % 4)
+    dv = {
+        "storageType": "i",
+        "pathOrInlineDv": _z85e(padded),
+        "sizeInBytes": len(data),
+        "cardinality": 1,
+    }
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["deletionVectors"]}},
+            _meta(),
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True, "deletionVector": dv}},
+        ],
+    )
+    t = DeltaInteropTable(spark, str(root))
+    got = {r["id"] for r in t.to_df().collect()}
+    assert got == {1, 3}
+
+
+def test_roaring_parser_container_shapes():
+    """Bitmap containers (>4096 values), multi-key arrays, and >2^32
+    row indices all round-trip through the independent serializer."""
+    from databricks_delta_lake_project_spark.tables.delta_interop import (
+        _parse_roaring_bitmap_array,
+    )
+
+    positions = sorted(
+        set(range(0, 10000))  # bitmap container in key 0
+        | {70000, 70001}  # second 16-bit key -> array container
+        | {(1 << 32) + 5, (1 << 32) + 99}  # second 32-bit bitmap
+    )
+    got = _parse_roaring_bitmap_array(_ser_dv_data(positions))
+    assert sorted(got.tolist()) == positions
+
+
+def test_v2_checkpoint_sidecar_replay(spark, tmp_path):
+    """A V2 checkpoint keeps file actions in sidecar parquet files; the
+    replay must fold the sidecar adds or the table silently loses files."""
+    root = tmp_path / "ext_delta_v2cp"
+    log = root / "_delta_log"
+    _write_data(spark, root, "f0.parquet", [(1, "a", 0)])
+    _write_data(spark, root, "f1.parquet", [(2, "b", 0)])
+    _write_data(spark, root, "f2.parquet", [(3, "c", 0)])
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["v2Checkpoint"]}},
+            _meta(),
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+            {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+        ],
+    )
+
+    def _one_parquet(rows, target: Path):
+        df = spark.read.json(spark.sparkContext.parallelize([json.dumps(r) for r in rows]))
+        tmp = root / "_cp_build"
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(tmp.glob("part-*.parquet"))
+        target.parent.mkdir(parents=True, exist_ok=True)
+        part.rename(target)
+
+    # sidecar holds the adds; top-level checkpoint holds everything else
+    _one_parquet(
+        [
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+            {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+        ],
+        log / "_sidecars" / "sc-0001.parquet",
+    )
+    _one_parquet(
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7, "readerFeatures": ["v2Checkpoint"]}},
+            json.loads(json.dumps(_meta())),
+            {"sidecar": {"path": "sc-0001.parquet", "sizeInBytes": 1, "modificationTime": 1}},
+        ],
+        log / f"{0:020d}.checkpoint.parquet",
+    )
+    (log / "_last_checkpoint").write_text(json.dumps({"version": 0, "size": 3}))
+    _commit(
+        root,
+        1,
+        [
+            {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 1, "modificationTime": 2, "dataChange": True}},
+            {"commitInfo": {"operation": "WRITE", "timestamp": 2}},
+        ],
+    )
+    t = DeltaInteropTable(spark, str(root))
+    got = {r["id"] for r in t.to_df().collect()}
+    assert got == {1, 2, 3}
 
 
 def test_native_table_still_wins(spark, tmp_path):

@@ -77,3 +77,21 @@ def test_star_converges_logarithmically_on_long_chain(spark):
     rows = comp.collect()
     assert len(rows) == n
     assert all(r["component"] == 0 for r in rows)
+
+
+def test_convergence_surfaced_in_stats(spark):
+    """Both variants report convergence; max_iter exhaustion is visible
+    as converged=False instead of silently returning partial labels."""
+    from databricks_delta_lake_project_spark.operators.graph import (
+        connected_components,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "src long, dst long"
+    )
+    ok: dict = {}
+    connected_components(e, algorithm="star", max_iter=40, stats=ok).collect()
+    assert ok["converged"] is True
+    short: dict = {}
+    connected_components(e, max_iter=2, stats=short).collect()
+    assert short["converged"] is False
