@@ -209,8 +209,12 @@ class SharingClient:
     def load_cdf(
         self, spark: SparkSession, url: str, starting_version: int = 0
     ) -> DataFrame:
-        """Change-data-feed read of a shared native table
-        (``delta_sharing_recipient.py:180-205``)."""
+        """Change-data-feed read of a shared table
+        (``delta_sharing_recipient.py:180-205``). Native tables read
+        their materialized change files; external Delta tables
+        synthesize insert rows from the ``_delta_log`` replay while
+        append-only (see ``LakeTable.read_changes``) — only a foreign
+        rewrite commit (row-level deltas unrecoverable) is refused."""
         ref = url.split("#", 1)[-1]
         share, _, alias = ref.partition(".")
         shares = self._authorized_shares()

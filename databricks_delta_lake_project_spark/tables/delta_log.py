@@ -1,0 +1,462 @@
+"""Write-back log backend for the open Delta Lake table format.
+
+``log.py`` is the engine's own parquet+JSON commit log; this module is
+a drop-in replacement (same duck-typed function surface ``LakeTable``
+consumes) that persists every commit as a real ``_delta_log`` entry
+following the public Delta protocol:
+
+* one ``{version:020d}.json`` per commit holding newline-delimited
+  ``commitInfo`` / ``protocol`` / ``metaData`` / ``txn`` / ``add`` /
+  ``remove`` actions;
+* per-file stats carried in the add action's ``stats`` JSON string
+  (``numRecords`` / ``minValues`` / ``maxValues`` / ``nullCount``) so
+  other Delta readers get data skipping, and translated back into the
+  engine's footer-stats shape on read;
+* a classic parquet checkpoint + ``_last_checkpoint`` every
+  ``CHECKPOINT_INTERVAL`` commits (written with pyarrow using the
+  protocol's map-typed ``partitionValues``/``configuration`` fields);
+* the same put-if-absent optimistic concurrency (``open(path, "x")``)
+  Delta itself relies on for object-store commits.
+
+The reference stack keeps every Silver/Gold table in Delta format and
+MERGEs into them in place (``/root/reference/src/silver/
+transform_customers.py:166-204``, ``config/pipeline_config.py:32-60``),
+so a migrating user's tables stay readable by their existing Delta
+tooling while this engine appends/MERGEs/deletes through its own
+DataFrame machinery.
+
+Snapshot state (active files, schema, properties) is resolved through
+``delta_interop._replay`` — the independent read path — so every write
+is round-tripped through the public protocol, never through private
+state. Write-back is limited to unpartitioned, column-mapping-free
+tables without live deletion vectors; ``check_writable`` refuses the
+rest loudly and ``LakeTable.for_path`` falls back to the read-only
+interop handle for them.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from . import delta_interop as di
+
+DATA_DIR = "data"
+CHANGES_DIR = "_changes"
+LOG_DIR = di.DELTA_LOG_DIR
+
+CHECKPOINT_INTERVAL = 10
+
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _stats_to_delta(entry: dict[str, Any]) -> str:
+    """Engine add-entry stats -> Delta per-file stats JSON string."""
+    mins, maxs, nulls = {}, {}, {}
+    for col, st in (entry.get("stats") or {}).items():
+        if st.get("min") is not None:
+            mins[col] = st["min"]
+        if st.get("max") is not None:
+            maxs[col] = st["max"]
+        nulls[col] = st.get("nulls", 0)
+    return json.dumps(
+        {
+            "numRecords": entry.get("rows", 0),
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def _stats_from_delta(add: dict[str, Any]) -> dict[str, Any]:
+    """Delta add action -> engine entry (path/rows/bytes/stats)."""
+    rows = 0
+    cols: dict[str, dict[str, Any]] = {}
+    raw = add.get("stats")
+    if raw:
+        try:
+            parsed = json.loads(raw) if isinstance(raw, str) else raw
+            rows = parsed.get("numRecords", 0) or 0
+            mins = parsed.get("minValues") or {}
+            maxs = parsed.get("maxValues") or {}
+            nulls = parsed.get("nullCount") or {}
+            for col in set(mins) | set(maxs) | set(nulls):
+                cols[col] = {
+                    "min": mins.get(col),
+                    "max": maxs.get(col),
+                    "nulls": nulls.get(col, 0),
+                }
+        except (ValueError, AttributeError):
+            pass  # unparseable stats: keep the file, no pruning
+    return {
+        "path": add["path"],
+        "rows": rows,
+        "bytes": add.get("size", 0),
+        "stats": cols,
+    }
+
+
+class DeltaLogBackend:
+    """Duck-typed twin of the ``log`` module writing ``_delta_log``."""
+
+    DATA_DIR = DATA_DIR
+    CHANGES_DIR = CHANGES_DIR
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    # -- layout / discovery ------------------------------------------------
+
+    def ensure_layout(self, root: str) -> None:
+        (Path(root) / LOG_DIR).mkdir(parents=True, exist_ok=True)
+        (Path(root) / DATA_DIR).mkdir(parents=True, exist_ok=True)
+        (Path(root) / CHANGES_DIR).mkdir(parents=True, exist_ok=True)
+
+    def data_dir(self, root: str) -> Path:
+        return Path(root) / DATA_DIR
+
+    def list_versions(self, root: str) -> list[int]:
+        return di._commit_versions(root)
+
+    def latest_version(self, root: str) -> int | None:
+        versions = self.list_versions(root)
+        return versions[-1] if versions else None
+
+    # -- snapshot state (via the independent replay path) ------------------
+
+    def _state(self, root: str, version: int | None = None) -> di._State:
+        return di._replay(self.spark, root, version)
+
+    def check_writable(self, root: str) -> None:
+        """Refuse write-back where copy-on-write rewrites could lose
+        information the engine's writer does not model."""
+        state = self._state(root)
+        if state.partition_columns:
+            raise NotImplementedError(
+                "Delta write-back into partitioned tables not supported "
+                f"(partitionColumns={state.partition_columns})"
+            )
+        if any(a.get("deletionVector") for a in state.adds.values()):
+            raise NotImplementedError(
+                "Delta write-back over live deletion vectors not supported"
+            )
+
+    def active_files(
+        self, root: str, up_to: int | None = None
+    ) -> list[dict[str, Any]]:
+        state = self._state(root, up_to)
+        return [_stats_from_delta(a) for a in state.adds.values()]
+
+    def schema_at(self, root: str, version: int | None = None) -> str:
+        state = self._state(root, version)
+        if state.schema_json is None:
+            raise ValueError(f"no metaData action in {root}")
+        return state.schema_json
+
+    def table_properties(self, root: str) -> dict[str, Any]:
+        return self._state(root).properties
+
+    def referenced_files_all_versions(self, root: str) -> set[str]:
+        refs: set[str] = set()
+        log = Path(root) / LOG_DIR
+        for v in self.list_versions(root):
+            with open(log / f"{v:020d}.json") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    if a.get("add"):
+                        refs.add(a["add"]["path"])
+        return refs
+
+    # -- commit log in engine shape ---------------------------------------
+
+    def read_commit(self, root: str, version: int) -> dict[str, Any]:
+        """One Delta JSON commit translated to the engine commit shape
+        (history / txn tracking / time travel consume this)."""
+        out: dict[str, Any] = {
+            "version": version,
+            "timestamp_ms": None,
+            "operation": None,
+            "operationParameters": {},
+            "operationMetrics": {},
+            "add": [],
+            "remove": [],
+            "schema": None,
+            "properties": {},
+        }
+        with open(Path(root) / LOG_DIR / f"{version:020d}.json") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if a.get("commitInfo"):
+                    ci = a["commitInfo"]
+                    out["operation"] = ci.get("operation")
+                    out["timestamp_ms"] = ci.get("timestamp")
+                    out["operationParameters"] = ci.get(
+                        "operationParameters", {}
+                    )
+                    out["operationMetrics"] = ci.get("operationMetrics", {})
+                elif a.get("add"):
+                    out["add"].append(_stats_from_delta(a["add"]))
+                elif a.get("remove"):
+                    out["remove"].append(a["remove"]["path"])
+                elif a.get("metaData"):
+                    out["schema"] = a["metaData"].get("schemaString")
+                    out["properties"] = dict(
+                        a["metaData"].get("configuration") or {}
+                    )
+                elif a.get("txn"):
+                    out["operationParameters"] = dict(
+                        out["operationParameters"]
+                    )
+                    out["operationParameters"]["txn"] = {
+                        "appId": a["txn"]["appId"],
+                        "version": a["txn"]["version"],
+                    }
+        return out
+
+    def read_log(
+        self, root: str, up_to: int | None = None, use_checkpoint: bool = False
+    ) -> list[dict[str, Any]]:
+        # JSON commits are never deleted, so the full translated log is
+        # always reconstructible; `use_checkpoint` (an engine-side
+        # replay optimization) is accepted and ignored.
+        return [
+            self.read_commit(root, v)
+            for v in self.list_versions(root)
+            if up_to is None or v <= up_to
+        ]
+
+    def latest_checkpoint(
+        self, root: str, up_to: int | None = None
+    ) -> dict[str, Any] | None:
+        # Engine-format checkpoint seeding (txn fold) is not offered;
+        # callers fall back to the translated log scan.
+        return None
+
+    def version_at_timestamp(self, root: str, ts_ms: int) -> int:
+        best = None
+        for c in self.read_log(root):
+            if c["timestamp_ms"] is not None and c["timestamp_ms"] <= ts_ms:
+                best = c["version"]
+        if best is None:
+            raise ValueError(
+                f"no commit at or before timestamp {ts_ms} in {root}"
+            )
+        return best
+
+    # -- writes ------------------------------------------------------------
+
+    def commit(
+        self,
+        root: str,
+        operation: str,
+        add: list[dict[str, Any]],
+        remove: list[str],
+        schema_json: str,
+        parameters: dict[str, Any] | None = None,
+        metrics: dict[str, Any] | None = None,
+        properties: dict[str, Any] | None = None,
+        max_retries: int = 20,
+    ) -> int:
+        parameters = parameters or {}
+        now = int(time.time() * 1000)
+        data_change = operation not in ("OPTIMIZE",)
+        for _ in range(max_retries):
+            prev = self.latest_version(root)
+            version = 0 if prev is None else prev + 1
+            lines: list[dict[str, Any]] = []
+            ci_params = {
+                k: v for k, v in parameters.items() if k != "txn"
+            }
+            lines.append(
+                {
+                    "commitInfo": {
+                        "timestamp": now,
+                        "operation": operation,
+                        "operationParameters": ci_params,
+                        "operationMetrics": metrics or {},
+                        "engineInfo": "databricks_delta_lake_project_spark",
+                    }
+                }
+            )
+            if version == 0:
+                lines.append({"protocol": dict(_PROTOCOL)})
+            txn = parameters.get("txn")
+            if txn:
+                lines.append(
+                    {
+                        "txn": {
+                            "appId": txn["appId"],
+                            "version": int(txn["version"]),
+                            "lastUpdated": now,
+                        }
+                    }
+                )
+            if version == 0 or properties or self._schema_changed(
+                root, version, schema_json
+            ):
+                config = {
+                    k: str(v) for k, v in (properties or {}).items()
+                }
+                if version > 0 and not properties:
+                    config = {
+                        k: str(v)
+                        for k, v in self.table_properties(root).items()
+                    }
+                lines.append(
+                    {
+                        "metaData": {
+                            "id": self._table_id(root, version),
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": schema_json,
+                            "partitionColumns": [],
+                            "configuration": config,
+                            "createdTime": now,
+                        }
+                    }
+                )
+            for p in remove:
+                lines.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now,
+                            "dataChange": data_change,
+                        }
+                    }
+                )
+            for e in add:
+                lines.append(
+                    {
+                        "add": {
+                            "path": e["path"],
+                            "partitionValues": {},
+                            "size": e.get("bytes", 0),
+                            "modificationTime": now,
+                            "dataChange": data_change,
+                            "stats": _stats_to_delta(e),
+                        }
+                    }
+                )
+            path = Path(root) / LOG_DIR / f"{version:020d}.json"
+            path.parent.mkdir(parents=True, exist_ok=True)
+            body = "\n".join(json.dumps(l) for l in lines) + "\n"
+            try:
+                with open(path, "x") as fh:
+                    fh.write(body)
+            except FileExistsError:
+                continue  # lost the race: recompute version and retry
+            if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+                self._write_checkpoint(root, version)
+            return version
+        raise RuntimeError(
+            f"commit conflict: lost {max_retries} races on {root}"
+        )
+
+    def _schema_changed(
+        self, root: str, version: int, schema_json: str
+    ) -> bool:
+        if version == 0:
+            return True
+        try:
+            current = self.schema_at(root)
+        except ValueError:
+            return True
+        return json.loads(current) != json.loads(schema_json)
+
+    def _table_id(self, root: str, version: int) -> str:
+        if version == 0:
+            return str(uuid.uuid4())
+        state = self._state(root)
+        # preserve the table id across metaData rewrites
+        for v in reversed(self.list_versions(root)):
+            c = Path(root) / LOG_DIR / f"{v:020d}.json"
+            with open(c) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        a = json.loads(line)
+                        if a.get("metaData"):
+                            return a["metaData"]["id"]
+        return str(uuid.uuid4())
+
+    def _write_checkpoint(self, root: str, version: int) -> None:
+        """Classic parquet checkpoint (one action per row) +
+        ``_last_checkpoint``, written driver-side with pyarrow so the
+        protocol's map-typed fields are genuine parquet maps."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        state = self._state(root, version)
+        n = len(state.adds)
+        meta_struct = pa.struct(
+            [
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pa.map_(pa.string(), pa.string())),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        add_struct = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+            ]
+        )
+        proto_struct = pa.struct(
+            [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        )
+        rows_protocol: list[Any] = [state.protocol or dict(_PROTOCOL)] + [
+            None
+        ] * (1 + n)
+        meta_row = {
+            "id": "unknown",
+            "format": {"provider": "parquet"},
+            "schemaString": state.schema_json,
+            "partitionColumns": [],
+            "configuration": list(state.properties.items()),
+            "createdTime": None,
+        }
+        rows_meta: list[Any] = [None, meta_row] + [None] * n
+        rows_add: list[Any] = [None, None] + [
+            {
+                "path": a["path"],
+                "partitionValues": list(
+                    (a.get("partitionValues") or {}).items()
+                ),
+                "size": a.get("size", 0),
+                "modificationTime": a.get("modificationTime", 0),
+                "dataChange": False,
+                "stats": a.get("stats"),
+            }
+            for a in state.adds.values()
+        ]
+        table = pa.table(
+            {
+                "protocol": pa.array(rows_protocol, type=proto_struct),
+                "metaData": pa.array(rows_meta, type=meta_struct),
+                "add": pa.array(rows_add, type=add_struct),
+            }
+        )
+        log = Path(root) / LOG_DIR
+        pq.write_table(table, log / f"{version:020d}.checkpoint.parquet")
+        (log / "_last_checkpoint").write_text(
+            json.dumps({"version": version, "size": n + 2})
+        )

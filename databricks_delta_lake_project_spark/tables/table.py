@@ -94,12 +94,30 @@ def _file_stats(path: Path) -> dict[str, Any]:
 
 
 class LakeTable:
-    """Handle on an ACID parquet table rooted at ``path``."""
+    """Handle on an ACID parquet table rooted at ``path``.
 
-    def __init__(self, spark: SparkSession, path: str):
+    The commit log speaks one of two formats behind the same duck-typed
+    backend surface: the engine's own parquet+JSON log (``log.py``) or
+    the open Delta Lake ``_delta_log`` protocol
+    (``delta_log.DeltaLogBackend``) — every write operation (append,
+    MERGE, DELETE, UPDATE, OPTIMIZE, RESTORE, ...) is format-agnostic
+    copy-on-write over whichever log owns the table."""
+
+    def __init__(self, spark: SparkSession, path: str, log_backend=None):
         self.spark = spark
         self.root = str(Path(path))
-        if tlog.latest_version(self.root) is None:
+        if log_backend is not None:
+            self._log = log_backend
+        elif tlog.latest_version(self.root) is not None:
+            self._log = tlog
+        else:
+            from .delta_interop import is_delta_table
+            from .delta_log import DeltaLogBackend
+
+            if not is_delta_table(self.root):
+                raise ValueError(f"not a LakeTable (no commits): {path}")
+            self._log = DeltaLogBackend(spark)
+        if self._log.latest_version(self.root) is None:
             raise ValueError(f"not a LakeTable (no commits): {path}")
 
     # -- creation ----------------------------------------------------------
@@ -112,29 +130,42 @@ class LakeTable:
         df: DataFrame | None = None,
         schema: StructType | None = None,
         properties: dict[str, Any] | None = None,
+        format: str = "engine",
     ) -> "LakeTable":
+        """Create a table. ``format="engine"`` uses the engine's own
+        parquet+JSON log; ``format="delta"`` persists the commit log as
+        a real Delta Lake ``_delta_log`` so external Delta tooling can
+        read (and keep writing) the table."""
         root = str(Path(path))
-        tlog.ensure_layout(root)
-        if tlog.latest_version(root) is not None:
+        if format == "delta":
+            from .delta_log import DeltaLogBackend
+
+            log = DeltaLogBackend(spark)
+        elif format == "engine":
+            log = tlog
+        else:
+            raise ValueError(f"unknown table format: {format!r}")
+        log.ensure_layout(root)
+        if log.latest_version(root) is not None:
             raise ValueError(f"table already exists: {path}")
         if df is None:
             if schema is None:
                 raise ValueError("need df or schema")
-            tlog.commit(
+            log.commit(
                 root, "CREATE TABLE", [], [], schema.json(),
                 properties=properties or {},
             )
         else:
             adds, n = _write_files(df, root)
-            tlog.commit(
+            log.commit(
                 root, "CREATE TABLE AS SELECT", adds, [], df.schema.json(),
                 metrics={"numOutputRows": n, "numFiles": len(adds)},
                 properties=properties or {},
             )
-            t = cls(spark, root)
-            t._write_cdf(df, "insert", tlog.latest_version(root))
+            t = cls(spark, root, log_backend=log)
+            t._write_cdf(df, "insert", log.latest_version(root))
             return t
-        return cls(spark, root)
+        return cls(spark, root, log_backend=log)
 
     @classmethod
     def is_table(cls, path: str) -> bool:
@@ -143,40 +174,54 @@ class LakeTable:
     @classmethod
     def for_path(cls, spark: SparkSession, path: str):
         """Open a table at ``path``. A native LakeTable opens
-        read-write; a directory carrying a real Delta Lake
-        ``_delta_log`` opens read-only through the interop reader
+        read-write. A directory carrying a real Delta Lake
+        ``_delta_log`` opens READ-WRITE through the Delta log backend
+        when the table's shape supports the engine's copy-on-write
+        writer (unpartitioned, no column mapping, no live deletion
+        vectors) — appends and MERGEs then land as real ``_delta_log``
+        commits. Anything else (partitioned external tables,
+        DV-carrying tables) falls back to the read-only interop handle
         (``delta_interop.DeltaInteropTable`` — same ``to_df``/
         ``schema``/``version``/``history`` read surface), so existing
         Delta tables from the reference stack remain queryable."""
         root = str(Path(path))
         if tlog.latest_version(root) is None:
             from .delta_interop import DeltaInteropTable, is_delta_table
+            from .delta_log import DeltaLogBackend
 
             if is_delta_table(root):
-                return DeltaInteropTable(spark, root)
+                backend = DeltaLogBackend(spark)
+                try:
+                    backend.check_writable(root)
+                except NotImplementedError:
+                    # not writable by this engine — keep it queryable
+                    # (readable cases) or failing loudly (unreadable
+                    # feature refusals surface again on to_df)
+                    return DeltaInteropTable(spark, root)
+                return cls(spark, root, log_backend=backend)
         return cls(spark, path)
 
     # -- reads -------------------------------------------------------------
 
     @property
     def schema(self) -> StructType:
-        return StructType.fromJson(json.loads(tlog.schema_at(self.root)))
+        return StructType.fromJson(json.loads(self._log.schema_at(self.root)))
 
     def version(self) -> int:
-        v = tlog.latest_version(self.root)
+        v = self._log.latest_version(self.root)
         assert v is not None
         return v
 
     def properties(self) -> dict[str, Any]:
-        return tlog.table_properties(self.root)
+        return self._log.table_properties(self.root)
 
     def _files(self, version: int | None = None) -> list[dict[str, Any]]:
-        return tlog.active_files(self.root, version)
+        return self._log.active_files(self.root, version)
 
     def _read_files(
         self, entries: list[dict[str, Any]], version: int | None = None
     ) -> DataFrame:
-        schema_json = tlog.schema_at(self.root, version)
+        schema_json = self._log.schema_at(self.root, version)
         schema = StructType.fromJson(json.loads(schema_json))
         if not entries:
             return self.spark.createDataFrame([], schema)
@@ -191,7 +236,7 @@ class LakeTable:
         if timestamp_ms is not None:
             if version is not None:
                 raise ValueError("version and timestamp are exclusive")
-            version = tlog.version_at_timestamp(self.root, timestamp_ms)
+            version = self._log.version_at_timestamp(self.root, timestamp_ms)
         return self._read_files(self._files(version), version)
 
     def read_where(self, condition: str) -> DataFrame:
@@ -256,7 +301,7 @@ class LakeTable:
                 json.dumps(c.get("operationParameters", {})),
                 json.dumps(c.get("operationMetrics", {})),
             )
-            for c in tlog.read_log(self.root)
+            for c in self._log.read_log(self.root)
         ]
         return self.spark.createDataFrame(
             rows,
@@ -275,7 +320,7 @@ class LakeTable:
         the new columns, exactly like Delta."""
         df = self._conform(df, merge_schema)
         adds, n = _write_files(df, self.root)
-        v = tlog.commit(
+        v = self._log.commit(
             self.root, "WRITE", adds, [], df.schema.json(),
             parameters={"mode": "Append", "mergeSchema": merge_schema},
             metrics={"numOutputRows": n, "numFiles": len(adds)},
@@ -288,9 +333,9 @@ class LakeTable:
         Mirrors Delta's idempotent-writer tracking (txnAppId/txnVersion).
         Seeds from the newest checkpoint so replay detection is
         O(checkpoint interval), not O(table history)."""
-        ckpt = tlog.latest_checkpoint(self.root)
+        ckpt = self._log.latest_checkpoint(self.root)
         latest = int(ckpt.get("txns", {}).get(app_id, -1)) if ckpt else -1
-        for c in tlog.read_log(self.root, use_checkpoint=True):
+        for c in self._log.read_log(self.root, use_checkpoint=True):
             txn = c.get("operationParameters", {}).get("txn")
             if txn and txn.get("appId") == app_id:
                 latest = max(latest, int(txn["version"]))
@@ -312,7 +357,7 @@ class LakeTable:
             return -1
         out = self._conform(df, merge_schema=False)
         adds, n = _write_files(out, self.root)
-        v = tlog.commit(
+        v = self._log.commit(
             self.root, "WRITE", adds, [], out.schema.json(),
             parameters={
                 "mode": "Append",
@@ -349,7 +394,7 @@ class LakeTable:
     def overwrite(self, df: DataFrame) -> int:
         old = [e["path"] for e in self._files()]
         adds, n = _write_files(df, self.root)
-        return tlog.commit(
+        return self._log.commit(
             self.root, "WRITE", adds, old, df.schema.json(),
             parameters={"mode": "Overwrite"},
             metrics={"numOutputRows": n, "numFiles": len(adds)},
@@ -372,9 +417,9 @@ class LakeTable:
             "numAddedFiles": len(adds),
             "numDeletedRows": n_deleted,
         }
-        v = tlog.commit(
+        v = self._log.commit(
             self.root, "DELETE", adds, [e["path"] for e in touched],
-            tlog.schema_at(self.root), metrics=metrics,
+            self._log.schema_at(self.root), metrics=metrics,
         )
         self._write_cdf(deleted, "delete", v)
         tdf.unpersist()
@@ -409,9 +454,9 @@ class LakeTable:
             "numAddedFiles": len(adds),
             "numUpdatedRows": n_updated,
         }
-        v = tlog.commit(
+        v = self._log.commit(
             self.root, "UPDATE", adds, [e["path"] for e in touched],
-            tlog.schema_at(self.root), metrics=metrics,
+            self._log.schema_at(self.root), metrics=metrics,
         )
         if self._cdf_enabled():
             post = pre.select(
@@ -484,9 +529,9 @@ class LakeTable:
             "numFilesAdded": len(adds),
             "numOutputRows": n,
         }
-        tlog.commit(
+        self._log.commit(
             self.root, "OPTIMIZE", adds, [e["path"] for e in files],
-            tlog.schema_at(self.root),
+            self._log.schema_at(self.root),
             parameters={"zOrderBy": zorder_by or [], "predicate": where or ""},
             metrics=metrics,
         )
@@ -494,14 +539,14 @@ class LakeTable:
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION AS OF (``delta_lake_features.py:157-176``)."""
-        target = tlog.active_files(self.root, version)
+        target = self._log.active_files(self.root, version)
         current = {e["path"] for e in self._files()}
         target_paths = {e["path"] for e in target}
         adds = [e for e in target if e["path"] not in current]
         removes = [p for p in current if p not in target_paths]
-        return tlog.commit(
+        return self._log.commit(
             self.root, "RESTORE", adds, removes,
-            tlog.schema_at(self.root, version),
+            self._log.schema_at(self.root, version),
             parameters={"version": version},
         )
 
@@ -510,7 +555,7 @@ class LakeTable:
         (``delta_lake_features.py:385-393``)."""
         active = {e["path"] for e in self._files()}
         cutoff = time.time() - retain_hours * 3600
-        ddir = tlog.data_dir(self.root)
+        ddir = self._log.data_dir(self.root)
         victims = []
         for p in ddir.iterdir():
             rel = f"{tlog.DATA_DIR}/{p.name}"
@@ -519,8 +564,8 @@ class LakeTable:
         if not dry_run:
             for rel in victims:
                 (Path(self.root) / rel).unlink()
-            tlog.commit(
-                self.root, "VACUUM", [], [], tlog.schema_at(self.root),
+            self._log.commit(
+                self.root, "VACUUM", [], [], self._log.schema_at(self.root),
                 metrics={"numDeletedFiles": len(victims)},
             )
         return victims
@@ -553,26 +598,65 @@ class LakeTable:
         self, starting_version: int = 0, ending_version: int | None = None
     ) -> DataFrame:
         """Batch CDF scan (``delta_lake_features.py:357-368``). Columns:
-        table schema + _change_type + _commit_version."""
+        table schema + _change_type + _commit_version.
+
+        Engine-written commits read their materialized change files
+        (``_changes/``). On a DELTA-backed table, versions with no
+        change files — commits landed by OTHER Delta writers — are
+        synthesized from the ``_delta_log`` replay when they are
+        append-only (the add files ARE the inserted rows); a foreign
+        commit that removed files (UPDATE/DELETE/MERGE rewrite) has no
+        reconstructible row-level delta, so it is refused loudly
+        instead of returning wrong changes (reference surface:
+        ``delta_sharing_recipient.py:180-205``)."""
         base = Path(self.root) / tlog.CHANGES_DIR
-        dirs = sorted(
-            d
-            for d in base.iterdir()
-            if d.name.startswith(f"{CDF_VERSION_COL}=")
-        )
-        picked = []
-        for d in dirs:
-            v = int(d.name.split("=")[1])
-            if v >= starting_version and (
+        have: dict[int, str] = {}
+        if base.is_dir():
+            for d in base.iterdir():
+                if d.name.startswith(f"{CDF_VERSION_COL}="):
+                    have[int(d.name.split("=")[1])] = str(d)
+
+        def _in_range(v: int) -> bool:
+            return v >= starting_version and (
                 ending_version is None or v <= ending_version
-            ):
-                picked.append(str(d))
-        if not picked:
+            )
+
+        frames = []
+        picked = [p for v, p in sorted(have.items()) if _in_range(v)]
+        if picked:
+            frames.append(
+                self.spark.read.option("basePath", str(base)).parquet(*picked)
+            )
+        if self._log is not tlog:
+            for v in self._log.list_versions(self.root):
+                if not _in_range(v) or v in have:
+                    continue
+                c = self._log.read_commit(self.root, v)
+                if c.get("operation") == "OPTIMIZE":
+                    continue  # dataChange=false: no logical change
+                if c.get("remove"):
+                    raise NotImplementedError(
+                        f"CDF for version {v}: commit "
+                        f"({c.get('operation')}) rewrote files outside "
+                        "this engine; row-level changes are not "
+                        "reconstructible from the _delta_log alone"
+                    )
+                if not c.get("add"):
+                    continue
+                frames.append(
+                    self._read_files(c["add"], version=v)
+                    .withColumn(CDF_TYPE_COL, F.lit("insert"))
+                    .withColumn(CDF_VERSION_COL, F.lit(v).cast("long"))
+                )
+        if not frames:
             schema = self.schema.add(CDF_TYPE_COL, "string").add(
                 CDF_VERSION_COL, "long"
             )
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.option("basePath", str(base)).parquet(*picked)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
 
     def changes_dir(self) -> str:
         """Append-only CDF directory — usable directly as a Structured
@@ -911,9 +995,9 @@ class MergeBuilder:
             "numRemovedFiles": len(touched),
             "numAddedFiles": len(adds),
         }
-        v = tlog.commit(
+        v = t._log.commit(
             t.root, "MERGE", adds, [e["path"] for e in touched],
-            tlog.schema_at(t.root),
+            t._log.schema_at(t.root),
             parameters={"predicate": self.condition},
             metrics=metrics,
         )

@@ -105,11 +105,16 @@ def delta_table(spark, tmp_path):
 
 
 def test_detect_and_open(spark, delta_table):
+    """An unpartitioned external Delta table now opens WRITABLE through
+    the Delta log backend (write-back); the interop handle remains the
+    read path for unsupported shapes (see test_delta_writeback)."""
     assert is_delta_table(str(delta_table))
     t = LakeTable.for_path(spark, str(delta_table))
-    assert isinstance(t, DeltaInteropTable)
-    assert t.read_only and t.version() == 1
+    assert isinstance(t, LakeTable)
+    assert t.version() == 1
     assert t.properties() == {"delta.appendOnly": "false"}
+    ro = DeltaInteropTable(spark, str(delta_table))
+    assert ro.read_only and ro.version() == 1
 
 
 def test_active_file_set_and_time_travel(spark, delta_table):

@@ -136,5 +136,22 @@ def test_share_external_delta_table(spark, shared_world, tmp_path):
     client = SharingClient(profile)
     got = client.load_table(spark, "c360_share.external.events")
     assert {r["id"] for r in got.collect()} == {1, 2}
+    # CDF over an APPEND-ONLY external Delta table is synthesized from
+    # the _delta_log replay: the v0 add files become insert rows.
+    cdf = client.load_cdf(spark, "c360_share.external.events")
+    rows = cdf.collect()
+    assert {(r["id"], r["_change_type"], r["_commit_version"]) for r in rows} == {
+        (1, "insert", 0),
+        (2, "insert", 0),
+    }
+    # A foreign commit that REMOVED files has no reconstructible
+    # row-level delta — refused loudly instead of wrong changes.
+    (log / f"{1:020d}.json").write_text(
+        json.dumps(
+            {"remove": {"path": "f0.parquet", "deletionTimestamp": 2, "dataChange": True}}
+        )
+        + "\n"
+        + json.dumps({"commitInfo": {"operation": "DELETE", "timestamp": 2}})
+    )
     with pytest.raises(NotImplementedError):
-        client.load_cdf(spark, "c360_share.external.events")
+        client.load_cdf(spark, "c360_share.external.events").collect()
