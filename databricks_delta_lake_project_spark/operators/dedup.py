@@ -11,19 +11,45 @@ from Spark built-ins (md5 bit math, higher-order array functions,
 explode + group-join) so the hot path stays in the JVM — no Python
 UDFs.
 
-MinHash signatures use engine-portable double hashing: ONE md5 per
-shingle split into two 56-bit halves (h1, h2), and seed k's hash is
-``h1 + k*h2`` (Kirsch-Mitzenmacher). DuckDB reproduces the exact same
-int64 values via ``('0x'||substr(md5(s),1,14))::BIGINT`` — so the LSH
-pipeline has a real SQL oracle, unlike the earlier xxhash64 variant.
-Max value h1 + 15*h2 < 2^60, so the arithmetic never overflows int64
-under ANSI mode in either engine.
+MinHash signatures support two injectable HASH SCHEMES over the same
+pipeline shape (signature -> bands -> bucket join -> exact verify):
+
+* ``scheme="fast"`` (production default): xxhash64-based. One xxhash64
+  per shingle per half (two seeds), folded to 56 bits so the
+  Kirsch-Mitzenmacher combination h1 + k*h2 (k < 16) never overflows
+  int64 under ANSI mode; band keys hash the signature slice directly
+  with multi-arg xxhash64 (no string materialization). ~4x cheaper per
+  shingle than md5 — at 100 TB the signature pass dominates dedup
+  cost, so this is the default.
+* ``scheme="portable"`` (oracle mode): ONE md5 per shingle split into
+  two 56-bit halves. DuckDB reproduces the exact same int64 values via
+  ``('0x'||substr(md5(s),1,14))::BIGINT`` — the whole LSH pipeline
+  gains an exact SQL oracle, at the md5 CPU tax. The correctness-gate
+  catalog queries (q32/q44) run this scheme; everything else defaults
+  to fast.
+
+Both schemes produce the same PIPELINE (only the hash family differs):
+plan shape, shuffle structure, and exact-verification soundness are
+scheme-independent, so neither scheme can emit a false positive. LSH
+RECALL on borderline-similarity pairs is hash-dependent (with one
+(h1,h2) pair per shingle the Kirsch-Mitzenmacher seeds are correlated,
+so which candidates a band surfaces varies by hash family — inherent
+to KM-minhash, not a scheme defect); ``tests/test_dedup_schemes.py``
+pins soundness under both schemes plus full recall of the unambiguous
+duplicate cluster.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+SCHEMES = ("fast", "portable")
+
+
+def _check_scheme(scheme: str) -> None:
+    if scheme not in SCHEMES:
+        raise ValueError(f"unknown hash scheme {scheme!r}; use one of {SCHEMES}")
 
 
 def deduplicate(
@@ -86,10 +112,45 @@ def portable_hash_pairs(shingle_col: Column) -> Column:
     )
 
 
+def fast_hash56(s: Column) -> Column:
+    """56-bit xxhash64-derived hash (production scheme): top 8 bits
+    dropped so downstream h1 + k*h2 arithmetic stays in int64."""
+    return F.shiftrightunsigned(F.xxhash64(s), 8)
+
+
+def fast_hash_pairs(shingle_col: Column) -> Column:
+    """Per-shingle ``struct<h1,h2>`` from two xxhash64 seeds (the
+    second seed = hashing the shingle together with a constant column),
+    each folded to 56 bits. Same double-hashing contract as
+    ``portable_hash_pairs`` at ~1/4 the per-shingle CPU."""
+    return F.transform(
+        shingle_col,
+        lambda s: F.struct(
+            F.shiftrightunsigned(F.xxhash64(s), 8).alias("h1"),
+            F.shiftrightunsigned(F.xxhash64(s, F.lit(1)), 8).alias("h2"),
+        ),
+    )
+
+
+def hash_pairs(shingle_col: Column, scheme: str = "fast") -> Column:
+    """Scheme-dispatching double-hash pairs (see module docstring)."""
+    _check_scheme(scheme)
+    if scheme == "portable":
+        return portable_hash_pairs(shingle_col)
+    return fast_hash_pairs(shingle_col)
+
+
+def shingle_hash(s: Column, scheme: str = "fast") -> Column:
+    """Scheme-dispatching scalar shingle hash (Jaccard set elements)."""
+    _check_scheme(scheme)
+    return portable_hash56(s) if scheme == "portable" else fast_hash56(s)
+
+
 def seeded_minhash(hp: Column, k: int) -> Column:
-    """Seed-k minhash over a ``portable_hash_pairs`` array:
-    min(h1 + k*h2). Duplicate shingles can't change the min, so no
-    distinct pass is needed first."""
+    """Seed-k minhash over a ``hash_pairs`` array: min(h1 + k*h2).
+    Duplicate shingles can't change the min, so no distinct pass is
+    needed first. Scheme-independent: both schemes emit 56-bit halves,
+    so the combination never overflows int64 for k < 256."""
     return F.array_min(
         F.transform(hp, lambda p: p["h1"] + F.lit(k).cast("long") * p["h2"])
     )
@@ -109,10 +170,27 @@ def portable_band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
     return portable_hash56(joined)
 
 
-def minhash_signature(shingle_col: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for seed k, min over shingles of the portable
+def band_hash(
+    sig: Column, band: int, rows_per_band: int, scheme: str = "fast"
+) -> Column:
+    """Scheme-dispatching LSH band bucket key. The fast path feeds the
+    signature slice straight into multi-arg xxhash64 — no string
+    materialization at all; portable goes through the md5-of-CSV form
+    DuckDB can mirror."""
+    _check_scheme(scheme)
+    if scheme == "portable":
+        return portable_band_hash(sig, band, rows_per_band)
+    return F.xxhash64(
+        *[sig[i] for i in range(band * rows_per_band, (band + 1) * rows_per_band)]
+    )
+
+
+def minhash_signature(
+    shingle_col: Column, num_hashes: int = 16, scheme: str = "fast"
+) -> Column:
+    """MinHash signature: for seed k, min over shingles of the scheme's
     double hash h1 + k*h2. Arrays stay JVM-side; no UDFs."""
-    hp = portable_hash_pairs(shingle_col)
+    hp = hash_pairs(shingle_col, scheme)
     return F.array(*[seeded_minhash(hp, k) for k in range(num_hashes)])
 
 
@@ -123,6 +201,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    scheme: str = "fast",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + banded LSH.
 
@@ -133,12 +212,13 @@ def minhash_lsh_pairs(
     probability is 1-(1-s^r)^b for Jaccard similarity s. Returns
     distinct (id_a, id_b) with id_a < id_b.
     """
+    _check_scheme(scheme)
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        # alias barrier: md5 once per shingle, reused by all seeds
-        portable_hash_pairs(
-            shingles(tokenize(F.col(text_col)), shingle_n)
+        # alias barrier: the shingle hash runs once, reused by all seeds
+        hash_pairs(
+            shingles(tokenize(F.col(text_col)), shingle_n), scheme
         ).alias("hp"),
     )
     sig = base.select(
@@ -152,7 +232,7 @@ def minhash_lsh_pairs(
         F.posexplode(
             F.array(
                 *[
-                    portable_band_hash(F.col("sig"), b, rows_per_band)
+                    band_hash(F.col("sig"), b, rows_per_band, scheme)
                     for b in range(bands)
                 ]
             )
@@ -180,6 +260,7 @@ def ngram_jaccard(
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
+    scheme: str = "fast",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (the verify
     stage after LSH): join shingle sets back and compute
@@ -193,7 +274,7 @@ def ngram_jaccard(
         F.array_distinct(
             F.transform(
                 shingles(tokenize(F.col(text_col)), shingle_n),
-                lambda s: portable_hash56(s),
+                lambda s: shingle_hash(s, scheme),
             )
         ).alias("sh"),
     )
@@ -219,6 +300,7 @@ def minhash_index(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    scheme: str = "fast",
 ) -> DataFrame:
     """Persistent MinHash-LSH bucket index: one row per (band_idx,
     band_hash, doc_id) carrying the doc's distinct-shingle hash set.
@@ -229,13 +311,14 @@ def minhash_index(
     re-tokenizing a single corpus document. b bands ⇒ the index is b×
     the corpus row count with a ~1 KB payload per row.
     """
+    _check_scheme(scheme)
     rows_per_band = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        # alias barrier: md5 once per shingle, reused by the Jaccard
-        # set, every seed's min, and the band hashes
-        portable_hash_pairs(
-            shingles(tokenize(F.col(text_col)), shingle_n)
+        # alias barrier: the shingle hash runs once, reused by the
+        # Jaccard set, every seed's min, and the band hashes
+        hash_pairs(
+            shingles(tokenize(F.col(text_col)), shingle_n), scheme
         ).alias("hp"),
     )
     sig = base.select(
@@ -253,7 +336,7 @@ def minhash_index(
         F.posexplode(
             F.array(
                 *[
-                    portable_band_hash(F.col("sig"), b, rows_per_band)
+                    band_hash(F.col("sig"), b, rows_per_band, scheme)
                     for b in range(bands)
                 ]
             )
@@ -271,6 +354,7 @@ def incremental_near_dup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     batch_index: DataFrame | None = None,
+    scheme: str = "fast",
 ) -> DataFrame:
     """Near-dup pairs introduced by a NEW batch against an indexed
     corpus (``minhash_index`` output) plus within the batch itself —
@@ -287,10 +371,18 @@ def incremental_near_dup_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, at least one side
     a new document; jaccard >= threshold.
     """
+    # The batch index feeds THREE consumers in one plan (the broadcast
+    # probe, the within-batch bucket pass, and pair dedup); without a
+    # materialization barrier Spark re-derives the signatures once per
+    # consumer. The batch side is O(|batch|) by contract, so an eager
+    # localCheckpoint is a bounded executor-memory cost that removes
+    # two full re-derivations.
     new_idx = (
         batch_index
         if batch_index is not None
-        else minhash_index(new_docs, id_col, text_col, num_hashes, bands, shingle_n)
+        else minhash_index(
+            new_docs, id_col, text_col, num_hashes, bands, shingle_n, scheme
+        ).localCheckpoint()
     )
 
     def _jac(sa: Column, sb: Column) -> Column:
@@ -354,6 +446,7 @@ def minhash_index_write(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    scheme: str = "fast",
 ):
     """Materialize ``minhash_index`` as a lake table range-clustered on
     ``band_hash`` (OPTIMIZE sort-cluster), so every file covers a
@@ -365,7 +458,9 @@ def minhash_index_write(
     """
     from ..tables import LakeTable
 
-    idx = minhash_index(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    idx = minhash_index(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, scheme
+    )
     table = LakeTable.create(
         spark,
         path,
@@ -374,6 +469,7 @@ def minhash_index_write(
             "minhash.num_hashes": num_hashes,
             "minhash.bands": bands,
             "minhash.shingle_n": shingle_n,
+            "minhash.scheme": scheme,
         },
     )
     table.optimize(zorder_by=["band_hash"])
@@ -402,8 +498,9 @@ def minhash_index_probe(
     num_hashes = int(props.get("minhash.num_hashes", 16))
     bands = int(props.get("minhash.bands", 4))
     shingle_n = int(props.get("minhash.shingle_n", 3))
+    scheme = str(props.get("minhash.scheme", "fast"))
     new_idx = minhash_index(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_n
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n, scheme
     ).localCheckpoint()  # derive once: reused for the hash collect AND the probe
     hashes = [r[0] for r in new_idx.select("band_hash").distinct().collect()]
     # prune_only: the probe join on (band_idx, band_hash) re-applies the
@@ -419,6 +516,7 @@ def minhash_index_probe(
         bands,
         shingle_n,
         batch_index=new_idx,
+        scheme=scheme,
     )
 
 

@@ -917,6 +917,12 @@ def _extend_registry() -> None:
     QUERIES.update(similarity.SIMILARITY_QUERIES)
     QUERIES.update(sqlpack.SQLPACK_QUERIES)
     QUERIES.update(media.MEDIA_QUERIES)
+    PRODUCTION_OVERRIDES.update(text.PRODUCTION_OVERRIDES)
+
+
+# name -> production-mode callable overriding the registry entry for
+# benchmarking (dual-hash queries: fast scheme); empty for all others
+PRODUCTION_OVERRIDES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

