@@ -14,13 +14,12 @@ Design for 100 TB:
 * Feature extraction is a narrow map — no shuffle; partition count
   follows the scan, so 1000 executors stream 1000 partitions of
   payloads independently.
-* Decoders: image (PPM P5/P6) and audio (WAV PCM 8/16-bit) are REAL
+* Decoders: image (PPM P5/P6), audio (WAV PCM 8/16-bit), and video
+  (Y4M / YUV4MPEG2 uncompressed, mono/444/420 chroma) are REAL
   pure-numpy parsers of the public formats — no external codec
-  library needed. Video remains a clearly-marked stub
-  (``NotImplementedError``; the container has no ffmpeg): tests
-  inject the deterministic ``fake_decoder`` for it, so the Spark-side
-  plumbing (schema, batching, UDF signatures, partitioning) is fully
-  real either way.
+  library needed. Compressed video codecs (H.264 etc.) would need
+  ffmpeg, which this container lacks; a real deployment swaps the
+  decoder callable, nothing else changes.
 """
 
 from __future__ import annotations
@@ -137,15 +136,59 @@ def decode_wav(payload: bytes) -> np.ndarray:
     raise ValueError("no data chunk")
 
 
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """Real YUV4MPEG2 (.y4m) decoder for uncompressed video: parse the
+    stream header (``YUV4MPEG2 W<w> H<h> ... [C<chroma>]``), then read
+    each ``FRAME``-delimited raw plane block. Supported chroma:
+    ``mono`` (w*h luma bytes/frame), ``444`` (3*w*h), and ``420`` /
+    ``420jpeg`` / ``420mpeg2`` / ``420paldv`` (w*h * 3/2, even dims).
+    Pure numpy; returns all sample bytes as float64 in stream order."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"not a YUV4MPEG2 stream: {payload[:16]!r}")
+    header = payload[:nl].split(b" ")
+    params = {t[:1]: t[1:] for t in header[1:] if t}
+    if b"W" not in params or b"H" not in params:
+        raise ValueError("Y4M header missing W/H")
+    w, h = int(params[b"W"]), int(params[b"H"])
+    chroma = params.get(b"C", b"420")
+    if chroma == b"mono":
+        frame_size = w * h
+    elif chroma == b"444":
+        frame_size = 3 * w * h
+    elif chroma.startswith(b"420"):
+        if w % 2 or h % 2:
+            raise ValueError(f"C420 needs even dimensions, got {w}x{h}")
+        frame_size = w * h * 3 // 2
+    else:
+        raise ValueError(f"unsupported Y4M chroma: {chroma!r}")
+    frames: list[np.ndarray] = []
+    i = nl + 1
+    while i < len(payload):
+        j = payload.index(b"\n", i)
+        if payload[i:j].split(b" ")[0] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {i}")
+        i = j + 1
+        if i + frame_size > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(payload, np.uint8, frame_size, i))
+        i += frame_size
+    if not frames:
+        return np.empty(0, dtype=np.float64)
+    return np.concatenate(frames).astype(np.float64)
+
+
 def default_decoder(payload: bytes, modality: str) -> np.ndarray:
     """Dispatch to the real pure-numpy decoders: PPM/PGM for images,
-    WAV PCM for audio. Video stays a clearly-marked stub (no ffmpeg in
-    this environment; inject ``fake_decoder`` or a real backend via
-    ``extract_features(decoder=...)``)."""
+    WAV PCM for audio, Y4M for (uncompressed) video. Compressed codecs
+    need a real backend — inject it via
+    ``extract_features(decoder=...)``."""
     if modality == "image":
         return decode_ppm(payload)
     if modality == "audio":
         return decode_wav(payload)
+    if modality == "video":
+        return decode_y4m(payload)
     raise NotImplementedError(
         f"no codec for modality={modality!r}: install a decoder and pass "
         "it to extract_features(decoder=...)"

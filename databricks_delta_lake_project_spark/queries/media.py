@@ -9,11 +9,12 @@ format-conformant binaries built JVM-side from the document text:
 * image rows carry a binary P6 PPM (ASCII header + raw RGB bytes);
 * audio rows carry a RIFF/WAVE PCM-8 file (44-byte header assembled
   from little-endian hex + sample bytes);
-* video rows keep an opaque payload (the video codec is the one
-  honest stub in the engine — no ffmpeg in this environment).
+* video rows carry a YUV4MPEG2 (.y4m) mono-chroma stream (stream
+  header + FRAME-delimited raw luma planes from the text bytes).
 
-q42 decodes the image/audio payloads with the REAL pure-numpy PPM/WAV
-parsers and emits byte-histogram features. Because the document text
+q42 decodes the image/audio payloads and q49 the video payloads with
+the REAL pure-numpy PPM/WAV/Y4M parsers and emits byte-histogram
+features. Because the document text
 is ASCII, decoded sample values equal character code points — so the
 whole decode → histogram pipeline has an exact DuckDB oracle
 (Q42_SQL) despite running through an Arrow-batched pandas UDF.
@@ -78,14 +79,35 @@ def wav_payload(text: Column, sample_rate: int = WAV_SAMPLE_RATE) -> Column:
     return F.concat(F.unhex(header_hex), F.encode(text, "UTF-8"))
 
 
+Y4M_WIDTH = 4
+Y4M_HEADER = f"YUV4MPEG2 W{Y4M_WIDTH} H1 F25:1 Cmono\n"
+
+
+def y4m_payload(text: Column) -> Column:
+    """Uncompressed YUV4MPEG2 (mono chroma) stream from ASCII text:
+    the stream header, then one 4x1 luma frame per 4 text characters
+    (``FRAME\\n`` marker + raw bytes). Pure JVM expression — the frame
+    chunks come from ``substr`` over a generated index sequence."""
+    n_frames = F.floor(F.length(text) / Y4M_WIDTH).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda i: F.concat(
+            F.lit("FRAME\n"),
+            text.substr(i * Y4M_WIDTH + 1, F.lit(Y4M_WIDTH)),
+        ),
+    )
+    body = F.when(n_frames > 0, F.concat_ws("", frames)).otherwise(F.lit(""))
+    return F.encode(F.concat(F.lit(Y4M_HEADER), body), "UTF-8")
+
+
 def media_from_documents(
     spark: SparkSession, sf_dir: str, docs_predicate: Column | None = None
 ) -> DataFrame:
     """(media_id, modality, payload, meta) rows derived from documents:
     the opaque-binary + typed-metadata shape of a real media lake.
-    Image and audio payloads are real PPM/WAV binaries; video payloads
-    are opaque bytes (decode stubbed). ``docs_predicate`` filters the
-    source documents before payload construction (oracle guards)."""
+    Image, audio, and video payloads are real PPM/WAV/Y4M binaries.
+    ``docs_predicate`` filters the source documents before payload
+    construction (oracle guards)."""
     d = widen(load(spark, sf_dir, "documents"))
     if docs_predicate is not None:
         d = d.filter(docs_predicate)
@@ -97,7 +119,7 @@ def media_from_documents(
     payload = (
         F.when(modality == "image", ppm_payload(text))
         .when(modality == "audio", wav_payload(text))
-        .otherwise(F.encode(text, "UTF-8"))
+        .otherwise(y4m_payload(text))
     )
     return d.select(
         F.col("doc_id").alias("media_id"),
@@ -116,8 +138,8 @@ def media_from_documents(
 def q42_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode → 8-bin byte histogram per media row via the
     Arrow-batched mapInPandas operator: PPM images and WAV audio are
-    parsed by the pure-numpy decoders (video excluded — its codec is
-    the documented stub). Narrow map, no shuffle: at 100 TB each scan
+    parsed by the pure-numpy decoders (video has its own oracle
+    query, q49). Narrow map, no shuffle: at 100 TB each scan
     partition streams its payloads through Python once, bounded by the
     Arrow batch size.
 
@@ -193,6 +215,65 @@ FROM base b JOIN hist h ON h.doc_id = b.doc_id
 """
 
 
+def q49_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video flavor of q42: decode the Y4M payloads with the REAL
+    pure-numpy YUV4MPEG2 parser through the same Arrow-batched
+    mapInPandas operator and emit byte-histogram features — all three
+    modalities now decode real containers (q42: PPM/WAV, q49: Y4M).
+
+    Guards mirror q42's: length(text) >= frame width (so at least one
+    frame exists) and ASCII-only (byte histogram == codepoint
+    histogram), applied identically in Q49_SQL. Only the first
+    ``4*(len//4)`` characters land in frames — the oracle truncates
+    the same way.
+    """
+    guards = (F.length("text") >= Y4M_WIDTH) & F.col("text").rlike(
+        "^[\\x00-\\x7F]*$"
+    )
+    media = media_from_documents(spark, sf_dir, docs_predicate=guards).filter(
+        F.col("modality") == "video"
+    )
+    feats = extract_features(media, decoder=default_decoder)
+    return feats.select(
+        "media_id",
+        "modality",
+        "n_bytes",
+        F.element_at("feature", 2).alias("bin1"),
+        F.element_at("feature", 3).alias("bin2"),
+        F.element_at("feature", 4).alias("bin3"),
+    )
+
+
+# n_bytes = 28-byte stream header + per-frame ("FRAME\n" + width) bytes
+Q49_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    substring(text, 1, {Y4M_WIDTH} * (length(text) // {Y4M_WIDTH})) AS s,
+    length(text) // {Y4M_WIDTH} AS n_frames
+  FROM documents
+  WHERE doc_id % 3 = 2
+    AND length(text) >= {Y4M_WIDTH}
+    AND regexp_matches(text, '^[\\x00-\\x7F]*$')
+), chars AS (
+  SELECT doc_id, unicode(c) // 32 AS bin
+  FROM (SELECT doc_id, unnest(string_split(s, '')) AS c FROM base)
+), hist AS (
+  SELECT doc_id, COUNT(*) AS n,
+    SUM(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS b1,
+    SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS b2,
+    SUM(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS b3
+  FROM chars GROUP BY 1
+)
+SELECT b.doc_id AS media_id, 'video' AS modality,
+  {len(Y4M_HEADER)} + b.n_frames * (6 + {Y4M_WIDTH}) AS n_bytes,
+  CAST(h.b1 AS DOUBLE) / CAST(h.n AS DOUBLE) AS bin1,
+  CAST(h.b2 AS DOUBLE) / CAST(h.n AS DOUBLE) AS bin2,
+  CAST(h.b3 AS DOUBLE) / CAST(h.n AS DOUBLE) AS bin3
+FROM base b JOIN hist h ON h.doc_id = b.doc_id
+"""
+
+
 MEDIA_QUERIES = {
     "q42_multimodal_features": (q42_multimodal_features, Q42_SQL),
+    "q49_video_features": (q49_video_features, Q49_SQL),
 }

@@ -24,9 +24,10 @@ candidate side no longer fits a broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.topk import topk_per_key
 from .catalog import load, widen
 
 N_QUERIES = 5  # vec_id < 5 act as the query set
@@ -123,27 +124,30 @@ def q34_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("norm2").alias("qn2"),
     )
     # broadcast the tiny query side; each candidate row computes all
-    # query dot products map-side (zip_with over the quantized arrays)
-    # — the only shuffle left is the per-query top-k window
+    # query dot products map-side (zip_with over the quantized arrays).
+    # Top-k runs as LOCAL prune + tiny merge (operators/topk.py): a
+    # Window.partitionBy(query_id) would serialize every candidate row
+    # through N_QUERIES partitions — the local top-k ships only
+    # partitions x k rows per query into the merge window instead.
     cand = vecs.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
     cosine = _dot(F.col("qv"), F.col("q_qv")).cast("double") / (
         F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("norm2").cast("double"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine.alias("cosine"),
     )
-    return (
-        cand.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine.alias("cosine"),
-        )
-        .withColumn("knn_rank", F.row_number().over(w))
-        .filter(F.col("knn_rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "knn_rank", "cosine")
-    )
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        score="cosine",
+        k=TOP_K,
+        tiebreak=["neighbor_id"],
+        rank_col="knn_rank",
+    ).select("query_id", "neighbor_id", "knn_rank", "cosine")
 
 
 Q34_SQL = f"""
@@ -220,20 +224,22 @@ def q35_ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine = _dot(F.col("qv"), F.col("q_qv")).cast("double") / (
         F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("norm2").cast("double"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "bucket",
+        cosine.alias("cosine"),
     )
-    return (
-        cand.select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            "bucket",
-            cosine.alias("cosine"),
-        )
-        .withColumn("ann_rank", F.row_number().over(w))
-        .filter(F.col("ann_rank") <= LSH_TOP_K)
-        .select("query_id", "neighbor_id", "bucket", "ann_rank", "cosine")
-    )
+    # local prune + merge instead of a query_id-partitioned global
+    # window (see q34 / operators/topk.py)
+    return topk_per_key(
+        scored,
+        keys=["query_id"],
+        score="cosine",
+        k=LSH_TOP_K,
+        tiebreak=["neighbor_id"],
+        rank_col="ann_rank",
+    ).select("query_id", "neighbor_id", "bucket", "ann_rank", "cosine")
 
 
 _D_BUCKET = " + ".join(

@@ -121,10 +121,60 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_extract_features_video_stub_raises(media):
-    # image/audio decode for real now; video is the one documented stub
-    with pytest.raises(Exception, match="no codec"):
+def test_extract_features_video_rejects_non_y4m(media):
+    # all three modalities decode for real now; a non-Y4M video payload
+    # fails loudly in the parser instead of producing fake features
+    with pytest.raises(Exception, match="YUV4MPEG2"):
         extract_features(media.filter(F.col("modality") == "video")).collect()
+
+
+def test_real_y4m_decoder_roundtrip():
+    from databricks_delta_lake_project_spark.operators.multimodal import (
+        decode_y4m,
+    )
+
+    # mono: 2 frames of 4x1 luma
+    mono = (
+        b"YUV4MPEG2 W4 H1 F25:1 Cmono\n"
+        b"FRAME\n\x01\x02\x03\x04"
+        b"FRAME\n\x05\x06\x07\x08"
+    )
+    assert decode_y4m(mono).tolist() == [1, 2, 3, 4, 5, 6, 7, 8]
+    # 444: one 1x1 frame carries 3 plane bytes; FRAME params allowed
+    c444 = b"YUV4MPEG2 W1 H1 F30:1 C444\nFRAME Xsome\n\x09\x0a\x0b"
+    assert decode_y4m(c444).tolist() == [9, 10, 11]
+    # 420: 2x2 frame = 4 luma + 1 Cb + 1 Cr
+    c420 = b"YUV4MPEG2 W2 H2 F25:1\nFRAME\n\x01\x02\x03\x04\x05\x06"
+    assert decode_y4m(c420).tolist() == [1, 2, 3, 4, 5, 6]
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="even dimensions"):
+        decode_y4m(b"YUV4MPEG2 W3 H1 F25:1 C420\nFRAME\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(b"YUV4MPEG2 W4 H1 F25:1 Cmono\nFRAME\n\x01\x02")
+
+
+def test_media_video_payloads_are_real_y4m(spark):
+    from databricks_delta_lake_project_spark.operators.multimodal import (
+        decode_y4m,
+    )
+    from databricks_delta_lake_project_spark.queries.media import (
+        media_from_documents,
+    )
+
+    from conftest import SF_SMALL
+
+    rows = (
+        media_from_documents(spark, SF_SMALL)
+        .filter(F.col("modality") == "video")
+        .limit(10)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        decoded = decode_y4m(bytes(r["payload"]))
+        assert len(decoded) % 4 == 0 and len(decoded) > 0
+        assert decoded.max() <= 127  # ASCII text bytes
 
 
 def test_real_ppm_wav_decoders_roundtrip():

@@ -138,6 +138,19 @@ def test_q34_q35_broadcast_query_side(spark):
         assert "BroadcastExchange" in plan, name
 
 
+def test_q34_q35_local_topk_before_merge_window(spark):
+    # top-k = Arrow-batched LOCAL prune (MapInPandas, shuffle-free)
+    # below a merge window over partitions x k survivors — never a
+    # query_id-partitioned window over the full candidate set, which
+    # would serialize every candidate row through N_QUERIES partitions
+    for name in ("q34_knn_bruteforce", "q35_ann_sign_lsh"):
+        plan = _plan(spark, name)
+        assert "MapInPandas" in plan, f"{name} lost the local top-k prune"
+        # plans print top-down: the merge Window must be ABOVE (before)
+        # the local prune, i.e. it only ever sees pruned rows
+        assert plan.index("Window") < plan.index("MapInPandas"), name
+
+
 def test_whole_stage_codegen_active(spark):
     # AQE shows the final plan only after execution; codegen stages are
     # the `*(n)` markers on operators
