@@ -299,6 +299,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     doc_id: str = "doc_id",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Assign every document a duplicate-cluster id (the minimum doc_id
     of its component; singletons cluster with themselves) and flag the
@@ -310,6 +311,7 @@ def dedup_clusters(
         src=id_a,
         dst=id_b,
         nodes=docs.select(F.col(doc_id).alias("node")),
+        algorithm=algorithm,
     )
     return docs.join(
         comp.select(

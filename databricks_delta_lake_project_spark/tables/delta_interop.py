@@ -218,6 +218,58 @@ def is_delta_table(path: str) -> bool:
     return log.is_dir() and any(log.glob("*.json"))
 
 
+_PHYS_KEY = "delta.columnMapping.physicalName"
+
+
+def _physical_type(dt):
+    """Recursively rename struct fields to their column-mapping
+    physical names (arrays/maps recurse into their element types)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                type(f)(
+                    f.metadata.get(_PHYS_KEY, f.name),
+                    _physical_type(f.dataType),
+                    f.nullable,
+                )
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, ArrayType):
+        return ArrayType(_physical_type(dt.elementType), dt.containsNull)
+    if isinstance(dt, MapType):
+        return MapType(
+            _physical_type(dt.keyType),
+            _physical_type(dt.valueType),
+            dt.valueContainsNull,
+        )
+    return dt
+
+
+def _fields_missing_physical_name(schema: StructType) -> list[str]:
+    """Names of fields (at any nesting level) lacking a physicalName."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    missing: list[str] = []
+
+    def walk(dt, path):
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                p = f"{path}.{f.name}" if path else f.name
+                if _PHYS_KEY not in f.metadata:
+                    missing.append(p)
+                walk(f.dataType, p)
+        elif isinstance(dt, ArrayType):
+            walk(dt.elementType, path + "[]")
+        elif isinstance(dt, MapType):
+            walk(dt.valueType, path + "{}")
+
+    walk(schema, "")
+    return missing
+
+
 def _commit_versions(root: str) -> list[int]:
     log = Path(root) / DELTA_LOG_DIR
     out = []
@@ -259,6 +311,13 @@ class _State:
         elif "protocol" in action and action["protocol"] is not None:
             self.protocol = action["protocol"]
 
+    @property
+    def mapping_mode(self) -> str:
+        # Column mapping predates reader features: a minReaderVersion=2
+        # table advertises it only via the table property, so the
+        # readerFeatures set alone must never gate it.
+        return self.properties.get("delta.columnMapping.mode", "none")
+
     def check_readable(self) -> None:
         feats = set(self.protocol.get("readerFeatures") or [])
         unsupported = feats - _SUPPORTED_READER_FEATURES
@@ -266,17 +325,29 @@ class _State:
             raise NotImplementedError(
                 f"Delta reader features not supported: {sorted(unsupported)}"
             )
-        # Column mapping predates reader features: a minReaderVersion=2
-        # table advertises it only via the table property, so checking
-        # readerFeatures alone would silently scan physical col-<uuid>
-        # parquet columns against logical names and return all NULLs.
-        mapping_mode = self.properties.get("delta.columnMapping.mode", "none")
-        if mapping_mode != "none":
-            raise NotImplementedError(
-                f"Delta column mapping (mode={mapping_mode!r}) not supported "
-                "(physical parquet columns differ from the logical schema; "
-                "rows would be silently NULL)"
+        if self.mapping_mode != "none":
+            # Reads resolve parquet columns by each field's recorded
+            # physicalName (valid for mode=name, and for mode=id files
+            # whose writer stamped physical names — delta-spark always
+            # does). A mapped field WITHOUT a physicalName, or a mapped
+            # partitioned table (partitionValues are keyed by physical
+            # name), cannot be resolved safely — refuse loudly.
+            if self.schema_json is None:
+                raise ValueError("column mapping advertised but no metaData")
+            missing = _fields_missing_physical_name(
+                StructType.fromJson(json.loads(self.schema_json))
             )
+            if missing:
+                raise NotImplementedError(
+                    f"column mapping (mode={self.mapping_mode!r}) with no "
+                    f"physicalName on fields {missing} — cannot resolve "
+                    "parquet columns safely"
+                )
+            if self.partition_columns:
+                raise NotImplementedError(
+                    "column mapping on a partitioned table not supported "
+                    "(partitionValues are keyed by physical column names)"
+                )
 
 
 def _replay_checkpoint(spark: SparkSession, root: str, version: int, state: _State) -> None:
@@ -451,6 +522,18 @@ class DeltaInteropTable:
             for p in parts[1:]:
                 out = out.unionByName(p)
             return out
+        if state.mapping_mode != "none":
+            # column mapping: parquet columns carry PHYSICAL names —
+            # read under the physical schema, then rename back to the
+            # logical one (cast-by-position renames nested struct
+            # fields in the same expression)
+            phys = _physical_type(schema)
+            df = self.spark.read.schema(phys).parquet(*paths)
+            cols = [
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for pf, lf in zip(phys.fields, schema.fields)
+            ]
+            return df.select(*cols, *extra)
         df = self.spark.read.schema(schema).parquet(*paths)
         if extra:
             df = df.select("*", *extra)

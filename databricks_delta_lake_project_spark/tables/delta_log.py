@@ -142,6 +142,13 @@ class DeltaLogBackend:
                 "Delta write-back into partitioned tables not supported "
                 f"(partitionColumns={state.partition_columns})"
             )
+        if state.mapping_mode != "none":
+            # reads resolve physical names (delta_interop), but the
+            # engine's writers emit parquet under LOGICAL names — a
+            # write would corrupt a mapped table
+            raise NotImplementedError(
+                "Delta write-back into column-mapping tables not supported"
+            )
         if any(a.get("deletionVector") for a in state.adds.values()):
             raise NotImplementedError(
                 "Delta write-back over live deletion vectors not supported"

@@ -450,3 +450,86 @@ def test_native_table_still_wins(spark, tmp_path):
     t = LakeTable.for_path(spark, path)
     assert isinstance(t, LakeTable)
     assert t.to_df().count() == 3
+
+
+def test_column_mapping_read_by_physical_name(spark, tmp_path):
+    """A column-mapping table (mode=name) resolves parquet columns by
+    each field's recorded physicalName and returns LOGICAL names —
+    including nested struct fields renamed positionally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from pyspark.sql.types import (
+        LongType as L,
+        StringType as S,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    root = tmp_path / "ext_delta_cmap"
+    root.mkdir(parents=True)
+    # physical parquet: col-aaa (long), col-bbb (struct<col-ccc string>)
+    t = pa.table(
+        {
+            "col-aaa": pa.array([1, 2], pa.int64()),
+            "col-bbb": pa.array(
+                [{"col-ccc": "x"}, {"col-ccc": "y"}],
+                pa.struct([("col-ccc", pa.string())]),
+            ),
+        }
+    )
+    pq_.write_table(t, root / "f0.parquet")
+    logical = ST(
+        [
+            SF("id", L(), True, {"delta.columnMapping.id": 1, "delta.columnMapping.physicalName": "col-aaa"}),
+            SF(
+                "info",
+                ST([SF("name", S(), True, {"delta.columnMapping.id": 3, "delta.columnMapping.physicalName": "col-ccc"})]),
+                True,
+                {"delta.columnMapping.id": 2, "delta.columnMapping.physicalName": "col-bbb"},
+            ),
+        ]
+    )
+    meta = {
+        "metaData": {
+            "id": "cm",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": logical.json(),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name"},
+        }
+    }
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta,
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+        ],
+    )
+    it = DeltaInteropTable(spark, str(root))
+    df = it.to_df()
+    assert df.columns == ["id", "info"]
+    got = {(r["id"], r["info"]["name"]) for r in df.collect()}
+    assert got == {(1, "x"), (2, "y")}
+    # write-back must still refuse mapped tables
+    t2 = LakeTable.for_path(spark, str(root))
+    assert isinstance(t2, DeltaInteropTable)
+
+
+def test_column_mapping_without_physical_names_refused(spark, tmp_path):
+    root = tmp_path / "ext_delta_cmap_bad"
+    _write_data(spark, root, "f0.parquet", [(1, "a", 0)])
+    meta = _meta()
+    meta["metaData"]["configuration"]["delta.columnMapping.mode"] = "name"
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            meta,
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+        ],
+    )
+    with pytest.raises(NotImplementedError, match="physicalName"):
+        DeltaInteropTable(spark, str(root)).to_df()

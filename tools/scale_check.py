@@ -36,7 +36,11 @@ if str(REPO) not in sys.path:
 
 from pyspark.sql import functions as F
 
-from databricks_delta_lake_project_spark.queries.catalog import QUERIES, load
+from databricks_delta_lake_project_spark.queries.catalog import (
+    PRODUCTION_OVERRIDES,
+    QUERIES,
+    load,
+)
 from databricks_delta_lake_project_spark.session import get_spark
 
 BASE = "/root/testdata/sf0.1"
@@ -70,8 +74,32 @@ HEADLINE = [
     "q31_simhash_pairs",        # block-collect pairs
     "q32_minhash_lsh",          # banded LSH + verify
     "q34_knn_bruteforce",       # broadcast kNN
+    "q42_multimodal_features",  # Arrow-batched binary decode
     "q43_dedup_clusters",       # pairs -> connected components
+    "q43_star",                 # same pairs, large/small-star CC
+    "q44_incremental_dedup",    # index + probe (production hash)
+    "q49_video_features",       # Y4M decode
 ]
+
+
+def _q43_star(spark, sf_dir):
+    """q43's pair graph through the O(log d) large-star/small-star
+    variant — the adversarial-chain scale path."""
+    from databricks_delta_lake_project_spark.operators.graph import (
+        dedup_clusters,
+    )
+    from databricks_delta_lake_project_spark.queries.text import (
+        q30_ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pairs = q30_ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(pairs, docs, algorithm="star").select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+EXTRA = {"q43_star": _q43_star}
 
 
 def build_replica(spark, n: int, out: Path) -> None:
@@ -108,7 +136,10 @@ def build_replica(spark, n: int, out: Path) -> None:
 def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     timings = {}
     for name in names:
-        fn = QUERIES[name][0]
+        # production-mode plans are the ones whose scale behavior
+        # matters (bench times them too); oracle-scheme twins share
+        # the identical plan shape
+        fn = EXTRA.get(name) or PRODUCTION_OVERRIDES.get(name) or QUERIES[name][0]
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
