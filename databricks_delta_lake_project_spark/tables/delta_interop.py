@@ -91,6 +91,80 @@ def _z85_encode(b: bytes) -> str:
     return "".join(out)
 
 
+def _serialize_portable_roaring32(values: "np.ndarray") -> bytes:
+    """Serialize sorted uint32 values as one standard portable-format
+    roaring bitmap (no-run cookie; array containers <= 4096 values,
+    bitmap containers above)."""
+    import struct
+
+    by_key: dict[int, list[int]] = {}
+    for v in values.tolist():
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    out = struct.pack("<II", _SERIAL_COOKIE_NO_RUN, len(keys))
+    for k in keys:
+        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    containers = []
+    for k in keys:
+        vals = by_key[k]
+        if len(vals) <= 4096:
+            containers.append(struct.pack(f"<{len(vals)}H", *vals))
+        else:
+            words = np.zeros(1024, dtype="<u8")
+            arr = np.asarray(vals, dtype=np.int64)
+            np.bitwise_or.at(
+                words, arr >> 6, (np.uint64(1) << (arr & 63).astype("u8"))
+            )
+            containers.append(words.tobytes())
+    pos = len(out) + 4 * len(keys)
+    for c in containers:
+        out += struct.pack("<I", pos)
+        pos += len(c)
+    return out + b"".join(containers)
+
+
+def _serialize_roaring_bitmap_array(positions: "np.ndarray") -> bytes:
+    """Delta portable RoaringBitmapArray: magic, 64-bit bitmap count,
+    then one portable 32-bit bitmap per high word (inverse of
+    ``_parse_roaring_bitmap_array``)."""
+    import struct
+
+    positions = np.unique(np.asarray(positions, dtype=np.int64))
+    highs = positions >> 32
+    nmaps = int(highs.max()) + 1 if len(positions) else 0
+    out = struct.pack("<iq", _ROARING_ARRAY_MAGIC, nmaps)
+    for h in range(nmaps):
+        out += _serialize_portable_roaring32(
+            (positions[highs == h] & 0xFFFFFFFF).astype(np.uint32)
+        )
+    return out
+
+
+def write_dv_file(root: str, positions: "np.ndarray") -> dict[str, Any]:
+    """Write a ``deletion_vector_<uuid>.bin`` (format version byte,
+    big-endian size framing, CRC32) holding one bitmap and return the
+    add-action descriptor referencing it (storageType "u", z85 uuid)."""
+    import struct
+    import zlib
+
+    data = _serialize_roaring_bitmap_array(positions)
+    u = uuid.uuid4()
+    blob = (
+        b"\x01"
+        + struct.pack(">I", len(data))
+        + data
+        + struct.pack(">I", zlib.crc32(data))
+    )
+    (Path(root) / f"deletion_vector_{u}.bin").write_bytes(blob)
+    return {
+        "storageType": "u",
+        "pathOrInlineDv": _z85_encode(u.bytes),
+        "offset": 1,
+        "sizeInBytes": len(data),
+        "cardinality": int(len(np.unique(positions))),
+    }
+
+
 def _parse_portable_roaring32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
     """Parse one standard portable-format 32-bit roaring bitmap
     (RoaringFormatSpec): cookie, descriptive headers, optional offset

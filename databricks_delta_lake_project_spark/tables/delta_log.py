@@ -94,12 +94,15 @@ def _stats_from_delta(add: dict[str, Any]) -> dict[str, Any]:
                 }
         except (ValueError, AttributeError):
             pass  # unparseable stats: keep the file, no pruning
-    return {
+    out = {
         "path": add["path"],
         "rows": rows,
         "bytes": add.get("size", 0),
         "stats": cols,
     }
+    if add.get("deletionVector"):
+        out["deletionVector"] = add["deletionVector"]
+    return out
 
 
 class DeltaLogBackend:
@@ -149,10 +152,10 @@ class DeltaLogBackend:
             raise NotImplementedError(
                 "Delta write-back into column-mapping tables not supported"
             )
-        if any(a.get("deletionVector") for a in state.adds.values()):
-            raise NotImplementedError(
-                "Delta write-back over live deletion vectors not supported"
-            )
+        # live deletion vectors are fine: every LakeTable read path is
+        # DV-aware (_read_files anti-joins marked row indices), and
+        # copy-on-write rewrites read only alive rows then drop the
+        # old add+DV pair atomically
 
     def active_files(
         self, root: str, up_to: int | None = None
@@ -344,18 +347,40 @@ class DeltaLogBackend:
                     }
                 )
             for e in add:
-                lines.append(
-                    {
-                        "add": {
-                            "path": e["path"],
-                            "partitionValues": {},
-                            "size": e.get("bytes", 0),
-                            "modificationTime": now,
-                            "dataChange": data_change,
-                            "stats": _stats_to_delta(e),
-                        }
-                    }
-                )
+                action = {
+                    "path": e["path"],
+                    "partitionValues": {},
+                    "size": e.get("bytes", 0),
+                    "modificationTime": now,
+                    "dataChange": data_change,
+                    "stats": _stats_to_delta(e),
+                }
+                if e.get("deletionVector"):
+                    action["deletionVector"] = e["deletionVector"]
+                lines.append({"add": action})
+            if any(e.get("deletionVector") for e in add):
+                # DV adds require the deletionVectors table feature —
+                # upgrade the protocol action in the same commit if the
+                # table does not advertise it yet
+                cur = {} if version == 0 else self._state(root).protocol
+                feats = set(cur.get("readerFeatures") or [])
+                if "deletionVectors" not in feats:
+                    lines.insert(
+                        1,
+                        {
+                            "protocol": {
+                                "minReaderVersion": 3,
+                                "minWriterVersion": 7,
+                                "readerFeatures": sorted(
+                                    feats | {"deletionVectors"}
+                                ),
+                                "writerFeatures": sorted(
+                                    set(cur.get("writerFeatures") or [])
+                                    | {"deletionVectors"}
+                                ),
+                            }
+                        },
+                    )
             path = Path(root) / LOG_DIR / f"{version:020d}.json"
             path.parent.mkdir(parents=True, exist_ok=True)
             body = "\n".join(json.dumps(l) for l in lines) + "\n"

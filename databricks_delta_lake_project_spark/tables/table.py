@@ -219,14 +219,62 @@ class LakeTable:
         return self._log.active_files(self.root, version)
 
     def _read_files(
-        self, entries: list[dict[str, Any]], version: int | None = None
+        self,
+        entries: list[dict[str, Any]],
+        version: int | None = None,
+        with_row_index: bool = False,
     ) -> DataFrame:
+        """Scan a file set under the table schema. Entries carrying a
+        ``deletionVector`` descriptor (Delta-backed tables) have their
+        marked row indices dropped via a broadcast anti-join — every
+        caller (snapshot reads, touched-file probes, copy-on-write
+        rewrites) therefore sees only ALIVE rows. ``with_row_index``
+        additionally exposes ``__file``/``__pos`` metadata columns (the
+        DV delete path needs physical positions)."""
         schema_json = self._log.schema_at(self.root, version)
         schema = StructType.fromJson(json.loads(schema_json))
         if not entries:
-            return self.spark.createDataFrame([], schema)
+            df = self.spark.createDataFrame([], schema)
+            if with_row_index:
+                df = df.withColumn(
+                    "__file", F.lit(None).cast("string")
+                ).withColumn("__pos", F.lit(None).cast("long"))
+            return df
         paths = [str(Path(self.root) / e["path"]) for e in entries]
-        return self.spark.read.schema(schema).parquet(*paths)
+        dvd = [e for e in entries if e.get("deletionVector")]
+        if not dvd and not with_row_index:
+            return self.spark.read.schema(schema).parquet(*paths)
+        df = self.spark.read.schema(schema).parquet(*paths).select(
+            "*",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        )
+        if dvd:
+            import pandas as pd
+
+            from .delta_interop import _dv_positions
+
+            frames = []
+            for e in dvd:
+                positions = _dv_positions(self.root, e["deletionVector"])
+                fpath = str((Path(self.root) / e["path"]).resolve())
+                frames.append(
+                    pd.DataFrame(
+                        {"__file": [fpath] * len(positions), "__pos": positions}
+                    )
+                )
+            deleted = pd.concat(frames, ignore_index=True)
+            if not deleted.empty:
+                df = df.join(
+                    F.broadcast(self.spark.createDataFrame(deleted)),
+                    ["__file", "__pos"],
+                    "left_anti",
+                )
+        if not with_row_index:
+            df = df.drop("__file", "__pos")
+        return df
 
     def to_df(
         self, version: int | None = None, timestamp_ms: int | None = None
@@ -400,10 +448,53 @@ class LakeTable:
             metrics={"numOutputRows": n, "numFiles": len(adds)},
         )
 
-    def delete(self, condition: str | Column) -> dict[str, Any]:
-        """Copy-on-write DELETE (``compliance_policies.py:136-212``)."""
+    def delete(
+        self,
+        condition: str | Column,
+        strategy: str = "auto",
+        dv_max_rows: int = 1_000_000,
+    ) -> dict[str, Any]:
+        """DELETE by predicate (``compliance_policies.py:136-212``).
+
+        Strategies:
+
+        * ``"rewrite"`` — copy-on-write: rewrite touched files without
+          the matching rows. Always available.
+        * ``"dv"`` — deletion vectors (Delta-backed tables only): mark
+          the matching ROW INDICES in a roaring bitmap sidecar and
+          re-add the untouched data file with the DV descriptor. Cost
+          is O(deleted rows), not O(touched-file bytes) — the modern
+          Delta small-delete path (a GDPR single-subject erasure
+          touches no data file at all). Falls back to rewrite when the
+          deleted set exceeds ``dv_max_rows`` (the positions pass
+          through the driver, bounded by design — DV-sized deletes;
+          bulk deletes want the rewrite anyway).
+        * ``"auto"`` — ``dv`` when the table is Delta-backed AND
+          ``delta.enableDeletionVectors`` is set (the property real
+          Delta writers key on), else ``rewrite``.
+        """
         cond = F.expr(condition) if isinstance(condition, str) else condition
         bounds = predicate_bounds(condition) if isinstance(condition, str) else {}
+        dv_capable = self._log is not tlog
+        if strategy == "dv" and not dv_capable:
+            raise ValueError(
+                "deletion vectors need the Delta log backend "
+                "(create(format='delta') or a Delta table via for_path)"
+            )
+        if strategy == "auto":
+            props = self.properties()
+            dv_enabled = str(
+                props.get(
+                    "delta.enableDeletionVectors",
+                    props.get("enableDeletionVectors", False),
+                )
+            ).lower() in ("true", "1")
+            strategy = "dv" if (dv_capable and dv_enabled) else "rewrite"
+        if strategy == "dv":
+            result = self._delete_dv(cond, bounds, dv_max_rows)
+            if result is not None:
+                return result
+            # too many rows for a DV: fall through to rewrite
         touched = self._touched_files(cond, bounds)
         if not touched:
             return {"numRemovedFiles": 0, "numDeletedRows": 0}
@@ -422,6 +513,67 @@ class LakeTable:
             self._log.schema_at(self.root), metrics=metrics,
         )
         self._write_cdf(deleted, "delete", v)
+        tdf.unpersist()
+        return metrics
+
+    def _delete_dv(
+        self, cond: Column, bounds: dict, dv_max_rows: int
+    ) -> dict[str, Any] | None:
+        """Deletion-vector DELETE: collect the matching (file, row
+        index) pairs (bounded by ``dv_max_rows``), merge them into each
+        touched file's existing bitmap, write one
+        ``deletion_vector_*.bin`` per file, and commit remove+re-add
+        actions carrying the DV descriptors. Returns None when the
+        deleted set is too large (caller falls back to rewrite)."""
+        import numpy as np
+
+        from .delta_interop import _dv_positions, write_dv_file
+
+        touched = self._touched_files(cond, bounds)
+        if not touched:
+            return {"numRemovedFiles": 0, "numDeletedRows": 0, "strategy": "dv"}
+        tdf = self._read_files(touched, with_row_index=True).persist()
+        hits = tdf.filter(cond)
+        # size gate BEFORE the driver collect
+        n_deleted = hits.count()
+        if n_deleted > dv_max_rows:
+            tdf.unpersist()
+            return None
+        pdf = hits.select("__file", "__pos").toPandas()
+        new_adds: list[dict[str, Any]] = []
+        removes: list[str] = []
+        n_fully_dead = 0
+        for e in touched:
+            fpath = str((Path(self.root) / e["path"]).resolve())
+            pos = pdf.loc[pdf["__file"] == fpath, "__pos"].to_numpy(np.int64)
+            if len(pos) == 0:
+                continue
+            removes.append(e["path"])
+            if e.get("deletionVector"):
+                pos = np.union1d(
+                    pos, _dv_positions(self.root, e["deletionVector"])
+                )
+            if e.get("rows") and len(pos) >= e["rows"]:
+                # every physical row dead: drop the file outright
+                n_fully_dead += 1
+                continue
+            desc = write_dv_file(self.root, pos)
+            entry = {k: v for k, v in e.items() if k != "deletionVector"}
+            entry["deletionVector"] = desc
+            new_adds.append(entry)
+        metrics = {
+            "numDeletedRows": n_deleted,
+            "numDeletionVectorsAdded": len(new_adds),
+            "numRemovedFiles": n_fully_dead,
+            "strategy": "dv",
+        }
+        v = self._log.commit(
+            self.root, "DELETE", new_adds, removes,
+            self._log.schema_at(self.root),
+            parameters={"strategy": "dv"},
+            metrics=metrics,
+        )
+        self._write_cdf(hits.drop("__file", "__pos"), "delete", v)
         tdf.unpersist()
         return metrics
 
@@ -704,9 +856,7 @@ class LakeTable:
         files = _prune_by_stats(files, bounds)
         if not files:
             return []
-        df = self._read_files(files).withColumn(
-            "__file", F.col("_metadata.file_path")
-        )
+        df = self._read_files(files, with_row_index=True)
         hit_paths = {
             r[0]
             for r in df.filter(cond).select("__file").distinct().collect()
@@ -903,8 +1053,8 @@ class MergeBuilder:
         touched: list[dict[str, Any]] = []
         if files:
             with_file = (
-                t._read_files(files)
-                .withColumn("__file", F.col("_metadata.file_path"))
+                t._read_files(files, with_row_index=True)
+                .drop("__pos")
                 .alias("t")
             )
             hit = {

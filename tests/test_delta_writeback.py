@@ -228,3 +228,95 @@ def test_cdf_works_on_delta_format(spark, tmp_path):
     types = {r["_change_type"] for r in ch.collect()}
     assert types == {"insert"}
     assert ch.count() == 4
+
+
+def test_delete_via_deletion_vectors(spark, tmp_path):
+    """DV delete: no data file is rewritten — the touched file is
+    re-added with a deletion-vector descriptor, the protocol upgrades
+    to (3,7)+deletionVectors, and BOTH read paths (engine and
+    independent interop replay) drop exactly the marked rows."""
+    df = spark.createDataFrame(
+        [(i, f"r{i}", float(i)) for i in range(10)],
+        "id long, name string, amount double",
+    )
+    path = str(tmp_path / "dv_table")
+    t = LakeTable.create(
+        spark, path, df=df.coalesce(1), format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    data_files_before = sorted(p.name for p in (Path(path) / "data").iterdir())
+    m = t.delete("id in (2, 5)")
+    assert m["strategy"] == "dv" and m["numDeletedRows"] == 2
+    assert m["numDeletionVectorsAdded"] == 1 and m["numRemovedFiles"] == 0
+    # no data file rewritten, a DV sidecar exists
+    assert sorted(p.name for p in (Path(path) / "data").iterdir()) == data_files_before
+    assert list(Path(path).glob("deletion_vector_*.bin"))
+    # protocol upgraded in the same commit
+    v = t.version()
+    actions = [
+        json.loads(l)
+        for l in (Path(path) / "_delta_log" / f"{v:020d}.json").read_text().splitlines()
+        if l.strip()
+    ]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto["minReaderVersion"] == 3
+    assert "deletionVectors" in proto["readerFeatures"]
+    add = next(a["add"] for a in actions if "add" in a)
+    assert add["deletionVector"]["cardinality"] == 2
+    # both readers agree
+    assert {r["id"] for r in t.to_df().collect()} == set(range(10)) - {2, 5}
+    assert {r[0] for r in DeltaInteropTable(spark, path).to_df().select("id").collect()} == set(range(10)) - {2, 5}
+    # second DV delete unions positions into a fresh bitmap
+    m2 = t.delete("id = 7")
+    assert m2["strategy"] == "dv"
+    assert {r["id"] for r in t.to_df().collect()} == set(range(10)) - {2, 5, 7}
+    # copy-on-write ops over the DV'd file see only alive rows
+    t.update("id = 0", {"amount": "999.0"})
+    rows = {(r["id"], r["amount"]) for r in t.to_df().collect()}
+    assert (0, 999.0) in rows and len(rows) == 7
+    # time travel through the interop replay still sees the DV'd state
+    assert {
+        r[0]
+        for r in DeltaInteropTable(spark, path).to_df(version=1).select("id").collect()
+    } == set(range(10)) - {2, 5}
+
+
+def test_dv_delete_kills_whole_file(spark, tmp_path):
+    """Deleting every row of a file drops it outright instead of
+    writing an all-rows DV."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "id long, amount double"
+    )
+    path = str(tmp_path / "dv_dead")
+    t = LakeTable.create(
+        spark, path, df=df.coalesce(1), format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    m = t.delete("id >= 0")
+    assert m["strategy"] == "dv"
+    assert m["numRemovedFiles"] == 1 and m["numDeletionVectorsAdded"] == 0
+    assert t.to_df().count() == 0
+    assert DeltaInteropTable(spark, path).to_df().count() == 0
+
+
+def test_dv_falls_back_to_rewrite_when_large(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, amount double"
+    )
+    path = str(tmp_path / "dv_big")
+    t = LakeTable.create(
+        spark, path, df=df.coalesce(1), format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    m = t.delete("id < 50", dv_max_rows=10)
+    assert "strategy" not in m  # rewrite path metrics
+    assert m["numDeletedRows"] == 50
+    assert t.to_df().count() == 50
+
+
+def test_dv_strategy_refused_on_engine_format(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "eng"), df=spark.range(5)
+    )
+    with pytest.raises(ValueError, match="Delta log backend"):
+        t.delete("id = 1", strategy="dv")
