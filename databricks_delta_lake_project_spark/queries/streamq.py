@@ -41,12 +41,14 @@ def q48_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = work / "ckpt"
     table_path = work / "profiles"
 
-    # stage the stream input as multiple files so availableNow +
-    # maxFilesPerTrigger actually exercises multi-micro-batch MERGE
+    # stage the stream input as two files so availableNow +
+    # maxFilesPerTrigger exercises a genuinely multi-micro-batch MERGE
+    # (each extra batch is ~1.5 s of fixed foreachBatch+commit overhead
+    # at fixture scale, so two batches is the cheapest honest shape)
     events = widen(load(spark, sf_dir, "events")).select(
         "event_id", "user_id", "value", "ts"
     )
-    events.repartition(3).write.mode("overwrite").parquet(str(src_dir))
+    events.repartition(2).write.mode("overwrite").parquet(str(src_dir))
     schema = spark.read.parquet(str(src_dir)).schema
 
     table = LakeTable.create(

@@ -320,3 +320,39 @@ def test_dv_strategy_refused_on_engine_format(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="Delta log backend"):
         t.delete("id = 1", strategy="dv")
+
+
+def test_commit_race_put_if_absent(spark, tmp_path):
+    """Optimistic concurrency: when another writer lands version N
+    first, the backend recomputes and lands N+1 instead of clobbering."""
+    t, path = _mk(spark, tmp_path)
+    log = Path(path) / "_delta_log"
+    # simulate a foreign writer stealing version 1
+    (log / f"{1:020d}.json").write_text(
+        json.dumps({"commitInfo": {"operation": "FOREIGN", "timestamp": 5}})
+        + "\n"
+    )
+    t.append(spark.createDataFrame([(4, "d", 40.0)], t.schema))
+    versions = sorted(int(p.stem) for p in log.glob("*.json") if p.stem.isdigit())
+    assert versions == [0, 1, 2]
+    ops = [r["operation"] for r in t.history().orderBy("version").collect()]
+    assert ops == ["CREATE TABLE AS SELECT", "FOREIGN", "WRITE"]
+    assert (4, "d", 40.0) in _interop_rows(spark, path)
+
+
+def test_dv_read_plan_is_broadcast_antijoin(spark, tmp_path):
+    """The DV filter must be a broadcast anti-join over the scan — no
+    shuffle of the data side at any scale."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "id long, amount double"
+    )
+    path = str(tmp_path / "dv_plan")
+    t = LakeTable.create(
+        spark, path, df=df.coalesce(1), format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    t.delete("id = 3")
+    plan = t.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
