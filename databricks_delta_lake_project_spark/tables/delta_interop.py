@@ -246,6 +246,24 @@ def _parse_roaring_bitmap_array(data: bytes) -> np.ndarray:
     return np.concatenate(out)
 
 
+def dv_file_path(root: str, dv: dict[str, Any]) -> Path | None:
+    """Filesystem path of a DV descriptor's sidecar file (None for
+    inline descriptors): storageType "p" is absolute; "u" decodes the
+    z85 uuid tail after an optional random prefix."""
+    st = dv["storageType"]
+    if st == "i":
+        return None
+    if st == "p":
+        return Path(dv["pathOrInlineDv"])
+    if st == "u":
+        enc = dv["pathOrInlineDv"]
+        prefix, tail = enc[:-20], enc[-20:]
+        u = uuid.UUID(bytes=_z85_decode(tail))
+        base = Path(root) / prefix if prefix else Path(root)
+        return base / f"deletion_vector_{u}.bin"
+    raise NotImplementedError(f"DV storageType {st!r} not supported")
+
+
 def _dv_positions(root: str, dv: dict[str, Any]) -> np.ndarray:
     """Resolve a deletionVector descriptor to the sorted int64 row
     indices it marks deleted. Driver-side and O(cardinality) — the same
@@ -256,14 +274,8 @@ def _dv_positions(root: str, dv: dict[str, Any]) -> np.ndarray:
     if st == "i":
         data = _z85_decode(dv["pathOrInlineDv"])[:size]
     elif st in ("u", "p"):
-        if st == "p":
-            dv_path = Path(dv["pathOrInlineDv"])
-        else:
-            enc = dv["pathOrInlineDv"]
-            prefix, tail = enc[:-20], enc[-20:]
-            u = uuid.UUID(bytes=_z85_decode(tail))
-            base = Path(root) / prefix if prefix else Path(root)
-            dv_path = base / f"deletion_vector_{u}.bin"
+        dv_path = dv_file_path(root, dv)
+        assert dv_path is not None
         blob = dv_path.read_bytes()
         if blob[0] != 1:
             raise ValueError(f"unsupported DV file format version {blob[0]}")

@@ -186,6 +186,26 @@ class DeltaLogBackend:
                         refs.add(a["add"]["path"])
         return refs
 
+    def referenced_dv_files(self, root: str) -> set[Path]:
+        """Deletion-vector sidecar files referenced by ANY version's add
+        actions (JSON commits are never deleted, so this covers time
+        travel) — the keep-set for VACUUMing orphaned DV bins."""
+        refs: set[Path] = set()
+        log = Path(root) / LOG_DIR
+        for v in self.list_versions(root):
+            with open(log / f"{v:020d}.json") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    dv = (a.get("add") or {}).get("deletionVector")
+                    if dv:
+                        p = di.dv_file_path(root, dv)
+                        if p is not None:
+                            refs.add(p.resolve())
+        return refs
+
     # -- commit log in engine shape ---------------------------------------
 
     def read_commit(self, root: str, version: int) -> dict[str, Any]:

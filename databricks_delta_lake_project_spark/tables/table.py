@@ -540,27 +540,7 @@ class LakeTable:
             tdf.unpersist()
             return None
         pdf = hits.select("__file", "__pos").toPandas()
-        new_adds: list[dict[str, Any]] = []
-        removes: list[str] = []
-        n_fully_dead = 0
-        for e in touched:
-            fpath = str((Path(self.root) / e["path"]).resolve())
-            pos = pdf.loc[pdf["__file"] == fpath, "__pos"].to_numpy(np.int64)
-            if len(pos) == 0:
-                continue
-            removes.append(e["path"])
-            if e.get("deletionVector"):
-                pos = np.union1d(
-                    pos, _dv_positions(self.root, e["deletionVector"])
-                )
-            if e.get("rows") and len(pos) >= e["rows"]:
-                # every physical row dead: drop the file outright
-                n_fully_dead += 1
-                continue
-            desc = write_dv_file(self.root, pos)
-            entry = {k: v for k, v in e.items() if k != "deletionVector"}
-            entry["deletionVector"] = desc
-            new_adds.append(entry)
+        new_adds, removes, n_fully_dead = self._dv_mark(touched, pdf)
         metrics = {
             "numDeletedRows": n_deleted,
             "numDeletionVectorsAdded": len(new_adds),
@@ -577,10 +557,133 @@ class LakeTable:
         tdf.unpersist()
         return metrics
 
-    def update(self, condition: str | Column, set: dict[str, str | Column]) -> dict[str, Any]:
-        """Copy-on-write UPDATE (``compliance_policies.py:277-295``)."""
+    def _dv_mark(
+        self, touched: list[dict[str, Any]], pdf
+    ) -> tuple[list[dict[str, Any]], list[str], int]:
+        """Fold collected (``__file``, ``__pos``) hit pairs into
+        deletion vectors: per touched file, union the new positions
+        with any existing bitmap, write the sidecar, and build the
+        remove + DV-re-add action lists. A file whose every physical
+        row is marked is dropped outright (no all-rows DV)."""
+        import numpy as np
+
+        from .delta_interop import _dv_positions, write_dv_file
+
+        new_adds: list[dict[str, Any]] = []
+        removes: list[str] = []
+        n_fully_dead = 0
+        for e in touched:
+            fpath = str((Path(self.root) / e["path"]).resolve())
+            pos = pdf.loc[pdf["__file"] == fpath, "__pos"].to_numpy(np.int64)
+            if len(pos) == 0:
+                continue
+            removes.append(e["path"])
+            if e.get("deletionVector"):
+                pos = np.union1d(
+                    pos, _dv_positions(self.root, e["deletionVector"])
+                )
+            if e.get("rows") and len(pos) >= e["rows"]:
+                n_fully_dead += 1
+                continue
+            desc = write_dv_file(self.root, pos)
+            entry = {k: v for k, v in e.items() if k != "deletionVector"}
+            entry["deletionVector"] = desc
+            new_adds.append(entry)
+        return new_adds, removes, n_fully_dead
+
+    def update(
+        self,
+        condition: str | Column,
+        set: dict[str, str | Column],
+        strategy: str = "auto",
+        dv_max_rows: int = 1_000_000,
+    ) -> dict[str, Any]:
+        """UPDATE by predicate (``compliance_policies.py:277-295``).
+
+        Strategies mirror :meth:`delete`: ``"rewrite"`` rewrites the
+        touched files; ``"dv"`` (Delta-backed tables) marks the OLD
+        versions of matched rows in deletion vectors and appends only
+        the updated rows as new files — cost O(matched rows), the way
+        modern Delta writers run UPDATE/MERGE with DVs enabled;
+        ``"auto"`` picks dv when ``delta.enableDeletionVectors`` is
+        set. Falls back to rewrite past ``dv_max_rows``."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
         bounds = predicate_bounds(condition) if isinstance(condition, str) else {}
+        dv_capable = self._log is not tlog
+        if strategy == "dv" and not dv_capable:
+            raise ValueError(
+                "deletion vectors need the Delta log backend "
+                "(create(format='delta') or a Delta table via for_path)"
+            )
+        if strategy == "auto":
+            props = self.properties()
+            dv_enabled = str(
+                props.get(
+                    "delta.enableDeletionVectors",
+                    props.get("enableDeletionVectors", False),
+                )
+            ).lower() in ("true", "1")
+            strategy = "dv" if (dv_capable and dv_enabled) else "rewrite"
+        if strategy == "dv":
+            result = self._update_dv(cond, set, bounds, dv_max_rows)
+            if result is not None:
+                return result
+        return self._update_rewrite(cond, set, bounds)
+
+    def _update_dv(
+        self,
+        cond: Column,
+        set: dict[str, str | Column],
+        bounds: dict,
+        dv_max_rows: int,
+    ) -> dict[str, Any] | None:
+        touched = self._touched_files(cond, bounds)
+        if not touched:
+            return {"numUpdatedRows": 0, "strategy": "dv"}
+        tdf = self._read_files(touched, with_row_index=True).persist()
+        hits = tdf.filter(cond)
+        n_updated = hits.count()
+        if n_updated > dv_max_rows:
+            tdf.unpersist()
+            return None
+        pdf = hits.select("__file", "__pos").toPandas()
+        new_adds, removes, n_fully_dead = self._dv_mark(touched, pdf)
+        schema = self.schema
+        set_cols = {
+            k: (F.expr(v) if isinstance(v, str) else v).cast(schema[k].dataType)
+            for k, v in set.items()
+        }
+        pre = hits.drop("__file", "__pos")
+        post = pre.select(
+            *[
+                set_cols[c].alias(c) if c in set_cols else F.col(c)
+                for c in pre.columns
+            ]
+        )
+        adds_new, _ = _write_files(post, self.root)
+        metrics = {
+            "numUpdatedRows": n_updated,
+            "numDeletionVectorsAdded": len(new_adds),
+            "numRemovedFiles": n_fully_dead,
+            "numAddedFiles": len(adds_new),
+            "strategy": "dv",
+        }
+        v = self._log.commit(
+            self.root, "UPDATE", new_adds + adds_new, removes,
+            self._log.schema_at(self.root),
+            parameters={"strategy": "dv"},
+            metrics=metrics,
+        )
+        if self._cdf_enabled():
+            self._write_cdf(pre, "update_preimage", v)
+            self._write_cdf(post, "update_postimage", v)
+        tdf.unpersist()
+        return metrics
+
+    def _update_rewrite(
+        self, cond: Column, set: dict[str, str | Column], bounds: dict
+    ) -> dict[str, Any]:
+        """Copy-on-write UPDATE (``compliance_policies.py:277-295``)."""
         touched = self._touched_files(cond, bounds)
         if not touched:
             return {"numUpdatedRows": 0}
@@ -713,6 +816,14 @@ class LakeTable:
             rel = f"{tlog.DATA_DIR}/{p.name}"
             if rel not in active and p.stat().st_mtime < cutoff:
                 victims.append(rel)
+        # orphaned deletion-vector sidecars: a rewrite/compaction drops
+        # the DV reference and leaves the .bin behind — collect any bin
+        # that NO version references (time travel included)
+        if hasattr(self._log, "referenced_dv_files"):
+            kept_dvs = self._log.referenced_dv_files(self.root)
+            for p in Path(self.root).glob("deletion_vector_*.bin"):
+                if p.resolve() not in kept_dvs and p.stat().st_mtime < cutoff:
+                    victims.append(p.name)
         if not dry_run:
             for rel in victims:
                 (Path(self.root) / rel).unlink()

@@ -356,3 +356,63 @@ def test_dv_read_plan_is_broadcast_antijoin(spark, tmp_path):
     assert "BroadcastExchange" in plan
     assert "LeftAnti" in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_update_via_deletion_vectors(spark, tmp_path):
+    """DV UPDATE: old row versions are DV-marked in place, only the
+    updated rows land as a new file — untouched rows never rewrite."""
+    df = spark.createDataFrame(
+        [(i, f"r{i}", float(i)) for i in range(10)],
+        "id long, name string, amount double",
+    )
+    path = str(tmp_path / "dv_upd")
+    t = LakeTable.create(
+        spark, path, df=df.coalesce(1), format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    files_before = sorted(p.name for p in (Path(path) / "data").iterdir())
+    m = t.update("id in (1, 4)", {"amount": "amount * 10"})
+    assert m["strategy"] == "dv" and m["numUpdatedRows"] == 2
+    assert m["numDeletionVectorsAdded"] == 1 and m["numAddedFiles"] >= 1
+    # the original data file was NOT rewritten; a new file holds updates
+    files_after = sorted(p.name for p in (Path(path) / "data").iterdir())
+    assert set(files_before) <= set(files_after)
+    assert len(files_after) > len(files_before)
+    got = {(r["id"], r["amount"]) for r in t.to_df().collect()}
+    assert (1, 10.0) in got and (4, 40.0) in got and len(got) == 10
+    # the independent replay reader agrees
+    io = {
+        (r["id"], r["amount"])
+        for r in DeltaInteropTable(spark, path).to_df().select("id", "amount").collect()
+    }
+    assert io == got
+
+
+def test_vacuum_collects_orphaned_dv_bins(spark, tmp_path):
+    """OPTIMIZE absorbs DVs; VACUUM then removes the orphaned sidecars
+    while keeping every bin some version still references."""
+    import os
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, amount double"
+    )
+    path = str(tmp_path / "dv_vac")
+    t = LakeTable.create(
+        spark, path, df=df.coalesce(1), format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    t.delete("id = 2")
+    bins = list(Path(path).glob("deletion_vector_*.bin"))
+    assert len(bins) == 1
+    # referenced: retention-0 vacuum must NOT touch it
+    assert t.vacuum(retain_hours=0.0, dry_run=True) == [] or all(
+        not v.startswith("deletion_vector") for v in t.vacuum(retain_hours=0.0, dry_run=True)
+    )
+    # compaction rewrites alive rows and drops the DV reference...
+    t.optimize(target_files=1, max_file_bytes=1 << 40)
+    # ...but the bin is still referenced by the OLD version (time
+    # travel), so it must survive until those commits age out. Simulate
+    # aging by rewriting history: check the keep-set logic directly.
+    kept = t._log.referenced_dv_files(t.root)
+    assert bins[0].resolve() in kept
+    assert t.to_df().count() == 9
