@@ -211,10 +211,12 @@ class SharingClient:
     ) -> DataFrame:
         """Change-data-feed read of a shared table
         (``delta_sharing_recipient.py:180-205``). Native tables read
-        their materialized change files; external Delta tables
-        synthesize insert rows from the ``_delta_log`` replay while
-        append-only (see ``LakeTable.read_changes``) — only a foreign
-        rewrite commit (row-level deltas unrecoverable) is refused."""
+        their materialized change files; external Delta tables —
+        including read-only interop shapes (partitioned, column-mapped)
+        — synthesize insert rows from the ``_delta_log`` replay while
+        append-only (``LakeTable.read_changes`` /
+        ``DeltaInteropTable.read_changes``) — only a foreign rewrite
+        commit (row-level deltas unrecoverable) is refused."""
         ref = url.split("#", 1)[-1]
         share, _, alias = ref.partition(".")
         shares = self._authorized_shares()
@@ -224,8 +226,6 @@ class SharingClient:
         if entry is None:
             raise ValueError(f"no table {alias!r} in share {share!r}")
         t = LakeTable.for_path(spark, entry["path"])
-        if getattr(t, "read_only", False):
-            raise NotImplementedError("CDF over external Delta tables")
         df = t.read_changes(starting_version=starting_version)
         if entry["filter"]:
             df = df.filter(entry["filter"])

@@ -299,6 +299,45 @@ def _dv_positions(root: str, dv: dict[str, Any]) -> np.ndarray:
     return positions
 
 
+def coerce_partition_value(s: Any) -> Any:
+    """Serialized partition value → the type a predicate literal would
+    parse to, so stats-pruning compares like with like. Only coerces
+    when the round-trip is exact (``"00123"`` stays a string because a
+    quoted predicate literal would too); ISO dates compare correctly
+    as strings."""
+    if isinstance(s, str):
+        try:
+            if str(int(s)) == s:
+                return int(s)
+        except ValueError:
+            pass
+        try:
+            if str(float(s)) == s:
+                return float(s)
+        except ValueError:
+            pass
+    return s
+
+
+def synth_partition_stats(entry: dict[str, Any]) -> None:
+    """Fold an add entry's partitionValues into its stats dict as
+    min=max point intervals — partition pruning then rides the same
+    ``_prune_by_stats`` driver-side skip as footer stats."""
+    pv = entry.get("partitionValues") or {}
+    if not pv:
+        return
+    stats = entry.setdefault("stats", {})
+    rows = entry.get("rows", 0)
+    for c, v in pv.items():
+        if c in stats:
+            continue
+        if v is None:
+            stats[c] = {"min": None, "max": None, "nulls": rows}
+        else:
+            cv = coerce_partition_value(v)
+            stats[c] = {"min": cv, "max": cv, "nulls": 0}
+
+
 def is_delta_table(path: str) -> bool:
     log = Path(path) / DELTA_LOG_DIR
     return log.is_dir() and any(log.glob("*.json"))
@@ -583,12 +622,33 @@ class DeltaInteropTable:
         paths = [str(Path(self.root) / a["path"]) for a in adds]
         if state.partition_columns:
             # Delta lays partitioned data out hive-style; basePath makes
-            # one scan recover the partition columns for all files. If a
-            # writer used non-hive paths, fall back to per-file literal
-            # columns from partitionValues (rare; bounded by |files|).
-            if all(f"{c}=" in p for p in paths for c in state.partition_columns):
+            # one scan recover the partition columns for all files. The
+            # layout must be UNIFORM below one base (Spark refuses
+            # "conflicting directory structures" otherwise — e.g. a
+            # foreign file at part=0/… next to an engine file at
+            # data/part=1/…). Non-uniform or non-hive layouts fall back
+            # to per-file literal columns from partitionValues (bounded
+            # by |files|).
+            under_data = [a["path"].startswith("data/") for a in adds]
+            hive = all(
+                f"{c}=" in a["path"]
+                for a in adds
+                for c in state.partition_columns
+            ) and all(
+                "=" in seg
+                for a in adds
+                for seg in Path(
+                    a["path"][5:] if a["path"].startswith("data/") else a["path"]
+                ).parent.parts
+            )
+            if hive and (all(under_data) or not any(under_data)):
+                base = (
+                    str(Path(self.root) / "data")
+                    if all(under_data)
+                    else self.root
+                )
                 df = (
-                    self.spark.read.option("basePath", self.root)
+                    self.spark.read.option("basePath", base)
                     .parquet(*paths)
                 )
                 return df.select(
@@ -652,6 +712,79 @@ class DeltaInteropTable:
             F.broadcast(deleted_df), ["__dv_file", "__dv_pos"], "left_anti"
         )
         return alive.drop("__dv_file", "__dv_pos")
+
+    def read_changes(
+        self, starting_version: int = 0, ending_version: int | None = None
+    ) -> DataFrame:
+        """CDF synthesized from the ``_delta_log`` replay for external
+        tables the engine cannot write (partitioned, column-mapped).
+
+        An append-only foreign commit's add files ARE the inserted rows,
+        so each in-range version scans its adds under the table schema
+        and stamps ``_change_type='insert'`` / ``_commit_version`` —
+        same contract as ``LakeTable.read_changes`` (reference surface:
+        ``delta_sharing_recipient.py:180-205``). Commits that removed
+        files or attached a deletion vector (UPDATE/DELETE/MERGE
+        rewrites) have no reconstructible row-level delta from the log
+        alone and are refused loudly; ``dataChange=false`` rewrites
+        (OPTIMIZE) are skipped as no logical change."""
+        versions = _commit_versions(self.root)
+        end = versions[-1] if ending_version is None else ending_version
+        if starting_version < versions[0]:
+            raise ValueError(
+                f"CDF from v{starting_version}: commits before "
+                f"v{versions[0]} are no longer in the log (vacuumed)"
+            )
+        # one replay at `end` supplies schema/partition/mapping context
+        # for every scan and re-validates readability
+        state = _replay(self.spark, self.root, end)
+        assert state.schema_json is not None
+        schema = StructType.fromJson(json.loads(state.schema_json))
+        log = Path(self.root) / DELTA_LOG_DIR
+        frames = []
+        for v in versions:
+            if v < starting_version or v > end:
+                continue
+            adds: list[dict[str, Any]] = []
+            with open(log / f"{v:020d}.json") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    a = json.loads(line)
+                    rm = a.get("remove")
+                    if rm is not None and rm.get("dataChange", True):
+                        raise NotImplementedError(
+                            f"CDF for version {v}: commit rewrote files; "
+                            "row-level changes are not reconstructible "
+                            "from the _delta_log alone"
+                        )
+                    add = a.get("add")
+                    if add is None or not add.get("dataChange", True):
+                        continue
+                    if add.get("deletionVector"):
+                        raise NotImplementedError(
+                            f"CDF for version {v}: commit attached a "
+                            "deletion vector (rows removed); row-level "
+                            "changes are not reconstructible"
+                        )
+                    adds.append(add)
+            if not adds:
+                continue
+            frames.append(
+                self._scan(state, schema, adds)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+        if not frames:
+            out_schema = schema.add("_change_type", "string").add(
+                "_commit_version", "long"
+            )
+            return self.spark.createDataFrame([], out_schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def history(self) -> DataFrame:
         rows = []

@@ -28,10 +28,12 @@ DataFrame machinery.
 Snapshot state (active files, schema, properties) is resolved through
 ``delta_interop._replay`` — the independent read path — so every write
 is round-tripped through the public protocol, never through private
-state. Write-back is limited to unpartitioned, column-mapping-free
-tables without live deletion vectors; ``check_writable`` refuses the
-rest loudly and ``LakeTable.for_path`` falls back to the read-only
-interop handle for them.
+state. Write-back covers partitioned and unpartitioned tables
+(hive-style layout, ``partitionValues``-stamped adds) and tables with
+live deletion vectors; only column mapping is refused
+(``check_writable`` — the engine's writers emit parquet under logical
+names) and ``LakeTable.for_path`` falls back to the read-only interop
+handle for those.
 """
 
 from __future__ import annotations
@@ -56,9 +58,15 @@ _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
 def _stats_to_delta(entry: dict[str, Any]) -> str:
-    """Engine add-entry stats -> Delta per-file stats JSON string."""
+    """Engine add-entry stats -> Delta per-file stats JSON string.
+    Partition columns are excluded — Delta skips those via
+    ``partitionValues``; their synthesized engine-side point intervals
+    are not per-file parquet stats."""
     mins, maxs, nulls = {}, {}, {}
+    pcols = set(entry.get("partitionValues") or {})
     for col, st in (entry.get("stats") or {}).items():
+        if col in pcols:
+            continue
         if st.get("min") is not None:
             mins[col] = st["min"]
         if st.get("max") is not None:
@@ -102,6 +110,9 @@ def _stats_from_delta(add: dict[str, Any]) -> dict[str, Any]:
     }
     if add.get("deletionVector"):
         out["deletionVector"] = add["deletionVector"]
+    if add.get("partitionValues"):
+        out["partitionValues"] = dict(add["partitionValues"])
+        di.synth_partition_stats(out)
     return out
 
 
@@ -136,15 +147,15 @@ class DeltaLogBackend:
     def _state(self, root: str, version: int | None = None) -> di._State:
         return di._replay(self.spark, root, version)
 
+    def partition_columns(self, root: str) -> list[str]:
+        return list(self._state(root).partition_columns)
+
     def check_writable(self, root: str) -> None:
         """Refuse write-back where copy-on-write rewrites could lose
-        information the engine's writer does not model."""
+        information the engine's writer does not model. Partitioned
+        tables ARE writable: the writers lay files out hive-style and
+        stamp ``partitionValues`` on every add action."""
         state = self._state(root)
-        if state.partition_columns:
-            raise NotImplementedError(
-                "Delta write-back into partitioned tables not supported "
-                f"(partitionColumns={state.partition_columns})"
-            )
         if state.mapping_mode != "none":
             # reads resolve physical names (delta_interop), but the
             # engine's writers emit parquet under LOGICAL names — a
@@ -298,6 +309,7 @@ class DeltaLogBackend:
         metrics: dict[str, Any] | None = None,
         properties: dict[str, Any] | None = None,
         max_retries: int = 20,
+        partition_columns: list[str] | None = None,
     ) -> int:
         parameters = parameters or {}
         now = int(time.time() * 1000)
@@ -344,13 +356,22 @@ class DeltaLogBackend:
                         k: str(v)
                         for k, v in self.table_properties(root).items()
                     }
+                # a re-emitted metaData action (schema evolution,
+                # property change) must preserve the table's
+                # partitioning — dropping it would silently flip the
+                # table unpartitioned for every later reader
+                pcols = (
+                    list(partition_columns or [])
+                    if version == 0
+                    else self.partition_columns(root)
+                )
                 lines.append(
                     {
                         "metaData": {
                             "id": self._table_id(root, version),
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": schema_json,
-                            "partitionColumns": [],
+                            "partitionColumns": pcols,
                             "configuration": config,
                             "createdTime": now,
                         }
@@ -369,7 +390,7 @@ class DeltaLogBackend:
             for e in add:
                 action = {
                     "path": e["path"],
-                    "partitionValues": {},
+                    "partitionValues": dict(e.get("partitionValues") or {}),
                     "size": e.get("bytes", 0),
                     "modificationTime": now,
                     "dataChange": data_change,
@@ -462,6 +483,15 @@ class DeltaLogBackend:
                 ("createdTime", pa.int64()),
             ]
         )
+        dv_struct = pa.struct(
+            [
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ]
+        )
         add_struct = pa.struct(
             [
                 ("path", pa.string()),
@@ -470,6 +500,9 @@ class DeltaLogBackend:
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()),
                 ("stats", pa.string()),
+                # dropping a live DV descriptor here would resurrect
+                # its deleted rows for every checkpoint-seeded reader
+                ("deletionVector", dv_struct),
             ]
         )
         proto_struct = pa.struct(
@@ -482,7 +515,7 @@ class DeltaLogBackend:
             "id": "unknown",
             "format": {"provider": "parquet"},
             "schemaString": state.schema_json,
-            "partitionColumns": [],
+            "partitionColumns": list(state.partition_columns),
             "configuration": list(state.properties.items()),
             "createdTime": None,
         }
@@ -497,6 +530,7 @@ class DeltaLogBackend:
                 "modificationTime": a.get("modificationTime", 0),
                 "dataChange": False,
                 "stats": a.get("stats"),
+                "deletionVector": a.get("deletionVector"),
             }
             for a in state.adds.values()
         ]

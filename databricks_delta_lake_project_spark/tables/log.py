@@ -252,6 +252,14 @@ def data_dir(root: str) -> Path:
     return Path(root) / DATA_DIR
 
 
+def partition_columns(root: str) -> list[str]:
+    """Engine-native tables are unpartitioned by design — data skipping
+    rides per-file footer stats instead of directory layout. Hive
+    partitioning exists only on Delta-backed tables
+    (``delta_log.DeltaLogBackend.partition_columns``)."""
+    return []
+
+
 def ensure_layout(root: str) -> None:
     (Path(root) / LOG_DIR).mkdir(parents=True, exist_ok=True)
     (Path(root) / DATA_DIR).mkdir(parents=True, exist_ok=True)

@@ -131,36 +131,52 @@ class LakeTable:
         schema: StructType | None = None,
         properties: dict[str, Any] | None = None,
         format: str = "engine",
+        partition_by: list[str] | None = None,
     ) -> "LakeTable":
         """Create a table. ``format="engine"`` uses the engine's own
         parquet+JSON log; ``format="delta"`` persists the commit log as
         a real Delta Lake ``_delta_log`` so external Delta tooling can
-        read (and keep writing) the table."""
+        read (and keep writing) the table. ``partition_by`` (Delta
+        format only) lays data out hive-style with ``partitionValues``
+        stamped on every add action — the engine-native format instead
+        skips files by footer stats and stays unpartitioned."""
         root = str(Path(path))
         if format == "delta":
             from .delta_log import DeltaLogBackend
 
             log = DeltaLogBackend(spark)
         elif format == "engine":
+            if partition_by:
+                raise ValueError(
+                    "partition_by requires format='delta' — engine-native "
+                    "tables skip by footer stats instead of hive layout"
+                )
             log = tlog
         else:
             raise ValueError(f"unknown table format: {format!r}")
         log.ensure_layout(root)
         if log.latest_version(root) is not None:
             raise ValueError(f"table already exists: {path}")
+        extra = (
+            {"partition_columns": list(partition_by)} if partition_by else {}
+        )
         if df is None:
             if schema is None:
                 raise ValueError("need df or schema")
             log.commit(
                 root, "CREATE TABLE", [], [], schema.json(),
                 properties=properties or {},
+                **extra,
             )
         else:
-            adds, n = _write_files(df, root)
+            adds, n = _write_files(
+                df, root, partition_columns=partition_by
+            )
             log.commit(
                 root, "CREATE TABLE AS SELECT", adds, [], df.schema.json(),
                 metrics={"numOutputRows": n, "numFiles": len(adds)},
                 properties=properties or {},
+                **extra,
             )
             t = cls(spark, root, log_backend=log)
             t._write_cdf(df, "insert", log.latest_version(root))
@@ -177,10 +193,10 @@ class LakeTable:
         read-write. A directory carrying a real Delta Lake
         ``_delta_log`` opens READ-WRITE through the Delta log backend
         when the table's shape supports the engine's copy-on-write
-        writer (unpartitioned, no column mapping, no live deletion
-        vectors) — appends and MERGEs then land as real ``_delta_log``
-        commits. Anything else (partitioned external tables,
-        DV-carrying tables) falls back to the read-only interop handle
+        writer (partitioned or not; live deletion vectors fine; no
+        column mapping) — appends and MERGEs then land as real
+        ``_delta_log`` commits. Anything else (column-mapped external
+        tables) falls back to the read-only interop handle
         (``delta_interop.DeltaInteropTable`` — same ``to_df``/
         ``schema``/``version``/``history`` read surface), so existing
         Delta tables from the reference stack remain queryable."""
@@ -242,15 +258,22 @@ class LakeTable:
             return df
         paths = [str(Path(self.root) / e["path"]) for e in entries]
         dvd = [e for e in entries if e.get("deletionVector")]
-        if not dvd and not with_row_index:
+        need_meta = bool(dvd) or with_row_index
+        pcols = self._partition_columns()
+        if pcols:
+            df = self._scan_partitioned(entries, schema, pcols, need_meta)
+            if not need_meta:
+                return df
+        elif not need_meta:
             return self.spark.read.schema(schema).parquet(*paths)
-        df = self.spark.read.schema(schema).parquet(*paths).select(
-            "*",
-            F.regexp_replace(
-                F.col("_metadata.file_path"), "^file:/+", "/"
-            ).alias("__file"),
-            F.col("_metadata.row_index").alias("__pos"),
-        )
+        else:
+            df = self.spark.read.schema(schema).parquet(*paths).select(
+                "*",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/+", "/"
+                ).alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
         if dvd:
             import pandas as pd
 
@@ -275,6 +298,92 @@ class LakeTable:
         if not with_row_index:
             df = df.drop("__file", "__pos")
         return df
+
+    def _partition_columns(self) -> list[str]:
+        return list(self._log.partition_columns(self.root))
+
+    def _scan_partitioned(
+        self,
+        entries: list[dict[str, Any]],
+        schema: StructType,
+        pcols: list[str],
+        need_meta: bool,
+    ) -> DataFrame:
+        """Scan hive-partitioned file entries under the logical schema.
+
+        Partition column values live in each add action's
+        ``partitionValues``, not in the data files. The fast path is ONE
+        directory-discovery scan with an explicit ``basePath`` (every
+        real Delta writer lays files out hive-style) — a single
+        FileScan, partition columns recovered by Spark, no unions. Only
+        a non-hive layout (possible per protocol: ``partitionValues``
+        is authoritative, paths are opaque) falls back to per-partition
+        scans with literal columns, bounded by the number of DISTINCT
+        partition tuples among the entries, not file count."""
+        meta_cols = [
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
+        paths = [str(Path(self.root) / e["path"]) for e in entries]
+        prefix = f"{tlog.DATA_DIR}/"
+        hive = all(
+            f"{c}=" in e["path"] for e in entries for c in pcols
+        ) and all(
+            "=" in seg
+            for e in entries
+            for seg in Path(
+                e["path"][len(prefix):]
+                if e["path"].startswith(prefix)
+                else e["path"]
+            ).parent.parts
+        )
+        under_data = [
+            e["path"].startswith(prefix) for e in entries
+        ]
+        if hive and (all(under_data) or not any(under_data)):
+            base = (
+                str(tlog.data_dir(self.root))
+                if all(under_data)
+                else self.root
+            )
+            df = self.spark.read.option("basePath", base).parquet(*paths)
+            return df.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in schema.fields
+                ],
+                *(meta_cols if need_meta else []),
+            )
+        data_schema = StructType(
+            [f for f in schema.fields if f.name not in pcols]
+        )
+        groups: dict[tuple, list[dict[str, Any]]] = {}
+        for e in entries:
+            pv = e.get("partitionValues") or {}
+            groups.setdefault(
+                tuple(pv.get(c) for c in pcols), []
+            ).append(e)
+        parts = []
+        for key, es in groups.items():
+            g = self.spark.read.schema(data_schema).parquet(
+                *[str(Path(self.root) / e["path"]) for e in es]
+            )
+            if need_meta:
+                g = g.select("*", *meta_cols)
+            for c, v in zip(pcols, key):
+                g = g.withColumn(c, F.lit(v).cast(schema[c].dataType))
+            parts.append(
+                g.select(
+                    *[f.name for f in schema.fields],
+                    *(["__file", "__pos"] if need_meta else []),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def to_df(
         self, version: int | None = None, timestamp_ms: int | None = None
@@ -367,7 +476,9 @@ class LakeTable:
         null-filled. Old files read under an evolved schema null-fill
         the new columns, exactly like Delta."""
         df = self._conform(df, merge_schema)
-        adds, n = _write_files(df, self.root)
+        adds, n = _write_files(
+            df, self.root, partition_columns=self._partition_columns()
+        )
         v = self._log.commit(
             self.root, "WRITE", adds, [], df.schema.json(),
             parameters={"mode": "Append", "mergeSchema": merge_schema},
@@ -404,7 +515,9 @@ class LakeTable:
         if self.txn_version(app_id) >= version:
             return -1
         out = self._conform(df, merge_schema=False)
-        adds, n = _write_files(out, self.root)
+        adds, n = _write_files(
+            out, self.root, partition_columns=self._partition_columns()
+        )
         v = self._log.commit(
             self.root, "WRITE", adds, [], out.schema.json(),
             parameters={
@@ -441,7 +554,9 @@ class LakeTable:
 
     def overwrite(self, df: DataFrame) -> int:
         old = [e["path"] for e in self._files()]
-        adds, n = _write_files(df, self.root)
+        adds, n = _write_files(
+            df, self.root, partition_columns=self._partition_columns()
+        )
         return self._log.commit(
             self.root, "WRITE", adds, old, df.schema.json(),
             parameters={"mode": "Overwrite"},
@@ -502,7 +617,9 @@ class LakeTable:
         kept = tdf.filter(~cond | cond.isNull())
         deleted = tdf.filter(cond)
         n_deleted = deleted.count()
-        adds, _ = _write_files(kept, self.root)
+        adds, _ = _write_files(
+            kept, self.root, partition_columns=self._partition_columns()
+        )
         metrics = {
             "numRemovedFiles": len(touched),
             "numAddedFiles": len(adds),
@@ -660,7 +777,9 @@ class LakeTable:
                 for c in pre.columns
             ]
         )
-        adds_new, _ = _write_files(post, self.root)
+        adds_new, _ = _write_files(
+            post, self.root, partition_columns=self._partition_columns()
+        )
         metrics = {
             "numUpdatedRows": n_updated,
             "numDeletionVectorsAdded": len(new_adds),
@@ -703,7 +822,9 @@ class LakeTable:
                 for c in tdf.columns
             ]
         )
-        adds, _ = _write_files(updated, self.root)
+        adds, _ = _write_files(
+            updated, self.root, partition_columns=self._partition_columns()
+        )
         metrics = {
             "numRemovedFiles": len(touched),
             "numAddedFiles": len(adds),
@@ -778,7 +899,12 @@ class LakeTable:
             )
         else:
             df = df.coalesce(int(n_out))
-        adds, n = _write_files(df, self.root, already_partitioned=True)
+        adds, n = _write_files(
+            df,
+            self.root,
+            already_partitioned=True,
+            partition_columns=self._partition_columns(),
+        )
         metrics = {
             "numFilesRemoved": len(files),
             "numFilesAdded": len(adds),
@@ -812,8 +938,11 @@ class LakeTable:
         cutoff = time.time() - retain_hours * 3600
         ddir = self._log.data_dir(self.root)
         victims = []
-        for p in ddir.iterdir():
-            rel = f"{tlog.DATA_DIR}/{p.name}"
+        # rglob: partitioned tables nest files under hive dirs
+        for p in ddir.rglob("*"):
+            if not p.is_file():
+                continue
+            rel = f"{tlog.DATA_DIR}/{p.relative_to(ddir).as_posix()}"
             if rel not in active and p.stat().st_mtime < cutoff:
                 victims.append(rel)
         # orphaned deletion-vector sidecars: a rewrite/compaction drops
@@ -1044,29 +1173,62 @@ def _prune_by_stats(
 
 
 def _write_files(
-    df: DataFrame, root: str, already_partitioned: bool = False
+    df: DataFrame,
+    root: str,
+    already_partitioned: bool = False,
+    partition_columns: list[str] | None = None,
 ) -> tuple[list[dict[str, Any]], int]:
     """Write df as immutable parquet files under <root>/data and return
-    (add-entries with footer stats, row count)."""
+    (add-entries with footer stats, row count).
+
+    With ``partition_columns`` the layout is hive-style
+    (``data/day=d1/part-*.parquet``, matching how every Delta writer
+    lays out partitioned tables) and each add entry carries the
+    ``partitionValues`` map plus synthesized point-interval stats so
+    driver-side pruning (``_prune_by_stats``) skips whole partitions
+    without touching footers."""
+    from urllib.parse import unquote
+
+    from .delta_interop import synth_partition_stats
+
     staging = Path(root) / f"_staging_{uuid.uuid4().hex}"
-    writer = df if already_partitioned else df
-    writer.write.mode("overwrite").parquet(str(staging))
+    writer = df.write.mode("overwrite")
+    if partition_columns:
+        writer = writer.partitionBy(*partition_columns)
+    writer.parquet(str(staging))
     ddir = tlog.data_dir(root)
     ddir.mkdir(parents=True, exist_ok=True)
     adds = []
     total_rows = 0
-    for p in sorted(staging.glob("*.parquet")):
+    for p in sorted(staging.rglob("*.parquet")):
         if p.stat().st_size == 0:
             continue
+        rel_dir = p.relative_to(staging).parent
         name = f"part-{uuid.uuid4().hex}.parquet"
-        dest = ddir / name
+        dest = ddir / rel_dir / name
+        dest.parent.mkdir(parents=True, exist_ok=True)
         shutil.move(str(p), dest)
         st = _file_stats(dest)
         if st["rows"] == 0:
             dest.unlink()
             continue
         total_rows += st["rows"]
-        adds.append({"path": f"{tlog.DATA_DIR}/{name}", **st})
+        rel = (
+            f"{tlog.DATA_DIR}/{rel_dir.as_posix()}/{name}"
+            if rel_dir.parts
+            else f"{tlog.DATA_DIR}/{name}"
+        )
+        entry: dict[str, Any] = {"path": rel, **st}
+        if partition_columns:
+            pv: dict[str, Any] = {}
+            for seg in rel_dir.parts:
+                k, _, v = seg.partition("=")
+                pv[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+                )
+            entry["partitionValues"] = pv
+            synth_partition_stats(entry)
+        adds.append(entry)
     shutil.rmtree(staging, ignore_errors=True)
     return adds, total_rows
 
@@ -1247,7 +1409,9 @@ class MergeBuilder:
         n_deleted = counts["d"] or 0
         n_inserted = counts["i"] or 0
 
-        adds, n_rows = _write_files(out, t.root)
+        adds, n_rows = _write_files(
+            out, t.root, partition_columns=t._partition_columns()
+        )
         metrics = {
             "numTargetRowsUpdated": n_updated,
             "numTargetRowsDeleted": n_deleted,

@@ -533,3 +533,168 @@ def test_column_mapping_without_physical_names_refused(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="physicalName"):
         DeltaInteropTable(spark, str(root)).to_df()
+
+
+def test_interop_cdf_over_column_mapped_table(spark, tmp_path):
+    """`DeltaInteropTable.read_changes` synthesizes append-only CDF for
+    shapes the engine cannot write (column mapping → read-only handle):
+    each commit's adds become insert rows under LOGICAL column names,
+    and a rewrite commit is refused loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from pyspark.sql.types import StructField as SF, StructType as ST
+
+    root = tmp_path / "ext_cmap_cdf"
+    root.mkdir(parents=True)
+    for i, vals in enumerate([[1, 2], [3]]):
+        pq_.write_table(
+            pa.table({"col-aaa": pa.array(vals, pa.int64())}),
+            root / f"f{i}.parquet",
+        )
+    logical = ST(
+        [
+            SF(
+                "id",
+                LongType(),
+                True,
+                {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-aaa",
+                },
+            )
+        ]
+    )
+    _commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "cmcdf",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": logical.json(),
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+        ],
+    )
+    _commit(
+        root,
+        1,
+        [{"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1, "modificationTime": 2, "dataChange": True}}],
+    )
+    it = LakeTable.for_path(spark, str(root))
+    assert isinstance(it, DeltaInteropTable)  # column mapping → read-only
+    got = {
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in it.read_changes().collect()
+    }
+    assert got == {(1, "insert", 0), (2, "insert", 0), (3, "insert", 1)}
+    assert {r["id"] for r in it.read_changes(starting_version=1).collect()} == {3}
+    _commit(
+        root,
+        2,
+        [{"remove": {"path": "f0.parquet", "deletionTimestamp": 3, "dataChange": True}}],
+    )
+    with pytest.raises(NotImplementedError):
+        it.read_changes().collect()
+
+
+def test_partitioned_delta_writeback_roundtrip(spark, tmp_path):
+    """Partitioned Delta write-back: create(partition_by) lays data out
+    hive-style, every DML lands partitionValues-stamped add actions,
+    and the INDEPENDENT interop replay (plus time travel) agrees."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "part_wb")
+    t = LakeTable.create(
+        spark,
+        path,
+        df=spark.createDataFrame(
+            [
+                Row(day="d1", id=1, v=10.0),
+                Row(day="d1", id=2, v=20.0),
+                Row(day="d2", id=3, v=30.0),
+            ]
+        ),
+        format="delta",
+        partition_by=["day"],
+    )
+    # hive layout + partitionValues on every add
+    for e in t._files():
+        assert "day=" in e["path"]
+        assert e["partitionValues"]["day"] in ("d1", "d2")
+    t.append(spark.createDataFrame([Row(day="d3", id=4, v=40.0)]))
+    t.update("id = 3", {"v": "33.0"})
+    t.delete("day = 'd1'")
+    (
+        t.merge(
+            spark.createDataFrame([Row(day="d4", id=5, v=50.0)]), "t.id = s.id"
+        )
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    expect = {("d2", 3, 33.0), ("d3", 4, 40.0), ("d4", 5, 50.0)}
+    assert {
+        (r["day"], r["id"], r["v"]) for r in t.to_df().collect()
+    } == expect
+    # independent replay path sees the same table
+    it = DeltaInteropTable(spark, path)
+    assert {
+        (r["day"], r["id"], r["v"]) for r in it.to_df().collect()
+    } == expect
+    # time travel to v0 recovers the original partitioned snapshot
+    assert {(r["day"], r["id"]) for r in t.to_df(version=0).collect()} == {
+        ("d1", 1),
+        ("d1", 2),
+        ("d2", 3),
+    }
+    # partition predicate prunes by partitionValues stats (no footer)
+    from databricks_delta_lake_project_spark.tables.table import (
+        _prune_by_stats,
+        predicate_bounds,
+    )
+
+    files = t._files()
+    pruned = _prune_by_stats(files, predicate_bounds("day = 'd3'"))
+    assert {e["partitionValues"]["day"] for e in pruned} == {"d3"}
+
+
+def test_partitioned_dv_delete_and_vacuum(spark, tmp_path):
+    """DV DELETE on a partitioned Delta table marks row indices without
+    rewriting the hive layout; OPTIMIZE re-compacts per partition and
+    VACUUM collects the dead nested files."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "part_dv")
+    t = LakeTable.create(
+        spark,
+        path,
+        df=spark.createDataFrame(
+            [Row(day="d1", id=i) for i in range(8)]
+            + [Row(day="d2", id=8)]
+        ).coalesce(1),  # one file per partition → the DV path, not fully-dead
+        format="delta",
+        partition_by=["day"],
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    r = t.delete("id = 3")
+    assert r["strategy"] == "dv" and r["numDeletedRows"] == 1
+    assert sorted(x["id"] for x in t.to_df().collect()) == [
+        0, 1, 2, 4, 5, 6, 7, 8,
+    ]
+    # DV re-add kept the partitionValues on the re-added file
+    dvd = [e for e in t._files() if e.get("deletionVector")]
+    assert dvd and all(e["partitionValues"]["day"] == "d1" for e in dvd)
+    t.optimize(target_files=1)
+    victims = t.vacuum(retain_hours=0)
+    assert victims  # dead nested files were found under hive dirs
+    assert sorted(x["id"] for x in t.to_df().collect()) == [
+        0, 1, 2, 4, 5, 6, 7, 8,
+    ]
+    assert sorted(
+        x["id"] for x in DeltaInteropTable(spark, path).to_df().collect()
+    ) == [0, 1, 2, 4, 5, 6, 7, 8]

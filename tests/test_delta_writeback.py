@@ -194,9 +194,11 @@ def test_for_path_opens_delta_writable(spark, tmp_path):
     assert (8, "h", 80.0) in _interop_rows(spark, path)
 
 
-def test_for_path_partitioned_external_stays_readonly(spark, tmp_path):
-    """An externally-partitioned Delta table is outside the writer's
-    supported shape — for_path returns the read-only interop handle."""
+def test_for_path_partitioned_external_opens_writable(spark, tmp_path):
+    """An externally-partitioned Delta table opens WRITABLE since
+    partitioned write-back landed: an engine append lands hive-style
+    files with partitionValues-stamped add actions that the independent
+    interop replay reads back."""
     root = tmp_path / "ext_part"
     sub = root / "part=0"
     sub.mkdir(parents=True)
@@ -218,7 +220,24 @@ def test_for_path_partitioned_external_stays_readonly(spark, tmp_path):
         "\n".join(json.dumps(a) for a in actions) + "\n"
     )
     t = LakeTable.for_path(spark, str(root))
-    assert isinstance(t, DeltaInteropTable) and t.read_only
+    assert isinstance(t, LakeTable)
+    t.append(
+        spark.createDataFrame([(2, "b", 1)], "id long, name string, part int")
+    )
+    assert {(r["id"], r["part"]) for r in t.to_df().collect()} == {
+        (1, 0),
+        (2, 1),
+    }
+    new = [e for e in t._files() if e["path"] != "part=0/d0.parquet"]
+    assert new and all(
+        e["partitionValues"] == {"part": "1"} and "part=1" in e["path"]
+        for e in new
+    )
+    it = DeltaInteropTable(spark, str(root))
+    assert {(r["id"], r["part"]) for r in it.to_df().collect()} == {
+        (1, 0),
+        (2, 1),
+    }
 
 
 def test_cdf_works_on_delta_format(spark, tmp_path):

@@ -103,3 +103,59 @@ def test_delete_after_checkpoint(spark, tmp_path):
     assert res["numDeletedRows"] == 1
     assert t.to_df().count() == 20
     assert t.to_df(version=20).count() == 21  # pre-delete snapshot intact
+
+
+def test_delta_checkpoint_preserves_dvs_and_partitioning(spark, tmp_path):
+    """A Delta-format checkpoint must carry live deletionVector
+    descriptors and the table's partitionColumns — dropping either
+    would resurrect deleted rows / flip the table unpartitioned for
+    every checkpoint-seeded reader."""
+    import json as _json
+    from pathlib import Path
+    from pyspark.sql import Row
+
+    from databricks_delta_lake_project_spark.tables.delta_interop import (
+        DeltaInteropTable,
+        _last_checkpoint,
+        _replay,
+    )
+
+    root = str(tmp_path / "cp_dv")
+    t = LakeTable.create(
+        spark,
+        root,
+        df=spark.createDataFrame(
+            [Row(day="d1", id=i) for i in range(6)]
+        ).coalesce(1),
+        format="delta",
+        partition_by=["day"],
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    r = t.delete("id = 2")  # v1: DV marks one row
+    assert r["strategy"] == "dv"
+    for i in range(9):  # push past CHECKPOINT_INTERVAL=10
+        t.append(
+            spark.createDataFrame([Row(day=f"d{2 + i}", id=10 + i)])
+        )
+    cp = _last_checkpoint(root)
+    assert cp is not None and cp["version"] >= 10
+    # checkpoint-seeded replay must still know the DV and partitioning
+    state = _replay(spark, root, None)
+    assert state.partition_columns == ["day"]
+    dv_adds = [a for a in state.adds.values() if a.get("deletionVector")]
+    assert dv_adds, "checkpoint dropped the deletionVector descriptor"
+    got = sorted(
+        x["id"] for x in DeltaInteropTable(spark, root).to_df().collect()
+    )
+    assert got == [0, 1, 3, 4, 5] + list(range(10, 19))
+    # delete the pre-checkpoint JSON commits: the replay must now be
+    # seeded PURELY from the checkpoint and still agree
+    log = Path(root) / "_delta_log"
+    for v in range(0, cp["version"]):
+        p = log / f"{v:020d}.json"
+        if p.exists():
+            p.unlink()
+    got2 = sorted(
+        x["id"] for x in DeltaInteropTable(spark, root).to_df().collect()
+    )
+    assert got2 == got

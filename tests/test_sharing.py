@@ -155,3 +155,102 @@ def test_share_external_delta_table(spark, shared_world, tmp_path):
     )
     with pytest.raises(NotImplementedError):
         client.load_cdf(spark, "c360_share.external.events").collect()
+
+
+def test_share_cdf_over_partitioned_external_table(spark, shared_world, tmp_path):
+    """CDF over a PARTITIONED external Delta table. Partitioned tables
+    open WRITABLE since partitioned write-back landed, so this rides
+    `LakeTable.read_changes` — partition columns must be recovered from
+    `partitionValues` (the data files do not contain them), and a
+    foreign rewrite commit must still be refused."""
+    provider, profile, _ = shared_world
+    root = tmp_path / "ext_part_delta"
+    files = {}
+    for i, (day, ids) in enumerate([("d1", [1, 2]), ("d2", [3])]):
+        df = spark.createDataFrame([Row(id=n) for n in ids])
+        tmp = root / f"_t{i}"
+        df.coalesce(1).write.parquet(str(tmp))
+        rel = f"day={day}/f{i}.parquet"
+        dest = root / rel
+        dest.parent.mkdir(parents=True, exist_ok=True)
+        next(tmp.glob("part-*.parquet")).rename(dest)
+        files[i] = (rel, day)
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "day", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    log = root / "_delta_log"
+    log.mkdir()
+    v0 = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": "p",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": ["day"],
+                "configuration": {},
+            }
+        },
+        {
+            "add": {
+                "path": files[0][0],
+                "partitionValues": {"day": files[0][1]},
+                "size": 1,
+                "modificationTime": 1,
+                "dataChange": True,
+            }
+        },
+    ]
+    (log / f"{0:020d}.json").write_text("\n".join(json.dumps(a) for a in v0))
+    (log / f"{1:020d}.json").write_text(
+        json.dumps(
+            {
+                "add": {
+                    "path": files[1][0],
+                    "partitionValues": {"day": files[1][1]},
+                    "size": 1,
+                    "modificationTime": 2,
+                    "dataChange": True,
+                }
+            }
+        )
+    )
+    provider.add_table("c360_share", str(root), "external.partitioned")
+    client = SharingClient(profile)
+    t_kind = LakeTable.for_path(spark, str(root))
+    assert isinstance(t_kind, LakeTable), "partitioned tables open writable"
+    cdf = client.load_cdf(spark, "c360_share.external.partitioned")
+    got = {
+        (r["id"], r["day"], r["_change_type"], r["_commit_version"])
+        for r in cdf.collect()
+    }
+    assert got == {
+        (1, "d1", "insert", 0),
+        (2, "d1", "insert", 0),
+        (3, "d2", "insert", 1),
+    }
+    # starting_version trims earlier commits
+    later = client.load_cdf(
+        spark, "c360_share.external.partitioned", starting_version=1
+    )
+    assert {r["id"] for r in later.collect()} == {3}
+    # a foreign rewrite (remove) is refused loudly
+    (log / f"{2:020d}.json").write_text(
+        json.dumps(
+            {
+                "remove": {
+                    "path": files[0][0],
+                    "deletionTimestamp": 3,
+                    "dataChange": True,
+                }
+            }
+        )
+    )
+    with pytest.raises(NotImplementedError):
+        client.load_cdf(spark, "c360_share.external.partitioned").collect()
