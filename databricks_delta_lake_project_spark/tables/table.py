@@ -65,6 +65,13 @@ def _json_safe(v: Any) -> Any:
     return str(v)
 
 
+def _alive_rows(e: dict[str, Any]) -> int:
+    """Rows a reader sees in this file: physical rows minus any
+    deletion-vector cardinality."""
+    dv = e.get("deletionVector") or {}
+    return int(e.get("rows", 0)) - int(dv.get("cardinality", 0))
+
+
 def _file_stats(path: Path) -> dict[str, Any]:
     """File-level stats from the parquet footer (no data read)."""
     meta = pq.ParquetFile(path).metadata
@@ -589,7 +596,27 @@ class LakeTable:
           Delta writers key on), else ``rewrite``.
         """
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        bounds = predicate_bounds(condition) if isinstance(condition, str) else {}
+        bounds, complete = (
+            predicate_bounds_full(condition)
+            if isinstance(condition, str)
+            else ({}, False)
+        )
+        # metadata-only whole-file drop: files whose stats PROVE every
+        # row matches a complete conjunctive predicate are removed by
+        # log action alone — never read, never rewritten. This is the
+        # path that makes "DELETE WHERE day = X" on a 100 TB
+        # partitioned table an O(log) operation (Delta's partition
+        # delete); partitionValues point-interval stats qualify whole
+        # hive partitions.
+        whole: list[dict[str, Any]] = []
+        if complete and bounds:
+            whole = [
+                e
+                for e in _prune_by_stats(self._files(), bounds)
+                if _file_fully_matches(e, bounds)
+            ]
+        whole_paths = {e["path"] for e in whole}
+        n_whole = sum(_alive_rows(e) for e in whole)
         dv_capable = self._log is not tlog
         if strategy == "dv" and not dv_capable:
             raise ValueError(
@@ -606,72 +633,114 @@ class LakeTable:
             ).lower() in ("true", "1")
             strategy = "dv" if (dv_capable and dv_enabled) else "rewrite"
         if strategy == "dv":
-            result = self._delete_dv(cond, bounds, dv_max_rows)
+            result = self._delete_dv(cond, bounds, dv_max_rows, whole, n_whole)
             if result is not None:
                 return result
             # too many rows for a DV: fall through to rewrite
-        touched = self._touched_files(cond, bounds)
-        if not touched:
+        touched = self._touched_files(cond, bounds, exclude_paths=whole_paths)
+        if not touched and not whole:
             return {"numRemovedFiles": 0, "numDeletedRows": 0}
-        tdf = self._read_files(touched).persist()
-        kept = tdf.filter(~cond | cond.isNull())
-        deleted = tdf.filter(cond)
-        n_deleted = deleted.count()
-        adds, _ = _write_files(
-            kept, self.root, partition_columns=self._partition_columns()
-        )
+        if touched:
+            tdf = self._read_files(touched).persist()
+            kept = tdf.filter(~cond | cond.isNull())
+            deleted = tdf.filter(cond)
+            n_deleted = deleted.count()
+            adds, _ = _write_files(
+                kept, self.root, partition_columns=self._partition_columns()
+            )
+        else:
+            tdf, deleted, n_deleted, adds = None, None, 0, []
         metrics = {
-            "numRemovedFiles": len(touched),
+            "numRemovedFiles": len(touched) + len(whole),
+            "numWholeFilesRemoved": len(whole),
             "numAddedFiles": len(adds),
-            "numDeletedRows": n_deleted,
+            "numDeletedRows": n_deleted + n_whole,
         }
         v = self._log.commit(
-            self.root, "DELETE", adds, [e["path"] for e in touched],
+            self.root, "DELETE", adds,
+            [e["path"] for e in touched] + sorted(whole_paths),
             self._log.schema_at(self.root), metrics=metrics,
         )
-        self._write_cdf(deleted, "delete", v)
-        tdf.unpersist()
+        if self._cdf_enabled():
+            changes = self._read_files(whole) if whole else None
+            if deleted is not None:
+                changes = (
+                    deleted if changes is None
+                    else deleted.unionByName(changes)
+                )
+            if changes is not None:
+                self._write_cdf(changes, "delete", v)
+        elif deleted is not None:
+            self._write_cdf(deleted, "delete", v)
+        if tdf is not None:
+            tdf.unpersist()
         return metrics
 
     def _delete_dv(
-        self, cond: Column, bounds: dict, dv_max_rows: int
+        self,
+        cond: Column,
+        bounds: dict,
+        dv_max_rows: int,
+        whole: list[dict[str, Any]] | None = None,
+        n_whole: int = 0,
     ) -> dict[str, Any] | None:
         """Deletion-vector DELETE: collect the matching (file, row
         index) pairs (bounded by ``dv_max_rows``), merge them into each
         touched file's existing bitmap, write one
         ``deletion_vector_*.bin`` per file, and commit remove+re-add
-        actions carrying the DV descriptors. Returns None when the
+        actions carrying the DV descriptors. ``whole`` files (stats
+        prove every row matches) skip the DV machinery entirely — pure
+        remove actions in the same commit. Returns None when the
         deleted set is too large (caller falls back to rewrite)."""
         import numpy as np
 
         from .delta_interop import _dv_positions, write_dv_file
 
-        touched = self._touched_files(cond, bounds)
-        if not touched:
+        whole = whole or []
+        whole_paths = {e["path"] for e in whole}
+        touched = self._touched_files(
+            cond, bounds, exclude_paths=whole_paths
+        )
+        if not touched and not whole:
             return {"numRemovedFiles": 0, "numDeletedRows": 0, "strategy": "dv"}
-        tdf = self._read_files(touched, with_row_index=True).persist()
-        hits = tdf.filter(cond)
-        # size gate BEFORE the driver collect
-        n_deleted = hits.count()
-        if n_deleted > dv_max_rows:
-            tdf.unpersist()
-            return None
-        pdf = hits.select("__file", "__pos").toPandas()
-        new_adds, removes, n_fully_dead = self._dv_mark(touched, pdf)
+        if touched:
+            tdf = self._read_files(touched, with_row_index=True).persist()
+            hits = tdf.filter(cond)
+            # size gate BEFORE the driver collect
+            n_deleted = hits.count()
+            if n_deleted > dv_max_rows:
+                tdf.unpersist()
+                return None
+            pdf = hits.select("__file", "__pos").toPandas()
+            new_adds, removes, n_fully_dead = self._dv_mark(touched, pdf)
+        else:
+            tdf, hits = None, None
+            n_deleted, new_adds, removes, n_fully_dead = 0, [], [], 0
         metrics = {
-            "numDeletedRows": n_deleted,
+            "numDeletedRows": n_deleted + n_whole,
             "numDeletionVectorsAdded": len(new_adds),
-            "numRemovedFiles": n_fully_dead,
+            "numRemovedFiles": n_fully_dead + len(whole),
+            "numWholeFilesRemoved": len(whole),
             "strategy": "dv",
         }
         v = self._log.commit(
-            self.root, "DELETE", new_adds, removes,
+            self.root, "DELETE", new_adds,
+            removes + sorted(whole_paths),
             self._log.schema_at(self.root),
             parameters={"strategy": "dv"},
             metrics=metrics,
         )
-        self._write_cdf(hits.drop("__file", "__pos"), "delete", v)
-        tdf.unpersist()
+        if self._cdf_enabled():
+            changes = self._read_files(whole) if whole else None
+            if hits is not None:
+                pre = hits.drop("__file", "__pos")
+                changes = (
+                    pre if changes is None else pre.unionByName(changes)
+                )
+            if changes is not None:
+                self._write_cdf(changes, "delete", v)
+        if tdf is not None:
+            tdf.unpersist()
         return metrics
 
     def _dv_mark(
@@ -1078,7 +1147,10 @@ class LakeTable:
     # -- internals ---------------------------------------------------------
 
     def _touched_files(
-        self, cond: Column, bounds: dict[str, tuple[Any, Any]] | None = None,
+        self,
+        cond: Column,
+        bounds: dict[str, tuple[Any, Any]] | None = None,
+        exclude_paths: set[str] | None = None,
     ) -> list[dict[str, Any]]:
         """Files containing at least one row matching ``cond``.
 
@@ -1086,9 +1158,13 @@ class LakeTable:
         log's per-file min/max (``bounds`` — extracted from the
         predicate or from MERGE source keys; file metadata only, no
         data read); (2) an exact membership probe via a file-path
-        distinct over the surviving candidates.
+        distinct over the surviving candidates. ``exclude_paths``
+        drops files the caller already decided about (whole-match
+        DELETE) before the probe ever reads them.
         """
         files = self._files()
+        if exclude_paths:
+            files = [e for e in files if e["path"] not in exclude_paths]
         if bounds is None and isinstance(cond, Column):
             bounds = {}
         if bounds is None:
@@ -1120,12 +1196,27 @@ def predicate_bounds(condition: str) -> dict[str, tuple[Any, Any]]:
     derives from its stats. Returns {} (no pruning) for anything with
     OR/NOT/parentheses: pruning must only ever skip files that
     provably cannot match."""
+    bounds, _ = predicate_bounds_full(condition)
+    return bounds
+
+
+def predicate_bounds_full(
+    condition: str,
+) -> tuple[dict[str, tuple[Any, Any]], bool]:
+    """Like :func:`predicate_bounds`, plus a ``complete`` flag: True
+    iff EVERY conjunct was captured in the bounds. A complete
+    conjunctive predicate supports the reverse inference too — a file
+    whose stats interval lies wholly INSIDE the bounds provably
+    matches on every row (the metadata-only whole-file DELETE);
+    an incomplete parse only ever supports skipping."""
     if re.search(r"\bor\b|\bnot\b|\(", condition, flags=re.IGNORECASE):
-        return {}
+        return {}, False
+    complete = True
     bounds: dict[str, tuple[Any, Any]] = {}
     for part in condition.split(" AND "):
         m = _CMP_RE.match(part.strip())
         if not m:
+            complete = False
             continue
         col, op, lit = m.groups()
         value: Any
@@ -1133,6 +1224,11 @@ def predicate_bounds(condition: str) -> dict[str, tuple[Any, Any]]:
             value = lit[1:-1]
         else:
             value = float(lit) if "." in lit else int(lit)
+        if op in ("<", ">"):
+            # strict edges are folded inclusively — safe for skipping
+            # (over-approximate) but NOT for the whole-file full-match
+            # inference (a file with max == v does not match `col < v`)
+            complete = False
         lo, hi = bounds.get(col, (None, None))
         if op in ("=", "=="):
             lo, hi = value, value
@@ -1141,7 +1237,33 @@ def predicate_bounds(condition: str) -> dict[str, tuple[Any, Any]]:
         elif op in ("<", "<="):
             hi = value if hi is None else min(hi, value)
         bounds[col] = (lo, hi)
-    return bounds
+    return bounds, complete
+
+
+def _file_fully_matches(
+    e: dict[str, Any], bounds: dict[str, tuple[Any, Any]]
+) -> bool:
+    """True iff stats PROVE every row of the file satisfies a COMPLETE
+    conjunctive ``bounds`` (each bound column: no nulls and the file's
+    [min, max] wholly inside [lo, hi]). Must only be called with
+    ``complete=True`` bounds from :func:`predicate_bounds_full`."""
+    for col, (lo, hi) in bounds.items():
+        st = (e.get("stats") or {}).get(col)
+        if (
+            not st
+            or st.get("min") is None
+            or st.get("max") is None
+            or st.get("nulls", 0)
+        ):
+            return False
+        try:
+            if lo is not None and st["min"] < lo:
+                return False
+            if hi is not None and st["max"] > hi:
+                return False
+        except TypeError:
+            return False  # mixed types prove nothing
+    return True
 
 
 def _prune_by_stats(

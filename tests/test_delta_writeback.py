@@ -435,3 +435,65 @@ def test_vacuum_collects_orphaned_dv_bins(spark, tmp_path):
     kept = t._log.referenced_dv_files(t.root)
     assert bins[0].resolve() in kept
     assert t.to_df().count() == 9
+
+
+def test_whole_partition_delete_is_metadata_only(spark, tmp_path):
+    """DELETE whose complete conjunctive predicate provably matches
+    every row of a file (partition drop, stats-proven ranges) removes
+    the file by log action alone — zero rewrite, exact metrics, CDF
+    still materialized from the dropped files."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "whole_del")
+    t = LakeTable.create(
+        spark,
+        path,
+        df=spark.createDataFrame(
+            [Row(day=f"d{i % 3}", id=i) for i in range(30)]
+        ).repartition(3, "day"),
+        format="delta",
+        partition_by=["day"],
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    n_files_before = len(t._files())
+    m = t.delete("day = 'd1'")
+    assert m["numWholeFilesRemoved"] >= 1
+    assert m["numAddedFiles"] == 0  # metadata-only: nothing rewritten
+    assert m["numDeletedRows"] == 10
+    assert len(t._files()) == n_files_before - m["numRemovedFiles"]
+    assert sorted({r["day"] for r in t.to_df().collect()}) == ["d0", "d2"]
+    cdf = t.read_changes(starting_version=1)
+    assert (
+        cdf.filter(F.col("_change_type") == "delete").count() == 10
+    )
+    # incomplete predicates (strict <, unparsable conjuncts) must NOT
+    # whole-drop: `id < 20` folds inclusively for skipping, so the
+    # full-match inference is disabled and rows are counted exactly
+    m2 = t.delete("id < 3")
+    assert m2["numWholeFilesRemoved"] == 0
+    assert m2["numDeletedRows"] == 2  # ids 0, 2 (1 went with d1)
+
+
+def test_whole_file_delete_with_existing_dv_counts_alive_rows(spark, tmp_path):
+    """A whole-dropped file carrying a deletion vector reports only its
+    ALIVE rows as deleted (physical rows minus DV cardinality)."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "whole_dv")
+    t = LakeTable.create(
+        spark,
+        path,
+        df=spark.createDataFrame(
+            [Row(day="d1", id=i) for i in range(10)]
+            + [Row(day="d2", id=10)]
+        ).coalesce(1),
+        format="delta",
+        partition_by=["day"],
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    r1 = t.delete("id = 4")  # DV marks one row in the d1 file
+    assert r1["strategy"] == "dv" and r1["numDeletionVectorsAdded"] == 1
+    r2 = t.delete("day = 'd1'")  # whole-drop the DV-carrying file
+    assert r2["numWholeFilesRemoved"] == 1
+    assert r2["numDeletedRows"] == 9  # 10 physical - 1 already deleted
+    assert [x["id"] for x in t.to_df().collect()] == [10]
