@@ -39,7 +39,14 @@ DELTA_LOG_DIR = "_delta_log"
 
 # Reader features this scan implements. Anything else advertised by a
 # protocol action with minReaderVersion >= 3 is refused.
-_SUPPORTED_READER_FEATURES = {"timestampNtz", "v2Checkpoint", "deletionVectors"}
+_SUPPORTED_READER_FEATURES = {
+    "timestampNtz",
+    "v2Checkpoint",
+    "deletionVectors",
+    # reads resolve physicalNames; check_readable still refuses mapped
+    # tables whose fields lack them (or that are also partitioned)
+    "columnMapping",
+}
 
 # ---------------------------------------------------------------------------
 # Deletion vectors (open Delta protocol, PROTOCOL.md "Deletion Vectors")

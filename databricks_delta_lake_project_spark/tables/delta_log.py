@@ -82,6 +82,39 @@ def _stats_to_delta(entry: dict[str, Any]) -> str:
     )
 
 
+def _top_level_phys_map(schema_json: str) -> dict[str, str]:
+    """Top-level logical name -> physicalName map from a Delta
+    schemaString (identity for fields without mapping metadata).
+    Per-file stats are flat (top-level columns only), so nested
+    renames never appear in stats keys."""
+    parsed = json.loads(schema_json)
+    out: dict[str, str] = {}
+    for f in parsed.get("fields", []):
+        meta = f.get("metadata") or {}
+        out[f["name"]] = meta.get(
+            "delta.columnMapping.physicalName", f["name"]
+        )
+    return out
+
+
+def _strip_schema_metadata(schema_json: str) -> str:
+    """Structural fingerprint of a schemaString: names, types,
+    nullability — metadata (column-mapping ids/physicalNames, comments)
+    dropped recursively. Two schemas with equal fingerprints describe
+    the same logical table."""
+
+    def walk(node: Any) -> Any:
+        if isinstance(node, dict):
+            return {
+                k: walk(v) for k, v in sorted(node.items()) if k != "metadata"
+            }
+        if isinstance(node, list):
+            return [walk(x) for x in node]
+        return node
+
+    return json.dumps(walk(json.loads(schema_json)), sort_keys=True)
+
+
 def _stats_from_delta(add: dict[str, Any]) -> dict[str, Any]:
     """Delta add action -> engine entry (path/rows/bytes/stats)."""
     rows = 0
@@ -150,19 +183,21 @@ class DeltaLogBackend:
     def partition_columns(self, root: str) -> list[str]:
         return list(self._state(root).partition_columns)
 
+    def mapping_mode(self, root: str) -> str:
+        return self._state(root).mapping_mode
+
     def check_writable(self, root: str) -> None:
         """Refuse write-back where copy-on-write rewrites could lose
-        information the engine's writer does not model. Partitioned
-        tables ARE writable: the writers lay files out hive-style and
-        stamp ``partitionValues`` on every add action."""
-        state = self._state(root)
-        if state.mapping_mode != "none":
-            # reads resolve physical names (delta_interop), but the
-            # engine's writers emit parquet under LOGICAL names — a
-            # write would corrupt a mapped table
-            raise NotImplementedError(
-                "Delta write-back into column-mapping tables not supported"
-            )
+        information the engine's writer does not model. Every READABLE
+        shape is now writable: partitioned tables lay files out
+        hive-style with ``partitionValues``-stamped adds; column-mapped
+        tables write parquet under PHYSICAL names with physical-keyed
+        stats (``LakeTable._prep_write``; ``check_readable`` inside the
+        state replay has already proven every field carries a
+        physicalName and the table is not partitioned+mapped).
+        Unreadable shapes (unknown reader features) raise here via the
+        replay itself."""
+        self._state(root)
         # live deletion vectors are fine: every LakeTable read path is
         # DV-aware (_read_files anti-joins marked row indices), and
         # copy-on-write rewrites read only alive rows then drop the
@@ -172,7 +207,19 @@ class DeltaLogBackend:
         self, root: str, up_to: int | None = None
     ) -> list[dict[str, Any]]:
         state = self._state(root, up_to)
-        return [_stats_from_delta(a) for a in state.adds.values()]
+        entries = [_stats_from_delta(a) for a in state.adds.values()]
+        if state.mapping_mode != "none" and state.schema_json:
+            # protocol-side stats are keyed by PHYSICAL column names on
+            # mapped tables; the engine plans/prunes in logical names
+            phys_to_log = {
+                p: l for l, p in _top_level_phys_map(state.schema_json).items()
+            }
+            for e in entries:
+                e["stats"] = {
+                    phys_to_log.get(k, k): v
+                    for k, v in (e.get("stats") or {}).items()
+                }
+        return entries
 
     def schema_at(self, root: str, version: int | None = None) -> str:
         state = self._state(root, version)
@@ -314,6 +361,45 @@ class DeltaLogBackend:
         parameters = parameters or {}
         now = int(time.time() * 1000)
         data_change = operation not in ("OPTIMIZE",)
+        # column-mapped tables: the caller's schema_json comes from
+        # DataFrame.schema (no mapping metadata). Emitting it would
+        # strip the ids/physicalNames and corrupt the table — so when
+        # the structure is unchanged, keep the CURRENT schemaString
+        # verbatim; a genuine evolution needs columnMapping id
+        # assignment the engine does not implement, refused loudly.
+        # Stats keys are translated logical->physical to match the
+        # protocol's convention (fresh footer stats from physical
+        # parquet are already physical — identity under the map).
+        log_to_phys: dict[str, str] = {}
+        if self.latest_version(root) is not None:
+            state0 = self._state(root)
+            if state0.mapping_mode != "none" and state0.schema_json:
+                if _strip_schema_metadata(schema_json) != (
+                    _strip_schema_metadata(state0.schema_json)
+                ):
+                    raise NotImplementedError(
+                        "schema evolution on column-mapped tables is not "
+                        "supported (columnMapping id assignment)"
+                    )
+                schema_json = state0.schema_json
+                log_to_phys = {
+                    l: p
+                    for l, p in _top_level_phys_map(
+                        state0.schema_json
+                    ).items()
+                    if l != p
+                }
+        if log_to_phys:
+            add = [
+                {
+                    **e,
+                    "stats": {
+                        log_to_phys.get(k, k): v
+                        for k, v in (e.get("stats") or {}).items()
+                    },
+                }
+                for e in add
+            ]
         for _ in range(max_retries):
             prev = self.latest_version(root)
             version = 0 if prev is None else prev + 1

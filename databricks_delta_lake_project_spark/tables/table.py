@@ -65,6 +65,30 @@ def _json_safe(v: Any) -> Any:
     return str(v)
 
 
+def _physical_read_schema(schema: StructType) -> StructType | None:
+    """Physical twin of a column-mapped logical schema, or None when
+    the schema carries no mapping metadata (the common case)."""
+    from .delta_interop import _PHYS_KEY, _physical_type
+
+    def mapped(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType
+
+        if isinstance(dt, StructType):
+            return any(
+                _PHYS_KEY in f.metadata or mapped(f.dataType)
+                for f in dt.fields
+            )
+        if isinstance(dt, ArrayType):
+            return mapped(dt.elementType)
+        if isinstance(dt, MapType):
+            return mapped(dt.keyType) or mapped(dt.valueType)
+        return False
+
+    if not mapped(schema):
+        return None
+    return _physical_type(schema)
+
+
 def _alive_rows(e: dict[str, Any]) -> int:
     """Rows a reader sees in this file: physical rows minus any
     deletion-vector cardinality."""
@@ -266,20 +290,36 @@ class LakeTable:
         paths = [str(Path(self.root) / e["path"]) for e in entries]
         dvd = [e for e in entries if e.get("deletionVector")]
         need_meta = bool(dvd) or with_row_index
+        meta_cols = [
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:/+", "/"
+            ).alias("__file"),
+            F.col("_metadata.row_index").alias("__pos"),
+        ]
         pcols = self._partition_columns()
+        phys = _physical_read_schema(schema)
         if pcols:
             df = self._scan_partitioned(entries, schema, pcols, need_meta)
             if not need_meta:
                 return df
+        elif phys is not None:
+            # column mapping: parquet columns carry PHYSICAL names —
+            # read under the physical schema, rename back to logical
+            # (cast-by-position renames nested struct fields too);
+            # mapped tables are never partitioned (check_readable)
+            rename = [
+                F.col(pf.name).cast(lf.dataType).alias(lf.name)
+                for pf, lf in zip(phys.fields, schema.fields)
+            ]
+            base = self.spark.read.schema(phys).parquet(*paths)
+            if not need_meta:
+                return base.select(*rename)
+            df = base.select(*rename, *meta_cols)
         elif not need_meta:
             return self.spark.read.schema(schema).parquet(*paths)
         else:
             df = self.spark.read.schema(schema).parquet(*paths).select(
-                "*",
-                F.regexp_replace(
-                    F.col("_metadata.file_path"), "^file:/+", "/"
-                ).alias("__file"),
-                F.col("_metadata.row_index").alias("__pos"),
+                "*", *meta_cols
             )
         if dvd:
             import pandas as pd
@@ -308,6 +348,22 @@ class LakeTable:
 
     def _partition_columns(self) -> list[str]:
         return list(self._log.partition_columns(self.root))
+
+    def _prep_write(self, df: DataFrame) -> DataFrame:
+        """Rename a logical-schema DataFrame to PHYSICAL column names
+        before writing into a column-mapped Delta table (identity
+        everywhere else). Footer stats then come out physical-keyed —
+        the protocol's convention for mapped tables."""
+        schema = self.schema
+        phys = _physical_read_schema(schema)
+        if phys is None:
+            return df
+        return df.select(
+            *[
+                F.col(lf.name).cast(pf.dataType).alias(pf.name)
+                for lf, pf in zip(schema.fields, phys.fields)
+            ]
+        )
 
     def _scan_partitioned(
         self,
@@ -484,7 +540,9 @@ class LakeTable:
         the new columns, exactly like Delta."""
         df = self._conform(df, merge_schema)
         adds, n = _write_files(
-            df, self.root, partition_columns=self._partition_columns()
+            self._prep_write(df),
+            self.root,
+            partition_columns=self._partition_columns(),
         )
         v = self._log.commit(
             self.root, "WRITE", adds, [], df.schema.json(),
@@ -523,7 +581,9 @@ class LakeTable:
             return -1
         out = self._conform(df, merge_schema=False)
         adds, n = _write_files(
-            out, self.root, partition_columns=self._partition_columns()
+            self._prep_write(out),
+            self.root,
+            partition_columns=self._partition_columns(),
         )
         v = self._log.commit(
             self.root, "WRITE", adds, [], out.schema.json(),
@@ -562,7 +622,9 @@ class LakeTable:
     def overwrite(self, df: DataFrame) -> int:
         old = [e["path"] for e in self._files()]
         adds, n = _write_files(
-            df, self.root, partition_columns=self._partition_columns()
+            self._prep_write(df),
+            self.root,
+            partition_columns=self._partition_columns(),
         )
         return self._log.commit(
             self.root, "WRITE", adds, old, df.schema.json(),
@@ -646,7 +708,9 @@ class LakeTable:
             deleted = tdf.filter(cond)
             n_deleted = deleted.count()
             adds, _ = _write_files(
-                kept, self.root, partition_columns=self._partition_columns()
+                self._prep_write(kept),
+                self.root,
+                partition_columns=self._partition_columns(),
             )
         else:
             tdf, deleted, n_deleted, adds = None, None, 0, []
@@ -847,7 +911,9 @@ class LakeTable:
             ]
         )
         adds_new, _ = _write_files(
-            post, self.root, partition_columns=self._partition_columns()
+            self._prep_write(post),
+            self.root,
+            partition_columns=self._partition_columns(),
         )
         metrics = {
             "numUpdatedRows": n_updated,
@@ -892,7 +958,9 @@ class LakeTable:
             ]
         )
         adds, _ = _write_files(
-            updated, self.root, partition_columns=self._partition_columns()
+            self._prep_write(updated),
+            self.root,
+            partition_columns=self._partition_columns(),
         )
         metrics = {
             "numRemovedFiles": len(touched),
@@ -969,7 +1037,7 @@ class LakeTable:
         else:
             df = df.coalesce(int(n_out))
         adds, n = _write_files(
-            df,
+            self._prep_write(df),
             self.root,
             already_partitioned=True,
             partition_columns=self._partition_columns(),
@@ -1532,7 +1600,9 @@ class MergeBuilder:
         n_inserted = counts["i"] or 0
 
         adds, n_rows = _write_files(
-            out, t.root, partition_columns=t._partition_columns()
+            t._prep_write(out),
+            t.root,
+            partition_columns=t._partition_columns(),
         )
         metrics = {
             "numTargetRowsUpdated": n_updated,

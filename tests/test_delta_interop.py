@@ -512,9 +512,11 @@ def test_column_mapping_read_by_physical_name(spark, tmp_path):
     assert df.columns == ["id", "info"]
     got = {(r["id"], r["info"]["name"]) for r in df.collect()}
     assert got == {(1, "x"), (2, "y")}
-    # write-back must still refuse mapped tables
+    # column-mapped tables open WRITABLE since mapped write-back
+    # landed: an append lands physical-named parquet + preserved
+    # mapping metadata (full DML coverage in test_delta_writeback)
     t2 = LakeTable.for_path(spark, str(root))
-    assert isinstance(t2, DeltaInteropTable)
+    assert isinstance(t2, LakeTable)
 
 
 def test_column_mapping_without_physical_names_refused(spark, tmp_path):
@@ -537,7 +539,7 @@ def test_column_mapping_without_physical_names_refused(spark, tmp_path):
 
 def test_interop_cdf_over_column_mapped_table(spark, tmp_path):
     """`DeltaInteropTable.read_changes` synthesizes append-only CDF for
-    shapes the engine cannot write (column mapping → read-only handle):
+    external tables via the read-only interop handle:
     each commit's adds become insert rows under LOGICAL column names,
     and a rewrite commit is refused loudly."""
     import pyarrow as pa
@@ -586,8 +588,10 @@ def test_interop_cdf_over_column_mapped_table(spark, tmp_path):
         1,
         [{"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1, "modificationTime": 2, "dataChange": True}}],
     )
-    it = LakeTable.for_path(spark, str(root))
-    assert isinstance(it, DeltaInteropTable)  # column mapping → read-only
+    # exercise the interop handle's own read_changes directly (mapped
+    # tables open writable via for_path since mapped write-back landed,
+    # but sharing still needs this path for any future read-only shape)
+    it = DeltaInteropTable(spark, str(root))
     got = {
         (r["id"], r["_change_type"], r["_commit_version"])
         for r in it.read_changes().collect()

@@ -6,6 +6,8 @@ pushdown, fails here long before it shows up in a benchmark.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from databricks_delta_lake_project_spark.queries.catalog import QUERIES
@@ -160,3 +162,34 @@ def test_whole_stage_codegen_active(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:500]
+
+
+def test_partitioned_delta_scan_is_single_filescan_with_partition_pruning(
+    spark, tmp_path
+):
+    """A partitioned Delta table read must compile to ONE FileScan with
+    the partition predicate in PartitionFilters (Spark-level pruning on
+    top of the driver-side partitionValues skip) and a ReadSchema that
+    EXCLUDES the partition column — never a union of per-partition
+    scans, never a full-schema read."""
+    from pyspark.sql import Row, functions as F
+
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "plan_part"),
+        df=spark.createDataFrame(
+            [Row(day=f"d{i % 3}", id=i) for i in range(30)]
+        ).repartition(3, "day"),
+        format="delta",
+        partition_by=["day"],
+    )
+    df = t.to_df().filter(F.col("day") == "d1")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert "Union" not in plan, plan
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    assert re.search(r"day#\d+ = d1", plan), plan
+    # partition column served from the directory index, not the files
+    assert "ReadSchema: struct<id:bigint>" in plan, plan
