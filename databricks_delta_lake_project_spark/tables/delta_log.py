@@ -28,12 +28,15 @@ DataFrame machinery.
 Snapshot state (active files, schema, properties) is resolved through
 ``delta_interop._replay`` — the independent read path — so every write
 is round-tripped through the public protocol, never through private
-state. Write-back covers partitioned and unpartitioned tables
-(hive-style layout, ``partitionValues``-stamped adds) and tables with
-live deletion vectors; only column mapping is refused
-(``check_writable`` — the engine's writers emit parquet under logical
-names) and ``LakeTable.for_path`` falls back to the read-only interop
-handle for those.
+state. Write-back covers every readable SHAPE — partitioned tables
+(hive-style layout, ``partitionValues``-stamped adds), column-mapped
+tables (physical-named parquet + preserved mapping metadata), live
+deletion vectors. ``check_writable`` refuses only declared writer
+OBLIGATIONS the engine cannot honor (CHECK constraints, column
+invariants / generated / identity expressions, unknown v7
+writerFeatures); ``delta.appendOnly`` is enforced at commit time.
+``LakeTable.for_path`` falls back to the read-only interop handle for
+refused tables.
 """
 
 from __future__ import annotations
@@ -45,6 +48,7 @@ from pathlib import Path
 from typing import Any
 
 from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
 
 from . import delta_interop as di
 
@@ -55,6 +59,58 @@ LOG_DIR = di.DELTA_LOG_DIR
 CHECKPOINT_INTERVAL = 10
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+# v7 writerFeatures this engine actually implements. The protocol
+# obliges a writer to HONOR every active feature, so anything outside
+# this set refuses write-back (reads may still work via the interop
+# handle). appendOnly is enforced at commit time; invariants /
+# generatedColumns / identityColumns / checkConstraints are accepted
+# as FEATURES only while the table defines no such expression —
+# check_writable scans properties + schema metadata for actual use.
+_SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "invariants",
+    "checkConstraints",
+    "generatedColumns",
+    "identityColumns",
+    "changeDataFeed",
+    "columnMapping",
+    "deletionVectors",
+    "timestampNtz",
+}
+
+# field-metadata keys that carry expressions this writer cannot
+# evaluate; their PRESENCE (not the feature flag) gates write-back
+_OBLIGATION_META_KEYS = (
+    "delta.invariants",
+    "delta.generationExpression",
+    "delta.identity.start",
+    "delta.identity.step",
+    "delta.identity.allowExplicitInsert",
+)
+
+
+def _fields_with_writer_obligations(schema) -> list[str]:
+    """Names of fields (any nesting) whose metadata declares an
+    invariant / generation / identity expression."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    hits: list[str] = []
+
+    def walk(dt, path):
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                p = f"{path}.{f.name}" if path else f.name
+                if any(k in f.metadata for k in _OBLIGATION_META_KEYS):
+                    hits.append(p)
+                walk(f.dataType, p)
+        elif isinstance(dt, ArrayType):
+            walk(dt.elementType, path + "[]")
+        elif isinstance(dt, MapType):
+            walk(dt.valueType, path + "{}")
+
+    walk(schema, "")
+    return hits
 
 
 def _stats_to_delta(entry: dict[str, Any]) -> str:
@@ -187,21 +243,47 @@ class DeltaLogBackend:
         return self._state(root).mapping_mode
 
     def check_writable(self, root: str) -> None:
-        """Refuse write-back where copy-on-write rewrites could lose
-        information the engine's writer does not model. Every READABLE
-        shape is now writable: partitioned tables lay files out
-        hive-style with ``partitionValues``-stamped adds; column-mapped
-        tables write parquet under PHYSICAL names with physical-keyed
-        stats (``LakeTable._prep_write``; ``check_readable`` inside the
-        state replay has already proven every field carries a
-        physicalName and the table is not partitioned+mapped).
-        Unreadable shapes (unknown reader features) raise here via the
-        replay itself."""
-        self._state(root)
-        # live deletion vectors are fine: every LakeTable read path is
-        # DV-aware (_read_files anti-joins marked row indices), and
-        # copy-on-write rewrites read only alive rows then drop the
-        # old add+DV pair atomically
+        """Refuse write-back where the engine cannot honor a WRITER
+        obligation the table declares — the protocol requires a writer
+        to implement every active writerFeature, not just to read the
+        data correctly.
+
+        Every readable SHAPE is writable: partitioned tables lay files
+        out hive-style with ``partitionValues``-stamped adds;
+        column-mapped tables write parquet under PHYSICAL names with
+        physical-keyed stats (``LakeTable._prep_write``); live deletion
+        vectors are fine (every read path is DV-aware, copy-on-write
+        reads alive rows only). Refused instead are declared writer
+        OBLIGATIONS the engine cannot enforce: CHECK constraints
+        (``delta.constraints.*``), column invariants / generated /
+        identity columns (field metadata carries the expressions this
+        writer cannot evaluate), and any v7 writerFeature outside the
+        supported set. ``delta.appendOnly`` is allowed here and
+        enforced at commit time (data-changing removes refused).
+        Unreadable shapes raise via the replay itself."""
+        state = self._state(root)
+        for prop in state.properties:
+            if prop.startswith("delta.constraints."):
+                raise NotImplementedError(
+                    f"table declares CHECK constraint {prop!r}; this "
+                    "writer cannot enforce it"
+                )
+        if state.schema_json:
+            offenders = _fields_with_writer_obligations(
+                StructType.fromJson(json.loads(state.schema_json))
+            )
+            if offenders:
+                raise NotImplementedError(
+                    "table declares column invariants/generated/identity "
+                    f"expressions on {offenders}; this writer cannot "
+                    "evaluate them"
+                )
+        feats = set(state.protocol.get("writerFeatures") or [])
+        unsupported = feats - _SUPPORTED_WRITER_FEATURES
+        if unsupported:
+            raise NotImplementedError(
+                f"Delta writer features not supported: {sorted(unsupported)}"
+            )
 
     def active_files(
         self, root: str, up_to: int | None = None
@@ -361,6 +443,23 @@ class DeltaLogBackend:
         parameters = parameters or {}
         now = int(time.time() * 1000)
         data_change = operation not in ("OPTIMIZE",)
+        if remove and data_change:
+            # delta.appendOnly forbids data-changing removes; OPTIMIZE
+            # (dataChange=false) stays legal. Enforced here — the one
+            # choke point every DELETE/UPDATE/MERGE/overwrite crosses.
+            props_now = (
+                self.table_properties(root)
+                if self.latest_version(root) is not None
+                else {}
+            )
+            if str(props_now.get("delta.appendOnly", "false")).lower() in (
+                "true",
+                "1",
+            ):
+                raise ValueError(
+                    f"{operation} on an append-only table "
+                    "(delta.appendOnly=true) would remove data files"
+                )
         # column-mapped tables: the caller's schema_json comes from
         # DataFrame.schema (no mapping metadata). Emitting it would
         # strip the ids/physicalNames and corrupt the table — so when
@@ -488,9 +587,18 @@ class DeltaLogBackend:
             if any(e.get("deletionVector") for e in add):
                 # DV adds require the deletionVectors table feature —
                 # upgrade the protocol action in the same commit if the
-                # table does not advertise it yet
+                # table does not advertise it yet. Upgrading a LEGACY
+                # protocol to v3/v7 must carry the features the old
+                # version numbers implied (a v2 reader version implies
+                # columnMapping when the table property is set —
+                # dropping it would tell foreign readers mapping is
+                # off).
                 cur = {} if version == 0 else self._state(root).protocol
                 feats = set(cur.get("readerFeatures") or [])
+                wfeats = set(cur.get("writerFeatures") or [])
+                if version > 0 and self.mapping_mode(root) != "none":
+                    feats.add("columnMapping")
+                    wfeats.add("columnMapping")
                 if "deletionVectors" not in feats:
                     lines.insert(
                         1,
@@ -502,8 +610,7 @@ class DeltaLogBackend:
                                     feats | {"deletionVectors"}
                                 ),
                                 "writerFeatures": sorted(
-                                    set(cur.get("writerFeatures") or [])
-                                    | {"deletionVectors"}
+                                    wfeats | {"deletionVectors"}
                                 ),
                             }
                         },

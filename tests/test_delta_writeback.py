@@ -622,3 +622,87 @@ def test_column_mapped_dv_delete(spark, tmp_path):
     assert sorted(
         x["id"] for x in DeltaInteropTable(spark, str(root)).to_df().collect()
     ) == [1, 3]
+    # the v3/v7 protocol upgrade must carry the columnMapping feature
+    # the legacy version numbers implied, not just deletionVectors
+    log = Path(root) / "_delta_log"
+    protos = [
+        json.loads(l)["protocol"]
+        for p_ in sorted(log.glob("*.json"))
+        for l in p_.read_text().splitlines()
+        if l.strip() and '"protocol"' in l
+    ]
+    up = protos[-1]
+    assert up["minReaderVersion"] == 3
+    assert set(up["readerFeatures"]) >= {"columnMapping", "deletionVectors"}
+
+
+def test_writer_obligations_refused(spark, tmp_path):
+    """The protocol obliges a writer to HONOR every declared writer
+    feature: CHECK constraints, generated/identity/invariant columns,
+    and unknown v7 writerFeatures must refuse write-back (read-only
+    interop handle), while delta.appendOnly opens writable but refuses
+    data-changing removes at commit time."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        LongType as L,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    def mk(name, config=None, protocol=None, field_meta=None):
+        root = tmp_path / name
+        root.mkdir(parents=True)
+        df = spark.createDataFrame([Row(id=1)])
+        tmp = root / "_t"
+        df.coalesce(1).write.parquet(str(tmp))
+        next(tmp.glob("part-*.parquet")).rename(root / "f0.parquet")
+        schema = ST([SF("id", L(), True, field_meta or {})])
+        acts = [
+            {"protocol": protocol or {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": name,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema.json(),
+                    "partitionColumns": [],
+                    "configuration": config or {},
+                }
+            },
+            {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+        ]
+        log = root / "_delta_log"
+        log.mkdir()
+        (log / f"{0:020d}.json").write_text(
+            "\n".join(json.dumps(a) for a in acts)
+        )
+        return str(root)
+
+    # CHECK constraint -> read-only
+    p1 = mk("chk", config={"delta.constraints.positive": "id > 0"})
+    assert isinstance(LakeTable.for_path(spark, p1), DeltaInteropTable)
+    # generated column expression -> read-only
+    p2 = mk("gen", field_meta={"delta.generationExpression": "id + 1"})
+    assert isinstance(LakeTable.for_path(spark, p2), DeltaInteropTable)
+    # unknown v7 writer feature -> read-only
+    p3 = mk(
+        "rowtrack",
+        protocol={
+            "minReaderVersion": 1,
+            "minWriterVersion": 7,
+            "writerFeatures": ["rowTracking"],
+        },
+    )
+    assert isinstance(LakeTable.for_path(spark, p3), DeltaInteropTable)
+    # appendOnly: writable, appends land, removes refused at commit
+    p4 = mk("ao", config={"delta.appendOnly": "true"})
+    t = LakeTable.for_path(spark, p4)
+    assert isinstance(t, LakeTable)
+    t.append(spark.createDataFrame([Row(id=2)]))
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2]
+    with pytest.raises(ValueError, match="append-only"):
+        t.delete("id = 1")
+    with pytest.raises(ValueError, match="append-only"):
+        t.update("id = 1", {"id": "9"})
+    # OPTIMIZE (dataChange=false) stays legal on append-only tables
+    t.optimize(target_files=1)
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2]

@@ -79,6 +79,8 @@ HEADLINE = [
     "q43_star",                 # same pairs, large/small-star CC
     "q44_incremental_dedup",    # index + probe (production hash)
     "q49_video_features",       # Y4M decode
+    "q50_partitioned_dml",      # partitioned Delta DML (metadata
+                                # DELETE + copy-on-write UPDATE/MERGE)
 ]
 
 
