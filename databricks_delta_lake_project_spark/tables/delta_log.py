@@ -239,6 +239,100 @@ class DeltaLogBackend:
     def partition_columns(self, root: str) -> list[str]:
         return list(self._state(root).partition_columns)
 
+    def evolve_mapped_schema(
+        self, root: str, new_schema: StructType
+    ) -> tuple[StructType, dict[str, Any]]:
+        """Additive schema evolution on a column-mapped table: every
+        existing field must survive unchanged (same order, names,
+        types), and each NET-NEW trailing field is assigned fresh
+        columnMapping metadata — the next id (recursively for nested
+        fields of a new column, per the protocol) and a ``col-<uuid>``
+        physicalName, the same scheme delta-spark uses. Returns the
+        merged schema plus the table properties with
+        ``delta.columnMapping.maxColumnId`` advanced. Renames, drops,
+        and type changes are refused — they need mapping-aware
+        migration logic this engine does not implement."""
+        state = self._state(root)
+        assert state.schema_json is not None
+        cur = StructType.fromJson(json.loads(state.schema_json))
+        if [f.name for f in new_schema.fields[: len(cur.fields)]] != [
+            f.name for f in cur.fields
+        ] or _strip_schema_metadata(
+            StructType(new_schema.fields[: len(cur.fields)]).json()
+        ) != _strip_schema_metadata(cur.json()):
+            raise NotImplementedError(
+                "column-mapped schema evolution supports only appending "
+                "new trailing columns (no renames/drops/type changes)"
+            )
+
+        def max_id(dt) -> int:
+            from pyspark.sql.types import ArrayType, MapType
+
+            if isinstance(dt, StructType):
+                ids = [
+                    int(f.metadata.get("delta.columnMapping.id", 0))
+                    for f in dt.fields
+                ]
+                ids += [max_id(f.dataType) for f in dt.fields]
+                return max(ids, default=0)
+            if isinstance(dt, ArrayType):
+                return max_id(dt.elementType)
+            if isinstance(dt, MapType):
+                return max(max_id(dt.keyType), max_id(dt.valueType))
+            return 0
+
+        next_id = (
+            max(
+                int(
+                    state.properties.get("delta.columnMapping.maxColumnId", 0)
+                ),
+                max_id(cur),
+            )
+            + 1
+        )
+
+        def assign(dt):
+            """Fresh mapping metadata for every field of a NEW column."""
+            nonlocal next_id
+            from pyspark.sql.types import (
+                ArrayType,
+                MapType,
+                StructField,
+            )
+
+            if isinstance(dt, StructType):
+                out = []
+                for f in dt.fields:
+                    meta = dict(f.metadata)
+                    meta["delta.columnMapping.id"] = next_id
+                    meta["delta.columnMapping.physicalName"] = (
+                        f"col-{uuid.uuid4()}"
+                    )
+                    next_id += 1
+                    out.append(
+                        StructField(
+                            f.name, assign(f.dataType), f.nullable, meta
+                        )
+                    )
+                return StructType(out)
+            if isinstance(dt, ArrayType):
+                return type(dt)(assign(dt.elementType), dt.containsNull)
+            if isinstance(dt, MapType):
+                return type(dt)(
+                    assign(dt.keyType),
+                    assign(dt.valueType),
+                    dt.valueContainsNull,
+                )
+            return dt
+
+        new_tail = assign(
+            StructType(new_schema.fields[len(cur.fields):])
+        ).fields
+        merged = StructType(list(cur.fields) + list(new_tail))
+        props = dict(state.properties)
+        props["delta.columnMapping.maxColumnId"] = str(next_id - 1)
+        return merged, props
+
     def mapping_mode(self, root: str) -> str:
         return self._state(root).mapping_mode
 
@@ -473,14 +567,21 @@ class DeltaLogBackend:
         if self.latest_version(root) is not None:
             state0 = self._state(root)
             if state0.mapping_mode != "none" and state0.schema_json:
-                if _strip_schema_metadata(schema_json) != (
+                if _strip_schema_metadata(schema_json) == (
                     _strip_schema_metadata(state0.schema_json)
                 ):
+                    schema_json = state0.schema_json
+                elif di._fields_missing_physical_name(
+                    StructType.fromJson(json.loads(schema_json))
+                ):
                     raise NotImplementedError(
-                        "schema evolution on column-mapped tables is not "
-                        "supported (columnMapping id assignment)"
+                        "schema change on a column-mapped table needs "
+                        "columnMapping ids/physicalNames on every field "
+                        "— evolve via append(..., merge_schema=True), "
+                        "which assigns them (evolve_mapped_schema)"
                     )
-                schema_json = state0.schema_json
+                # else: a fully-mapped evolved schema from
+                # evolve_mapped_schema — emit as-is
                 log_to_phys = {
                     l: p
                     for l, p in _top_level_phys_map(

@@ -349,12 +349,16 @@ class LakeTable:
     def _partition_columns(self) -> list[str]:
         return list(self._log.partition_columns(self.root))
 
-    def _prep_write(self, df: DataFrame) -> DataFrame:
+    def _prep_write(
+        self, df: DataFrame, schema: StructType | None = None
+    ) -> DataFrame:
         """Rename a logical-schema DataFrame to PHYSICAL column names
         before writing into a column-mapped Delta table (identity
         everywhere else). Footer stats then come out physical-keyed —
-        the protocol's convention for mapped tables."""
-        schema = self.schema
+        the protocol's convention for mapped tables. ``schema``
+        overrides the table schema during mapped schema evolution (the
+        evolved mapping exists before the commit that records it)."""
+        schema = schema if schema is not None else self.schema
         phys = _physical_read_schema(schema)
         if phys is None:
             return df
@@ -539,15 +543,31 @@ class LakeTable:
         null-filled. Old files read under an evolved schema null-fill
         the new columns, exactly like Delta."""
         df = self._conform(df, merge_schema)
+        table_schema = self.schema
+        schema_json, props = df.schema.json(), None
+        write_schema: StructType | None = None
+        if (
+            _physical_read_schema(table_schema) is not None
+            and [f.name for f in df.schema.fields]
+            != [f.name for f in table_schema.fields]
+        ):
+            # mapped evolution: assign columnMapping ids/physicalNames
+            # to the net-new columns BEFORE writing, so the files land
+            # under the same physical names the commit records
+            write_schema, props = self._log.evolve_mapped_schema(
+                self.root, df.schema
+            )
+            schema_json = write_schema.json()
         adds, n = _write_files(
-            self._prep_write(df),
+            self._prep_write(df, schema=write_schema),
             self.root,
             partition_columns=self._partition_columns(),
         )
         v = self._log.commit(
-            self.root, "WRITE", adds, [], df.schema.json(),
+            self.root, "WRITE", adds, [], schema_json,
             parameters={"mode": "Append", "mergeSchema": merge_schema},
             metrics={"numOutputRows": n, "numFiles": len(adds)},
+            properties=props,
         )
         self._write_cdf(self._read_files(adds), "insert", v)
         return v

@@ -599,10 +599,36 @@ def test_column_mapped_writeback_full_dml(spark, tmp_path):
                     assert set(st["minValues"]) <= {"col-aaa", "col-bbb"}
                     phys_stats += 1
     assert metas == 1 and phys_stats >= 1
+    # ADDITIVE evolution works: the new column gets a fresh
+    # columnMapping id + col-<uuid> physicalName and maxColumnId
+    # advances; data files never carry logical names
+    t.append(
+        spark.createDataFrame([Row(id=9, name="q", extra="yes")]),
+        merge_schema=True,
+    )
+    evolved = t.schema
+    assert [f.name for f in evolved.fields] == ["id", "name", "extra"]
+    meta = evolved["extra"].metadata
+    assert meta["delta.columnMapping.physicalName"].startswith("col-")
+    assert int(meta["delta.columnMapping.id"]) >= 3
+    assert int(
+        t.properties()["delta.columnMapping.maxColumnId"]
+    ) == int(meta["delta.columnMapping.id"])
+    got = {
+        (r["id"], r["extra"])
+        for r in t.to_df().filter(F.col("id") == 9).collect()
+    }
+    assert got == {(9, "yes")}
+    it2 = DeltaInteropTable(spark, str(root))
+    assert {
+        (r["id"], r["extra"]) for r in it2.to_df().collect()
+    } == {(2, None), (3, None), (4, None), (5, None), (9, "yes")}
+    # non-additive change (rename) still refuses
+    from pyspark.sql.types import LongType as L2, StructField as SF2, StructType as ST2
+
     with pytest.raises(NotImplementedError):
-        t.append(
-            spark.createDataFrame([Row(id=9, name="q", extra="no")]),
-            merge_schema=True,
+        t._log.evolve_mapped_schema(
+            str(root), ST2([SF2("renamed_id", L2(), True)])
         )
 
 
