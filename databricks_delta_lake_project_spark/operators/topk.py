@@ -42,9 +42,26 @@ def topk_per_key(
 ) -> DataFrame:
     """Exact per-key top-k by (``score`` desc by default, then
     ``tiebreak`` asc) with local pruning + global merge. Returns the
-    input columns plus ``rank_col`` (1-based)."""
-    sort_cols = list(keys) + [score] + list(tiebreak)
-    sort_asc = [True] * len(keys) + [ascending] + [True] * len(tiebreak)
+    input columns plus ``rank_col`` (1-based).
+
+    NaN scores order like Spark's float semantics (NaN greater than
+    every real value: first under desc, last under asc). Two traps
+    make that need explicit machinery: pandas' ``na_position`` cannot
+    express the per-direction rule, and the Arrow boundary of
+    ``mapInPandas`` converts a pandas NaN back to a Spark NULL (which
+    Spark orders OPPOSITE to NaN) — so the local prune sorts on an
+    is-NaN flag, ships that flag through the merge window as a
+    leading sort key, and reconstitutes NaN afterwards. Null KEYS
+    survive the local prune (``dropna=False``); pandas cannot
+    distinguish a null score from NaN after Arrow conversion of a
+    float column, so callers must not feed genuinely NULL scores
+    (q34/q35 compute cosines that can be NaN, never null)."""
+    sort_cols = list(keys) + ["__isnan", score] + list(tiebreak)
+    # __isnan's direction rides `ascending`: desc wants NaN (True)
+    # first -> descending bools; asc wants NaN last -> ascending bools
+    sort_asc = (
+        [True] * len(keys) + [ascending, ascending] + [True] * len(tiebreak)
+    )
 
     def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: pd.DataFrame | None = None
@@ -52,18 +69,32 @@ def topk_per_key(
             if acc is not None:
                 pdf = pd.concat([acc, pdf], ignore_index=True)
             acc = (
-                pdf.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
-                .groupby(list(keys), sort=False)
+                pdf.assign(__isnan=pdf[score].isna())
+                .sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+                .groupby(list(keys), sort=False, dropna=False)
                 .head(k)
             )
         if acc is not None and len(acc):
             yield acc
 
-    pruned = df.mapInPandas(prune, df.schema)
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("__isnan", BooleanType())]
+    )
+    pruned = df.mapInPandas(prune, out_schema)
+    flag = F.col("__isnan").asc() if ascending else F.col("__isnan").desc()
     order = [
-        F.col(score).asc() if ascending else F.col(score).desc()
+        flag,
+        F.col(score).asc() if ascending else F.col(score).desc(),
     ] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(*keys).orderBy(*order)
-    return pruned.withColumn(rank_col, F.row_number().over(w)).filter(
-        F.col(rank_col) <= k
+    nan_restored = F.when(
+        F.col("__isnan"), F.lit(float("nan"))
+    ).otherwise(F.col(score))
+    return (
+        pruned.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .withColumn(score, nan_restored)
+        .drop("__isnan")
     )

@@ -306,6 +306,34 @@ def _dv_positions(root: str, dv: dict[str, Any]) -> np.ndarray:
     return positions
 
 
+# characters java.net.URI leaves literal in a path — Spark's
+# `_metadata.file_path` is rendered through it, so driver-side file
+# keys must encode the SAME way ('+' stays literal; space -> %20).
+_URI_PATH_SAFE = "/!$&'()*+,;=:@~"
+
+
+def spark_file_key(root: str, rel: str) -> str:
+    """The exact string ``regexp_replace(_metadata.file_path,
+    '^file:/+', '/')`` yields for file ``rel`` under ``root``:
+    absolute (NOT symlink-resolved — Hadoop qualifies paths without
+    realpath) and percent-encoded like java.net.URI. Every DV
+    row-position join and touched-file probe must build its driver
+    side through this function — ``Path.resolve()`` diverges under
+    symlinked roots and raw paths diverge on any special character
+    (a hive dir for partition value "a b" renders as ``day=a%20b``)."""
+    from urllib.parse import quote
+
+    return quote(str((Path(root) / rel).absolute()), safe=_URI_PATH_SAFE)
+
+
+def spark_rel_key(rel: str) -> str:
+    """``rel`` percent-encoded the way it appears inside
+    ``_metadata.file_path`` (suffix matching)."""
+    from urllib.parse import quote
+
+    return quote(rel, safe=_URI_PATH_SAFE)
+
+
 def coerce_partition_value(s: Any) -> Any:
     """Serialized partition value → the type a predicate literal would
     parse to, so stats-pruning compares like with like. Only coerces
@@ -428,6 +456,9 @@ class _State:
         self.partition_columns: list[str] = []
         self.properties: dict[str, str] = {}
         self.protocol: dict[str, Any] = {}
+        self.metadata_id: str | None = None
+        # appId -> highest committed txn version (idempotent writers)
+        self.txns: dict[str, int] = {}
 
     def apply(self, action: dict[str, Any]) -> None:
         if "add" in action and action["add"] is not None:
@@ -440,8 +471,17 @@ class _State:
             self.schema_json = md["schemaString"]
             self.partition_columns = list(md.get("partitionColumns") or [])
             self.properties = dict(md.get("configuration") or {})
+            if md.get("id"):
+                self.metadata_id = md["id"]
         elif "protocol" in action and action["protocol"] is not None:
             self.protocol = action["protocol"]
+        elif "txn" in action and action["txn"] is not None:
+            t = action["txn"]
+            if t.get("appId") is not None and t.get("version") is not None:
+                self.txns[t["appId"]] = max(
+                    int(t["version"]),
+                    self.txns.get(t["appId"], -1),
+                )
 
     @property
     def mapping_mode(self) -> str:
@@ -502,6 +542,9 @@ def _replay_checkpoint(spark: SparkSession, root: str, version: int, state: _Sta
     if "add" in cols:
         for r in cp.filter(F.col("add.path").isNotNull()).select("add").collect():
             state.apply({"add": r["add"].asDict(recursive=True)})
+    if "txn" in cols:
+        for r in cp.filter(F.col("txn.appId").isNotNull()).select("txn").collect():
+            state.apply({"txn": r["txn"].asDict(recursive=True)})
     if "sidecar" in cols:
         # V2 checkpoints move most file actions into sidecar parquet
         # files under _delta_log/_sidecars/, referenced by `sidecar`
@@ -704,7 +747,7 @@ class DeltaInteropTable:
         frames = []
         for a in adds:
             positions = _dv_positions(self.root, a["deletionVector"])
-            fpath = str((Path(self.root) / a["path"]).resolve())
+            fpath = spark_file_key(self.root, a["path"])
             frames.append(
                 pd.DataFrame(
                     {"__dv_file": [fpath] * len(positions), "__dv_pos": positions}

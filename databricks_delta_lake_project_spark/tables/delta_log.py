@@ -504,9 +504,16 @@ class DeltaLogBackend:
     def latest_checkpoint(
         self, root: str, up_to: int | None = None
     ) -> dict[str, Any] | None:
-        # Engine-format checkpoint seeding (txn fold) is not offered;
-        # callers fall back to the translated log scan.
-        return None
+        """Checkpoint-seeded txn fold: idempotent-writer tracking must
+        survive pre-checkpoint JSON cleanup (the checkpoint parquet
+        carries txn rows; the replay folds them into state.txns)."""
+        cp = di._last_checkpoint(root)
+        if cp is None:
+            return None
+        return {
+            "version": cp["version"],
+            "txns": dict(self._state(root).txns),
+        }
 
     def version_at_timestamp(self, root: str, ts_ms: int) -> int:
         best = None
@@ -533,23 +540,27 @@ class DeltaLogBackend:
         properties: dict[str, Any] | None = None,
         max_retries: int = 20,
         partition_columns: list[str] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         parameters = parameters or {}
         now = int(time.time() * 1000)
         data_change = operation not in ("OPTIMIZE",)
-        if remove and data_change:
+        # ONE state replay serves the whole commit (appendOnly gate,
+        # mapping checks, metaData emission, protocol upgrade) — the
+        # previous shape replayed the log ~5x per write; refreshed only
+        # when an OCC race is actually lost
+        state0 = (
+            self._state(root)
+            if self.latest_version(root) is not None
+            else None
+        )
+        if remove and data_change and state0 is not None:
             # delta.appendOnly forbids data-changing removes; OPTIMIZE
             # (dataChange=false) stays legal. Enforced here — the one
             # choke point every DELETE/UPDATE/MERGE/overwrite crosses.
-            props_now = (
-                self.table_properties(root)
-                if self.latest_version(root) is not None
-                else {}
-            )
-            if str(props_now.get("delta.appendOnly", "false")).lower() in (
-                "true",
-                "1",
-            ):
+            if str(
+                state0.properties.get("delta.appendOnly", "false")
+            ).lower() in ("true", "1"):
                 raise ValueError(
                     f"{operation} on an append-only table "
                     "(delta.appendOnly=true) would remove data files"
@@ -564,8 +575,7 @@ class DeltaLogBackend:
         # protocol's convention (fresh footer stats from physical
         # parquet are already physical — identity under the map).
         log_to_phys: dict[str, str] = {}
-        if self.latest_version(root) is not None:
-            state0 = self._state(root)
+        if state0 is not None:
             if state0.mapping_mode != "none" and state0.schema_json:
                 if _strip_schema_metadata(schema_json) == (
                     _strip_schema_metadata(state0.schema_json)
@@ -600,8 +610,34 @@ class DeltaLogBackend:
                 }
                 for e in add
             ]
+        planned_prev = (
+            expected_version
+            if expected_version is not None
+            else self.latest_version(root)
+        )
         for _ in range(max_retries):
             prev = self.latest_version(root)
+            if remove and prev != planned_prev:
+                # lost a race with removes in hand: our add/remove plan
+                # came from a stale snapshot. Any file-level activity in
+                # the intervening commits means a blind re-commit could
+                # resurrect their deletions or remove files already
+                # gone — same conflict rule Delta applies on retry.
+                from .log import ConcurrentModificationError
+
+                lo = -1 if planned_prev is None else planned_prev
+                for v in self.list_versions(root):
+                    if v <= lo:
+                        continue
+                    c = self.read_commit(root, v)
+                    if c.get("add") or c.get("remove"):
+                        raise ConcurrentModificationError(
+                            f"{operation} planned at v{planned_prev} "
+                            f"conflicts with concurrent v{v} "
+                            f"({c.get('operation')}); recompute and retry"
+                        )
+                planned_prev = prev  # intervening commits file-neutral
+                state0 = self._state(root)  # refresh after the race
             version = 0 if prev is None else prev + 1
             lines: list[dict[str, Any]] = []
             ci_params = {
@@ -631,16 +667,18 @@ class DeltaLogBackend:
                         }
                     }
                 )
-            if version == 0 or properties or self._schema_changed(
-                root, version, schema_json
-            ):
+            schema_changed = (
+                state0 is None
+                or state0.schema_json is None
+                or json.loads(state0.schema_json) != json.loads(schema_json)
+            )
+            if version == 0 or properties or schema_changed:
                 config = {
                     k: str(v) for k, v in (properties or {}).items()
                 }
-                if version > 0 and not properties:
+                if version > 0 and not properties and state0 is not None:
                     config = {
-                        k: str(v)
-                        for k, v in self.table_properties(root).items()
+                        k: str(v) for k, v in state0.properties.items()
                     }
                 # a re-emitted metaData action (schema evolution,
                 # property change) must preserve the table's
@@ -649,12 +687,16 @@ class DeltaLogBackend:
                 pcols = (
                     list(partition_columns or [])
                     if version == 0
-                    else self.partition_columns(root)
+                    else list(state0.partition_columns)
+                )
+                table_id = (
+                    (state0.metadata_id if state0 is not None else None)
+                    or str(uuid.uuid4())
                 )
                 lines.append(
                     {
                         "metaData": {
-                            "id": self._table_id(root, version),
+                            "id": table_id,
                             "format": {"provider": "parquet", "options": {}},
                             "schemaString": schema_json,
                             "partitionColumns": pcols,
@@ -694,10 +736,10 @@ class DeltaLogBackend:
                 # columnMapping when the table property is set —
                 # dropping it would tell foreign readers mapping is
                 # off).
-                cur = {} if version == 0 else self._state(root).protocol
+                cur = {} if state0 is None else state0.protocol
                 feats = set(cur.get("readerFeatures") or [])
                 wfeats = set(cur.get("writerFeatures") or [])
-                if version > 0 and self.mapping_mode(root) != "none":
+                if state0 is not None and state0.mapping_mode != "none":
                     feats.add("columnMapping")
                     wfeats.add("columnMapping")
                 if "deletionVectors" not in feats:
@@ -745,18 +787,10 @@ class DeltaLogBackend:
     def _table_id(self, root: str, version: int) -> str:
         if version == 0:
             return str(uuid.uuid4())
-        state = self._state(root)
-        # preserve the table id across metaData rewrites
-        for v in reversed(self.list_versions(root)):
-            c = Path(root) / LOG_DIR / f"{v:020d}.json"
-            with open(c) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if line:
-                        a = json.loads(line)
-                        if a.get("metaData"):
-                            return a["metaData"]["id"]
-        return str(uuid.uuid4())
+        # preserve the table id across metaData rewrites; the replayed
+        # state also survives checkpoint-only histories (pre-checkpoint
+        # JSONs cleaned by a foreign writer)
+        return self._state(root).metadata_id or str(uuid.uuid4())
 
     def _write_checkpoint(self, root: str, version: int) -> None:
         """Classic parquet checkpoint (one action per row) +
@@ -800,21 +834,50 @@ class DeltaLogBackend:
             ]
         )
         proto_struct = pa.struct(
-            [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+            [
+                ("minReaderVersion", pa.int32()),
+                ("minWriterVersion", pa.int32()),
+                # dropping the feature lists would write an invalid
+                # v3/v7 protocol row — foreign readers seeded from the
+                # checkpoint would lose e.g. the deletionVectors
+                # declaration
+                ("readerFeatures", pa.list_(pa.string())),
+                ("writerFeatures", pa.list_(pa.string())),
+            ]
         )
-        rows_protocol: list[Any] = [state.protocol or dict(_PROTOCOL)] + [
-            None
-        ] * (1 + n)
+        txn_struct = pa.struct(
+            [
+                ("appId", pa.string()),
+                ("version", pa.int64()),
+                ("lastUpdated", pa.int64()),
+            ]
+        )
+        txns = sorted(state.txns.items())
+        n_txn = len(txns)
+        proto_row = dict(state.protocol or _PROTOCOL)
+        proto_row.setdefault("readerFeatures", None)
+        proto_row.setdefault("writerFeatures", None)
+        rows_protocol: list[Any] = [proto_row] + [None] * (1 + n + n_txn)
         meta_row = {
-            "id": "unknown",
+            # the real table id — checkpoint-seeded readers key
+            # streaming-source identity and idempotency on it
+            "id": state.metadata_id or "unknown",
             "format": {"provider": "parquet"},
             "schemaString": state.schema_json,
             "partitionColumns": list(state.partition_columns),
             "configuration": list(state.properties.items()),
             "createdTime": None,
         }
-        rows_meta: list[Any] = [None, meta_row] + [None] * n
-        rows_add: list[Any] = [None, None] + [
+        rows_meta: list[Any] = [None, meta_row] + [None] * (n + n_txn)
+        rows_txn: list[Any] = (
+            [None, None]
+            + [
+                {"appId": a, "version": int(v), "lastUpdated": None}
+                for a, v in txns
+            ]
+            + [None] * n
+        )
+        rows_add: list[Any] = [None, None] + [None] * n_txn + [
             {
                 "path": a["path"],
                 "partitionValues": list(
@@ -832,11 +895,12 @@ class DeltaLogBackend:
             {
                 "protocol": pa.array(rows_protocol, type=proto_struct),
                 "metaData": pa.array(rows_meta, type=meta_struct),
+                "txn": pa.array(rows_txn, type=txn_struct),
                 "add": pa.array(rows_add, type=add_struct),
             }
         )
         log = Path(root) / LOG_DIR
         pq.write_table(table, log / f"{version:020d}.checkpoint.parquet")
         (log / "_last_checkpoint").write_text(
-            json.dumps({"version": version, "size": n + 2})
+            json.dumps({"version": version, "size": n + n_txn + 2})
         )

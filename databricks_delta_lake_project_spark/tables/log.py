@@ -165,6 +165,15 @@ def try_commit(root: str, commit: dict[str, Any]) -> bool:
         return False
 
 
+class ConcurrentModificationError(RuntimeError):
+    """Lost an optimistic-concurrency race against a commit this
+    writer's plan logically conflicts with: the precomputed add/remove
+    actions were derived from a snapshot another writer has since
+    changed. Blind re-commit would resurrect their deletions or remove
+    files already gone — callers must recompute from the new snapshot
+    (Delta performs the same conflict checking on retry)."""
+
+
 def commit(
     root: str,
     operation: str,
@@ -175,10 +184,35 @@ def commit(
     metrics: dict[str, Any] | None = None,
     properties: dict[str, Any] | None = None,
     max_retries: int = 20,
+    expected_version: int | None = None,
 ) -> int:
-    """Append a commit with optimistic retry; returns the version."""
+    """Append a commit with optimistic retry; returns the version.
+
+    Pure appends (no removes) retry blindly — they cannot conflict at
+    the file level. A remove-carrying commit validates against every
+    commit that landed after ``expected_version`` (the snapshot the
+    caller planned its add/remove actions from — pass it!): any
+    file-level activity there means our remove set is stale, and we
+    raise :class:`ConcurrentModificationError` instead of committing a
+    lost update. Without ``expected_version`` the check degrades to
+    races lost inside this call only."""
+    planned_prev = (
+        expected_version
+        if expected_version is not None
+        else latest_version(root)
+    )
     for _ in range(max_retries):
         prev = latest_version(root)
+        if remove and prev != planned_prev:
+            lo = -1 if planned_prev is None else planned_prev
+            for c in read_log(root):
+                if c["version"] > lo and (c.get("add") or c.get("remove")):
+                    raise ConcurrentModificationError(
+                        f"{operation} planned at v{planned_prev} "
+                        f"conflicts with concurrent v{c['version']} "
+                        f"({c.get('operation')}); recompute and retry"
+                    )
+            planned_prev = prev  # intervening commits were file-neutral
         version = 0 if prev is None else prev + 1
         doc = {
             "version": version,

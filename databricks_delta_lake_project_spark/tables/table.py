@@ -324,12 +324,12 @@ class LakeTable:
         if dvd:
             import pandas as pd
 
-            from .delta_interop import _dv_positions
+            from .delta_interop import _dv_positions, spark_file_key
 
             frames = []
             for e in dvd:
                 positions = _dv_positions(self.root, e["deletionVector"])
-                fpath = str((Path(self.root) / e["path"]).resolve())
+                fpath = spark_file_key(self.root, e["path"])
                 frames.append(
                     pd.DataFrame(
                         {"__file": [fpath] * len(positions), "__pos": positions}
@@ -640,6 +640,7 @@ class LakeTable:
         return df.select(*cols)
 
     def overwrite(self, df: DataFrame) -> int:
+        snap = self._log.latest_version(self.root)
         old = [e["path"] for e in self._files()]
         adds, n = _write_files(
             self._prep_write(df),
@@ -650,6 +651,7 @@ class LakeTable:
             self.root, "WRITE", adds, old, df.schema.json(),
             parameters={"mode": "Overwrite"},
             metrics={"numOutputRows": n, "numFiles": len(adds)},
+            expected_version=snap,
         )
 
     def delete(
@@ -678,6 +680,7 @@ class LakeTable:
           Delta writers key on), else ``rewrite``.
         """
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        snap = self._log.latest_version(self.root)
         bounds, complete = (
             predicate_bounds_full(condition)
             if isinstance(condition, str)
@@ -715,7 +718,9 @@ class LakeTable:
             ).lower() in ("true", "1")
             strategy = "dv" if (dv_capable and dv_enabled) else "rewrite"
         if strategy == "dv":
-            result = self._delete_dv(cond, bounds, dv_max_rows, whole, n_whole)
+            result = self._delete_dv(
+                cond, bounds, dv_max_rows, whole, n_whole, snap
+            )
             if result is not None:
                 return result
             # too many rows for a DV: fall through to rewrite
@@ -744,6 +749,7 @@ class LakeTable:
             self.root, "DELETE", adds,
             [e["path"] for e in touched] + sorted(whole_paths),
             self._log.schema_at(self.root), metrics=metrics,
+            expected_version=snap,
         )
         if self._cdf_enabled():
             changes = self._read_files(whole) if whole else None
@@ -754,8 +760,6 @@ class LakeTable:
                 )
             if changes is not None:
                 self._write_cdf(changes, "delete", v)
-        elif deleted is not None:
-            self._write_cdf(deleted, "delete", v)
         if tdf is not None:
             tdf.unpersist()
         return metrics
@@ -767,6 +771,7 @@ class LakeTable:
         dv_max_rows: int,
         whole: list[dict[str, Any]] | None = None,
         n_whole: int = 0,
+        snap: int | None = None,
     ) -> dict[str, Any] | None:
         """Deletion-vector DELETE: collect the matching (file, row
         index) pairs (bounded by ``dv_max_rows``), merge them into each
@@ -778,7 +783,7 @@ class LakeTable:
         deleted set is too large (caller falls back to rewrite)."""
         import numpy as np
 
-        from .delta_interop import _dv_positions, write_dv_file
+        from .delta_interop import _dv_positions, spark_file_key, write_dv_file
 
         whole = whole or []
         whole_paths = {e["path"] for e in whole}
@@ -813,6 +818,7 @@ class LakeTable:
             self._log.schema_at(self.root),
             parameters={"strategy": "dv"},
             metrics=metrics,
+            expected_version=snap,
         )
         if self._cdf_enabled():
             changes = self._read_files(whole) if whole else None
@@ -837,13 +843,13 @@ class LakeTable:
         row is marked is dropped outright (no all-rows DV)."""
         import numpy as np
 
-        from .delta_interop import _dv_positions, write_dv_file
+        from .delta_interop import _dv_positions, spark_file_key, write_dv_file
 
         new_adds: list[dict[str, Any]] = []
         removes: list[str] = []
         n_fully_dead = 0
         for e in touched:
-            fpath = str((Path(self.root) / e["path"]).resolve())
+            fpath = spark_file_key(self.root, e["path"])
             pos = pdf.loc[pdf["__file"] == fpath, "__pos"].to_numpy(np.int64)
             if len(pos) == 0:
                 continue
@@ -878,6 +884,7 @@ class LakeTable:
         ``"auto"`` picks dv when ``delta.enableDeletionVectors`` is
         set. Falls back to rewrite past ``dv_max_rows``."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        snap = self._log.latest_version(self.root)
         bounds = predicate_bounds(condition) if isinstance(condition, str) else {}
         dv_capable = self._log is not tlog
         if strategy == "dv" and not dv_capable:
@@ -895,10 +902,10 @@ class LakeTable:
             ).lower() in ("true", "1")
             strategy = "dv" if (dv_capable and dv_enabled) else "rewrite"
         if strategy == "dv":
-            result = self._update_dv(cond, set, bounds, dv_max_rows)
+            result = self._update_dv(cond, set, bounds, dv_max_rows, snap)
             if result is not None:
                 return result
-        return self._update_rewrite(cond, set, bounds)
+        return self._update_rewrite(cond, set, bounds, snap)
 
     def _update_dv(
         self,
@@ -906,6 +913,7 @@ class LakeTable:
         set: dict[str, str | Column],
         bounds: dict,
         dv_max_rows: int,
+        snap: int | None = None,
     ) -> dict[str, Any] | None:
         touched = self._touched_files(cond, bounds)
         if not touched:
@@ -947,6 +955,7 @@ class LakeTable:
             self._log.schema_at(self.root),
             parameters={"strategy": "dv"},
             metrics=metrics,
+            expected_version=snap,
         )
         if self._cdf_enabled():
             self._write_cdf(pre, "update_preimage", v)
@@ -955,7 +964,11 @@ class LakeTable:
         return metrics
 
     def _update_rewrite(
-        self, cond: Column, set: dict[str, str | Column], bounds: dict
+        self,
+        cond: Column,
+        set: dict[str, str | Column],
+        bounds: dict,
+        snap: int | None = None,
     ) -> dict[str, Any]:
         """Copy-on-write UPDATE (``compliance_policies.py:277-295``)."""
         touched = self._touched_files(cond, bounds)
@@ -990,6 +1003,7 @@ class LakeTable:
         v = self._log.commit(
             self.root, "UPDATE", adds, [e["path"] for e in touched],
             self._log.schema_at(self.root), metrics=metrics,
+            expected_version=snap,
         )
         if self._cdf_enabled():
             post = pre.select(
@@ -1038,6 +1052,7 @@ class LakeTable:
         ranges become narrow so footer-stats skipping prunes scans —
         the same effect Z-ORDER targets, without interleaved bit codes.
         """
+        snap = self._log.latest_version(self.root)
         files = self._files()
         if where:
             files = _prune_by_stats(files, predicate_bounds(where))
@@ -1072,20 +1087,45 @@ class LakeTable:
             self._log.schema_at(self.root),
             parameters={"zOrderBy": zorder_by or [], "predicate": where or ""},
             metrics=metrics,
+            expected_version=snap,
         )
         return metrics
 
     def restore(self, version: int) -> int:
-        """RESTORE TABLE TO VERSION AS OF (``delta_lake_features.py:157-176``)."""
+        """RESTORE TABLE TO VERSION AS OF (``delta_lake_features.py:157-176``).
+
+        Diffs on (path, deletion-vector identity), not path alone: a DV
+        DELETE re-adds the SAME data file with a descriptor, so a
+        path-only diff would see "no change" and silently leave rows
+        deleted after restoring to the pre-delete version (and keep a
+        stale DV after restoring across a DV UPDATE). Re-adding a file
+        with its old DV state (including none) is how Delta itself
+        restores across DV commits."""
+
+        def key(e: dict[str, Any]) -> tuple[str, str | None]:
+            dv = e.get("deletionVector") or {}
+            return (e["path"], dv.get("pathOrInlineDv"))
+
+        snap = self._log.latest_version(self.root)
         target = self._log.active_files(self.root, version)
-        current = {e["path"] for e in self._files()}
-        target_paths = {e["path"] for e in target}
-        adds = [e for e in target if e["path"] not in current]
-        removes = [p for p in current if p not in target_paths]
+        current = self._files()
+        current_keys = {key(e) for e in current}
+        target_keys = {key(e) for e in target}
+        adds = [e for e in target if key(e) not in current_keys]
+        # a path whose DV state changed appears in both lists: the
+        # remove must precede the re-add within the commit replay
+        # (state.apply folds removes by path), so list it once
+        add_paths = {e["path"] for e in adds}
+        removes = [
+            e["path"]
+            for e in current
+            if key(e) not in target_keys or e["path"] in add_paths
+        ]
         return self._log.commit(
-            self.root, "RESTORE", adds, removes,
+            self.root, "RESTORE", adds, sorted(set(removes)),
             self._log.schema_at(self.root, version),
             parameters={"version": version},
+            expected_version=snap,
         )
 
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
@@ -1260,6 +1300,8 @@ class LakeTable:
         files = _prune_by_stats(files, bounds)
         if not files:
             return []
+        from .delta_interop import spark_rel_key
+
         df = self._read_files(files, with_row_index=True)
         hit_paths = {
             r[0]
@@ -1268,7 +1310,7 @@ class LakeTable:
         return [
             e
             for e in files
-            if any(hp.endswith(e["path"]) for hp in hit_paths)
+            if any(hp.endswith(spark_rel_key(e["path"])) for hp in hit_paths)
         ]
 
 
@@ -1319,11 +1361,25 @@ def predicate_bounds_full(
             complete = False
         lo, hi = bounds.get(col, (None, None))
         if op in ("=", "=="):
-            lo, hi = value, value
+            # equality INTERSECTS with prior conjuncts on the column —
+            # overwriting (lo, hi) would let "a >= 5 AND a = 3" claim
+            # complete bounds (3, 3), and the whole-file full-match
+            # inference would then delete a=3 rows an unsatisfiable
+            # predicate matches none of
+            lo = value if lo is None else max(lo, value)
+            hi = value if hi is None else min(hi, value)
         elif op in (">", ">="):
             lo = value if lo is None else max(lo, value)
         elif op in ("<", "<="):
             hi = value if hi is None else min(hi, value)
+        try:
+            if lo is not None and hi is not None and lo > hi:
+                # unsatisfiable conjunction: bounds stay (the empty
+                # interval prunes correctly) but the full-match
+                # inference must never fire
+                complete = False
+        except TypeError:
+            complete = False  # mixed types: no full-match claims
         bounds[col] = (lo, hi)
     return bounds, complete
 
@@ -1523,6 +1579,7 @@ class MergeBuilder:
 
     def execute(self) -> dict[str, Any]:
         t = self.table
+        snap = t._log.latest_version(t.root)
         tgt_cols = [f.name for f in t.schema.fields]
         files = t._files()
         cond = F.expr(self.condition)
@@ -1535,6 +1592,8 @@ class MergeBuilder:
         files = _prune_by_stats(files, self._source_key_bounds())
         touched: list[dict[str, Any]] = []
         if files:
+            from .delta_interop import spark_rel_key
+
             with_file = (
                 t._read_files(files, with_row_index=True)
                 .drop("__pos")
@@ -1548,7 +1607,7 @@ class MergeBuilder:
                 .collect()
             }
             touched = [
-                e for e in files if any(h.endswith(e["path"]) for h in hit)
+                e for e in files if any(h.endswith(spark_rel_key(e["path"])) for h in hit)
             ]
 
         tgt = t._read_files(touched).withColumn("__te", F.lit(1)).alias("t")
@@ -1637,6 +1696,7 @@ class MergeBuilder:
             t._log.schema_at(t.root),
             parameters={"predicate": self.condition},
             metrics=metrics,
+            expected_version=snap,
         )
         if cdf_on:
             pre = joined.filter(is_match & ~delete_pred).select(

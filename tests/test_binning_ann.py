@@ -97,3 +97,51 @@ def _group(rows):
     for r in rows:
         out.setdefault(r["query_id"], []).append(r)
     return out
+
+
+def test_topk_per_key_nan_and_null_key_parity(spark):
+    """The local pandas prune must rank NaN scores exactly like the
+    Spark merge window (NaN greater than every real value: first under
+    desc) and must not drop null keys — both previously diverged from
+    the single-window formulation."""
+    import math
+
+    from pyspark.sql import Window, functions as F
+
+    from databricks_delta_lake_project_spark.operators.topk import (
+        topk_per_key,
+    )
+
+    rows = []
+    for q in [0, 1, None]:
+        for i in range(6):
+            rows.append((q, i, float(i)))
+        rows.append((q, 99, math.nan))  # NaN score per key
+    df = spark.createDataFrame(
+        rows, "query_id int, cand_id int, score double"
+    ).repartition(4)
+    got = topk_per_key(
+        df, ["query_id"], "score", k=3, tiebreak=["cand_id"]
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("cand_id").asc()
+    )
+    want = (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+    def norm(res):
+        return sorted(
+            [
+                (r["query_id"], r["cand_id"], r["rank"])
+                for r in res.collect()
+            ],
+            key=str,
+        )
+    assert norm(got) == norm(want)
+    # NaN rows rank FIRST under desc (Spark float semantics)
+    top1 = {
+        (r["query_id"], r["cand_id"])
+        for r in got.filter(F.col("rank") == 1).collect()
+    }
+    assert top1 == {(0, 99), (1, 99), (None, 99)}

@@ -732,3 +732,138 @@ def test_writer_obligations_refused(spark, tmp_path):
     # OPTIMIZE (dataChange=false) stays legal on append-only tables
     t.optimize(target_files=1)
     assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2]
+
+
+def test_restore_across_dv_delete(spark, tmp_path):
+    """RESTORE must diff on (path, DV identity), not path alone: a DV
+    DELETE re-adds the same file with a descriptor, and restoring to
+    the pre-delete version must resurrect the rows."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "restore_dv")
+    t = LakeTable.create(
+        spark,
+        path,
+        df=spark.createDataFrame([Row(id=i) for i in range(6)]).coalesce(1),
+        format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    r = t.delete("id = 2")
+    assert r["strategy"] == "dv" and r["numDeletionVectorsAdded"] == 1
+    assert sorted(x["id"] for x in t.to_df().collect()) == [0, 1, 3, 4, 5]
+    t.restore(0)
+    assert sorted(x["id"] for x in t.to_df().collect()) == [0, 1, 2, 3, 4, 5]
+    assert sorted(
+        x["id"] for x in DeltaInteropTable(spark, path).to_df().collect()
+    ) == [0, 1, 2, 3, 4, 5]
+    # and restoring forward to the post-delete version re-applies the DV
+    t.restore(1)
+    assert sorted(x["id"] for x in t.to_df().collect()) == [0, 1, 3, 4, 5]
+
+
+def test_dv_delete_under_symlinked_root_and_special_chars(spark, tmp_path):
+    """DV row-position keys must match Spark's `_metadata.file_path`
+    rendering: absolute but NOT symlink-resolved, percent-encoded like
+    java.net.URI ('+' literal, space -> %20). A symlinked table root or
+    a partition value with a space previously made the DV join match
+    nothing — delete reported success while rows survived."""
+    import os
+
+    from pyspark.sql import Row
+
+    real = tmp_path / "realdir"
+    real.mkdir()
+    link = tmp_path / "linkdir"
+    os.symlink(real, link)
+    t = LakeTable.create(
+        spark,
+        str(link / "t"),
+        df=spark.createDataFrame([Row(id=i) for i in range(8)]).coalesce(1),
+        format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    r = t.delete("id = 3")
+    assert r["numDeletionVectorsAdded"] == 1  # the join actually hit
+    assert sorted(x["id"] for x in t.to_df().collect()) == [
+        0, 1, 2, 4, 5, 6, 7,
+    ]
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "t_space"),
+        df=spark.createDataFrame(
+            [Row(day="a b", id=i) for i in range(4)] + [Row(day="c+d", id=9)]
+        ).coalesce(1),
+        format="delta",
+        partition_by=["day"],
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    r2 = t2.delete("id = 2")
+    assert r2["numDeletedRows"] == 1 and r2["numDeletionVectorsAdded"] == 1
+    assert sorted(x["id"] for x in t2.to_df().collect()) == [0, 1, 3, 9]
+    # rewrite-path probe under the encoded partition dir also works
+    t2.delete("day = 'a b'")
+    assert [x["id"] for x in t2.to_df().collect()] == [9]
+
+
+def test_unsatisfiable_predicate_never_whole_drops(spark, tmp_path):
+    """Equality conjuncts INTERSECT prior bounds: 'a >= 5 AND a = 3'
+    matches nothing and must delete nothing — the old overwrite
+    semantics claimed complete (3,3) bounds and the whole-file
+    inference removed every a=3 file."""
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "unsat"),
+        df=spark.createDataFrame([Row(a=3), Row(a=7)]).coalesce(1),
+        format="delta",
+    )
+    m = t.delete("a >= 5 AND a = 3")
+    assert m["numDeletedRows"] == 0
+    assert sorted(x["a"] for x in t.to_df().collect()) == [3, 7]
+
+
+def test_occ_retry_with_removes_raises_on_conflict(spark, tmp_path):
+    """A remove-carrying commit that loses its OCC race against a
+    file-changing commit must raise instead of blindly re-committing a
+    plan derived from a stale snapshot (lost update)."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from databricks_delta_lake_project_spark.tables.log import (
+        ConcurrentModificationError,
+    )
+
+    path = str(tmp_path / "occ_conflict")
+    t = LakeTable.create(
+        spark,
+        path,
+        df=spark.createDataFrame([Row(id=1), Row(id=2)]).coalesce(1),
+        format="delta",
+    )
+    # steal the next version with a file-changing foreign commit AFTER
+    # the engine has planned its DELETE (simulate by pre-writing v1)
+    log = Path(path) / "_delta_log"
+    foreign = [
+        {"commitInfo": {"operation": "WRITE", "timestamp": 1}},
+        {"add": {"path": "foreign.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+    ]
+
+    backend = t._log
+    planned = backend.latest_version(path)
+    (log / f"{planned + 1:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in foreign)
+    )
+    with pytest.raises(ConcurrentModificationError):
+        backend.commit(
+            path,
+            "DELETE",
+            [],
+            [e["path"] for e in t._files()],
+            backend.schema_at(path),
+            expected_version=planned,
+        )
+    # pure appends still retry through the same race without raising
+    v = backend.commit(path, "WRITE", [], [], backend.schema_at(path))
+    assert v == planned + 2

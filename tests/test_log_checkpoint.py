@@ -159,3 +159,62 @@ def test_delta_checkpoint_preserves_dvs_and_partitioning(spark, tmp_path):
         x["id"] for x in DeltaInteropTable(spark, root).to_df().collect()
     )
     assert got2 == got
+
+
+def test_delta_checkpoint_carries_protocol_features_txn_and_id(spark, tmp_path):
+    """The checkpoint parquet must be a complete protocol snapshot: a
+    v3/v7 protocol row WITH its feature lists (dropping them writes an
+    invalid protocol and loses the deletionVectors declaration for
+    checkpoint-seeded readers), the REAL metaData.id, and txn rows so
+    idempotent-writer tracking survives log cleanup."""
+    import json as _json
+    from pathlib import Path
+
+    import pyarrow.parquet as pq_
+
+    from databricks_delta_lake_project_spark.tables.delta_interop import (
+        _replay,
+    )
+
+    root = str(tmp_path / "cp_proto")
+    t = LakeTable.create(
+        spark,
+        root,
+        df=spark.createDataFrame([(i,) for i in range(6)], "id long").coalesce(1),
+        format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    t.delete("id = 2")  # upgrades protocol to 3/7 + deletionVectors
+    t.append_txn(
+        spark.createDataFrame([(100,)], "id long"), "appA", 7
+    )
+    for i in range(9):
+        t.append(spark.createDataFrame([(10 + i,)], "id long"))
+    log = Path(root) / "_delta_log"
+    cp_files = sorted(log.glob("*.checkpoint.parquet"))
+    assert cp_files
+    cp = pq_.read_table(cp_files[-1]).to_pylist()
+    protos = [r["protocol"] for r in cp if r.get("protocol")]
+    assert protos and protos[0]["minReaderVersion"] == 3
+    assert "deletionVectors" in (protos[0]["readerFeatures"] or [])
+    assert "deletionVectors" in (protos[0]["writerFeatures"] or [])
+    metas = [r["metaData"] for r in cp if r.get("metaData")]
+    v0 = next(
+        _json.loads(l)["metaData"]
+        for l in (log / f"{0:020d}.json").read_text().splitlines()
+        if '"metaData"' in l
+    )
+    assert metas[0]["id"] == v0["id"] != "unknown"
+    txns = [r["txn"] for r in cp if r.get("txn") and r["txn"].get("appId")]
+    assert {(x["appId"], x["version"]) for x in txns} == {("appA", 7)}
+    # delete pre-checkpoint JSONs: txn tracking must survive via the
+    # checkpoint-seeded replay
+    cp_v = int(cp_files[-1].name.split(".")[0])
+    for v in range(cp_v):
+        p = log / f"{v:020d}.json"
+        if p.exists():
+            p.unlink()
+    state = _replay(spark, root, None)
+    assert state.txns == {"appA": 7}
+    assert state.protocol["minReaderVersion"] == 3
+    assert t.txn_version("appA") == 7
