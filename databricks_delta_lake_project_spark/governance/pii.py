@@ -67,3 +67,31 @@ def classify_columns(
         f.name: (f"pii.{found[f.name]}" if f.name in found else "non_pii")
         for f in df.schema.fields
     }
+
+
+# Unanchored variants of PII_PATTERNS for IN-TEXT detection/redaction
+# (the anchored set classifies whole column values). Kept RE2-compatible
+# (no backreferences/lookaround) so the same patterns run verbatim in
+# Spark's Java regex AND the DuckDB oracle.
+PII_TEXT_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    "phone": r"\+\d{1,2}-\d{3}-\d{4}",
+}
+
+
+def redact_pii(col):
+    """Distributed PII redaction: replace every in-text email/SSN/phone
+    with a typed placeholder — the data-plane complement to the
+    driver-side ``pii_scan`` classifier (reference surface:
+    ``compliance_policies.py`` anonymization). Pure
+    ``regexp_replace`` chain: JVM-side, whole-stage-codegen, no Python
+    in the hot path — at 100 TB this is a free map stage fused into
+    the scan. Order matters: SSN before phone (an SSN's tail would
+    otherwise partially match loose phone shapes)."""
+    from pyspark.sql import functions as F
+
+    out = F.regexp_replace(col, PII_TEXT_PATTERNS["email"], "[EMAIL]")
+    out = F.regexp_replace(out, PII_TEXT_PATTERNS["ssn"], "[SSN]")
+    out = F.regexp_replace(out, PII_TEXT_PATTERNS["phone"], "[PHONE]")
+    return out

@@ -910,7 +910,16 @@ def _extend_registry() -> None:
     """Merge the extension query modules into the registry. Imported
     lazily at module bottom to avoid circular imports (the extension
     modules use catalog.load/_dec)."""
-    from . import lakedml, media, relational, similarity, sqlpack, streamq, text
+    from . import (
+        lakedml,
+        media,
+        redaction,
+        relational,
+        similarity,
+        sqlpack,
+        streamq,
+        text,
+    )
 
     QUERIES.update(relational.RELATIONAL_QUERIES)
     QUERIES.update(text.TEXT_QUERIES)
@@ -919,6 +928,7 @@ def _extend_registry() -> None:
     QUERIES.update(media.MEDIA_QUERIES)
     QUERIES.update(streamq.STREAM_QUERIES)
     QUERIES.update(lakedml.LAKEDML_QUERIES)
+    QUERIES.update(redaction.REDACTION_QUERIES)
     PRODUCTION_OVERRIDES.update(text.PRODUCTION_OVERRIDES)
 
 

@@ -99,3 +99,34 @@ def test_pii_scan_and_classify(spark):
     assert tags["email"] == "pii.email"
     assert tags["note"] == "non_pii"
     assert tags["id"] == "non_pii"
+
+
+def test_redact_pii_in_text(spark):
+    """Data-plane scrubbing: every in-text email/SSN/phone is replaced
+    by a typed placeholder, non-PII text untouched, and the plan stays
+    JVM-side (no Python UDF)."""
+    from pyspark.sql import functions as F
+
+    from databricks_delta_lake_project_spark.governance.pii import (
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.user+tag@sub.example.org now",),
+            ("ssn 123-45-6789 and phone +1-555-0199",),
+            ("nothing sensitive here 12345",),
+        ],
+        "text string",
+    )
+    out = [r["clean"] for r in df.select(redact_pii(F.col("text")).alias("clean")).collect()]
+    assert out == [
+        "mail [EMAIL] now",
+        "ssn [SSN] and phone [PHONE]",
+        "nothing sensitive here 12345",
+    ]
+    plan = (
+        df.select(redact_pii(F.col("text")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
