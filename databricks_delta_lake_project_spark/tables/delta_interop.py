@@ -501,9 +501,11 @@ class _State:
             # Reads resolve parquet columns by each field's recorded
             # physicalName (valid for mode=name, and for mode=id files
             # whose writer stamped physical names — delta-spark always
-            # does). A mapped field WITHOUT a physicalName, or a mapped
-            # partitioned table (partitionValues are keyed by physical
-            # name), cannot be resolved safely — refuse loudly.
+            # does). A mapped field WITHOUT a physicalName cannot be
+            # resolved safely — refuse loudly. Partitioned+mapped
+            # works: partitionValues (and hive dirs) are keyed by the
+            # PHYSICAL partition column names, which
+            # ``phys_partition_map`` resolves.
             if self.schema_json is None:
                 raise ValueError("column mapping advertised but no metaData")
             missing = _fields_missing_physical_name(
@@ -515,11 +517,18 @@ class _State:
                     f"physicalName on fields {missing} — cannot resolve "
                     "parquet columns safely"
                 )
-            if self.partition_columns:
-                raise NotImplementedError(
-                    "column mapping on a partitioned table not supported "
-                    "(partitionValues are keyed by physical column names)"
-                )
+
+    def phys_partition_map(self) -> dict[str, str]:
+        """Logical partition column -> physical name (identity when
+        unmapped). ``partitionValues`` keys and hive directory names
+        use the PHYSICAL names on mapped tables."""
+        if self.mapping_mode == "none" or self.schema_json is None:
+            return {c: c for c in self.partition_columns}
+        fields = {
+            f["name"]: (f.get("metadata") or {}).get(_PHYS_KEY, f["name"])
+            for f in json.loads(self.schema_json).get("fields", [])
+        }
+        return {c: fields.get(c, c) for c in self.partition_columns}
 
 
 def _replay_checkpoint(spark: SparkSession, root: str, version: int, state: _State) -> None:
@@ -670,6 +679,13 @@ class DeltaInteropTable:
             else []
         )
         paths = [str(Path(self.root) / a["path"]) for a in adds]
+        # under column mapping every on-disk name — data columns, hive
+        # partition directories, partitionValues keys — is the PHYSICAL
+        # name; this map is identity when unmapped
+        phys_by_logical = {
+            lf.name: pf.name
+            for lf, pf in zip(schema.fields, _physical_type(schema).fields)
+        }
         if state.partition_columns:
             # Delta lays partitioned data out hive-style; basePath makes
             # one scan recover the partition columns for all files. The
@@ -679,9 +695,10 @@ class DeltaInteropTable:
             # data/part=1/…). Non-uniform or non-hive layouts fall back
             # to per-file literal columns from partitionValues (bounded
             # by |files|).
+            pmap = state.phys_partition_map()
             under_data = [a["path"].startswith("data/") for a in adds]
             hive = all(
-                f"{c}=" in a["path"]
+                f"{pmap[c]}=" in a["path"]
                 for a in adds
                 for c in state.partition_columns
             ) and all(
@@ -702,18 +719,34 @@ class DeltaInteropTable:
                     .parquet(*paths)
                 )
                 return df.select(
-                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields],
+                    *[
+                        F.col(phys_by_logical[f.name])
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in schema.fields
+                    ],
                     *extra,
                 )
             parts = []
             for a in adds:
                 pdf = self.spark.read.parquet(str(Path(self.root) / a["path"]))
-                for c in state.partition_columns:
-                    field = schema[c]
-                    pdf = pdf.withColumn(
-                        c, F.lit(a["partitionValues"].get(c)).cast(field.dataType)
-                    )
-                parts.append(pdf.select(*[f.name for f in schema.fields], *extra))
+                cols = []
+                for f in schema.fields:
+                    if f.name in pmap:
+                        cols.append(
+                            F.lit(
+                                a["partitionValues"].get(pmap[f.name])
+                            )
+                            .cast(f.dataType)
+                            .alias(f.name)
+                        )
+                    else:
+                        cols.append(
+                            F.col(phys_by_logical[f.name])
+                            .cast(f.dataType)
+                            .alias(f.name)
+                        )
+                parts.append(pdf.select(*cols, *extra))
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)

@@ -349,6 +349,21 @@ class LakeTable:
     def _partition_columns(self) -> list[str]:
         return list(self._log.partition_columns(self.root))
 
+    def _write_partition_columns(self) -> list[str] | None:
+        """Partition columns under their ON-DISK names for the writer:
+        ``_prep_write`` renames a mapped frame to physical names, so
+        ``partitionBy`` (and the hive dirs + partitionValues it
+        produces) must use the physical names too."""
+        pcols = self._partition_columns()
+        if not pcols:
+            return None
+        schema = self.schema
+        phys = _physical_read_schema(schema)
+        if phys is None:
+            return pcols
+        m = {lf.name: pf.name for lf, pf in zip(schema.fields, phys.fields)}
+        return [m[c] for c in pcols]
+
     def _prep_write(
         self, df: DataFrame, schema: StructType | None = None
     ) -> DataFrame:
@@ -387,16 +402,26 @@ class LakeTable:
         is authoritative, paths are opaque) falls back to per-partition
         scans with literal columns, bounded by the number of DISTINCT
         partition tuples among the entries, not file count."""
+        from .delta_interop import _physical_type
+
         meta_cols = [
             F.regexp_replace(
                 F.col("_metadata.file_path"), "^file:/+", "/"
             ).alias("__file"),
             F.col("_metadata.row_index").alias("__pos"),
         ]
+        # under column mapping every on-disk name — data columns, hive
+        # partition dirs, partitionValues keys — is the PHYSICAL name;
+        # both maps are identity when unmapped
+        phys = _physical_type(schema)
+        phys_by_logical = {
+            lf.name: pf.name for lf, pf in zip(schema.fields, phys.fields)
+        }
+        pmap = {c: phys_by_logical[c] for c in pcols}
         paths = [str(Path(self.root) / e["path"]) for e in entries]
         prefix = f"{tlog.DATA_DIR}/"
         hive = all(
-            f"{c}=" in e["path"] for e in entries for c in pcols
+            f"{pmap[c]}=" in e["path"] for e in entries for c in pcols
         ) and all(
             "=" in seg
             for e in entries
@@ -418,19 +443,21 @@ class LakeTable:
             df = self.spark.read.option("basePath", base).parquet(*paths)
             return df.select(
                 *[
-                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    F.col(phys_by_logical[f.name])
+                    .cast(f.dataType)
+                    .alias(f.name)
                     for f in schema.fields
                 ],
                 *(meta_cols if need_meta else []),
             )
         data_schema = StructType(
-            [f for f in schema.fields if f.name not in pcols]
+            [f for f in phys.fields if f.name not in set(pmap.values())]
         )
         groups: dict[tuple, list[dict[str, Any]]] = {}
         for e in entries:
             pv = e.get("partitionValues") or {}
             groups.setdefault(
-                tuple(pv.get(c) for c in pcols), []
+                tuple(pv.get(pmap[c]) for c in pcols), []
             ).append(e)
         parts = []
         for key, es in groups.items():
@@ -439,11 +466,20 @@ class LakeTable:
             )
             if need_meta:
                 g = g.select("*", *meta_cols)
-            for c, v in zip(pcols, key):
-                g = g.withColumn(c, F.lit(v).cast(schema[c].dataType))
+            by_logical = dict(zip(pcols, key))
+            cols = [
+                (
+                    F.lit(by_logical[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in by_logical
+                    else F.col(phys_by_logical[f.name])
+                    .cast(f.dataType)
+                    .alias(f.name)
+                )
+                for f in schema.fields
+            ]
             parts.append(
                 g.select(
-                    *[f.name for f in schema.fields],
+                    *cols,
                     *(["__file", "__pos"] if need_meta else []),
                 )
             )
@@ -561,7 +597,7 @@ class LakeTable:
         adds, n = _write_files(
             self._prep_write(df, schema=write_schema),
             self.root,
-            partition_columns=self._partition_columns(),
+            partition_columns=self._write_partition_columns(),
         )
         v = self._log.commit(
             self.root, "WRITE", adds, [], schema_json,
@@ -603,7 +639,7 @@ class LakeTable:
         adds, n = _write_files(
             self._prep_write(out),
             self.root,
-            partition_columns=self._partition_columns(),
+            partition_columns=self._write_partition_columns(),
         )
         v = self._log.commit(
             self.root, "WRITE", adds, [], out.schema.json(),
@@ -645,7 +681,7 @@ class LakeTable:
         adds, n = _write_files(
             self._prep_write(df),
             self.root,
-            partition_columns=self._partition_columns(),
+            partition_columns=self._write_partition_columns(),
         )
         return self._log.commit(
             self.root, "WRITE", adds, old, df.schema.json(),
@@ -701,6 +737,15 @@ class LakeTable:
                 if _file_fully_matches(e, bounds)
             ]
         whole_paths = {e["path"] for e in whole}
+        # a foreign add action without a stats JSON reports rows=0 —
+        # the drop is still provably correct (partition synth stats),
+        # but the metric needs the real count: one driver-side footer
+        # read per such file (bounded by |whole|)
+        for e in whole:
+            if not e.get("rows"):
+                e["rows"] = pq.ParquetFile(
+                    Path(self.root) / e["path"]
+                ).metadata.num_rows
         n_whole = sum(_alive_rows(e) for e in whole)
         dv_capable = self._log is not tlog
         if strategy == "dv" and not dv_capable:
@@ -735,7 +780,7 @@ class LakeTable:
             adds, _ = _write_files(
                 self._prep_write(kept),
                 self.root,
-                partition_columns=self._partition_columns(),
+                partition_columns=self._write_partition_columns(),
             )
         else:
             tdf, deleted, n_deleted, adds = None, None, 0, []
@@ -941,7 +986,7 @@ class LakeTable:
         adds_new, _ = _write_files(
             self._prep_write(post),
             self.root,
-            partition_columns=self._partition_columns(),
+            partition_columns=self._write_partition_columns(),
         )
         metrics = {
             "numUpdatedRows": n_updated,
@@ -993,7 +1038,7 @@ class LakeTable:
         adds, _ = _write_files(
             self._prep_write(updated),
             self.root,
-            partition_columns=self._partition_columns(),
+            partition_columns=self._write_partition_columns(),
         )
         metrics = {
             "numRemovedFiles": len(touched),
@@ -1075,7 +1120,7 @@ class LakeTable:
             self._prep_write(df),
             self.root,
             already_partitioned=True,
-            partition_columns=self._partition_columns(),
+            partition_columns=self._write_partition_columns(),
         )
         metrics = {
             "numFilesRemoved": len(files),
@@ -1681,7 +1726,7 @@ class MergeBuilder:
         adds, n_rows = _write_files(
             t._prep_write(out),
             t.root,
-            partition_columns=t._partition_columns(),
+            partition_columns=t._write_partition_columns(),
         )
         metrics = {
             "numTargetRowsUpdated": n_updated,

@@ -867,3 +867,85 @@ def test_occ_retry_with_removes_raises_on_conflict(spark, tmp_path):
     # pure appends still retry through the same race without raising
     v = backend.commit(path, "WRITE", [], [], backend.schema_at(path))
     assert v == planned + 2
+
+
+def test_partitioned_column_mapped_roundtrip(spark, tmp_path):
+    """Partitioned + column-mapped: hive dirs, partitionValues keys,
+    and data columns all use PHYSICAL names per the protocol; reads
+    resolve them back to logical names, writes land physical, and
+    partition-predicate DELETE (logical name) whole-drops with exact
+    row counts even when the foreign add carried no stats."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        LongType as L,
+        StringType as S,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    root = tmp_path / "part_mapped"
+    (root / "col-ddd=d1").mkdir(parents=True)
+    pq_.write_table(
+        pa.table({"col-aaa": pa.array([1, 2], pa.int64())}),
+        root / "col-ddd=d1" / "f0.parquet",
+    )
+    logical = ST(
+        [
+            SF("id", L(), True, {"delta.columnMapping.id": 1, "delta.columnMapping.physicalName": "col-aaa"}),
+            SF("day", S(), True, {"delta.columnMapping.id": 2, "delta.columnMapping.physicalName": "col-ddd"}),
+        ]
+    )
+    log = root / "_delta_log"
+    log.mkdir()
+    acts = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {
+            "metaData": {
+                "id": "pm",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": logical.json(),
+                "partitionColumns": ["day"],
+                "configuration": {"delta.columnMapping.mode": "name"},
+            }
+        },
+        # deliberately NO stats: rows must still count exactly
+        {"add": {"path": "col-ddd=d1/f0.parquet", "partitionValues": {"col-ddd": "d1"}, "size": 1, "modificationTime": 1, "dataChange": True}},
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in acts)
+    )
+    it = DeltaInteropTable(spark, str(root))
+    assert sorted((r["id"], r["day"]) for r in it.to_df().collect()) == [
+        (1, "d1"), (2, "d1"),
+    ]
+    t = LakeTable.for_path(spark, str(root))
+    assert isinstance(t, LakeTable)
+    t.append(spark.createDataFrame([Row(id=3, day="d2")]))
+    assert sorted((r["id"], r["day"]) for r in t.to_df().collect()) == [
+        (1, "d1"), (2, "d1"), (3, "d2"),
+    ]
+    # the engine-written add uses PHYSICAL hive dir + partitionValues
+    last = sorted(log.glob("*.json"))[-1]
+    adds = [
+        json.loads(l)["add"]
+        for l in last.read_text().splitlines()
+        if l.strip() and '"add"' in l
+    ]
+    assert adds and all(
+        "col-ddd=" in a["path"] and list(a["partitionValues"]) == ["col-ddd"]
+        for a in adds
+    )
+    # independent replay agrees post-append
+    assert sorted(
+        (r["id"], r["day"])
+        for r in DeltaInteropTable(spark, str(root)).to_df().collect()
+    ) == [(1, "d1"), (2, "d1"), (3, "d2")]
+    # logical-name partition DELETE whole-drops the stats-less file
+    # with the exact count (footer fallback)
+    m = t.delete("day = 'd1'")
+    assert m["numWholeFilesRemoved"] == 1 and m["numDeletedRows"] == 2
+    assert [
+        (r["id"], r["day"]) for r in t.to_df().collect()
+    ] == [(3, "d2")]
