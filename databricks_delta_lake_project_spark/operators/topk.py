@@ -77,7 +77,13 @@ def topk_per_key(
         if acc is not None and len(acc):
             yield acc
 
-    from pyspark.sql.types import BooleanType, StructField, StructType
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        FloatType,
+        StructField,
+        StructType,
+    )
 
     out_schema = StructType(
         list(df.schema.fields) + [StructField("__isnan", BooleanType())]
@@ -89,12 +95,17 @@ def topk_per_key(
         F.col(score).asc() if ascending else F.col(score).desc(),
     ] + [F.col(c).asc() for c in tiebreak]
     w = Window.partitionBy(*keys).orderBy(*order)
-    nan_restored = F.when(
-        F.col("__isnan"), F.lit(float("nan"))
-    ).otherwise(F.col(score))
-    return (
-        pruned.withColumn(rank_col, F.row_number().over(w))
-        .filter(F.col(rank_col) <= k)
-        .withColumn(score, nan_restored)
-        .drop("__isnan")
+    out = pruned.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
     )
+    score_type = df.schema[score].dataType
+    if isinstance(score_type, (DoubleType, FloatType)):
+        # only floating scores can carry NaN; rewriting other types
+        # through when/otherwise would silently coerce them to double
+        out = out.withColumn(
+            score,
+            F.when(
+                F.col("__isnan"), F.lit(float("nan")).cast(score_type)
+            ).otherwise(F.col(score)),
+        )
+    return out.drop("__isnan")

@@ -408,6 +408,16 @@ def _physical_type(dt):
     return dt
 
 
+def physical_name_map(schema: StructType) -> dict[str, str]:
+    """Top-level logical field name -> physical name (identity for
+    fields without column-mapping metadata). THE one way to compute
+    this map — duplicated ad-hoc zips invite drift."""
+    return {
+        lf.name: pf.name
+        for lf, pf in zip(schema.fields, _physical_type(schema).fields)
+    }
+
+
 def _fields_missing_physical_name(schema: StructType) -> list[str]:
     """Names of fields (at any nesting level) lacking a physicalName."""
     from pyspark.sql.types import ArrayType, MapType
@@ -682,10 +692,7 @@ class DeltaInteropTable:
         # under column mapping every on-disk name — data columns, hive
         # partition directories, partitionValues keys — is the PHYSICAL
         # name; this map is identity when unmapped
-        phys_by_logical = {
-            lf.name: pf.name
-            for lf, pf in zip(schema.fields, _physical_type(schema).fields)
-        }
+        phys_by_logical = physical_name_map(schema)
         if state.partition_columns:
             # Delta lays partitioned data out hive-style; basePath makes
             # one scan recover the partition columns for all files. The

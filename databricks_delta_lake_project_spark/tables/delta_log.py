@@ -505,15 +505,32 @@ class DeltaLogBackend:
         self, root: str, up_to: int | None = None
     ) -> dict[str, Any] | None:
         """Checkpoint-seeded txn fold: idempotent-writer tracking must
-        survive pre-checkpoint JSON cleanup (the checkpoint parquet
-        carries txn rows; the replay folds them into state.txns)."""
+        survive pre-checkpoint JSON cleanup. Reads ONLY the checkpoint
+        parquet's txn column driver-side (no Spark job, no add-row
+        collect — txn_version runs per streaming micro-batch), and the
+        returned txns reflect exactly the checkpoint version, honoring
+        ``up_to`` like the native twin (callers replay later JSON
+        commits themselves)."""
         cp = di._last_checkpoint(root)
-        if cp is None:
+        if cp is None or (up_to is not None and cp["version"] > up_to):
             return None
-        return {
-            "version": cp["version"],
-            "txns": dict(self._state(root).txns),
-        }
+        import pyarrow.parquet as papq
+
+        log = Path(root) / LOG_DIR
+        txns: dict[str, int] = {}
+        for p in sorted(
+            log.glob(f"{cp['version']:020d}.checkpoint*.parquet")
+        ):
+            names = [f.name for f in papq.read_schema(p)]
+            if "txn" not in names:
+                continue
+            for row in papq.read_table(p, columns=["txn"]).to_pylist():
+                t = row.get("txn")
+                if t and t.get("appId") is not None:
+                    txns[t["appId"]] = max(
+                        int(t["version"]), txns.get(t["appId"], -1)
+                    )
+        return {"version": cp["version"], "txns": txns}
 
     def version_at_timestamp(self, root: str, ts_ms: int) -> int:
         best = None
@@ -619,24 +636,38 @@ class DeltaLogBackend:
             prev = self.latest_version(root)
             if remove and prev != planned_prev:
                 # lost a race with removes in hand: our add/remove plan
-                # came from a stale snapshot. Any file-level activity in
-                # the intervening commits means a blind re-commit could
-                # resurrect their deletions or remove files already
-                # gone — same conflict rule Delta applies on retry.
+                # came from a stale snapshot. Conflict iff an
+                # intervening commit TOUCHED a file we plan to remove
+                # (their DV re-add/rewrite would be silently undone) or
+                # changed table METADATA (schema evolution / property
+                # flips like delta.appendOnly that this commit's gates
+                # validated pre-race). Disjoint-file activity — the
+                # streaming-append-during-DELETE case — proceeds, like
+                # Delta's WriteSerializable.
                 from .log import ConcurrentModificationError
 
+                ours = set(remove)
                 lo = -1 if planned_prev is None else planned_prev
                 for v in self.list_versions(root):
                     if v <= lo:
                         continue
                     c = self.read_commit(root, v)
-                    if c.get("add") or c.get("remove"):
+                    theirs = {a["path"] for a in c.get("add", [])} | set(
+                        c.get("remove", [])
+                    )
+                    if theirs & ours or c.get("schema") is not None:
+                        why = (
+                            "changed table metadata"
+                            if not (theirs & ours)
+                            else f"touched {sorted(theirs & ours)[:3]}"
+                        )
                         raise ConcurrentModificationError(
                             f"{operation} planned at v{planned_prev} "
                             f"conflicts with concurrent v{v} "
-                            f"({c.get('operation')}); recompute and retry"
+                            f"({c.get('operation')}, {why}); recompute "
+                            "and retry"
                         )
-                planned_prev = prev  # intervening commits file-neutral
+                planned_prev = prev  # disjoint files, same metadata
                 state0 = self._state(root)  # refresh after the race
             version = 0 if prev is None else prev + 1
             lines: list[dict[str, Any]] = []
@@ -772,25 +803,6 @@ class DeltaLogBackend:
         raise RuntimeError(
             f"commit conflict: lost {max_retries} races on {root}"
         )
-
-    def _schema_changed(
-        self, root: str, version: int, schema_json: str
-    ) -> bool:
-        if version == 0:
-            return True
-        try:
-            current = self.schema_at(root)
-        except ValueError:
-            return True
-        return json.loads(current) != json.loads(schema_json)
-
-    def _table_id(self, root: str, version: int) -> str:
-        if version == 0:
-            return str(uuid.uuid4())
-        # preserve the table id across metaData rewrites; the replayed
-        # state also survives checkpoint-only histories (pre-checkpoint
-        # JSONs cleaned by a foreign writer)
-        return self._state(root).metadata_id or str(uuid.uuid4())
 
     def _write_checkpoint(self, root: str, version: int) -> None:
         """Classic parquet checkpoint (one action per row) +

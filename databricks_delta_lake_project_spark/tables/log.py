@@ -191,11 +191,14 @@ def commit(
     Pure appends (no removes) retry blindly — they cannot conflict at
     the file level. A remove-carrying commit validates against every
     commit that landed after ``expected_version`` (the snapshot the
-    caller planned its add/remove actions from — pass it!): any
-    file-level activity there means our remove set is stale, and we
+    caller planned its add/remove actions from — pass it!): a commit
+    that TOUCHED any file we plan to remove means our plan is stale
+    (their DV re-add or rewrite would be silently undone), and we
     raise :class:`ConcurrentModificationError` instead of committing a
-    lost update. Without ``expected_version`` the check degrades to
-    races lost inside this call only."""
+    lost update. Concurrent commits over DISJOINT files — the routine
+    streaming-append-during-DELETE case — proceed, matching Delta's
+    WriteSerializable rules. Without ``expected_version`` the check
+    degrades to races lost inside this call only."""
     planned_prev = (
         expected_version
         if expected_version is not None
@@ -204,15 +207,22 @@ def commit(
     for _ in range(max_retries):
         prev = latest_version(root)
         if remove and prev != planned_prev:
+            ours = set(remove)
             lo = -1 if planned_prev is None else planned_prev
             for c in read_log(root):
-                if c["version"] > lo and (c.get("add") or c.get("remove")):
+                if c["version"] <= lo:
+                    continue
+                theirs = {a["path"] for a in c.get("add", [])} | set(
+                    c.get("remove", [])
+                )
+                if theirs & ours:
                     raise ConcurrentModificationError(
                         f"{operation} planned at v{planned_prev} "
                         f"conflicts with concurrent v{c['version']} "
-                        f"({c.get('operation')}); recompute and retry"
+                        f"({c.get('operation')}) touching "
+                        f"{sorted(theirs & ours)[:3]}; recompute and retry"
                     )
-            planned_prev = prev  # intervening commits were file-neutral
+            planned_prev = prev  # disjoint files: plan still valid
         version = 0 if prev is None else prev + 1
         doc = {
             "version": version,

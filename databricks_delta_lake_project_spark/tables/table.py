@@ -358,10 +358,11 @@ class LakeTable:
         if not pcols:
             return None
         schema = self.schema
-        phys = _physical_read_schema(schema)
-        if phys is None:
+        if _physical_read_schema(schema) is None:
             return pcols
-        m = {lf.name: pf.name for lf, pf in zip(schema.fields, phys.fields)}
+        from .delta_interop import physical_name_map
+
+        m = physical_name_map(schema)
         return [m[c] for c in pcols]
 
     def _prep_write(
@@ -402,7 +403,7 @@ class LakeTable:
         is authoritative, paths are opaque) falls back to per-partition
         scans with literal columns, bounded by the number of DISTINCT
         partition tuples among the entries, not file count."""
-        from .delta_interop import _physical_type
+        from .delta_interop import _physical_type, physical_name_map
 
         meta_cols = [
             F.regexp_replace(
@@ -414,9 +415,7 @@ class LakeTable:
         # partition dirs, partitionValues keys — is the PHYSICAL name;
         # both maps are identity when unmapped
         phys = _physical_type(schema)
-        phys_by_logical = {
-            lf.name: pf.name for lf, pf in zip(schema.fields, phys.fields)
-        }
+        phys_by_logical = physical_name_map(schema)
         pmap = {c: phys_by_logical[c] for c in pcols}
         paths = [str(Path(self.root) / e["path"]) for e in entries]
         prefix = f"{tlog.DATA_DIR}/"
@@ -1411,20 +1410,27 @@ def predicate_bounds_full(
             # complete bounds (3, 3), and the whole-file full-match
             # inference would then delete a=3 rows an unsatisfiable
             # predicate matches none of
-            lo = value if lo is None else max(lo, value)
-            hi = value if hi is None else min(hi, value)
+            new_lo, new_hi = value, value
         elif op in (">", ">="):
-            lo = value if lo is None else max(lo, value)
-        elif op in ("<", "<="):
-            hi = value if hi is None else min(hi, value)
+            new_lo, new_hi = value, None
+        else:  # "<", "<="
+            new_lo, new_hi = None, value
         try:
+            if new_lo is not None:
+                lo = new_lo if lo is None else max(lo, new_lo)
+            if new_hi is not None:
+                hi = new_hi if hi is None else min(hi, new_hi)
             if lo is not None and hi is not None and lo > hi:
                 # unsatisfiable conjunction: bounds stay (the empty
                 # interval prunes correctly) but the full-match
                 # inference must never fire
                 complete = False
         except TypeError:
-            complete = False  # mixed types: no full-match claims
+            # mixed-type conjuncts ("a >= 1 AND a = 'x'"): drop every
+            # claim for the column — no pruning, no full-match
+            bounds.pop(col, None)
+            complete = False
+            continue
         bounds[col] = (lo, hi)
     return bounds, complete
 

@@ -824,9 +824,11 @@ def test_unsatisfiable_predicate_never_whole_drops(spark, tmp_path):
 
 
 def test_occ_retry_with_removes_raises_on_conflict(spark, tmp_path):
-    """A remove-carrying commit that loses its OCC race against a
-    file-changing commit must raise instead of blindly re-committing a
-    plan derived from a stale snapshot (lost update)."""
+    """A remove-carrying commit that loses its OCC race must raise
+    when the concurrent commit TOUCHED a planned-remove file or changed
+    table metadata (lost update / stale gate), but must PROCEED over
+    disjoint-file appends — the routine streaming-append-during-DELETE
+    case (Delta WriteSerializable)."""
     import json as _json
 
     from pyspark.sql import Row
@@ -842,31 +844,49 @@ def test_occ_retry_with_removes_raises_on_conflict(spark, tmp_path):
         df=spark.createDataFrame([Row(id=1), Row(id=2)]).coalesce(1),
         format="delta",
     )
-    # steal the next version with a file-changing foreign commit AFTER
-    # the engine has planned its DELETE (simulate by pre-writing v1)
     log = Path(path) / "_delta_log"
-    foreign = [
-        {"commitInfo": {"operation": "WRITE", "timestamp": 1}},
-        {"add": {"path": "foreign.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
-    ]
-
     backend = t._log
+    my_removes = [e["path"] for e in t._files()]
     planned = backend.latest_version(path)
+    # 1) concurrent DISJOINT append: DELETE proceeds (liveness)
     (log / f"{planned + 1:020d}.json").write_text(
-        "\n".join(_json.dumps(a) for a in foreign)
+        _json.dumps({"add": {"path": "foreign.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}})
+    )
+    v = backend.commit(
+        path, "DELETE", [], my_removes,
+        backend.schema_at(path), expected_version=planned,
+    )
+    assert v == planned + 2
+    # 2) concurrent commit REMOVING a file we also plan to remove:
+    # conflict (blind re-commit would be a lost update)
+    planned2 = backend.latest_version(path)
+    (log / f"{planned2 + 1:020d}.json").write_text(
+        _json.dumps({"remove": {"path": "foreign.parquet", "deletionTimestamp": 2, "dataChange": True}})
     )
     with pytest.raises(ConcurrentModificationError):
         backend.commit(
-            path,
-            "DELETE",
-            [],
-            [e["path"] for e in t._files()],
-            backend.schema_at(path),
-            expected_version=planned,
+            path, "DELETE", [], ["foreign.parquet"],
+            backend.schema_at(path), expected_version=planned2,
         )
-    # pure appends still retry through the same race without raising
-    v = backend.commit(path, "WRITE", [], [], backend.schema_at(path))
-    assert v == planned + 2
+    # 3) concurrent METADATA change (e.g. SET delta.appendOnly): any
+    # remove-carrying plan must recompute — its gates are stale. When
+    # the metadata landed before commit() entry the appendOnly gate
+    # itself fires (ValueError); a mid-commit race raises
+    # ConcurrentModificationError via the metadata guard — either way,
+    # never a silent commit.
+    planned3 = backend.latest_version(path)
+    sj = backend.schema_at(path)
+    (log / f"{planned3 + 1:020d}.json").write_text(
+        _json.dumps({"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}}, "schemaString": sj, "partitionColumns": [], "configuration": {"delta.appendOnly": "true"}}})
+    )
+    with pytest.raises((ValueError, ConcurrentModificationError)):
+        backend.commit(
+            path, "DELETE", [], ["whatever.parquet"],
+            sj, expected_version=planned3,
+        )
+    # pure appends still retry through any race without raising
+    v2 = backend.commit(path, "WRITE", [], [], backend.schema_at(path))
+    assert v2 == planned3 + 2
 
 
 def test_partitioned_column_mapped_roundtrip(spark, tmp_path):
