@@ -1628,9 +1628,41 @@ class MergeBuilder:
             for tcol, _ in pairs
         }
 
-    def execute(self) -> dict[str, Any]:
+    def execute(
+        self, strategy: str = "auto", dv_max_rows: int = 1_000_000
+    ) -> dict[str, Any]:
+        """Run the MERGE. ``strategy``:
+
+        * ``"rewrite"`` — copy-on-write: rewrite every touched file.
+        * ``"dv"`` (Delta-backed tables) — the modern Delta MERGE
+          shape: matched rows hit by an update/delete clause are
+          DV-marked in place and only the post-image + inserted rows
+          land as new files — cost O(changed rows), never
+          O(touched-file bytes); rows in touched files that the MERGE
+          did not modify are never rewritten. Falls back to rewrite
+          past ``dv_max_rows``.
+        * ``"auto"`` — ``dv`` when Delta-backed AND
+          ``delta.enableDeletionVectors`` is set, else rewrite.
+        """
         t = self.table
         snap = t._log.latest_version(t.root)
+        if strategy == "auto":
+            props = t.properties()
+            dv_enabled = str(
+                props.get(
+                    "delta.enableDeletionVectors",
+                    props.get("enableDeletionVectors", False),
+                )
+            ).lower() in ("true", "1")
+            strategy = (
+                "dv" if (t._log is not tlog and dv_enabled) else "rewrite"
+            )
+        elif strategy == "dv" and t._log is tlog:
+            raise ValueError(
+                "deletion vectors need the Delta log backend "
+                "(create(format='delta') or a Delta table via for_path)"
+            )
+        dv_mode = strategy == "dv"
         tgt_cols = [f.name for f in t.schema.fields]
         files = t._files()
         cond = F.expr(self.condition)
@@ -1661,7 +1693,11 @@ class MergeBuilder:
                 e for e in files if any(h.endswith(spark_rel_key(e["path"])) for h in hit)
             ]
 
-        tgt = t._read_files(touched).withColumn("__te", F.lit(1)).alias("t")
+        tgt = (
+            t._read_files(touched, with_row_index=dv_mode)
+            .withColumn("__te", F.lit(1))
+            .alias("t")
+        )
         joined = tgt.join(src, cond, "full_outer")
         is_match = F.col("__te").isNotNull() & F.col("__se").isNotNull()
         t_only = F.col("__te").isNotNull() & F.col("__se").isNull()
@@ -1672,6 +1708,7 @@ class MergeBuilder:
             return F.expr(c) if c is not None else F.lit(True)
 
         delete_pred = F.lit(False)
+        update_hit = F.lit(False)
         remaining = F.lit(True)
         matched_exprs: dict[str, Column] = {
             c: F.col(f"t.{c}") for c in tgt_cols
@@ -1681,6 +1718,7 @@ class MergeBuilder:
             if kind == "delete":
                 delete_pred = delete_pred | (is_match & this)
             else:
+                update_hit = update_hit | (is_match & this)
                 for c in tgt_cols:
                     expr = (
                         F.col(f"s.{c}")
@@ -1706,22 +1744,22 @@ class MergeBuilder:
                     expr = F.col(f"s.{c}") if c in src_cols else F.lit(None)
                 insert_exprs[c] = F.when(this, expr).otherwise(insert_exprs[c])
 
-        keep = (t_only | (is_match & ~delete_pred)) | (s_only & insert_pred)
-        out = joined.filter(keep).select(
-            *[
-                F.when(s_only, insert_exprs[c])
-                .otherwise(matched_exprs[c])
-                .cast(t.schema[c].dataType)
-                .alias(c)
-                for c in tgt_cols
-            ]
-        )
+        out_select = [
+            F.when(s_only, insert_exprs[c])
+            .otherwise(matched_exprs[c])
+            .cast(t.schema[c].dataType)
+            .alias(c)
+            for c in tgt_cols
+        ]
 
         # metrics + CDF need the categorized rows; one pass, kept warm
         cdf_on = t._cdf_enabled()
         joined = joined.persist()
+        modified_pred = is_match & (update_hit | delete_pred)
         counts = joined.agg(
-            F.sum(F.when(is_match & ~delete_pred, 1).otherwise(0)).alias("u"),
+            F.sum(
+                F.when(is_match & update_hit & ~delete_pred, 1).otherwise(0)
+            ).alias("u"),
             F.sum(F.when(delete_pred, 1).otherwise(0)).alias("d"),
             F.sum(F.when(s_only & insert_pred, 1).otherwise(0)).alias("i"),
         ).collect()[0]
@@ -1729,31 +1767,72 @@ class MergeBuilder:
         n_deleted = counts["d"] or 0
         n_inserted = counts["i"] or 0
 
-        adds, n_rows = _write_files(
-            t._prep_write(out),
-            t.root,
-            partition_columns=t._write_partition_columns(),
-        )
-        metrics = {
-            "numTargetRowsUpdated": n_updated,
-            "numTargetRowsDeleted": n_deleted,
-            "numTargetRowsInserted": n_inserted,
-            "numOutputRows": n_rows,
-            "numRemovedFiles": len(touched),
-            "numAddedFiles": len(adds),
-        }
+        if dv_mode and n_updated + n_deleted <= dv_max_rows:
+            # DV shape: mark the modified positions in place, append
+            # only post-image + inserted rows — unmodified rows in
+            # touched files are never read back or rewritten
+            pdf = (
+                joined.filter(modified_pred)
+                .select(
+                    F.col("t.__file").alias("__file"),
+                    F.col("t.__pos").alias("__pos"),
+                )
+                .toPandas()
+            )
+            new_adds, removes, n_fully_dead = t._dv_mark(touched, pdf)
+            out_new = joined.filter(
+                (is_match & update_hit & ~delete_pred)
+                | (s_only & insert_pred)
+            ).select(*out_select)
+            adds_new, n_rows = _write_files(
+                t._prep_write(out_new),
+                t.root,
+                partition_columns=t._write_partition_columns(),
+            )
+            adds_all = new_adds + adds_new
+            removes_all = removes
+            metrics = {
+                "numTargetRowsUpdated": n_updated,
+                "numTargetRowsDeleted": n_deleted,
+                "numTargetRowsInserted": n_inserted,
+                "numOutputRows": n_rows,
+                "numDeletionVectorsAdded": len(new_adds),
+                "numRemovedFiles": n_fully_dead,
+                "numAddedFiles": len(adds_new),
+                "strategy": "dv",
+            }
+        else:
+            keep = (
+                t_only | (is_match & ~delete_pred)
+            ) | (s_only & insert_pred)
+            out = joined.filter(keep).select(*out_select)
+            adds_all, n_rows = _write_files(
+                t._prep_write(out),
+                t.root,
+                partition_columns=t._write_partition_columns(),
+            )
+            removes_all = [e["path"] for e in touched]
+            metrics = {
+                "numTargetRowsUpdated": n_updated,
+                "numTargetRowsDeleted": n_deleted,
+                "numTargetRowsInserted": n_inserted,
+                "numOutputRows": n_rows,
+                "numRemovedFiles": len(touched),
+                "numAddedFiles": len(adds_all),
+            }
         v = t._log.commit(
-            t.root, "MERGE", adds, [e["path"] for e in touched],
+            t.root, "MERGE", adds_all, removes_all,
             t._log.schema_at(t.root),
             parameters={"predicate": self.condition},
             metrics=metrics,
             expected_version=snap,
         )
         if cdf_on:
-            pre = joined.filter(is_match & ~delete_pred).select(
+            upd = is_match & update_hit & ~delete_pred
+            pre = joined.filter(upd).select(
                 *[F.col(f"t.{c}").alias(c) for c in tgt_cols]
             )
-            post = joined.filter(is_match & ~delete_pred).select(
+            post = joined.filter(upd).select(
                 *[matched_exprs[c].cast(t.schema[c].dataType).alias(c) for c in tgt_cols]
             )
             dele = joined.filter(delete_pred).select(

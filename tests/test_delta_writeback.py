@@ -969,3 +969,79 @@ def test_partitioned_column_mapped_roundtrip(spark, tmp_path):
     assert [
         (r["id"], r["day"]) for r in t.to_df().collect()
     ] == [(3, "d2")]
+
+
+def test_merge_via_deletion_vectors(spark, tmp_path):
+    """MERGE with DVs enabled runs the modern Delta shape: matched
+    rows hit by update/delete clauses are DV-marked in place, only the
+    post-image + inserted rows land as new files, unmodified rows in
+    touched files are never rewritten, and the independent replay +
+    CDF agree."""
+    from pyspark.sql import Row
+
+    path = str(tmp_path / "merge_dv")
+    t = LakeTable.create(
+        spark,
+        path,
+        df=spark.createDataFrame(
+            [Row(id=i, v=float(i)) for i in range(10)]
+        ).coalesce(1),
+        format="delta",
+        properties={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    orig_file = t._files()[0]["path"]
+    m = (
+        t.merge(
+            spark.createDataFrame(
+                [Row(id=3, v=33.0), Row(id=7, v=77.0), Row(id=20, v=20.0)]
+            ),
+            "t.id = s.id",
+        )
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert m["strategy"] == "dv"
+    assert m["numTargetRowsUpdated"] == 2 and m["numTargetRowsInserted"] == 1
+    assert m["numDeletionVectorsAdded"] == 1
+    # the original data file is still referenced (DV re-add), with the
+    # two modified positions marked — NOT rewritten
+    entries = {e["path"]: e for e in t._files()}
+    assert orig_file in entries
+    assert entries[orig_file]["deletionVector"]["cardinality"] == 2
+    expect = [(0, 0.0), (1, 1.0), (2, 2.0), (3, 33.0), (4, 4.0),
+              (5, 5.0), (6, 6.0), (7, 77.0), (8, 8.0), (9, 9.0),
+              (20, 20.0)]
+    assert sorted((r["id"], r["v"]) for r in t.to_df().collect()) == expect
+    assert sorted(
+        (r["id"], r["v"])
+        for r in DeltaInteropTable(spark, path).to_df().collect()
+    ) == expect
+    cdf = t.read_changes(starting_version=1)
+    got = sorted((r["id"], r["_change_type"]) for r in cdf.collect())
+    assert got == [
+        (3, "update_postimage"), (3, "update_preimage"),
+        (7, "update_postimage"), (7, "update_preimage"),
+        (20, "insert"),
+    ]
+    # whenMatchedDelete through the same path
+    m2 = (
+        t.merge(spark.createDataFrame([Row(id=5, v=0.0)]), "t.id = s.id")
+        .whenMatchedDelete()
+        .execute()
+    )
+    assert m2["strategy"] == "dv" and m2["numTargetRowsDeleted"] == 1
+    assert sorted(r["id"] for r in t.to_df().collect()) == [
+        0, 1, 2, 3, 4, 6, 7, 8, 9, 20,
+    ]
+    # explicit rewrite strategy still available and equivalent
+    m3 = (
+        t.merge(spark.createDataFrame([Row(id=9, v=99.0)]), "t.id = s.id")
+        .whenMatchedUpdateAll()
+        .execute(strategy="rewrite")
+    )
+    assert "strategy" not in m3
+    assert sorted(r["v"] for r in t.to_df().filter(F.col("id") == 9).collect()) == [99.0]
