@@ -17,9 +17,10 @@ Scale notes:
 * Partitioned tables use Delta's hive-style data paths, so the scan
   recovers partition columns via ``basePath`` — one multi-file scan,
   no per-partition unions, and partition pruning still works.
-* Unsupported reader features (deletion vectors, column mapping) are
-  detected from the protocol action and refused loudly rather than
-  returning wrong rows.
+* Deletion vectors, column mapping (incl. partitioned+mapped), V2
+  checkpoints, and timestampNtz are implemented; anything ELSE a
+  protocol action advertises is refused loudly rather than returning
+  wrong rows.
 """
 
 from __future__ import annotations
@@ -43,8 +44,8 @@ _SUPPORTED_READER_FEATURES = {
     "timestampNtz",
     "v2Checkpoint",
     "deletionVectors",
-    # reads resolve physicalNames; check_readable still refuses mapped
-    # tables whose fields lack them (or that are also partitioned)
+    # reads resolve physicalNames (partitioned+mapped included);
+    # check_readable still refuses mapped fields lacking them
     "columnMapping",
 }
 

@@ -223,14 +223,15 @@ class LakeTable:
         """Open a table at ``path``. A native LakeTable opens
         read-write. A directory carrying a real Delta Lake
         ``_delta_log`` opens READ-WRITE through the Delta log backend
-        when the table's shape supports the engine's copy-on-write
-        writer (partitioned or not; live deletion vectors fine; no
-        column mapping) — appends and MERGEs then land as real
-        ``_delta_log`` commits. Anything else (column-mapped external
-        tables) falls back to the read-only interop handle
-        (``delta_interop.DeltaInteropTable`` — same ``to_df``/
-        ``schema``/``version``/``history`` read surface), so existing
-        Delta tables from the reference stack remain queryable."""
+        for every readable SHAPE — partitioned, column-mapped, live
+        deletion vectors — with appends/MERGEs landing as real
+        ``_delta_log`` commits. Only declared writer OBLIGATIONS the
+        engine cannot honor (CHECK constraints, invariant/generated/
+        identity columns, unknown v7 writerFeatures) fall back to the
+        read-only interop handle (``delta_interop.DeltaInteropTable``
+        — same ``to_df``/``schema``/``version``/``history`` read
+        surface), so existing Delta tables from the reference stack
+        remain queryable."""
         root = str(Path(path))
         if tlog.latest_version(root) is None:
             from .delta_interop import DeltaInteropTable, is_delta_table
