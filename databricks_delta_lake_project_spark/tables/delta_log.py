@@ -80,9 +80,11 @@ _SUPPORTED_WRITER_FEATURES = {
 }
 
 # field-metadata keys that carry expressions this writer cannot
-# evaluate; their PRESENCE (not the feature flag) gates write-back
+# evaluate; their PRESENCE (not the feature flag) gates write-back.
+# delta.invariants is NOT here: invariants (like CHECK constraints)
+# are boolean SQL the engine enforces at write time
+# (LakeTable._enforce_constraints).
 _OBLIGATION_META_KEYS = (
-    "delta.invariants",
     "delta.generationExpression",
     "delta.identity.start",
     "delta.identity.step",
@@ -151,6 +153,23 @@ def _top_level_phys_map(schema_json: str) -> dict[str, str]:
             "delta.columnMapping.physicalName", f["name"]
         )
     return out
+
+
+def _merge_field_metadata(current_json: str, incoming_json: str) -> str:
+    """Carry each surviving top-level field's existing metadata
+    (invariants, comments) into an evolved schemaString when the
+    incoming field declares none — a DataFrame-derived schema never
+    carries metadata, and losing it would silently disable constraint
+    enforcement for every later writer."""
+    cur = {
+        f["name"]: f.get("metadata") or {}
+        for f in json.loads(current_json).get("fields", [])
+    }
+    parsed = json.loads(incoming_json)
+    for f in parsed.get("fields", []):
+        if not f.get("metadata") and cur.get(f["name"]):
+            f["metadata"] = cur[f["name"]]
+    return json.dumps(parsed)
 
 
 def _strip_schema_metadata(schema_json: str) -> str:
@@ -348,20 +367,15 @@ class DeltaLogBackend:
         physical-keyed stats (``LakeTable._prep_write``); live deletion
         vectors are fine (every read path is DV-aware, copy-on-write
         reads alive rows only). Refused instead are declared writer
-        OBLIGATIONS the engine cannot enforce: CHECK constraints
-        (``delta.constraints.*``), column invariants / generated /
-        identity columns (field metadata carries the expressions this
-        writer cannot evaluate), and any v7 writerFeature outside the
-        supported set. ``delta.appendOnly`` is allowed here and
-        enforced at commit time (data-changing removes refused).
-        Unreadable shapes raise via the replay itself."""
+        OBLIGATIONS the engine cannot evaluate: generated / identity
+        column expressions, and any v7 writerFeature outside the
+        supported set. CHECK constraints (``delta.constraints.*``) and
+        column invariants are boolean SQL and are ENFORCED at write
+        time instead (``LakeTable._enforce_constraints``);
+        ``delta.appendOnly`` is enforced at commit time (data-changing
+        removes refused). Unreadable shapes raise via the replay
+        itself."""
         state = self._state(root)
-        for prop in state.properties:
-            if prop.startswith("delta.constraints."):
-                raise NotImplementedError(
-                    f"table declares CHECK constraint {prop!r}; this "
-                    "writer cannot enforce it"
-                )
         if state.schema_json:
             offenders = _fields_with_writer_obligations(
                 StructType.fromJson(json.loads(state.schema_json))
@@ -582,23 +596,26 @@ class DeltaLogBackend:
                     f"{operation} on an append-only table "
                     "(delta.appendOnly=true) would remove data files"
                 )
-        # column-mapped tables: the caller's schema_json comes from
-        # DataFrame.schema (no mapping metadata). Emitting it would
-        # strip the ids/physicalNames and corrupt the table — so when
-        # the structure is unchanged, keep the CURRENT schemaString
-        # verbatim; a genuine evolution needs columnMapping id
-        # assignment the engine does not implement, refused loudly.
+        # the caller's schema_json usually comes from DataFrame.schema,
+        # which carries NO field metadata. Emitting it over the current
+        # schemaString would silently strip whatever metadata the table
+        # declares — columnMapping ids/physicalNames (corrupting reads),
+        # invariants (disabling enforcement for every later writer),
+        # comments. So: structurally-unchanged schema -> keep the
+        # CURRENT schemaString verbatim; genuine evolution -> merge
+        # each surviving field's existing metadata into the incoming
+        # schema (mapped tables additionally demand full mapping
+        # metadata on every field, assigned by evolve_mapped_schema).
         # Stats keys are translated logical->physical to match the
-        # protocol's convention (fresh footer stats from physical
-        # parquet are already physical — identity under the map).
+        # protocol's convention on mapped tables.
         log_to_phys: dict[str, str] = {}
-        if state0 is not None:
-            if state0.mapping_mode != "none" and state0.schema_json:
-                if _strip_schema_metadata(schema_json) == (
-                    _strip_schema_metadata(state0.schema_json)
-                ):
-                    schema_json = state0.schema_json
-                elif di._fields_missing_physical_name(
+        if state0 is not None and state0.schema_json:
+            if _strip_schema_metadata(schema_json) == (
+                _strip_schema_metadata(state0.schema_json)
+            ):
+                schema_json = state0.schema_json
+            elif state0.mapping_mode != "none":
+                if di._fields_missing_physical_name(
                     StructType.fromJson(json.loads(schema_json))
                 ):
                     raise NotImplementedError(
@@ -609,6 +626,11 @@ class DeltaLogBackend:
                     )
                 # else: a fully-mapped evolved schema from
                 # evolve_mapped_schema — emit as-is
+            else:
+                schema_json = _merge_field_metadata(
+                    state0.schema_json, schema_json
+                )
+            if state0.mapping_mode != "none":
                 log_to_phys = {
                     l: p
                     for l, p in _top_level_phys_map(

@@ -376,6 +376,7 @@ class LakeTable:
         overrides the table schema during mapped schema evolution (the
         evolved mapping exists before the commit that records it)."""
         schema = schema if schema is not None else self.schema
+        self._enforce_constraints(df, schema)
         phys = _physical_read_schema(schema)
         if phys is None:
             return df
@@ -385,6 +386,63 @@ class LakeTable:
                 for lf, pf in zip(schema.fields, phys.fields)
             ]
         )
+
+    def _enforce_constraints(self, df: DataFrame, schema: StructType) -> None:
+        """Enforce CHECK constraints (``delta.constraints.<name>``
+        table properties) and column invariants (``delta.invariants``
+        field metadata, any nesting) on every outgoing write — the
+        writer obligation the protocol attaches to those features. SQL
+        semantics: a row violates only when the expression evaluates
+        FALSE (NULL passes, like CHECK in every SQL engine). One
+        aggregation covers all constraints; zero cost when none are
+        defined (the overwhelmingly common case)."""
+        checks: dict[str, str] = {}
+        try:
+            props = self._log.table_properties(self.root)
+        except Exception:
+            props = {}
+        for k, v in props.items():
+            if k.startswith("delta.constraints."):
+                checks[k[len("delta.constraints."):]] = str(v)
+
+        from pyspark.sql.types import ArrayType, MapType
+
+        def walk(dt, path):
+            if isinstance(dt, StructType):
+                for f in dt.fields:
+                    p = f"{path}.{f.name}" if path else f.name
+                    inv = f.metadata.get("delta.invariants")
+                    if inv:
+                        try:
+                            expr = json.loads(inv)["expression"]["expression"]
+                        except (ValueError, KeyError, TypeError):
+                            raise NotImplementedError(
+                                f"unparseable invariant on {p}: {inv!r}"
+                            )
+                        checks[f"invariant_{p.replace('.', '_')}"] = expr
+                    walk(f.dataType, p)
+            elif isinstance(dt, ArrayType):
+                walk(dt.elementType, path)
+            elif isinstance(dt, MapType):
+                walk(dt.valueType, path)
+
+        walk(schema, "")
+        if not checks:
+            return
+        row = df.agg(
+            *[
+                F.sum(
+                    F.expr(e).eqNullSafe(F.lit(False)).cast("int")
+                ).alias(n)
+                for n, e in checks.items()
+            ]
+        ).collect()[0]
+        bad = {n: int(row[n]) for n in checks if (row[n] or 0) > 0}
+        if bad:
+            detail = "; ".join(
+                f"{n} ({checks[n]!r}): {c} rows" for n, c in bad.items()
+            )
+            raise ValueError(f"CHECK constraint violation — {detail}")
 
     def _scan_partitioned(
         self,

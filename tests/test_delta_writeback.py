@@ -664,10 +664,11 @@ def test_column_mapped_dv_delete(spark, tmp_path):
 
 def test_writer_obligations_refused(spark, tmp_path):
     """The protocol obliges a writer to HONOR every declared writer
-    feature: CHECK constraints, generated/identity/invariant columns,
-    and unknown v7 writerFeatures must refuse write-back (read-only
-    interop handle), while delta.appendOnly opens writable but refuses
-    data-changing removes at commit time."""
+    feature: generated/identity expressions and unknown v7
+    writerFeatures must refuse write-back (read-only interop handle);
+    CHECK constraints/invariants open writable WITH enforcement, and
+    delta.appendOnly opens writable but refuses data-changing removes
+    at commit time."""
     from pyspark.sql import Row
     from pyspark.sql.types import (
         LongType as L,
@@ -703,9 +704,11 @@ def test_writer_obligations_refused(spark, tmp_path):
         )
         return str(root)
 
-    # CHECK constraint -> read-only
+    # CHECK constraint -> WRITABLE with enforcement (boolean SQL the
+    # engine evaluates; full coverage in
+    # test_check_constraints_and_invariants_enforced)
     p1 = mk("chk", config={"delta.constraints.positive": "id > 0"})
-    assert isinstance(LakeTable.for_path(spark, p1), DeltaInteropTable)
+    assert isinstance(LakeTable.for_path(spark, p1), LakeTable)
     # generated column expression -> read-only
     p2 = mk("gen", field_meta={"delta.generationExpression": "id + 1"})
     assert isinstance(LakeTable.for_path(spark, p2), DeltaInteropTable)
@@ -1045,3 +1048,108 @@ def test_merge_via_deletion_vectors(spark, tmp_path):
     )
     assert "strategy" not in m3
     assert sorted(r["v"] for r in t.to_df().filter(F.col("id") == 9).collect()) == [99.0]
+
+
+def test_check_constraints_and_invariants_enforced(spark, tmp_path):
+    """Tables declaring CHECK constraints / column invariants open
+    WRITABLE and the engine enforces them on every write: conforming
+    rows land, violating writes raise naming the constraint, NULL
+    passes (SQL CHECK semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        DoubleType as D,
+        LongType as L,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    root = tmp_path / "constrained"
+    root.mkdir(parents=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "id": pa.array([1], pa.int64()),
+                "amount": pa.array([10.0], pa.float64()),
+            }
+        ),
+        root / "f0.parquet",
+    )
+    inv = json.dumps({"expression": {"expression": "id IS NOT NULL"}})
+    schema = ST(
+        [
+            SF("id", L(), True, {"delta.invariants": inv}),
+            SF("amount", D(), True),
+        ]
+    )
+    log = root / "_delta_log"
+    log.mkdir()
+    acts = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+        {
+            "metaData": {
+                "id": "ck",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema.json(),
+                "partitionColumns": [],
+                "configuration": {
+                    "delta.constraints.positive_amount": "amount > 0"
+                },
+            }
+        },
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+    ]
+    (log / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in acts)
+    )
+    t = LakeTable.for_path(spark, str(root))
+    assert isinstance(t, LakeTable)  # constrained tables open writable
+    t.append(spark.createDataFrame([Row(id=2, amount=5.0)]))
+    assert t.to_df().count() == 2
+    # CHECK violation refused, named
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.append(spark.createDataFrame([Row(id=3, amount=-1.0)]))
+    # invariant violation refused
+    with pytest.raises(ValueError, match="invariant_id"):
+        t.append(
+            spark.createDataFrame(
+                [Row(id=None, amount=2.0)], "id long, amount double"
+            )
+        )
+    # NULL in the CHECK expression passes (SQL CHECK semantics)
+    t.append(
+        spark.createDataFrame(
+            [Row(id=4, amount=None)], "id long, amount double"
+        )
+    )
+    assert t.to_df().count() == 3
+    # UPDATE that would break the constraint is refused too
+    with pytest.raises(ValueError, match="positive_amount"):
+        t.update("id = 2", {"amount": "-9.0"})
+    # a table with a GENERATED column still falls back to read-only
+    root2 = tmp_path / "gen_still_refused"
+    root2.mkdir()
+    pq_.write_table(
+        pa.table({"id": pa.array([1], pa.int64()), "id2": pa.array([2], pa.int64())}),
+        root2 / "f0.parquet",
+    )
+    gschema = ST(
+        [
+            SF("id", L(), True),
+            SF("id2", L(), True, {"delta.generationExpression": "id * 2"}),
+        ]
+    )
+    glog = root2 / "_delta_log"
+    glog.mkdir()
+    gacts = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+        {"metaData": {"id": "g", "format": {"provider": "parquet", "options": {}}, "schemaString": gschema.json(), "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "f0.parquet", "partitionValues": {}, "size": 1, "modificationTime": 1, "dataChange": True}},
+    ]
+    (glog / f"{0:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in gacts)
+    )
+    assert isinstance(
+        LakeTable.for_path(spark, str(root2)), DeltaInteropTable
+    )
