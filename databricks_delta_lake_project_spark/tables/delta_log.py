@@ -81,11 +81,13 @@ _SUPPORTED_WRITER_FEATURES = {
 
 # field-metadata keys that carry expressions this writer cannot
 # evaluate; their PRESENCE (not the feature flag) gates write-back.
-# delta.invariants is NOT here: invariants (like CHECK constraints)
-# are boolean SQL the engine enforces at write time
-# (LakeTable._enforce_constraints).
+# NOT here: delta.invariants (boolean SQL, enforced at write time in
+# LakeTable._enforce_constraints) and TOP-LEVEL
+# delta.generationExpression (Spark SQL the engine recomputes on every
+# write in LakeTable._prep_write). Identity columns need monotonic
+# allocation state; nested generation expressions cannot reference
+# their siblings portably — both refuse.
 _OBLIGATION_META_KEYS = (
-    "delta.generationExpression",
     "delta.identity.start",
     "delta.identity.step",
     "delta.identity.allowExplicitInsert",
@@ -93,25 +95,28 @@ _OBLIGATION_META_KEYS = (
 
 
 def _fields_with_writer_obligations(schema) -> list[str]:
-    """Names of fields (any nesting) whose metadata declares an
-    invariant / generation / identity expression."""
+    """Names of fields whose metadata declares an obligation this
+    writer cannot honor: identity anywhere, generation expressions
+    below the top level."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     hits: list[str] = []
 
-    def walk(dt, path):
+    def walk(dt, path, top):
         if isinstance(dt, StructType):
             for f in dt.fields:
                 p = f"{path}.{f.name}" if path else f.name
                 if any(k in f.metadata for k in _OBLIGATION_META_KEYS):
                     hits.append(p)
-                walk(f.dataType, p)
+                elif not top and "delta.generationExpression" in f.metadata:
+                    hits.append(p)
+                walk(f.dataType, p, False)
         elif isinstance(dt, ArrayType):
-            walk(dt.elementType, path + "[]")
+            walk(dt.elementType, path + "[]", False)
         elif isinstance(dt, MapType):
-            walk(dt.valueType, path + "{}")
+            walk(dt.valueType, path + "{}", False)
 
-    walk(schema, "")
+    walk(schema, "", True)
     return hits
 
 

@@ -376,6 +376,17 @@ class LakeTable:
         overrides the table schema during mapped schema evolution (the
         evolved mapping exists before the commit that records it)."""
         schema = schema if schema is not None else self.schema
+        # GENERATED columns are recomputed on every write — the
+        # expression DEFINES the column, so recomputation is always
+        # protocol-correct: appends may omit the column entirely,
+        # UPDATE/MERGE post-images can never go stale, and a caller
+        # providing an inconsistent value gets the defined one
+        for f in schema.fields:
+            gexpr = f.metadata.get("delta.generationExpression")
+            if gexpr:
+                df = df.withColumn(
+                    f.name, F.expr(gexpr).cast(f.dataType)
+                )
         self._enforce_constraints(df, schema)
         phys = _physical_read_schema(schema)
         if phys is None:

@@ -709,8 +709,8 @@ def test_writer_obligations_refused(spark, tmp_path):
     # test_check_constraints_and_invariants_enforced)
     p1 = mk("chk", config={"delta.constraints.positive": "id > 0"})
     assert isinstance(LakeTable.for_path(spark, p1), LakeTable)
-    # generated column expression -> read-only
-    p2 = mk("gen", field_meta={"delta.generationExpression": "id + 1"})
+    # identity column -> read-only (monotonic allocation state)
+    p2 = mk("ident", field_meta={"delta.identity.start": 1, "delta.identity.step": 1})
     assert isinstance(LakeTable.for_path(spark, p2), DeltaInteropTable)
     # unknown v7 writer feature -> read-only
     p3 = mk(
@@ -1127,8 +1127,10 @@ def test_check_constraints_and_invariants_enforced(spark, tmp_path):
     # UPDATE that would break the constraint is refused too
     with pytest.raises(ValueError, match="positive_amount"):
         t.update("id = 2", {"amount": "-9.0"})
-    # a table with a GENERATED column still falls back to read-only
-    root2 = tmp_path / "gen_still_refused"
+    # a table with a GENERATED column opens writable: the expression
+    # is recomputed on every write (append may omit the column; an
+    # UPDATE of the base column regenerates it)
+    root2 = tmp_path / "gen_computed"
     root2.mkdir()
     pq_.write_table(
         pa.table({"id": pa.array([1], pa.int64()), "id2": pa.array([2], pa.int64())}),
@@ -1150,6 +1152,13 @@ def test_check_constraints_and_invariants_enforced(spark, tmp_path):
     (glog / f"{0:020d}.json").write_text(
         "\n".join(json.dumps(a) for a in gacts)
     )
-    assert isinstance(
-        LakeTable.for_path(spark, str(root2)), DeltaInteropTable
-    )
+    g = LakeTable.for_path(spark, str(root2))
+    assert isinstance(g, LakeTable)
+    g.append(spark.createDataFrame([Row(id=5)]))  # id2 omitted: computed
+    assert sorted((r["id"], r["id2"]) for r in g.to_df().collect()) == [
+        (1, 2), (5, 10),
+    ]
+    g.update("id = 5", {"id": "7"})  # base change regenerates id2
+    assert sorted((r["id"], r["id2"]) for r in g.to_df().collect()) == [
+        (1, 2), (7, 14),
+    ]
