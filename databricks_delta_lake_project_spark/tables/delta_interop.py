@@ -335,6 +335,61 @@ def spark_rel_key(rel: str) -> str:
     return quote(rel, safe=_URI_PATH_SAFE)
 
 
+def strip_schema_metadata(schema_json: str) -> str:
+    """Structural fingerprint of a schemaString: names, types,
+    nullability — metadata (column-mapping ids/physicalNames,
+    invariants, comments) dropped recursively. Two schemas with equal
+    fingerprints describe the same logical table."""
+
+    def walk(node: Any) -> Any:
+        if isinstance(node, dict):
+            return {
+                k: walk(v) for k, v in sorted(node.items()) if k != "metadata"
+            }
+        if isinstance(node, list):
+            return [walk(x) for x in node]
+        return node
+
+    return json.dumps(walk(json.loads(schema_json)), sort_keys=True)
+
+
+def merge_schema_metadata(current_json: str, incoming_json: str) -> str:
+    """Carry each surviving field's existing metadata — invariants,
+    comments, generation expressions — into an evolved schemaString
+    when the incoming field declares none, RECURSIVELY through nested
+    structs (and array/map element structs). A DataFrame-derived
+    schema never carries metadata; losing it would silently disable
+    constraint enforcement for every later writer."""
+
+    def merge_fields(cur_fields, inc_fields):
+        cur_by_name = {f["name"]: f for f in cur_fields}
+        for f in inc_fields:
+            c = cur_by_name.get(f["name"])
+            if c is None:
+                continue
+            if not f.get("metadata") and c.get("metadata"):
+                f["metadata"] = c["metadata"]
+            merge_types(c.get("type"), f.get("type"))
+
+    def merge_types(ct, ft):
+        if not isinstance(ct, dict) or not isinstance(ft, dict):
+            return
+        t = ft.get("type")
+        if t == "struct" and ct.get("type") == "struct":
+            merge_fields(ct.get("fields", []), ft.get("fields", []))
+        elif t == "array" and ct.get("type") == "array":
+            merge_types(ct.get("elementType"), ft.get("elementType"))
+        elif t == "map" and ct.get("type") == "map":
+            merge_types(ct.get("valueType"), ft.get("valueType"))
+
+    parsed = json.loads(incoming_json)
+    merge_fields(
+        json.loads(current_json).get("fields", []),
+        parsed.get("fields", []),
+    )
+    return json.dumps(parsed)
+
+
 def coerce_partition_value(s: Any) -> Any:
     """Serialized partition value → the type a predicate literal would
     parse to, so stats-pruning compares like with like. Only coerces

@@ -31,12 +31,13 @@ is round-tripped through the public protocol, never through private
 state. Write-back covers every readable SHAPE — partitioned tables
 (hive-style layout, ``partitionValues``-stamped adds), column-mapped
 tables (physical-named parquet + preserved mapping metadata), live
-deletion vectors. ``check_writable`` refuses only declared writer
-OBLIGATIONS the engine cannot honor (CHECK constraints, column
-invariants / generated / identity expressions, unknown v7
-writerFeatures); ``delta.appendOnly`` is enforced at commit time.
+deletion vectors — and honors writer OBLIGATIONS: CHECK constraints /
+invariants are enforced on new rows, generated columns recomputed,
+``delta.appendOnly`` enforced at commit time. ``check_writable``
+refuses only what the engine cannot honor (identity columns, nested
+generation expressions, unknown v7 writerFeatures);
 ``LakeTable.for_path`` falls back to the read-only interop handle for
-refused tables.
+those.
 """
 
 from __future__ import annotations
@@ -51,6 +52,10 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
 
 from . import delta_interop as di
+from .delta_interop import (
+    merge_schema_metadata as _merge_field_metadata,
+    strip_schema_metadata as _strip_schema_metadata,
+)
 
 DATA_DIR = "data"
 CHANGES_DIR = "_changes"
@@ -158,41 +163,6 @@ def _top_level_phys_map(schema_json: str) -> dict[str, str]:
             "delta.columnMapping.physicalName", f["name"]
         )
     return out
-
-
-def _merge_field_metadata(current_json: str, incoming_json: str) -> str:
-    """Carry each surviving top-level field's existing metadata
-    (invariants, comments) into an evolved schemaString when the
-    incoming field declares none — a DataFrame-derived schema never
-    carries metadata, and losing it would silently disable constraint
-    enforcement for every later writer."""
-    cur = {
-        f["name"]: f.get("metadata") or {}
-        for f in json.loads(current_json).get("fields", [])
-    }
-    parsed = json.loads(incoming_json)
-    for f in parsed.get("fields", []):
-        if not f.get("metadata") and cur.get(f["name"]):
-            f["metadata"] = cur[f["name"]]
-    return json.dumps(parsed)
-
-
-def _strip_schema_metadata(schema_json: str) -> str:
-    """Structural fingerprint of a schemaString: names, types,
-    nullability — metadata (column-mapping ids/physicalNames, comments)
-    dropped recursively. Two schemas with equal fingerprints describe
-    the same logical table."""
-
-    def walk(node: Any) -> Any:
-        if isinstance(node, dict):
-            return {
-                k: walk(v) for k, v in sorted(node.items()) if k != "metadata"
-            }
-        if isinstance(node, list):
-            return [walk(x) for x in node]
-        return node
-
-    return json.dumps(walk(json.loads(schema_json)), sort_keys=True)
 
 
 def _stats_from_delta(add: dict[str, Any]) -> dict[str, Any]:

@@ -199,6 +199,22 @@ def commit(
     streaming-append-during-DELETE case — proceed, matching Delta's
     WriteSerializable rules. Without ``expected_version`` the check
     degrades to races lost inside this call only."""
+    # preserve schema METADATA across commits (invariants, comments,
+    # generation expressions): callers usually pass a DataFrame-derived
+    # schema that carries none — emitting it verbatim would silently
+    # strip the table's declared metadata and disable constraint
+    # enforcement for every later writer (same contract as the Delta
+    # backend)
+    if latest_version(root) is not None:
+        from .delta_interop import merge_schema_metadata, strip_schema_metadata
+
+        cur_schema = schema_at(root)
+        if strip_schema_metadata(cur_schema) == strip_schema_metadata(
+            schema_json
+        ):
+            schema_json = cur_schema
+        else:
+            schema_json = merge_schema_metadata(cur_schema, schema_json)
     planned_prev = (
         expected_version
         if expected_version is not None

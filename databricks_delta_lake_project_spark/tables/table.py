@@ -200,11 +200,27 @@ class LakeTable:
                 **extra,
             )
         else:
+            # the initial CTAS load is a write like any other: declared
+            # constraints judge it and generated columns are computed
+            # (schema/property metadata can arrive via create itself).
+            # Capture the schema JSON FIRST — withColumn strips field
+            # metadata from the frame, and the commit must record it
+            schema_json = df.schema.json()
+            decl_schema = df.schema
+            for f in decl_schema.fields:
+                gexpr = f.metadata.get("delta.generationExpression")
+                if gexpr:
+                    df = df.withColumn(
+                        f.name, F.expr(gexpr).cast(f.dataType)
+                    )
+            _raise_on_constraint_violations(
+                df, _collect_constraint_checks(properties or {}, decl_schema)
+            )
             adds, n = _write_files(
                 df, root, partition_columns=partition_by
             )
             log.commit(
-                root, "CREATE TABLE AS SELECT", adds, [], df.schema.json(),
+                root, "CREATE TABLE AS SELECT", adds, [], schema_json,
                 metrics={"numOutputRows": n, "numFiles": len(adds)},
                 properties=properties or {},
                 **extra,
@@ -225,10 +241,11 @@ class LakeTable:
         ``_delta_log`` opens READ-WRITE through the Delta log backend
         for every readable SHAPE — partitioned, column-mapped, live
         deletion vectors — with appends/MERGEs landing as real
-        ``_delta_log`` commits. Only declared writer OBLIGATIONS the
-        engine cannot honor (CHECK constraints, invariant/generated/
-        identity columns, unknown v7 writerFeatures) fall back to the
-        read-only interop handle (``delta_interop.DeltaInteropTable``
+        ``_delta_log`` commits; CHECK constraints and invariants are
+        ENFORCED on new rows and generated columns recomputed. Only
+        obligations the engine cannot honor (identity columns, nested
+        generation expressions, unknown v7 writerFeatures) fall back to
+        the read-only interop handle (``delta_interop.DeltaInteropTable``
         — same ``to_df``/``schema``/``version``/``history`` read
         surface), so existing Delta tables from the reference stack
         remain queryable."""
@@ -367,27 +384,34 @@ class LakeTable:
         return [m[c] for c in pcols]
 
     def _prep_write(
-        self, df: DataFrame, schema: StructType | None = None
+        self,
+        df: DataFrame,
+        schema: StructType | None = None,
+        enforce: bool = True,
+        regenerate: bool = True,
     ) -> DataFrame:
-        """Rename a logical-schema DataFrame to PHYSICAL column names
-        before writing into a column-mapped Delta table (identity
-        everywhere else). Footer stats then come out physical-keyed —
-        the protocol's convention for mapped tables. ``schema``
-        overrides the table schema during mapped schema evolution (the
-        evolved mapping exists before the commit that records it)."""
+        """Prepare an outgoing frame: recompute GENERATED columns,
+        enforce CHECK constraints/invariants, rename to PHYSICAL
+        column names on mapped tables. ``schema`` overrides the table
+        schema during mapped schema evolution (the evolved mapping
+        exists before the commit that records it).
+
+        ``enforce=False`` is for frames of PRE-EXISTING rows carried
+        forward unchanged (DELETE's kept rows, OPTIMIZE compaction,
+        the unchanged portion of a copy-on-write rewrite): real Delta
+        validates constraints on NEW data only — re-checking old rows
+        would make maintenance ops fail on tables whose historical
+        data this engine evaluates differently than its original
+        writer. Callers that pass ``enforce=False`` over a frame
+        CONTAINING changed rows must enforce on the changed subset
+        explicitly. ``regenerate=False`` additionally passes existing
+        generated-column values through untouched (OPTIMIZE is
+        dataChange=false and must not alter bytes)."""
         schema = schema if schema is not None else self.schema
-        # GENERATED columns are recomputed on every write — the
-        # expression DEFINES the column, so recomputation is always
-        # protocol-correct: appends may omit the column entirely,
-        # UPDATE/MERGE post-images can never go stale, and a caller
-        # providing an inconsistent value gets the defined one
-        for f in schema.fields:
-            gexpr = f.metadata.get("delta.generationExpression")
-            if gexpr:
-                df = df.withColumn(
-                    f.name, F.expr(gexpr).cast(f.dataType)
-                )
-        self._enforce_constraints(df, schema)
+        if regenerate:
+            df = self._apply_generated(df, schema)
+        if enforce:
+            self._enforce_constraints(df, schema)
         phys = _physical_read_schema(schema)
         if phys is None:
             return df
@@ -398,62 +422,38 @@ class LakeTable:
             ]
         )
 
+    def _apply_generated(
+        self, df: DataFrame, schema: StructType | None = None
+    ) -> DataFrame:
+        """Recompute GENERATED columns — the expression DEFINES the
+        column, so recomputation is always protocol-correct: appends
+        may omit the column entirely, UPDATE/MERGE post-images can
+        never go stale, and a caller providing an inconsistent value
+        gets the defined one. Also applied to CDF post-image/insert
+        frames so the change feed matches the table."""
+        schema = schema if schema is not None else self.schema
+        for f in schema.fields:
+            gexpr = f.metadata.get("delta.generationExpression")
+            if gexpr:
+                df = df.withColumn(f.name, F.expr(gexpr).cast(f.dataType))
+        return df
+
     def _enforce_constraints(self, df: DataFrame, schema: StructType) -> None:
         """Enforce CHECK constraints (``delta.constraints.<name>``
         table properties) and column invariants (``delta.invariants``
-        field metadata, any nesting) on every outgoing write — the
-        writer obligation the protocol attaches to those features. SQL
-        semantics: a row violates only when the expression evaluates
-        FALSE (NULL passes, like CHECK in every SQL engine). One
-        aggregation covers all constraints; zero cost when none are
-        defined (the overwhelmingly common case)."""
-        checks: dict[str, str] = {}
-        try:
-            props = self._log.table_properties(self.root)
-        except Exception:
-            props = {}
-        for k, v in props.items():
-            if k.startswith("delta.constraints."):
-                checks[k[len("delta.constraints."):]] = str(v)
+        field metadata, struct nesting) on an outgoing frame of NEW
+        rows — the writer obligation the protocol attaches to those
+        features. SQL semantics: a row violates only when the
+        expression evaluates FALSE (NULL passes, like CHECK in every
+        SQL engine). One aggregation covers all constraints; zero cost
+        when none are defined (the overwhelmingly common case)."""
+        # both backends implement table_properties; an error here must
+        # surface, not silently disable enforcement
+        props = self._log.table_properties(self.root)
+        checks = _collect_constraint_checks(props, schema)
+        _raise_on_constraint_violations(df, checks)
 
-        from pyspark.sql.types import ArrayType, MapType
 
-        def walk(dt, path):
-            if isinstance(dt, StructType):
-                for f in dt.fields:
-                    p = f"{path}.{f.name}" if path else f.name
-                    inv = f.metadata.get("delta.invariants")
-                    if inv:
-                        try:
-                            expr = json.loads(inv)["expression"]["expression"]
-                        except (ValueError, KeyError, TypeError):
-                            raise NotImplementedError(
-                                f"unparseable invariant on {p}: {inv!r}"
-                            )
-                        checks[f"invariant_{p.replace('.', '_')}"] = expr
-                    walk(f.dataType, p)
-            elif isinstance(dt, ArrayType):
-                walk(dt.elementType, path)
-            elif isinstance(dt, MapType):
-                walk(dt.valueType, path)
-
-        walk(schema, "")
-        if not checks:
-            return
-        row = df.agg(
-            *[
-                F.sum(
-                    F.expr(e).eqNullSafe(F.lit(False)).cast("int")
-                ).alias(n)
-                for n, e in checks.items()
-            ]
-        ).collect()[0]
-        bad = {n: int(row[n]) for n in checks if (row[n] or 0) > 0}
-        if bad:
-            detail = "; ".join(
-                f"{n} ({checks[n]!r}): {c} rows" for n, c in bad.items()
-            )
-            raise ValueError(f"CHECK constraint violation — {detail}")
 
     def _scan_partitioned(
         self,
@@ -784,6 +784,8 @@ class LakeTable:
           ``delta.enableDeletionVectors`` is set (the property real
           Delta writers key on), else ``rewrite``.
         """
+        if strategy not in ("auto", "dv", "rewrite"):
+            raise ValueError(f"unknown DELETE strategy: {strategy!r}")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         snap = self._log.latest_version(self.root)
         bounds, complete = (
@@ -847,7 +849,9 @@ class LakeTable:
             deleted = tdf.filter(cond)
             n_deleted = deleted.count()
             adds, _ = _write_files(
-                self._prep_write(kept),
+                # kept rows are PRE-EXISTING and unchanged: no
+                # re-validation, no regeneration (see _prep_write)
+                self._prep_write(kept, enforce=False, regenerate=False),
                 self.root,
                 partition_columns=self._write_partition_columns(),
             )
@@ -997,6 +1001,8 @@ class LakeTable:
         modern Delta writers run UPDATE/MERGE with DVs enabled;
         ``"auto"`` picks dv when ``delta.enableDeletionVectors`` is
         set. Falls back to rewrite past ``dv_max_rows``."""
+        if strategy not in ("auto", "dv", "rewrite"):
+            raise ValueError(f"unknown UPDATE strategy: {strategy!r}")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         snap = self._log.latest_version(self.root)
         bounds = predicate_bounds(condition) if isinstance(condition, str) else {}
@@ -1046,14 +1052,19 @@ class LakeTable:
             for k, v in set.items()
         }
         pre = hits.drop("__file", "__pos")
-        post = pre.select(
-            *[
-                set_cols[c].alias(c) if c in set_cols else F.col(c)
-                for c in pre.columns
-            ]
+        # regenerate BEFORE branching so the CDF post-image carries the
+        # same generated-column values the table does
+        post = self._apply_generated(
+            pre.select(
+                *[
+                    set_cols[c].alias(c) if c in set_cols else F.col(c)
+                    for c in pre.columns
+                ]
+            ),
+            schema,
         )
         adds_new, _ = _write_files(
-            self._prep_write(post),
+            self._prep_write(post, regenerate=False),
             self.root,
             partition_columns=self._write_partition_columns(),
         )
@@ -1096,6 +1107,19 @@ class LakeTable:
         }
         pre = tdf.filter(cond)
         n_updated = pre.count()
+        # constraints re-judge only the CHANGED rows (post-image with
+        # regenerated columns) — unchanged rows in touched files are
+        # pre-existing data real Delta does not re-validate
+        post = self._apply_generated(
+            pre.select(
+                *[
+                    set_cols[c].alias(c) if c in set_cols else F.col(c)
+                    for c in pre.columns
+                ]
+            ),
+            schema,
+        )
+        self._enforce_constraints(post, schema)
         updated = tdf.select(
             *[
                 F.when(cond, set_cols[c]).otherwise(F.col(c)).alias(c)
@@ -1105,7 +1129,7 @@ class LakeTable:
             ]
         )
         adds, _ = _write_files(
-            self._prep_write(updated),
+            self._prep_write(updated, enforce=False),
             self.root,
             partition_columns=self._write_partition_columns(),
         )
@@ -1120,12 +1144,6 @@ class LakeTable:
             expected_version=snap,
         )
         if self._cdf_enabled():
-            post = pre.select(
-                *[
-                    set_cols[c].alias(c) if c in set_cols else F.col(c)
-                    for c in pre.columns
-                ]
-            )
             self._write_cdf(pre, "update_preimage", v)
             self._write_cdf(post, "update_postimage", v)
         tdf.unpersist()
@@ -1186,7 +1204,9 @@ class LakeTable:
         else:
             df = df.coalesce(int(n_out))
         adds, n = _write_files(
-            self._prep_write(df),
+            # dataChange=false compaction must not alter or re-judge
+            # existing bytes
+            self._prep_write(df, enforce=False, regenerate=False),
             self.root,
             already_partitioned=True,
             partition_columns=self._write_partition_columns(),
@@ -1432,6 +1452,69 @@ _CMP_RE = re.compile(
     r"^\s*`?(\w+)`?\s*(==|=|<=|>=|<|>)\s*"
     r"(-?\d+(?:\.\d+)?|'[^']*'|\"[^\"]*\")\s*$"
 )
+
+
+def _collect_constraint_checks(
+    props: dict[str, Any], schema: StructType
+) -> dict[str, str]:
+    """Constraint name -> SQL predicate from table properties + field
+    metadata (see ``LakeTable._enforce_constraints``)."""
+    checks: dict[str, str] = {}
+    for k, v in props.items():
+        if k.startswith("delta.constraints."):
+            checks[k[len("delta.constraints."):]] = str(v)
+
+    from pyspark.sql.types import ArrayType, MapType
+
+    def walk(dt, path, in_collection):
+        # dotted paths resolve only through STRUCT nesting; an
+        # invariant on a field inside an array/map cannot be
+        # expressed as one top-level predicate — refuse it loudly
+        # rather than mis-evaluating (or crashing) per write
+        if isinstance(dt, StructType):
+            for f in dt.fields:
+                p = f"{path}.{f.name}" if path else f.name
+                inv = f.metadata.get("delta.invariants")
+                if inv:
+                    if in_collection:
+                        raise NotImplementedError(
+                            f"invariant on {p} inside an array/map "
+                            "cannot be enforced per element"
+                        )
+                    try:
+                        expr = json.loads(inv)["expression"]["expression"]
+                    except (ValueError, KeyError, TypeError):
+                        raise NotImplementedError(
+                            f"unparseable invariant on {p}: {inv!r}"
+                        )
+                    checks[f"invariant_{p.replace('.', '_')}"] = expr
+                walk(f.dataType, p, in_collection)
+        elif isinstance(dt, ArrayType):
+            walk(dt.elementType, path, True)
+        elif isinstance(dt, MapType):
+            walk(dt.valueType, path, True)
+
+    walk(schema, "", False)
+    return checks
+
+
+def _raise_on_constraint_violations(
+    df: DataFrame, checks: dict[str, str]
+) -> None:
+    if not checks:
+        return
+    row = df.agg(
+        *[
+            F.sum(F.expr(e).eqNullSafe(F.lit(False)).cast("int")).alias(n)
+            for n, e in checks.items()
+        ]
+    ).collect()[0]
+    bad = {n: int(row[n]) for n in checks if (row[n] or 0) > 0}
+    if bad:
+        detail = "; ".join(
+            f"{n} ({checks[n]!r}): {c} rows" for n, c in bad.items()
+        )
+        raise ValueError(f"CHECK constraint violation — {detail}")
 
 
 def predicate_bounds(condition: str) -> dict[str, tuple[Any, Any]]:
@@ -1715,6 +1798,8 @@ class MergeBuilder:
           ``delta.enableDeletionVectors`` is set, else rewrite.
         """
         t = self.table
+        if strategy not in ("auto", "dv", "rewrite"):
+            raise ValueError(f"unknown MERGE strategy: {strategy!r}")
         snap = t._log.latest_version(t.root)
         if strategy == "auto":
             props = t.properties()
@@ -1876,8 +1961,19 @@ class MergeBuilder:
                 t_only | (is_match & ~delete_pred)
             ) | (s_only & insert_pred)
             out = joined.filter(keep).select(*out_select)
+            # constraints re-judge only the CHANGED subset; `out` also
+            # carries untouched pre-existing rows
+            t._enforce_constraints(
+                t._apply_generated(
+                    joined.filter(
+                        (is_match & update_hit & ~delete_pred)
+                        | (s_only & insert_pred)
+                    ).select(*out_select)
+                ),
+                t.schema,
+            )
             adds_all, n_rows = _write_files(
-                t._prep_write(out),
+                t._prep_write(out, enforce=False),
                 t.root,
                 partition_columns=t._write_partition_columns(),
             )
@@ -1902,14 +1998,18 @@ class MergeBuilder:
             pre = joined.filter(upd).select(
                 *[F.col(f"t.{c}").alias(c) for c in tgt_cols]
             )
-            post = joined.filter(upd).select(
-                *[matched_exprs[c].cast(t.schema[c].dataType).alias(c) for c in tgt_cols]
+            post = t._apply_generated(
+                joined.filter(upd).select(
+                    *[matched_exprs[c].cast(t.schema[c].dataType).alias(c) for c in tgt_cols]
+                )
             )
             dele = joined.filter(delete_pred).select(
                 *[F.col(f"t.{c}").alias(c) for c in tgt_cols]
             )
-            ins = joined.filter(s_only & insert_pred).select(
-                *[insert_exprs[c].cast(t.schema[c].dataType).alias(c) for c in tgt_cols]
+            ins = t._apply_generated(
+                joined.filter(s_only & insert_pred).select(
+                    *[insert_exprs[c].cast(t.schema[c].dataType).alias(c) for c in tgt_cols]
+                )
             )
             t._write_cdf(pre, "update_preimage", v)
             t._write_cdf(post, "update_postimage", v)

@@ -1162,3 +1162,94 @@ def test_check_constraints_and_invariants_enforced(spark, tmp_path):
     assert sorted((r["id"], r["id2"]) for r in g.to_df().collect()) == [
         (1, 2), (7, 14),
     ]
+
+
+def test_constraint_enforcement_edges(spark, tmp_path):
+    """Review-driven edge batch: the CDF post-image carries regenerated
+    generated-column values; CTAS validates the initial load; the
+    native engine format preserves invariant metadata across appends;
+    pre-existing violating rows never block maintenance ops; typo'd
+    strategies raise."""
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        LongType as L,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    # 1) generated column + CDF: post-image equals table state
+    gschema = ST(
+        [
+            SF("id", L(), True),
+            SF("id2", L(), True, {"delta.generationExpression": "id * 2"}),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "gen_cdf"),
+        df=spark.createDataFrame([(1, 2)], gschema),
+        format="delta",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.update("id = 1", {"id": "7"})
+    post = (
+        t.read_changes(starting_version=1)
+        .filter(F.col("_change_type") == "update_postimage")
+        .collect()
+    )
+    assert [(r["id"], r["id2"]) for r in post] == [(7, 14)]
+    assert [(r["id"], r["id2"]) for r in t.to_df().collect()] == [(7, 14)]
+
+    # 2) CTAS: the initial load is validated against declared constraints
+    with pytest.raises(ValueError, match="positive"):
+        LakeTable.create(
+            spark,
+            str(tmp_path / "ctas_bad"),
+            df=spark.createDataFrame([Row(amount=-5.0)]),
+            format="delta",
+            properties={"delta.constraints.positive": "amount > 0"},
+        )
+
+    # 3) native engine format keeps invariant metadata across appends
+    inv = json.dumps({"expression": {"expression": "id IS NOT NULL"}})
+    nschema = ST([SF("id", L(), True, {"delta.invariants": inv})])
+    tn = LakeTable.create(
+        spark, str(tmp_path / "native_inv"), schema=nschema
+    )
+    tn.append(spark.createDataFrame([Row(id=1)]))
+    assert "delta.invariants" in tn.schema["id"].metadata  # survived
+    with pytest.raises(ValueError, match="invariant_id"):
+        tn.append(
+            spark.createDataFrame([Row(id=None)], "id long")
+        )
+
+    # 4) pre-existing violating rows never block maintenance: build a
+    # table, then ADD the constraint via a property-bearing commit and
+    # check DELETE of unrelated rows + OPTIMIZE still run
+    tv = LakeTable.create(
+        spark,
+        str(tmp_path / "pre_viol"),
+        df=spark.createDataFrame([Row(a=-1), Row(a=5), Row(a=9)]).coalesce(1),
+        format="delta",
+    )
+    tv._log.commit(
+        tv.root, "SET TBLPROPERTIES", [], [],
+        tv._log.schema_at(tv.root),
+        properties={"delta.constraints.pos": "a > 0"},
+    )
+    m = tv.delete("a = 9")  # unrelated DELETE: kept rows not re-judged
+    assert m["numDeletedRows"] == 1
+    tv.optimize(target_files=1)  # compaction not re-judged either
+    assert sorted(r["a"] for r in tv.to_df().collect()) == [-1, 5]
+    with pytest.raises(ValueError, match="pos"):
+        tv.append(spark.createDataFrame([Row(a=-7)]))  # new rows ARE
+
+    # 5) typo'd strategy raises instead of silently rewriting
+    with pytest.raises(ValueError, match="strategy"):
+        tv.delete("a = 5", strategy="DV")
+    with pytest.raises(ValueError, match="strategy"):
+        (
+            tv.merge(spark.createDataFrame([Row(a=5)]), "t.a = s.a")
+            .whenMatchedDelete()
+            .execute(strategy="deletion-vectors")
+        )
