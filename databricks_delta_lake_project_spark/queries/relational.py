@@ -575,7 +575,6 @@ RELATIONAL_QUERIES = {
     "q19_brand_top_parts": (q19_brand_top_parts, Q19_SQL),
     "q20_revenue_rollup": (q20_revenue_rollup, Q20_SQL),
     "q21_event_pivot": (q21_event_pivot, Q21_SQL),
-    "q22_viewer_buyer_intersect": (q22_viewer_buyer_intersect, Q22_SQL),
     "q23_asof_join": (q23_asof_join, Q23_SQL),
     "q24_monetary_deciles": (q24_monetary_deciles, Q24_SQL),
     "q25_table_stats": (q25_table_stats, Q25_SQL),

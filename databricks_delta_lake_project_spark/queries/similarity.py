@@ -388,7 +388,6 @@ WHERE CAST(d.dot AS DOUBLE)
 
 
 SIMILARITY_QUERIES = {
-    "q33_embedding_norms": (q33_embedding_norms, Q33_SQL),
     "q34_knn_bruteforce": (q34_knn_bruteforce, Q34_SQL),
     "q35_ann_sign_lsh": (q35_ann_sign_lsh, Q35_SQL),
     "q41_embedding_near_dup": (q41_embedding_near_dup, Q41_SQL),

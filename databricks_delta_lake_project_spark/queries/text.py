@@ -841,7 +841,6 @@ Q47_SQL = _q47_sql()
 TEXT_QUERIES = {
     "q27_language_id": (q27_language_id, Q27_SQL),
     "q28_token_stats": (q28_token_stats, Q28_SQL),
-    "q29_doc_fingerprint": (q29_doc_fingerprint, Q29_SQL),
     "q30_ngram_jaccard_pairs": (q30_ngram_jaccard_pairs, Q30_SQL),
     "q31_simhash_pairs": (q31_simhash_pairs, Q31_SQL),
     "q32_minhash_lsh": (q32_minhash_lsh, Q32_SQL),

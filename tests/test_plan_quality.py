@@ -10,13 +10,16 @@ import re
 
 import pytest
 
-from databricks_delta_lake_project_spark.queries.catalog import QUERIES
+from databricks_delta_lake_project_spark.queries.catalog import (
+    QUERIES,
+    RETIRED_QUERIES,
+)
 
 from conftest import SF_SMALL
 
 
 def _plan(spark, name: str) -> str:
-    df = QUERIES[name][0](spark, SF_SMALL)
+    df = {**QUERIES, **RETIRED_QUERIES}[name][0](spark, SF_SMALL)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
