@@ -115,6 +115,85 @@ GROUP BY status
 """
 
 
+def q52_sql_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-MERGE CDC driven through the SQL-STRING entry path (the
+    reference's own MERGE surface, ``delta_lake_features.py:308-323``):
+    the statement is parsed by ``tables/sqldml.py`` and routed to the
+    engine MergeBuilder — delete + conditional update + conditional
+    insert in one statement against a Delta-format table, with the
+    final table state checked row-for-row against a DuckDB oracle.
+
+    All arithmetic is integer cents, so the result is bit-exact at any
+    partitioning. Scale shape is the MERGE's: stats-pruned touched-file
+    probe, one full-outer join on the key, O(touched files) rewrite.
+    """
+    from ..tables import LakeTable, sqldml
+    from .sqlpack import register_views, run_statement
+
+    work = Path(tempfile.mkdtemp(prefix="q52_sqlmerge_"))
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("acct_cents"),
+    )
+    t = LakeTable.create(
+        spark,
+        str(work / "silver_customers"),
+        df=base.repartition(4),
+        format="delta",
+    )
+    sqldml.register_table(spark, "silver_customers", t)
+    register_views(spark, sf_dir)
+    run_statement(
+        spark,
+        """
+        -- CDC batch synthesized deterministically from the customer view:
+        -- delete every id % 7 = 3, bump every other id % 5 = 0 by 10000
+        -- cents, insert a fresh id + 10000000 row per id % 11 = 0
+        MERGE INTO silver_customers AS target
+        USING (
+            SELECT c_custkey AS id, c_mktsegment AS segment,
+                   CAST(FLOOR(c_acctbal * 100) AS BIGINT) + 10000 AS acct_cents,
+                   CASE WHEN c_custkey % 7 = 3 THEN 'delete' ELSE 'update' END AS op
+            FROM customer WHERE c_custkey % 7 = 3 OR c_custkey % 5 = 0
+            UNION ALL
+            SELECT c_custkey + 10000000 AS id, c_mktsegment AS segment,
+                   CAST(5000 AS BIGINT) AS acct_cents, 'insert' AS op
+            FROM customer WHERE c_custkey % 11 = 0
+        ) AS source
+        ON target.id = source.id
+        WHEN MATCHED AND source.op = 'delete' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+            target.acct_cents = source.acct_cents,
+            target.segment = source.segment
+        WHEN NOT MATCHED AND source.op != 'delete' THEN
+            INSERT (id, segment, acct_cents)
+            VALUES (source.id, source.segment, source.acct_cents)
+        """,
+    )
+    return t.to_df().select("id", "segment", "acct_cents")
+
+
+Q52_SQL = """
+WITH base AS (
+    SELECT c_custkey AS id, c_mktsegment AS segment,
+           CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS acct_cents
+    FROM customer
+), survivors AS (
+    SELECT id, segment,
+           CASE WHEN id % 5 = 0 THEN acct_cents + 10000 ELSE acct_cents END
+             AS acct_cents
+    FROM base
+    WHERE id % 7 <> 3
+)
+SELECT id, segment, acct_cents FROM survivors
+UNION ALL
+SELECT id + 10000000 AS id, segment, CAST(5000 AS BIGINT) AS acct_cents
+FROM base WHERE id % 11 = 0
+"""
+
+
 LAKEDML_QUERIES = {
     "q50_partitioned_dml": (q50_partitioned_dml, Q50_SQL),
+    "q52_sql_merge_cdc": (q52_sql_merge_cdc, Q52_SQL),
 }

@@ -118,6 +118,22 @@ def rewrite_time_travel(spark: SparkSession, sql: str) -> str:
 
 def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     register_views(spark, sf_dir)
+    return run_statement(spark, sql)
+
+
+def run_statement(spark: SparkSession, sql: str) -> DataFrame:
+    """One SQL statement, SELECT or DML. DML (MERGE INTO / UPDATE /
+    DELETE FROM / INSERT) routes through the engine's DML parser to
+    MergeBuilder/update/delete/append — the reference's SQL MERGE
+    scripts (``delta_lake_features.py:268-323``) run verbatim — and
+    returns the one-row metrics DataFrame Databricks SQL returns for
+    DML. Everything else goes to ``spark.sql`` after dialect
+    normalization."""
+    from ..tables import sqldml
+
+    if sqldml.statement_kind(sql) is not None:
+        metrics = sqldml.run_dml(spark, normalize_sql(sql))
+        return sqldml.metrics_df(spark, metrics)
     return spark.sql(normalize_sql(rewrite_time_travel(spark, sql)))
 
 

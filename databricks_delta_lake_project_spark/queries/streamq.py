@@ -105,6 +105,114 @@ GROUP BY user_id
 """
 
 
+def q53_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end STREAMING gap sessionization (T3's streaming path as
+    a driver-oracle row, not only pytest): file source -> watermark ->
+    ``F.session_window`` groupBy (append mode) -> parquet sink under an
+    availableNow trigger; returns the finalized sessions.
+
+    Append-mode session windows only emit once the watermark passes a
+    session's end, and with a finite input the watermark stops at
+    max(ts) - delay — trailing sessions would sit in state forever. A
+    SENTINEL event staged as the LAST file (FileStreamSource processes
+    oldest-modification-time first) pushes the final watermark past
+    every real session end, so the emitted set is total and equals the
+    batch gap-sessionization the DuckDB oracle computes. On a live
+    cluster the same plan runs unbounded: state is watermark-evicted,
+    per-key state is O(open sessions), and the sink is an append table
+    (reference streaming surface ``stream_clickstream.py:50-102``).
+    """
+    import os
+    import time
+
+    from ..streaming.ops import sessionized_stream
+
+    work = Path(tempfile.mkdtemp(prefix="q53_sessions_"))
+    src_dir = work / "in"
+    ckpt = work / "ckpt"
+    out_dir = work / "out"
+
+    events = widen(load(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
+    events.repartition(2).write.mode("overwrite").parquet(str(src_dir))
+
+    # sentinel: one event far past max(ts); staged strictly after the
+    # real files (newer mtime) so it lands in the final micro-batch and
+    # advances the watermark over every real session end
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, "view", max_ts)], "user_id long, event_type string, ts timestamp"
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 75 MINUTES"))
+    sentinel_path = src_dir / "zz_sentinel"
+    sentinel.coalesce(1).write.mode("overwrite").parquet(str(sentinel_path / "_tmp"))
+    # FileStreamSource globs *.parquet files in the top dir; move the
+    # sentinel part-file up with a bumped mtime
+    part = next((sentinel_path / "_tmp").glob("part-*.parquet"))
+    dst = src_dir / "zz_sentinel.parquet"
+    part.rename(dst)
+    late = time.time() + 3600
+    os.utime(dst, (late, late))
+
+    schema = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp"
+    ).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(str(src_dir))
+    )
+    sessions = sessionized_stream(
+        stream, ts_col="ts", user_col="user_id", gap="30 minutes",
+        watermark="30 minutes",
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(sessions.schema)
+        .parquet(str(out_dir))
+        .filter(F.col("user_id") >= 0)
+    )
+
+
+# batch twin of F.session_window gap semantics: an event continues the
+# session iff its gap to the previous event is STRICTLY less than 30
+# minutes (session_window's end bound is exclusive); session_end is
+# last event + gap
+Q53_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts, is_p,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+         ) AS sid
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(is_p) AS BIGINT) AS n_purchases
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 STREAM_QUERIES = {
     "q48_streaming_upsert": (q48_streaming_upsert, Q48_SQL),
+    "q53_streaming_sessions": (q53_streaming_sessions, Q53_SQL),
 }

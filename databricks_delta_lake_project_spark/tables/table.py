@@ -1746,8 +1746,10 @@ class MergeBuilder:
         self._matched.append(("delete", condition, None))
         return self
 
-    def whenNotMatchedInsert(self, values: dict[str, str]) -> "MergeBuilder":
-        self._not_matched.append((None, values))
+    def whenNotMatchedInsert(
+        self, values: dict[str, str], condition: str | None = None
+    ) -> "MergeBuilder":
+        self._not_matched.append((condition, values))
         return self
 
     def whenNotMatchedInsertAll(self, condition: str | None = None) -> "MergeBuilder":

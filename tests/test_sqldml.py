@@ -1,0 +1,280 @@
+"""SQL-string DML entry path: the reference's own SQL MERGE scripts
+(``/root/reference/src/utils/delta_lake_features.py:268-323``) must
+run VERBATIM against engine tables, routed through
+MergeBuilder/update/delete/append. Covers MERGE update-all (pattern
+1), conditional update (pattern 2), single-MERGE CDC with DELETE
+(pattern 3), plus UPDATE / DELETE FROM / INSERT statements and the
+loud refusal for NOT MATCHED BY SOURCE.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from databricks_delta_lake_project_spark.queries.sqlpack import run_statement
+from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
+
+
+def _mk_customers(spark, tmp_path, name="customers"):
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", "BRONZE", "2024-01-01"),
+            (2, "b@x.com", "SILVER", "2024-01-05"),
+            (3, "c@x.com", "GOLD", "2024-01-03"),
+        ],
+        "customer_id int, email string, loyalty_tier string, updated_date string",
+    )
+    t = LakeTable.create(spark, str(tmp_path / name), df=df)
+    sqldml.register_table(spark, name, t)
+    return t
+
+
+def _rows(t):
+    return {
+        r["customer_id"]: (r["email"], r["loyalty_tier"], r["updated_date"])
+        for r in t.to_df().collect()
+    }
+
+
+def test_merge_pattern1_update_all_insert_all(spark, tmp_path):
+    t = _mk_customers(spark, tmp_path)
+    spark.createDataFrame(
+        [
+            (2, "b2@x.com", "GOLD", "2024-02-01"),
+            (9, "i@x.com", "BRONZE", "2024-02-02"),
+        ],
+        "customer_id int, email string, loyalty_tier string, updated_date string",
+    ).createOrReplaceTempView("source_data")
+    # reference delta_lake_features.py:268-283 (pattern 1), verbatim
+    res = run_statement(
+        spark,
+        """
+        MERGE INTO customers AS target
+        USING source_data AS source
+        ON target.customer_id = source.customer_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *;
+        """,
+    ).collect()[0]
+    assert res["numTargetRowsUpdated"] == 1
+    assert res["numTargetRowsInserted"] == 1
+    rows = _rows(t)
+    assert rows[2] == ("b2@x.com", "GOLD", "2024-02-01")
+    assert rows[9] == ("i@x.com", "BRONZE", "2024-02-02")
+    assert rows[1] == ("a@x.com", "BRONZE", "2024-01-01")
+
+
+def test_merge_pattern2_conditional_update(spark, tmp_path):
+    t = _mk_customers(spark, tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "new1@x.com", "GOLD", "2024-03-01"),  # newer -> applied
+            (3, "old3@x.com", "BRONZE", "2023-12-01"),  # older -> skipped
+        ],
+        "customer_id int, email string, loyalty_tier string, updated_date string",
+    ).createOrReplaceTempView("source_data")
+    # reference delta_lake_features.py:286-301 (pattern 2), verbatim
+    run_statement(
+        spark,
+        """
+        -- Only update if source is newer
+        MERGE INTO customers AS target
+        USING source_data AS source
+        ON target.customer_id = source.customer_id
+        WHEN MATCHED AND source.updated_date > target.updated_date
+          THEN UPDATE SET
+            target.email = source.email,
+            target.loyalty_tier = source.loyalty_tier,
+            target.updated_date = source.updated_date
+        WHEN NOT MATCHED THEN INSERT *;
+        """,
+    )
+    rows = _rows(t)
+    assert rows[1] == ("new1@x.com", "GOLD", "2024-03-01")
+    assert rows[3] == ("c@x.com", "GOLD", "2024-01-03")
+
+
+def test_merge_pattern3_single_merge_cdc(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "to_delete"), (3, "to_update")],
+        "id int, val string",
+    )
+    t = LakeTable.create(spark, str(tmp_path / "silver_table"), df=df)
+    sqldml.register_table(spark, "silver_table", t)
+    spark.createDataFrame(
+        [
+            (2, "x", "delete", 100),
+            (3, "updated", "update", 100),
+            (3, "stale", "update", 50),  # rn=2 -> ignored
+            (4, "inserted", "insert", 100),
+            (5, "ghost", "delete", 100),  # delete of absent row -> no-op
+        ],
+        "id int, val string, cdc_operation string, cdc_timestamp int",
+    ).createOrReplaceTempView("bronze_cdc_table")
+    # reference delta_lake_features.py:308-323 (pattern 3), verbatim
+    res = run_statement(
+        spark,
+        """
+        -- Handle all CDC operations in a single MERGE
+        MERGE INTO silver_table AS target
+        USING (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cdc_timestamp DESC) as rn
+            FROM bronze_cdc_table
+        ) AS source
+        ON target.id = source.id AND source.rn = 1
+        WHEN MATCHED AND source.cdc_operation = 'delete'
+          THEN DELETE
+        WHEN MATCHED AND source.cdc_operation IN ('insert', 'update')
+          THEN UPDATE SET *
+        WHEN NOT MATCHED AND source.cdc_operation != 'delete'
+          THEN INSERT *;
+        """,
+    ).collect()[0]
+    assert res["numTargetRowsDeleted"] == 1
+    assert res["numTargetRowsUpdated"] == 1
+    final = {
+        (r["id"], r["val"])
+        for r in t.to_df().select("id", "val").collect()
+    }
+    # NOTE: faithful Delta MERGE semantics — the rn=2 source row fails
+    # the ON condition, so it is NOT MATCHED and the INSERT clause
+    # fires for it too (real Delta inserts the stale duplicate with
+    # this reference pattern; deduplicating belongs in the USING
+    # subquery's WHERE rn = 1, not the ON clause)
+    assert final == {
+        (1, "keep"),
+        (3, "updated"),
+        (3, "stale"),
+        (4, "inserted"),
+    }
+
+
+def test_merge_update_set_star_only_schema_cols(spark, tmp_path):
+    # UPDATE SET * with source carrying EXTRA columns (rn) must still
+    # work: only target-schema columns are set
+    df = spark.createDataFrame([(1, "a")], "id int, val string")
+    t = LakeTable.create(spark, str(tmp_path / "tbl"), df=df)
+    sqldml.register_table(spark, "tbl", t)
+    spark.createDataFrame(
+        [(1, "b", 7)], "id int, val string, extra int"
+    ).createOrReplaceTempView("src_extra")
+    run_statement(
+        spark,
+        "MERGE INTO tbl t2 USING src_extra s2 ON t2.id = s2.id "
+        "WHEN MATCHED THEN UPDATE SET *",
+    )
+    assert t.to_df().collect()[0]["val"] == "b"
+
+
+def test_merge_insert_explicit_columns_with_condition(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a", 10)], "id int, val string, score int")
+    t = LakeTable.create(spark, str(tmp_path / "tbl2"), df=df)
+    sqldml.register_table(spark, "tbl2", t)
+    spark.createDataFrame(
+        [(2, "b"), (3, "skip")], "id int, val string"
+    ).createOrReplaceTempView("src_cols")
+    run_statement(
+        spark,
+        """
+        MERGE INTO tbl2 AS target USING src_cols AS source
+        ON target.id = source.id
+        WHEN NOT MATCHED AND source.val != 'skip'
+          THEN INSERT (id, val, score) VALUES (source.id, upper(source.val), 0)
+        """,
+    )
+    rows = {r["id"]: (r["val"], r["score"]) for r in t.to_df().collect()}
+    assert rows == {1: ("a", 10), 2: ("B", 0)}
+
+
+def test_merge_three_part_name_resolves_by_suffix(spark, tmp_path):
+    t = _mk_customers(spark, tmp_path, name="customers")
+    spark.createDataFrame(
+        [(1, "z@x.com", "GOLD", "2099-01-01")],
+        "customer_id int, email string, loyalty_tier string, updated_date string",
+    ).createOrReplaceTempView("source_data")
+    # scripts written against the reference's 3-part catalog names
+    # (customer_360_catalog.silver.customers) resolve by unique suffix
+    run_statement(
+        spark,
+        """
+        MERGE INTO customer_360_catalog.silver.customers AS target
+        USING source_data AS source
+        ON target.customer_id = source.customer_id
+        WHEN MATCHED THEN UPDATE SET *
+        """,
+    )
+    assert _rows(t)[1][0] == "z@x.com"
+
+
+def test_sql_update_statement(spark, tmp_path):
+    t = _mk_customers(spark, tmp_path, name="cust_u")
+    res = run_statement(
+        spark,
+        "UPDATE cust_u SET loyalty_tier = 'PLATINUM', email = upper(email) "
+        "WHERE customer_id <= 2",
+    ).collect()[0]
+    assert res["numUpdatedRows"] == 2
+    rows = _rows(t)
+    assert rows[1] == ("A@X.COM", "PLATINUM", "2024-01-01")
+    assert rows[3][1] == "GOLD"
+
+
+def test_sql_delete_statement(spark, tmp_path):
+    t = _mk_customers(spark, tmp_path, name="cust_d")
+    run_statement(spark, "DELETE FROM cust_d WHERE loyalty_tier = 'GOLD'")
+    assert set(_rows(t)) == {1, 2}
+    # unconditional delete
+    run_statement(spark, "DELETE FROM cust_d")
+    assert t.to_df().count() == 0
+
+
+def test_sql_insert_statements(spark, tmp_path):
+    t = _mk_customers(spark, tmp_path, name="cust_i")
+    run_statement(
+        spark,
+        "INSERT INTO cust_i VALUES (7, 'g@x.com', 'BRONZE', '2024-04-01')",
+    )
+    assert _rows(t)[7] == ("g@x.com", "BRONZE", "2024-04-01")
+    # INSERT INTO ... SELECT with an explicit column list
+    t.to_df().createOrReplaceTempView("cust_i_v")
+    run_statement(
+        spark,
+        "INSERT INTO cust_i (customer_id, email, loyalty_tier, updated_date) "
+        "SELECT customer_id + 100, email, 'COPY', updated_date FROM cust_i_v "
+        "WHERE customer_id = 7",
+    )
+    assert _rows(t)[107][1] == "COPY"
+    # INSERT OVERWRITE replaces the table contents
+    run_statement(
+        spark,
+        "INSERT OVERWRITE cust_i VALUES (42, 'only@x.com', 'GOLD', '2024-05-01')",
+    )
+    assert set(_rows(t)) == {42}
+
+
+def test_not_matched_by_source_refused(spark, tmp_path):
+    _mk_customers(spark, tmp_path, name="cust_r")
+    spark.createDataFrame([(1,)], "customer_id int").createOrReplaceTempView(
+        "src_r"
+    )
+    with pytest.raises(NotImplementedError, match="BY SOURCE"):
+        run_statement(
+            spark,
+            "MERGE INTO cust_r t3 USING src_r s3 ON t3.customer_id = s3.customer_id "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        )
+
+
+def test_alias_collision_target_named_s(spark, tmp_path):
+    # the user's aliases may BE the builder's canonical t/s, swapped
+    t = _mk_customers(spark, tmp_path, name="cust_sw")
+    spark.createDataFrame(
+        [(1, "sw@x.com", "GOLD", "2099-01-01")],
+        "customer_id int, email string, loyalty_tier string, updated_date string",
+    ).createOrReplaceTempView("src_sw")
+    run_statement(
+        spark,
+        "MERGE INTO cust_sw AS s USING src_sw AS t ON s.customer_id = t.customer_id "
+        "WHEN MATCHED THEN UPDATE SET s.email = t.email",
+    )
+    assert _rows(t)[1][0] == "sw@x.com"
