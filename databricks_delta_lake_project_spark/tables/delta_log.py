@@ -43,13 +43,14 @@ those.
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 from pathlib import Path
 from typing import Any
 
 from pyspark.sql import SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from . import delta_interop as di
 from .delta_interop import (
@@ -123,6 +124,40 @@ def _fields_with_writer_obligations(schema) -> list[str]:
 
     walk(schema, "", True)
     return hits
+
+
+def _assign_mapping(dt, next_id: int):
+    """Fresh columnMapping metadata (sequential id + ``col-<uuid>``
+    physicalName, the delta-spark scheme) for every field, recursively.
+    Returns (typed value, next unused id)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    if isinstance(dt, StructType):
+        out = []
+        for f in dt.fields:
+            meta = dict(f.metadata)
+            meta["delta.columnMapping.id"] = next_id
+            meta["delta.columnMapping.physicalName"] = f"col-{uuid.uuid4()}"
+            next_id += 1
+            inner, next_id = _assign_mapping(f.dataType, next_id)
+            out.append(StructField(f.name, inner, f.nullable, meta))
+        return StructType(out), next_id
+    if isinstance(dt, ArrayType):
+        inner, next_id = _assign_mapping(dt.elementType, next_id)
+        return type(dt)(inner, dt.containsNull), next_id
+    if isinstance(dt, MapType):
+        kt, next_id = _assign_mapping(dt.keyType, next_id)
+        vt, next_id = _assign_mapping(dt.valueType, next_id)
+        return type(dt)(kt, vt, dt.valueContainsNull), next_id
+    return dt, next_id
+
+
+def assign_mapping_metadata(schema: StructType) -> tuple[StructType, int]:
+    """Mapping metadata for EVERY field of a brand-new mapped table
+    (create path; ids start at 1 like delta-spark). Returns the mapped
+    schema and the maxColumnId to record."""
+    mapped, next_id = _assign_mapping(schema, 1)
+    return mapped, next_id - 1
 
 
 def _stats_to_delta(entry: dict[str, Any]) -> str:
@@ -285,47 +320,102 @@ class DeltaLogBackend:
             + 1
         )
 
-        def assign(dt):
-            """Fresh mapping metadata for every field of a NEW column."""
-            nonlocal next_id
-            from pyspark.sql.types import (
-                ArrayType,
-                MapType,
-                StructField,
-            )
-
-            if isinstance(dt, StructType):
-                out = []
-                for f in dt.fields:
-                    meta = dict(f.metadata)
-                    meta["delta.columnMapping.id"] = next_id
-                    meta["delta.columnMapping.physicalName"] = (
-                        f"col-{uuid.uuid4()}"
-                    )
-                    next_id += 1
-                    out.append(
-                        StructField(
-                            f.name, assign(f.dataType), f.nullable, meta
-                        )
-                    )
-                return StructType(out)
-            if isinstance(dt, ArrayType):
-                return type(dt)(assign(dt.elementType), dt.containsNull)
-            if isinstance(dt, MapType):
-                return type(dt)(
-                    assign(dt.keyType),
-                    assign(dt.valueType),
-                    dt.valueContainsNull,
-                )
-            return dt
-
-        new_tail = assign(
-            StructType(new_schema.fields[len(cur.fields):])
-        ).fields
+        new_tail_struct, next_id = _assign_mapping(
+            StructType(new_schema.fields[len(cur.fields):]), next_id
+        )
+        new_tail = new_tail_struct.fields
         merged = StructType(list(cur.fields) + list(new_tail))
         props = dict(state.properties)
         props["delta.columnMapping.maxColumnId"] = str(next_id - 1)
         return merged, props
+
+    def _alter_guard(self, root: str, col: str):
+        """Shared validation for rename/drop on a mapped table: column
+        mapping must be on (same requirement real Delta enforces — the
+        whole point of mapping is that logical names are indirections
+        over stable physicalNames, so metadata-only renames/drops are
+        safe), the column must be a top-level field, not a partition
+        column, and not referenced by a CHECK constraint or another
+        column's generation expression (altering it would silently
+        break those SQL strings for every later writer)."""
+        state = self._state(root)
+        if state.mapping_mode == "none":
+            raise NotImplementedError(
+                "RENAME/DROP COLUMN requires column mapping "
+                "(delta.columnMapping.mode=name|id): without it the "
+                "logical name IS the parquet column and a rename would "
+                "orphan every existing file"
+            )
+        assert state.schema_json is not None
+        schema = StructType.fromJson(json.loads(state.schema_json))
+        if col not in schema.fieldNames():
+            raise ValueError(f"no such column: {col!r}")
+        if col in state.partition_columns:
+            raise NotImplementedError(
+                f"{col!r} is a partition column; altering it would "
+                "change the table layout"
+            )
+        ref = re.compile(rf"\b{re.escape(col)}\b", re.IGNORECASE)
+        for k, expr in state.properties.items():
+            if k.startswith("delta.constraints.") and ref.search(str(expr)):
+                raise ValueError(
+                    f"column {col!r} is referenced by CHECK constraint "
+                    f"{k[len('delta.constraints.'):]!r}; drop the "
+                    "constraint first"
+                )
+        for f in schema.fields:
+            gen = f.metadata.get("delta.generationExpression")
+            if f.name != col and gen and ref.search(str(gen)):
+                raise ValueError(
+                    f"column {col!r} is referenced by the generation "
+                    f"expression of {f.name!r}"
+                )
+        return state, schema
+
+    def rename_column(self, root: str, old: str, new: str) -> int:
+        """Metadata-only RENAME COLUMN (reference evolution surface
+        ``delta_lake_features.py:182-262``): the logical name changes
+        in the schemaString, the columnMapping id and physicalName stay
+        — no data file is touched, and every existing parquet file
+        (written under the physicalName) remains readable, including
+        via time travel to pre-rename versions."""
+        state, schema = self._alter_guard(root, old)
+        if new in schema.fieldNames():
+            raise ValueError(f"column {new!r} already exists")
+        fields = [
+            StructField(new, f.dataType, f.nullable, dict(f.metadata))
+            if f.name == old
+            else f
+            for f in schema.fields
+        ]
+        return self.commit(
+            root,
+            "RENAME COLUMN",
+            [],
+            [],
+            StructType(fields).json(),
+            parameters={"oldColumnPath": old, "newColumnPath": new},
+        )
+
+    def drop_column(self, root: str, col: str) -> int:
+        """Metadata-only DROP COLUMN: the logical field leaves the
+        schemaString; the physical column stays in existing files and
+        is simply never projected again (and keeps serving pre-drop
+        versions under time travel). The columnMapping maxColumnId is
+        NOT reclaimed, so a later re-add of the same logical name gets
+        a fresh id/physicalName and never resurrects old data."""
+        state, schema = self._alter_guard(root, col)
+        if len(schema.fields) == 1:
+            raise ValueError("cannot drop the only column")
+        fields = [f for f in schema.fields if f.name != col]
+        return self.commit(
+            root,
+            "DROP COLUMNS",
+            [],
+            [],
+            StructType(fields).json(),
+            parameters={"columns": [col]},
+        )
 
     def mapping_mode(self, root: str) -> str:
         return self._state(root).mapping_mode
@@ -683,7 +773,17 @@ class DeltaLogBackend:
                 }
             )
             if version == 0:
-                lines.append({"protocol": dict(_PROTOCOL)})
+                if str(
+                    (properties or {}).get("delta.columnMapping.mode", "none")
+                ).lower() in ("name", "id"):
+                    # mapped tables need the legacy mapping-capable
+                    # protocol (reader 2 / writer 5) so external Delta
+                    # readers honor physicalNames
+                    lines.append(
+                        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}}
+                    )
+                else:
+                    lines.append({"protocol": dict(_PROTOCOL)})
             txn = parameters.get("txn")
             if txn:
                 lines.append(

@@ -297,6 +297,7 @@ def statement_kind(sql: str) -> str | None:
         ("update", "update"),
         ("delete", "delete"),
         ("insert", "insert"),
+        ("alter", "alter"),
     ):
         if head.startswith(kw):
             return kind
@@ -316,6 +317,8 @@ def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
         return _run_update(spark, text)
     if kind == "delete":
         return _run_delete(spark, text)
+    if kind == "alter":
+        return _run_alter(spark, text)
     return _run_insert(spark, text)
 
 
@@ -486,6 +489,63 @@ def _run_delete(spark: SparkSession, sql: str) -> dict[str, Any]:
     cond = rest[mw.end() :].strip() if mw is not None else "true"
     cond = _strip_qualifiers(cond, tname, talias)
     return resolve_table(spark, tname).delete(cond)
+
+
+def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
+    """ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN(S) a[, b] |
+    SET TBLPROPERTIES (k=v, ...) — the reference's schema-evolution and
+    feature-toggle surface (``delta_lake_features.py:182-262``)."""
+    m = re.match(r"ALTER\s+TABLE\s+", sql, re.IGNORECASE)
+    if not m:
+        raise ValueError("ALTER: expected ALTER TABLE")
+    rest = sql[m.end() :]
+    tname, rest = _read_table_ref(rest)
+    table = resolve_table(spark, tname)
+    rest = rest.strip()
+
+    mr = re.match(
+        r"RENAME\s+COLUMN\s+(`?)(\w+)\1\s+TO\s+(`?)(\w+)\3\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if mr:
+        v = table.rename_column(mr.group(2), mr.group(4))
+        return {"operation": "RENAME COLUMN", "version": v}
+    md = re.match(r"DROP\s+COLUMNS?\s+(.*)$", rest, re.IGNORECASE | re.DOTALL)
+    if md:
+        cols_text = md.group(1).strip()
+        if cols_text.startswith("("):
+            cols_text = cols_text.strip("()")
+        v = None
+        for c in _split_commas(cols_text):
+            v = table.drop_column(c.strip("`"))
+        return {"operation": "DROP COLUMNS", "version": v}
+    mp = re.match(
+        r"SET\s+TBLPROPERTIES\s*\((?P<body>.*)\)\s*$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mp:
+        props = {}
+        for item in _split_commas(mp.group("body")):
+            me = _find_top(item, r"=")
+            if me is None:
+                raise ValueError(f"ALTER: cannot parse property {item!r}")
+            k = item[: me.start()].strip().strip("'\"`")
+            val = item[me.start() + 1 :].strip().strip("'\"")
+            props[k] = val
+        merged = {**table.properties(), **props}
+        v = table._log.commit(
+            table.root,
+            "SET TBLPROPERTIES",
+            [],
+            [],
+            table._log.schema_at(table.root),
+            parameters={"properties": props},
+            properties=merged,
+        )
+        return {"operation": "SET TBLPROPERTIES", "version": v}
+    raise NotImplementedError(f"unsupported ALTER TABLE form: {rest[:80]!r}")
 
 
 def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:

@@ -191,6 +191,30 @@ class LakeTable:
         extra = (
             {"partition_columns": list(partition_by)} if partition_by else {}
         )
+        if format == "delta" and str(
+            (properties or {}).get("delta.columnMapping.mode", "none")
+        ).lower() in ("name", "id"):
+            # creating a MAPPED table: every field needs columnMapping
+            # id/physicalName metadata before the first commit (the
+            # same assignment delta-spark performs on CREATE), and the
+            # initial load must land under physical names — so commit
+            # the mapped schema first and route the data through the
+            # normal append path, which renames logical -> physical
+            from .delta_log import assign_mapping_metadata
+
+            base_schema = schema if df is None else df.schema
+            mapped_schema, max_id = assign_mapping_metadata(base_schema)
+            props = dict(properties or {})
+            props["delta.columnMapping.maxColumnId"] = str(max_id)
+            log.commit(
+                root, "CREATE TABLE", [], [], mapped_schema.json(),
+                properties=props,
+                **extra,
+            )
+            t = cls(spark, root, log_backend=log)
+            if df is not None:
+                t.append(df)
+            return t
         if df is None:
             if schema is None:
                 raise ValueError("need df or schema")
@@ -1261,6 +1285,35 @@ class LakeTable:
             parameters={"version": version},
             expected_version=snap,
         )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (reference evolution surface
+        ``delta_lake_features.py:182-262``). Requires a column-mapped
+        Delta-backed table: the logical name changes in the schema, the
+        columnMapping physicalName stays, no data file is rewritten,
+        and pre-rename versions keep time-traveling under their old
+        names."""
+        if self._log is tlog:
+            raise NotImplementedError(
+                "RENAME COLUMN needs the Delta log backend with column "
+                "mapping (create(format='delta', properties="
+                "{'delta.columnMapping.mode': 'name'}))"
+            )
+        self._log.check_writable(self.root)
+        return self._log.rename_column(self.root, old, new)
+
+    def drop_column(self, col: str) -> int:
+        """Metadata-only column drop (column-mapped Delta tables): the
+        logical field leaves the schema; existing parquet keeps the
+        physical column for pre-drop time travel."""
+        if self._log is tlog:
+            raise NotImplementedError(
+                "DROP COLUMN needs the Delta log backend with column "
+                "mapping (create(format='delta', properties="
+                "{'delta.columnMapping.mode': 'name'}))"
+            )
+        self._log.check_writable(self.root)
+        return self._log.drop_column(self.root, col)
 
     def vacuum(self, retain_hours: float = 168.0, dry_run: bool = False) -> list[str]:
         """Delete unreferenced data files older than the retention window

@@ -1253,3 +1253,115 @@ def test_constraint_enforcement_edges(spark, tmp_path):
             .whenMatchedDelete()
             .execute(strategy="deletion-vectors")
         )
+
+
+# ---------------------------------------------------------------------------
+# column rename / drop on mapped write-back
+# ---------------------------------------------------------------------------
+
+
+def test_mapped_rename_drop_roundtrip(spark, tmp_path):
+    """RENAME/DROP COLUMN on a column-mapped table are metadata-only:
+    physicalNames never change, no data file is rewritten, the
+    independent interop replay agrees, and every earlier version still
+    time-travels under its then-current names."""
+    from pyspark.sql import Row
+
+    root = _mk_mapped(spark, tmp_path, name="cmap_evolve")
+    t = LakeTable.for_path(spark, str(root))
+    v0 = t.version()
+    files_before = {e["path"] for e in t._files()}
+
+    # rename: logical name flips, physicalName survives
+    t.rename_column("name", "label")
+    assert [f.name for f in t.schema.fields] == ["id", "label"]
+    assert (
+        t.schema["label"].metadata["delta.columnMapping.physicalName"]
+        == "col-bbb"
+    )
+    assert {e["path"] for e in t._files()} == files_before  # no rewrite
+    assert sorted((r["id"], r["label"]) for r in t.to_df().collect()) == [
+        (1, "x"), (2, "y"), (3, "z"),
+    ]
+
+    # writes against the NEW name land under the old physical column
+    t.append(spark.createDataFrame([Row(id=4, label="w")]))
+    t.update("id = 2", {"label": "'Y!'"})
+    got = sorted((r["id"], r["label"]) for r in t.to_df().collect())
+    assert got == [(1, "x"), (2, "Y!"), (3, "z"), (4, "w")]
+
+    # independent replay reader sees the rename
+    it = DeltaInteropTable(spark, str(root))
+    assert sorted((r["id"], r["label"]) for r in it.to_df().collect()) == got
+
+    # time travel to the pre-rename version: old logical name
+    old = t.to_df(version=v0)
+    assert old.columns == ["id", "name"]
+    assert sorted((r["id"], r["name"]) for r in old.collect()) == [
+        (1, "x"), (2, "y"), (3, "z"),
+    ]
+
+    # drop: field leaves the schema, files stay, pre-drop time travel
+    # still serves the column
+    v_pre_drop = t.version()
+    t.drop_column("label")
+    assert [f.name for f in t.schema.fields] == ["id"]
+    assert sorted(r["id"] for r in t.to_df().collect()) == [1, 2, 3, 4]
+    assert t.to_df(version=v_pre_drop).columns == ["id", "label"]
+    t.append(spark.createDataFrame([Row(id=5)]))
+    it2 = DeltaInteropTable(spark, str(root))
+    assert sorted(r["id"] for r in it2.to_df().collect()) == [1, 2, 3, 4, 5]
+
+    # re-adding the same logical name gets a FRESH physicalName — old
+    # col-bbb data must never resurrect
+    t.append(
+        spark.createDataFrame([Row(id=6, label="new")]), merge_schema=True
+    )
+    meta = t.schema["label"].metadata
+    assert meta["delta.columnMapping.physicalName"] != "col-bbb"
+    vals = {
+        (r["id"], r["label"]) for r in t.to_df().collect()
+    }
+    assert vals == {
+        (1, None), (2, None), (3, None), (4, None), (5, None), (6, "new"),
+    }
+
+
+def test_mapped_rename_drop_guards(spark, tmp_path):
+    from pyspark.sql import Row
+
+    root = _mk_mapped(
+        spark,
+        tmp_path,
+        name="cmap_guard",
+        extra_props={"delta.constraints.namelen": "length(name) > 0"},
+    )
+    t = LakeTable.for_path(spark, str(root))
+    # constraint references the column -> refuse both alter kinds
+    with pytest.raises(ValueError, match="namelen"):
+        t.rename_column("name", "label")
+    with pytest.raises(ValueError, match="namelen"):
+        t.drop_column("name")
+    # unknown / colliding names
+    with pytest.raises(ValueError, match="no such column"):
+        t.rename_column("ghost", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("id", "name")
+
+    # unmapped Delta table: loud refusal (rename would orphan files)
+    plain = LakeTable.create(
+        spark,
+        str(tmp_path / "plain_delta"),
+        df=spark.createDataFrame([Row(a=1)]),
+        format="delta",
+    )
+    with pytest.raises(NotImplementedError, match="column mapping"):
+        plain.rename_column("a", "b")
+    # engine-format table: needs the Delta backend
+    native = LakeTable.create(
+        spark,
+        str(tmp_path / "native_t"),
+        df=spark.createDataFrame([Row(a=1)]),
+    )
+    with pytest.raises(NotImplementedError, match="Delta log backend"):
+        native.drop_column("a")

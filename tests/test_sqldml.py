@@ -278,3 +278,30 @@ def test_alias_collision_target_named_s(spark, tmp_path):
         "WHEN MATCHED THEN UPDATE SET s.email = t.email",
     )
     assert _rows(t)[1][0] == "sw@x.com"
+
+
+def test_alter_table_sql_forms(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "alter_t"),
+        df=spark.createDataFrame([Row(a=1, b="x")]),
+        format="delta",
+        properties={"delta.columnMapping.mode": "name"},
+    )
+    sqldml.register_table(spark, "alter_t", t)
+    run_statement(spark, "ALTER TABLE alter_t RENAME COLUMN b TO label")
+    assert [f.name for f in t.schema.fields] == ["a", "label"]
+    run_statement(spark, "ALTER TABLE alter_t DROP COLUMN label")
+    assert [f.name for f in t.schema.fields] == ["a"]
+    run_statement(
+        spark,
+        "ALTER TABLE alter_t SET TBLPROPERTIES "
+        "('delta.enableChangeDataFeed' = 'true')",
+    )
+    assert t.properties()["delta.enableChangeDataFeed"] == "true"
+    with pytest.raises(NotImplementedError, match="unsupported ALTER"):
+        run_statement(spark, "ALTER TABLE alter_t ADD CONSTRAINT c CHECK (a > 0)")
