@@ -34,7 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 DELTA_LOG_DIR = "_delta_log"
 
@@ -865,15 +865,22 @@ class DeltaInteropTable:
         """CDF synthesized from the ``_delta_log`` replay for external
         tables the engine cannot write (partitioned, column-mapped).
 
-        An append-only foreign commit's add files ARE the inserted rows,
-        so each in-range version scans its adds under the table schema
-        and stamps ``_change_type='insert'`` / ``_commit_version`` —
-        same contract as ``LakeTable.read_changes`` (reference surface:
-        ``delta_sharing_recipient.py:180-205``). Commits that removed
-        files or attached a deletion vector (UPDATE/DELETE/MERGE
-        rewrites) have no reconstructible row-level delta from the log
-        alone and are refused loudly; ``dataChange=false`` rewrites
-        (OPTIMIZE) are skipped as no logical change."""
+        Per the Delta CDF protocol, a version that carries ``cdc``
+        actions serves its changes EXCLUSIVELY from those
+        ``_change_data`` parquet files (they hold the table columns
+        plus ``_change_type`` = insert / update_preimage /
+        update_postimage / delete — the writer materialized the
+        row-level delta at commit time, which is how
+        ``delta.enableChangeDataFeed=true`` tables record UPDATE /
+        DELETE / MERGE). Versions without cdc actions fall back to
+        synthesis: an append-only commit's add files ARE the inserted
+        rows (``_change_type='insert'``); commits that removed files or
+        attached a deletion vector WITHOUT writing cdc actions (CDF was
+        off at write time) have no reconstructible row-level delta and
+        are refused loudly; ``dataChange=false`` rewrites (OPTIMIZE)
+        are skipped as no logical change. Same contract as
+        ``LakeTable.read_changes`` (reference surface:
+        ``delta_sharing_recipient.py:180-205``)."""
         versions = _commit_versions(self.root)
         end = versions[-1] if ending_version is None else ending_version
         if starting_version < versions[0]:
@@ -886,35 +893,57 @@ class DeltaInteropTable:
         state = _replay(self.spark, self.root, end)
         assert state.schema_json is not None
         schema = StructType.fromJson(json.loads(state.schema_json))
+        # cdc files carry the data columns (physical names under
+        # mapping, like any data file) plus a literal _change_type
+        cdc_schema = StructType(
+            list(schema.fields) + [StructField("_change_type", StringType())]
+        )
         log = Path(self.root) / DELTA_LOG_DIR
         frames = []
         for v in versions:
             if v < starting_version or v > end:
                 continue
             adds: list[dict[str, Any]] = []
+            cdcs: list[dict[str, Any]] = []
+            removed, dv_added = False, False
             with open(log / f"{v:020d}.json") as fh:
                 for line in fh:
                     line = line.strip()
                     if not line:
                         continue
                     a = json.loads(line)
+                    if a.get("cdc") is not None:
+                        cdcs.append(a["cdc"])
                     rm = a.get("remove")
                     if rm is not None and rm.get("dataChange", True):
-                        raise NotImplementedError(
-                            f"CDF for version {v}: commit rewrote files; "
-                            "row-level changes are not reconstructible "
-                            "from the _delta_log alone"
-                        )
+                        removed = True
                     add = a.get("add")
                     if add is None or not add.get("dataChange", True):
                         continue
                     if add.get("deletionVector"):
-                        raise NotImplementedError(
-                            f"CDF for version {v}: commit attached a "
-                            "deletion vector (rows removed); row-level "
-                            "changes are not reconstructible"
-                        )
+                        dv_added = True
                     adds.append(add)
+            if cdcs:
+                frames.append(
+                    self._scan(state, cdc_schema, cdcs).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
+                continue
+            if removed:
+                raise NotImplementedError(
+                    f"CDF for version {v}: commit rewrote files without "
+                    "cdc actions (change data feed was not enabled at "
+                    "write time); row-level changes are not "
+                    "reconstructible from the _delta_log alone"
+                )
+            if dv_added:
+                raise NotImplementedError(
+                    f"CDF for version {v}: commit attached a deletion "
+                    "vector without cdc actions (change data feed was "
+                    "not enabled at write time); row-level changes are "
+                    "not reconstructible"
+                )
             if not adds:
                 continue
             frames.append(

@@ -532,6 +532,7 @@ class DeltaLogBackend:
             "operationMetrics": {},
             "add": [],
             "remove": [],
+            "cdc": [],
             "schema": None,
             "properties": {},
         }
@@ -553,6 +554,8 @@ class DeltaLogBackend:
                     out["add"].append(_stats_from_delta(a["add"]))
                 elif a.get("remove"):
                     out["remove"].append(a["remove"]["path"])
+                elif a.get("cdc"):
+                    out["cdc"].append(a["cdc"])
                 elif a.get("metaData"):
                     out["schema"] = a["metaData"].get("schemaString")
                     out["properties"] = dict(

@@ -1378,10 +1378,13 @@ class LakeTable:
 
         Engine-written commits read their materialized change files
         (``_changes/``). On a DELTA-backed table, versions with no
-        change files — commits landed by OTHER Delta writers — are
-        synthesized from the ``_delta_log`` replay when they are
+        change files — commits landed by OTHER Delta writers — serve
+        the commit's ``cdc`` actions when present (the
+        ``_change_data`` files a CDF-enabled Delta writer materializes
+        for UPDATE/DELETE/MERGE, holding rows + ``_change_type``), else
+        are synthesized from the ``_delta_log`` replay when they are
         append-only (the add files ARE the inserted rows); a foreign
-        commit that removed files (UPDATE/DELETE/MERGE rewrite) has no
+        commit that removed files WITHOUT cdc actions has no
         reconstructible row-level delta, so it is refused loudly
         instead of returning wrong changes (reference surface:
         ``delta_sharing_recipient.py:180-205``)."""
@@ -1410,12 +1413,35 @@ class LakeTable:
                 c = self._log.read_commit(self.root, v)
                 if c.get("operation") == "OPTIMIZE":
                     continue  # dataChange=false: no logical change
+                if c.get("cdc"):
+                    # protocol CDF: this version's changes come
+                    # EXCLUSIVELY from its _change_data files
+                    from pyspark.sql.types import StringType, StructField
+
+                    from .delta_interop import DeltaInteropTable, _replay
+
+                    state = _replay(self.spark, self.root, v)
+                    schema_v = StructType.fromJson(
+                        json.loads(state.schema_json)
+                    )
+                    cdc_schema = StructType(
+                        list(schema_v.fields)
+                        + [StructField(CDF_TYPE_COL, StringType())]
+                    )
+                    it = DeltaInteropTable(self.spark, self.root)
+                    frames.append(
+                        it._scan(state, cdc_schema, c["cdc"]).withColumn(
+                            CDF_VERSION_COL, F.lit(v).cast("long")
+                        )
+                    )
+                    continue
                 if c.get("remove"):
                     raise NotImplementedError(
                         f"CDF for version {v}: commit "
                         f"({c.get('operation')}) rewrote files outside "
-                        "this engine; row-level changes are not "
-                        "reconstructible from the _delta_log alone"
+                        "this engine without cdc actions; row-level "
+                        "changes are not reconstructible from the "
+                        "_delta_log alone"
                     )
                 if not c.get("add"):
                     continue

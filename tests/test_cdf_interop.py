@@ -1,0 +1,240 @@
+"""External-table CDF for UPDATE/DELETE commits: a Delta table with
+``delta.enableChangeDataFeed=true`` records row-level changes as
+``cdc`` actions pointing at ``_change_data`` parquet. Per the CDF
+protocol, a version carrying cdc actions serves its changes
+EXCLUSIVELY from those files — so foreign rewrite commits no longer
+refuse when the writer materialized CDC. Commits without cdc actions
+keep the old contract (append -> synthesized inserts; rewrite ->
+loud refusal).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from databricks_delta_lake_project_spark.governance.sharing import (
+    ShareProvider,
+    SharingClient,
+)
+from databricks_delta_lake_project_spark.tables import (
+    DeltaInteropTable,
+    LakeTable,
+)
+
+SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "val", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _pq(path: Path, ids, vals, change_types=None):
+    cols = {"id": pa.array(ids, pa.int64()), "val": pa.array(vals, pa.string())}
+    if change_types is not None:
+        cols["_change_type"] = pa.array(change_types, pa.string())
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pa.table(cols), path)
+
+
+def _commit(log: Path, v: int, actions):
+    log.mkdir(parents=True, exist_ok=True)
+    (log / f"{v:020d}.json").write_text(
+        "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+
+
+def _add(path, size=1):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": {},
+            "size": size,
+            "modificationTime": 1,
+            "dataChange": True,
+        }
+    }
+
+
+def _remove(path):
+    return {"remove": {"path": path, "deletionTimestamp": 2, "dataChange": True}}
+
+
+def _cdc(path):
+    return {
+        "cdc": {
+            "path": path,
+            "partitionValues": {},
+            "size": 1,
+            "dataChange": False,
+        }
+    }
+
+
+@pytest.fixture()
+def cdf_table(tmp_path):
+    """Foreign CDF-enabled Delta table: insert v0, UPDATE v1 (cdc pre/
+    post images), DELETE v2 (cdc delete rows), plain append v3."""
+    root = tmp_path / "ext_cdf"
+    _pq(root / "f0.parquet", [1, 2, 3], ["a", "b", "c"])
+    _pq(root / "f1.parquet", [1, 2, 3], ["a", "B!", "c"])
+    _pq(root / "f2.parquet", [2, 3], ["B!", "c"])
+    _pq(root / "f3.parquet", [4], ["d"])
+    _pq(
+        root / "_change_data/cdc-0.parquet",
+        [2, 2],
+        ["b", "B!"],
+        ["update_preimage", "update_postimage"],
+    )
+    _pq(root / "_change_data/cdc-1.parquet", [1], ["a"], ["delete"])
+    log = root / "_delta_log"
+    _commit(
+        log,
+        0,
+        [
+            {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 4}},
+            {
+                "metaData": {
+                    "id": "cdf-fixture",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": SCHEMA_JSON,
+                    "partitionColumns": [],
+                    "configuration": {"delta.enableChangeDataFeed": "true"},
+                }
+            },
+            _add("f0.parquet"),
+        ],
+    )
+    _commit(
+        log,
+        1,
+        [
+            {"commitInfo": {"timestamp": 2, "operation": "UPDATE"}},
+            _remove("f0.parquet"),
+            _add("f1.parquet"),
+            _cdc("_change_data/cdc-0.parquet"),
+        ],
+    )
+    _commit(
+        log,
+        2,
+        [
+            {"commitInfo": {"timestamp": 3, "operation": "DELETE"}},
+            _remove("f1.parquet"),
+            _add("f2.parquet"),
+            _cdc("_change_data/cdc-1.parquet"),
+        ],
+    )
+    _commit(
+        log,
+        3,
+        [
+            {"commitInfo": {"timestamp": 4, "operation": "WRITE"}},
+            _add("f3.parquet"),
+        ],
+    )
+    return root
+
+
+EXPECT_ALL = {
+    (1, "a", "insert", 0),
+    (2, "b", "insert", 0),
+    (3, "c", "insert", 0),
+    (2, "b", "update_preimage", 1),
+    (2, "B!", "update_postimage", 1),
+    (1, "a", "delete", 2),
+    (4, "d", "insert", 3),
+}
+
+
+def _tuples(df):
+    return {
+        (r["id"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in df.collect()
+    }
+
+
+def test_interop_cdf_serves_cdc_actions(spark, cdf_table):
+    it = DeltaInteropTable(spark, str(cdf_table))
+    assert _tuples(it.read_changes(0)) == EXPECT_ALL
+    # range filters apply per commit
+    assert _tuples(it.read_changes(2)) == {
+        t for t in EXPECT_ALL if t[3] >= 2
+    }
+    assert _tuples(it.read_changes(1, ending_version=1)) == {
+        t for t in EXPECT_ALL if t[3] == 1
+    }
+    # snapshot read unaffected: final state only
+    assert {(r["id"], r["val"]) for r in it.to_df().collect()} == {
+        (2, "B!"), (3, "c"), (4, "d"),
+    }
+
+
+def test_laketable_cdf_serves_cdc_actions(spark, cdf_table):
+    # writable external tables route through LakeTable.read_changes —
+    # same contract
+    t = LakeTable.for_path(spark, str(cdf_table))
+    assert isinstance(t, LakeTable)
+    assert _tuples(t.read_changes(starting_version=0)) == EXPECT_ALL
+
+
+def test_rewrite_without_cdc_still_refuses(spark, tmp_path):
+    root = tmp_path / "no_cdf"
+    _pq(root / "f0.parquet", [1], ["a"])
+    _pq(root / "f1.parquet", [1], ["A"])
+    log = root / "_delta_log"
+    _commit(
+        log,
+        0,
+        [
+            {"commitInfo": {"timestamp": 1, "operation": "WRITE"}},
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": "no-cdf",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": SCHEMA_JSON,
+                    "partitionColumns": [],
+                    "configuration": {},
+                }
+            },
+            _add("f0.parquet"),
+        ],
+    )
+    _commit(
+        log,
+        1,
+        [
+            {"commitInfo": {"timestamp": 2, "operation": "UPDATE"}},
+            _remove("f0.parquet"),
+            _add("f1.parquet"),
+        ],
+    )
+    it = DeltaInteropTable(spark, str(root))
+    with pytest.raises(NotImplementedError, match="without cdc actions"):
+        it.read_changes(0).collect()
+
+
+def test_shared_cdf_update_delete_passthrough(spark, cdf_table, tmp_path):
+    provider = ShareProvider(str(tmp_path / "shares_root"))
+    provider.create_share("ext_share")
+    provider.add_table("ext_share", str(cdf_table), "external.cdf_table")
+    profile = str(tmp_path / "cdf.share")
+    provider.create_recipient("partner", profile)
+    provider.grant("ext_share", "partner")
+    client = SharingClient(profile)
+    cdf = client.load_cdf(spark, "ext_share.external.cdf_table")
+    assert _tuples(cdf) == EXPECT_ALL
+    since = client.load_cdf(
+        spark, "ext_share.external.cdf_table", starting_version=2
+    )
+    assert _tuples(since) == {t for t in EXPECT_ALL if t[3] >= 2}
