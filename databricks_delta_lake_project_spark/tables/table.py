@@ -1203,10 +1203,12 @@ class LakeTable:
           O(table). ZORDER rewrites its whole scope (re-clustering by
           definition relocates rows across files).
 
-        Multi-dim clustering is approximated with range-partition +
-        in-partition sort on the cluster columns: per-file min/max
-        ranges become narrow so footer-stats skipping prunes scans —
-        the same effect Z-ORDER targets, without interleaved bit codes.
+        Single-column clustering is range-partition + in-partition
+        sort. Multi-column clustering uses REAL interleaved-bit
+        Z-values (``_with_zvalue``): per-column equal-depth buckets
+        whose bits interleave, so per-file min/max ranges narrow on
+        EVERY cluster column and footer-stats skipping prunes scans
+        for predicates on any of them — not only the leading column.
         """
         snap = self._log.latest_version(self.root)
         files = self._files()
@@ -1221,7 +1223,18 @@ class LakeTable:
         df = self._read_files(files)
         total_bytes = sum(e.get("bytes", 0) for e in files)
         n_out = target_files or max(1, total_bytes // (128 * 1024 * 1024))
-        if zorder_by:
+        if zorder_by and len(zorder_by) > 1:
+            # true multi-dim clustering: interleaved-bit z-value, so a
+            # predicate on ANY cluster column prunes files — range+sort
+            # would order by the leading column only and leave later
+            # columns' per-file min/max spanning the whole domain
+            df, zcol = _with_zvalue(df, list(zorder_by))
+            df = (
+                df.repartitionByRange(int(n_out), F.col(zcol))
+                .sortWithinPartitions(zcol)
+                .drop(zcol)
+            )
+        elif zorder_by:
             df = df.repartitionByRange(int(n_out), *zorder_by).sortWithinPartitions(
                 *zorder_by
             )
@@ -1719,6 +1732,79 @@ def _prune_by_stats(
         if ok:
             kept.append(e)
     return kept
+
+
+_Z_BITS = 4  # quantile buckets per dimension = 2^4
+_Z_SAMPLE = 4096  # driver-side sample size for string boundaries
+
+
+def _zorder_boundaries(df: DataFrame, col: str) -> list[Any]:
+    """Equal-depth bucket boundaries (at most 2^_Z_BITS - 1) for one
+    cluster column. Numerics/dates/timestamps use approxQuantile (one
+    bounded pass). Strings are bucketed by SAMPLED raw-string
+    boundaries compared lexicographically — the RangePartitioner
+    approach — because any numeric proxy of a string collapses under
+    double precision once values share a long common prefix (footer
+    min/max stats compare full strings, so boundaries must too)."""
+    dt = df.schema[col].dataType.simpleString()
+    qs = [i / (1 << _Z_BITS) for i in range(1, 1 << _Z_BITS)]
+    if dt == "string":
+        sample = [
+            r[0]
+            for r in df.select(col)
+            .filter(F.col(col).isNotNull())
+            .rdd.takeSample(False, _Z_SAMPLE, seed=42)
+        ]
+        sample.sort()
+        if not sample:
+            return []
+        return sorted(
+            {sample[min(int(q * len(sample)), len(sample) - 1)] for q in qs}
+        )
+    proxy = (
+        F.col(col).cast("timestamp").cast("double")
+        if dt in ("timestamp", "timestamp_ntz", "date")
+        else F.col(col).cast("double")
+    )
+    vals = df.select(proxy.alias("__q")).stat.approxQuantile("__q", qs, 0.01)
+    return sorted(set(vals))
+
+
+def _zorder_bucket(df: DataFrame, col: str, bounds: list[Any]) -> Column:
+    dt = df.schema[col].dataType.simpleString()
+    if dt == "string":
+        probe: Column = F.col(col)
+    elif dt in ("timestamp", "timestamp_ntz", "date"):
+        probe = F.col(col).cast("timestamp").cast("double")
+    else:
+        probe = F.col(col).cast("double")
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(probe >= F.lit(b), 1).otherwise(0)
+    return bucket.cast("long")
+
+
+def _with_zvalue(df: DataFrame, cols: list[str]) -> tuple[DataFrame, str]:
+    """Append an interleaved-bit Z-value over ``cols`` (the real
+    Z-ORDER, reference ``performance_optimization.py:82-134``): each
+    column is bucketed to 2^_Z_BITS equal-depth levels (quantile /
+    sampled boundaries — the same range-id computation delta-spark's
+    OPTIMIZE ZORDER runs), then the per-column bucket bits interleave
+    so consecutive z-values stay close in EVERY dimension. Clustering
+    by z therefore narrows each file's min/max on every cluster column
+    — footer-stats skipping works for predicates on ANY of them, not
+    just the leading one. NULLs sort to bucket 0."""
+    zexpr = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        bucket = _zorder_bucket(df, c, _zorder_boundaries(df, c))
+        for bit in range(_Z_BITS):
+            # bit `bit` of this column's bucket lands at interleaved
+            # position bit*ncols + ci
+            zexpr = zexpr + F.shiftleft(
+                F.shiftright(bucket, bit).bitwiseAND(F.lit(1)),
+                bit * len(cols) + ci,
+            )
+    return df.withColumn("__zval", zexpr), "__zval"
 
 
 def _write_files(
