@@ -1949,7 +1949,10 @@ class MergeBuilder:
         }
 
     def execute(
-        self, strategy: str = "auto", dv_max_rows: int = 1_000_000
+        self,
+        strategy: str = "auto",
+        dv_max_rows: int = 1_000_000,
+        retries: int = 0,
     ) -> dict[str, Any]:
         """Run the MERGE. ``strategy``:
 
@@ -1963,7 +1966,32 @@ class MergeBuilder:
           past ``dv_max_rows``.
         * ``"auto"`` — ``dv`` when Delta-backed AND
           ``delta.enableDeletionVectors`` is set, else rewrite.
+
+        ``retries``: an OCC loser (another writer committed a
+        conflicting version between this MERGE's snapshot and its
+        commit) raises ``ConcurrentModificationError``; with retries >
+        0 the whole MERGE recomputes from a FRESH snapshot — touched
+        files, join, clause application — and tries again, which is the
+        correct recovery (the stale plan must never be re-committed).
         """
+        from .log import ConcurrentModificationError
+
+        last: Exception | None = None
+        for _ in range(retries + 1):
+            try:
+                return self._execute_once(strategy, dv_max_rows)
+            except ConcurrentModificationError as e:
+                last = e
+                stale = getattr(self, "_persisted", None)
+                if stale is not None:
+                    stale.unpersist()
+                    self._persisted = None
+        assert last is not None
+        raise last
+
+    def _execute_once(
+        self, strategy: str, dv_max_rows: int
+    ) -> dict[str, Any]:
         t = self.table
         if strategy not in ("auto", "dv", "rewrite"):
             raise ValueError(f"unknown MERGE strategy: {strategy!r}")
@@ -2077,6 +2105,9 @@ class MergeBuilder:
         # metrics + CDF need the categorized rows; one pass, kept warm
         cdf_on = t._cdf_enabled()
         joined = joined.persist()
+        # remembered so a lost OCC race (exception before the tail
+        # unpersist) can release the cache before the retry recomputes
+        self._persisted = joined
         modified_pred = is_match & (update_hit | delete_pred)
         counts = joined.agg(
             F.sum(
@@ -2183,4 +2214,5 @@ class MergeBuilder:
             t._write_cdf(dele, "delete", v)
             t._write_cdf(ins, "insert", v)
         joined.unpersist()
+        self._persisted = None
         return metrics

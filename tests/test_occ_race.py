@@ -1,0 +1,133 @@
+"""Concurrent-writer OCC race: two writers racing disjoint-key MERGEs
+into ONE Delta-format table through the put-if-absent commit protocol.
+The loser's stale plan is rejected with ConcurrentModificationError
+and ``execute(retries=...)`` recomputes it from a fresh snapshot —
+both MERGEs land and the final state equals serial application.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from databricks_delta_lake_project_spark.tables import LakeTable
+from databricks_delta_lake_project_spark.tables.log import (
+    ConcurrentModificationError,
+)
+
+
+def _mk_table(spark, tmp_path, n=1000):
+    # ONE file holding both key ranges, so disjoint-KEY merges still
+    # touch the same FILE -> a genuine commit conflict, not just a
+    # version bump
+    df = spark.range(n).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    return LakeTable.create(
+        spark, str(tmp_path / "raced"), df=df.coalesce(1), format="delta"
+    )
+
+
+def _merge_range(spark, t, lo, hi, delta, barrier=None, retries=10):
+    src = spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(delta).cast("long").alias("dv")
+    )
+    b = (
+        t.merge(src, "t.k = s.k")
+        .whenMatchedUpdate({"v": "t.v + s.dv"})
+        .whenNotMatchedInsert({"k": "s.k", "v": "s.dv"})
+    )
+    if barrier is not None:
+        barrier.wait(timeout=60)
+    return b.execute(retries=retries)
+
+
+def test_concurrent_disjoint_merges_both_land(spark, tmp_path):
+    t = _mk_table(spark, tmp_path)
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    def run(name, lo, hi, delta):
+        try:
+            results[name] = _merge_range(
+                spark, t, lo, hi, delta, barrier=barrier
+            )
+        except Exception as e:  # surfaced below
+            results[name] = e
+
+    threads = [
+        threading.Thread(target=run, args=("a", 0, 500, 1)),
+        threading.Thread(target=run, args=("b", 500, 1200, 1000)),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not any(isinstance(v, Exception) for v in results.values()), results
+
+    # both MERGEs landed: the log gained exactly two MERGE commits
+    ops = [
+        c["operation"]
+        for c in t._log.read_log(t.root)
+    ]
+    assert ops.count("MERGE") == 2
+
+    # final state == serial application (order-independent: the key
+    # ranges are disjoint)
+    rows = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert len(rows) == 1200
+    assert all(rows[k] == 1 for k in range(0, 500))
+    assert all(rows[k] == 1000 for k in range(500, 1200))
+
+
+def test_merge_without_retries_raises_on_forced_conflict(spark, tmp_path):
+    """Deterministic loser: a builder that planned against a snapshot
+    made stale by an intervening commit touching the same file must
+    raise (retries=0) and succeed when allowed to recompute."""
+    t = _mk_table(spark, tmp_path, n=100)
+
+    class StaleOnce:
+        """Wrap the log backend so the first latest_version call inside
+        execute() returns the pre-conflict version, simulating a plan
+        computed just before the rival's commit landed."""
+
+        def __init__(self, inner, stale_version):
+            self._inner = inner
+            self._stale = stale_version
+            self._used = False
+
+        def latest_version(self, root):
+            if not self._used:
+                self._used = True
+                return self._stale
+            return self._inner.latest_version(root)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    stale_v = t.version()
+    # rival commit: touches the single data file
+    t.update("k = 1", {"v": "42"})
+
+    src = spark.createDataFrame([Row(k=2, dv=7)])
+    b = t.merge(src, "t.k = s.k").whenMatchedUpdate({"v": "t.v + s.dv"})
+    real_log = t._log
+    t._log = StaleOnce(real_log, stale_v)
+    try:
+        with pytest.raises(ConcurrentModificationError, match="conflicts"):
+            b.execute(retries=0)
+    finally:
+        t._log = real_log
+    # same builder, retry allowed: recomputes against the fresh
+    # snapshot and lands
+    t._log = StaleOnce(real_log, stale_v)
+    try:
+        m = b.execute(retries=2)
+    finally:
+        t._log = real_log
+    assert m["numTargetRowsUpdated"] == 1
+    rows = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert rows[1] == 42 and rows[2] == 7
