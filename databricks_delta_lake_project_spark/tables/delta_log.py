@@ -102,8 +102,10 @@ _OBLIGATION_META_KEYS = (
 
 def _fields_with_writer_obligations(schema) -> list[str]:
     """Names of fields whose metadata declares an obligation this
-    writer cannot honor: identity anywhere, generation expressions
-    below the top level."""
+    writer cannot honor: identity BELOW the top level, generation
+    expressions below the top level. Top-level identity columns are
+    honored (value generation + highWaterMark tracking in
+    ``LakeTable.append``), like top-level generated columns."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     hits: list[str] = []
@@ -112,7 +114,9 @@ def _fields_with_writer_obligations(schema) -> list[str]:
         if isinstance(dt, StructType):
             for f in dt.fields:
                 p = f"{path}.{f.name}" if path else f.name
-                if any(k in f.metadata for k in _OBLIGATION_META_KEYS):
+                if not top and any(
+                    k in f.metadata for k in _OBLIGATION_META_KEYS
+                ):
                     hits.append(p)
                 elif not top and "delta.generationExpression" in f.metadata:
                     hits.append(p)
@@ -640,6 +644,7 @@ class DeltaLogBackend:
         max_retries: int = 20,
         partition_columns: list[str] | None = None,
         expected_version: int | None = None,
+        schema_authoritative: bool = False,
     ) -> int:
         parameters = parameters or {}
         now = int(time.time() * 1000)
@@ -678,7 +683,12 @@ class DeltaLogBackend:
         # protocol's convention on mapped tables.
         log_to_phys: dict[str, str] = {}
         if state0 is not None and state0.schema_json:
-            if _strip_schema_metadata(schema_json) == (
+            if schema_authoritative:
+                # caller hands a deliberately metadata-bearing schema
+                # (identity highWaterMark advance, rename/drop) — emit
+                # verbatim, never "preserve" the stale current one
+                pass
+            elif _strip_schema_metadata(schema_json) == (
                 _strip_schema_metadata(state0.schema_json)
             ):
                 schema_json = state0.schema_json

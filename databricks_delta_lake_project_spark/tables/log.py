@@ -185,6 +185,7 @@ def commit(
     properties: dict[str, Any] | None = None,
     max_retries: int = 20,
     expected_version: int | None = None,
+    schema_authoritative: bool = False,
 ) -> int:
     """Append a commit with optimistic retry; returns the version.
 
@@ -205,7 +206,7 @@ def commit(
     # strip the table's declared metadata and disable constraint
     # enforcement for every later writer (same contract as the Delta
     # backend)
-    if latest_version(root) is not None:
+    if latest_version(root) is not None and not schema_authoritative:
         from .delta_interop import merge_schema_metadata, strip_schema_metadata
 
         cur_schema = schema_at(root)

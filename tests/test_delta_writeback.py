@@ -709,9 +709,10 @@ def test_writer_obligations_refused(spark, tmp_path):
     # test_check_constraints_and_invariants_enforced)
     p1 = mk("chk", config={"delta.constraints.positive": "id > 0"})
     assert isinstance(LakeTable.for_path(spark, p1), LakeTable)
-    # identity column -> read-only (monotonic allocation state)
+    # top-level identity column -> WRITABLE (value generation +
+    # highWaterMark tracking; full coverage in test_identity_columns)
     p2 = mk("ident", field_meta={"delta.identity.start": 1, "delta.identity.step": 1})
-    assert isinstance(LakeTable.for_path(spark, p2), DeltaInteropTable)
+    assert isinstance(LakeTable.for_path(spark, p2), LakeTable)
     # unknown v7 writer feature -> read-only
     p3 = mk(
         "rowtrack",
