@@ -645,6 +645,7 @@ class DeltaLogBackend:
         partition_columns: list[str] | None = None,
         expected_version: int | None = None,
         schema_authoritative: bool = False,
+        cdc: list[dict[str, Any]] | None = None,
     ) -> int:
         parameters = parameters or {}
         now = int(time.time() * 1000)
@@ -868,6 +869,22 @@ class DeltaLogBackend:
                 if e.get("deletionVector"):
                     action["deletionVector"] = e["deletionVector"]
                 lines.append({"add": action})
+            for c in cdc or []:
+                # protocol CDF: _change_data files holding this
+                # commit's row-level deltas; readers use them
+                # EXCLUSIVELY for this version
+                lines.append(
+                    {
+                        "cdc": {
+                            "path": c["path"],
+                            "partitionValues": dict(
+                                c.get("partitionValues") or {}
+                            ),
+                            "size": c.get("size", c.get("bytes", 0)),
+                            "dataChange": False,
+                        }
+                    }
+                )
             if any(e.get("deletionVector") for e in add):
                 # DV adds require the deletionVectors table feature —
                 # upgrade the protocol action in the same commit if the

@@ -238,3 +238,89 @@ def test_shared_cdf_update_delete_passthrough(spark, cdf_table, tmp_path):
         spark, "ext_share.external.cdf_table", starting_version=2
     )
     assert _tuples(since) == {t for t in EXPECT_ALL if t[3] >= 2}
+
+
+def test_engine_dml_writes_protocol_cdc(spark, tmp_path):
+    """Write side: the engine's own Delta-format DML must land cdc
+    actions + _change_data files when CDF is on, so EXTERNAL Delta
+    readers (modeled by DeltaInteropTable's independent replay) serve
+    exact update/delete/merge changes instead of refusing."""
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "engine_cdf"),
+        df=spark.createDataFrame(
+            [Row(id=1, val="a"), Row(id=2, val="b"), Row(id=3, val="c")]
+        ),
+        format="delta",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.update("id = 2", {"val": "'B!'"})                      # v1
+    t.delete("id = 1")                                        # v2
+    (
+        t.merge(
+            spark.createDataFrame([Row(id=3, val="C!"), Row(id=4, val="d")]),
+            "t.id = s.id",
+        )
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )                                                         # v3
+
+    # protocol level: each DML commit carries cdc actions
+    for v in (1, 2, 3):
+        c = t._log.read_commit(t.root, v)
+        assert c["cdc"], f"version {v} has no cdc actions"
+        assert all(a["path"].startswith("_change_data/") for a in c["cdc"])
+
+    # independent replay reader serves the full change history
+    it = DeltaInteropTable(spark, str(tmp_path / "engine_cdf"))
+    got = {
+        (r["id"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in it.read_changes(0).collect()
+    }
+    assert got == {
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (3, "c", "insert", 0),
+        (2, "b", "update_preimage", 1),
+        (2, "B!", "update_postimage", 1),
+        (1, "a", "delete", 2),
+        (3, "c", "update_preimage", 3),
+        (3, "C!", "update_postimage", 3),
+        (4, "d", "insert", 3),
+    }
+    # engine's own reader agrees (reads the _changes/ tail for its own
+    # commits)
+    own = {
+        (r["id"], r["val"], r["_change_type"], r["_commit_version"])
+        for r in t.read_changes(0).collect()
+    }
+    assert own == got
+
+
+def test_engine_partitioned_dml_protocol_cdc(spark, tmp_path):
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "engine_cdf_part"),
+        df=spark.createDataFrame(
+            [Row(p="x", id=1), Row(p="x", id=2), Row(p="y", id=3)]
+        ),
+        format="delta",
+        partition_by=["p"],
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.delete("id = 2")
+    c = t._log.read_commit(t.root, 1)
+    assert c["cdc"] and all(
+        a["partitionValues"] == {"p": "x"} for a in c["cdc"]
+    )
+    it = DeltaInteropTable(spark, str(tmp_path / "engine_cdf_part"))
+    dels = [
+        (r["p"], r["id"])
+        for r in it.read_changes(1).filter("_change_type = 'delete'").collect()
+    ]
+    assert dels == [("x", 2)]
