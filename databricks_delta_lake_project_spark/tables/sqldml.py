@@ -400,10 +400,26 @@ def _run_merge(spark: SparkSession, sql: str) -> dict[str, Any]:
         by = (hm.group(3) or "").upper()
         cond = rq(hm.group("cond")) if hm.group("cond") else None
         if by == "SOURCE":
-            raise NotImplementedError(
-                "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported; "
-                "express the target-only cleanup as a DELETE"
-            )
+            al = action.lower()
+            if al == "delete":
+                builder.whenNotMatchedBySourceDelete(cond)
+            elif al.startswith("update"):
+                ms = re.match(r"UPDATE\s+SET\s+", action, re.IGNORECASE)
+                if not ms:
+                    raise ValueError(f"MERGE: cannot parse action {action!r}")
+                assigns = _parse_assignments(action[ms.end() :])
+                builder.whenNotMatchedBySourceUpdate(
+                    {
+                        _strip_qualifiers(c, tname, talias): rq(e)
+                        for c, e in assigns.items()
+                    },
+                    cond,
+                )
+            else:
+                raise ValueError(
+                    f"MERGE: unsupported BY SOURCE action {action!r}"
+                )
+            continue
 
         al = action.lower()
         if not negated:

@@ -1366,3 +1366,50 @@ def test_mapped_rename_drop_guards(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="Delta log backend"):
         native.drop_column("a")
+
+
+def test_merge_not_matched_by_source_builder(spark, tmp_path):
+    """Builder-level BY SOURCE: delete/update target rows no source
+    row matches; works on the DV path too, and CDF records them."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=i, status="active", v=i * 10) for i in range(1, 6)]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "bysrc"), df=df.coalesce(2), format="delta",
+        properties={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    src = spark.createDataFrame([Row(id=2, v=999), Row(id=6, v=600)])
+    m = (
+        t.merge(src, "t.id = s.id")
+        .whenMatchedUpdate({"v": "s.v"})
+        .whenNotMatchedInsert({"id": "s.id", "status": "'active'", "v": "s.v"})
+        .whenNotMatchedBySourceDelete("t.id = 5")
+        .whenNotMatchedBySourceUpdate({"status": "'stale'"})
+        .execute()
+    )
+    assert m["numTargetRowsDeleted"] == 1       # id 5
+    assert m["numTargetRowsUpdated"] == 4       # id 2 matched + 1,3,4 stale
+    assert m["numTargetRowsInserted"] == 1      # id 6
+    got = {r["id"]: (r["status"], r["v"]) for r in t.to_df().collect()}
+    assert got == {
+        1: ("stale", 10),
+        2: ("active", 999),
+        3: ("stale", 30),
+        4: ("stale", 40),
+        6: ("active", 600),
+    }
+    # protocol CDF recorded the by-source rows too
+    cdc = t._log.read_commit(t.root, t.version())["cdc"]
+    assert cdc
+    changes = t.read_changes(t.version())
+    kinds = {
+        (r["id"], r["_change_type"]) for r in changes.collect()
+    }
+    assert (5, "delete") in kinds
+    assert (1, "update_postimage") in kinds and (1, "update_preimage") in kinds
+    assert (6, "insert") in kinds

@@ -252,17 +252,34 @@ def test_sql_insert_statements(spark, tmp_path):
     assert set(_rows(t)) == {42}
 
 
-def test_not_matched_by_source_refused(spark, tmp_path):
-    _mk_customers(spark, tmp_path, name="cust_r")
-    spark.createDataFrame([(1,)], "customer_id int").createOrReplaceTempView(
-        "src_r"
-    )
-    with pytest.raises(NotImplementedError, match="BY SOURCE"):
-        run_statement(
-            spark,
-            "MERGE INTO cust_r t3 USING src_r s3 ON t3.customer_id = s3.customer_id "
-            "WHEN NOT MATCHED BY SOURCE THEN DELETE",
-        )
+def test_not_matched_by_source_sql(spark, tmp_path):
+    """Sync-style MERGE: rows absent from the source are retired
+    (DELETE) or flagged (UPDATE) via WHEN NOT MATCHED BY SOURCE."""
+    t = _mk_customers(spark, tmp_path, name="cust_bs")
+    spark.createDataFrame(
+        [(1, "keep1@x.com", "GOLD", "2099-01-01")],
+        "customer_id int, email string, loyalty_tier string, updated_date string",
+    ).createOrReplaceTempView("src_bs")
+    res = run_statement(
+        spark,
+        """
+        MERGE INTO cust_bs AS target USING src_bs AS source
+        ON target.customer_id = source.customer_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED BY SOURCE AND target.loyalty_tier = 'GOLD'
+          THEN DELETE
+        WHEN NOT MATCHED BY SOURCE
+          THEN UPDATE SET target.loyalty_tier = 'LAPSED'
+        """,
+    ).collect()[0]
+    # id 1 matched-updated; id 3 (GOLD, not in source) deleted; id 2
+    # (SILVER, not in source) falls through to the second clause
+    assert res["numTargetRowsDeleted"] == 1
+    assert res["numTargetRowsUpdated"] == 2
+    rows = _rows(t)
+    assert set(rows) == {1, 2}
+    assert rows[1][0] == "keep1@x.com"
+    assert rows[2][1] == "LAPSED"
 
 
 def test_alias_collision_target_named_s(spark, tmp_path):
