@@ -1,0 +1,301 @@
+"""Streaming CDF source for ANY Delta table (engine-written or
+foreign) as a native Structured Streaming source, via PySpark 4's
+Python Data Source API — the OSS stand-in for
+``spark.readStream.format("delta").option("readChangeFeed", "true")``
+(reference stream surface ``delta_lake_features.py:357-368`` +
+``delta_sharing_recipient.py:180-205``).
+
+Offsets ARE table versions: a micro-batch covers the half-open commit
+range [start.version, end.version), so restart/replay semantics come
+from the checkpoint for free and each commit is delivered exactly
+once. Per the CDF protocol a version with ``cdc`` actions serves its
+changes exclusively from those ``_change_data`` files; append-only
+versions synthesize ``insert`` rows from their add files; a rewrite
+commit without cdc actions fails the stream loudly (row-level deltas
+are not reconstructible) rather than emitting wrong changes.
+
+Scale shape: ``partitions()`` plans one input partition per change
+file (driver cost O(files in the version range), the same as any file
+source), and ``read()`` runs executor-side via pyarrow with no
+driver data movement. On a real cluster the package ships to workers
+like any other Python dependency (py-files / wheel); local mode shares
+PYTHONPATH.
+
+Usage::
+
+    from databricks_delta_lake_project_spark.sources.cdf_stream import (
+        register_cdf_stream,
+    )
+    register_cdf_stream(spark)
+    changes = (
+        spark.readStream.format("delta_cdf_stream")
+        .option("path", table_root)
+        .option("startingVersion", 0)        # default 0
+        .option("maxVersionsPerBatch", 10)   # optional rate limit
+        .load()
+    )
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import TYPE_CHECKING, Any, Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+_LOG_DIR = "_delta_log"
+
+
+def _commit_versions(root: str) -> list[int]:
+    log = Path(root) / _LOG_DIR
+    if not log.is_dir():
+        raise ValueError(f"not a Delta table (no {_LOG_DIR}): {root}")
+    return sorted(
+        int(p.stem) for p in log.glob("*.json") if p.stem.isdigit()
+    )
+
+
+def _read_commit_actions(root: str, v: int) -> list[dict[str, Any]]:
+    out = []
+    with open(Path(root) / _LOG_DIR / f"{v:020d}.json") as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+class CdfFilePartition(InputPartition):
+    """One change file of one commit: everything ``read()`` needs,
+    serialized to the executor (no driver state)."""
+
+    def __init__(
+        self,
+        file_path: str,
+        version: int,
+        change_type: str | None,  # None -> the file carries its own
+        partition_values: dict[str, str],
+        logical_names: list[str],
+        physical_names: list[str],
+        partition_cols: list[str],
+        ddl_types: dict[str, str],
+    ):
+        self.file_path = file_path
+        self.version = version
+        self.change_type = change_type
+        self.partition_values = partition_values
+        self.logical_names = logical_names
+        self.physical_names = physical_names
+        self.partition_cols = partition_cols
+        self.ddl_types = ddl_types
+
+
+class DeltaCdfStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict[str, str]):
+        # DSv2 normalizes option keys to lowercase
+        opts = {k.lower(): v for k, v in options.items()}
+        self.root = opts["path"]
+        self.start_version = int(opts.get("startingversion", 0) or 0)
+        self.max_versions = int(opts.get("maxversionsperbatch", 0) or 0)
+        self.out_schema = schema
+
+    # -- offsets -----------------------------------------------------------
+
+    def initialOffset(self) -> dict:
+        return {"version": self.start_version}
+
+    def latestOffset(self) -> dict:
+        versions = _commit_versions(self.root)
+        latest_excl = (versions[-1] + 1) if versions else self.start_version
+        if self.max_versions:
+            # best-effort rate limit: at most N commits per micro-batch,
+            # anchored at the last committed end (tracked in commit();
+            # a restart re-anchors at startingVersion until the first
+            # batch commits)
+            latest_excl = min(latest_excl, self.start_version + self.max_versions)
+        return {"version": max(latest_excl, self.start_version)}
+
+    # -- planning (driver) -------------------------------------------------
+
+    def _table_state(self, up_to: int) -> tuple[StructType, list[str], str]:
+        """(schema, partition columns, mapping mode) as of ``up_to``
+        (inclusive), by folding metaData actions — self-contained so
+        the reader needs no engine table handle."""
+        schema_json, pcols, mode = None, [], "none"
+        for v in _commit_versions(self.root):
+            if v > up_to:
+                break
+            for a in _read_commit_actions(self.root, v):
+                md = a.get("metaData")
+                if md:
+                    schema_json = md["schemaString"]
+                    pcols = list(md.get("partitionColumns") or [])
+                    mode = dict(md.get("configuration") or {}).get(
+                        "delta.columnMapping.mode", "none"
+                    )
+        if schema_json is None:
+            raise ValueError(f"no metaData action in {self.root}")
+        return StructType.fromJson(json.loads(schema_json)), pcols, mode
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = int(start["version"]), int(end["version"])
+        parts: list[InputPartition] = []
+        versions = [v for v in _commit_versions(self.root) if lo <= v < hi]
+        if not versions:
+            return []
+        schema, pcols, mode = self._table_state(versions[-1])
+        phys_key = "delta.columnMapping.physicalName"
+        logical = [f.name for f in schema.fields]
+        physical = [
+            f.metadata.get(phys_key, f.name) if mode != "none" else f.name
+            for f in schema.fields
+        ]
+        ddl_types = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
+        phys_by_logical = dict(zip(logical, physical))
+        phys_pcols = [phys_by_logical[c] for c in pcols]
+
+        for v in versions:
+            acts = _read_commit_actions(self.root, v)
+            cdcs = [a["cdc"] for a in acts if a.get("cdc")]
+            adds = [
+                a["add"]
+                for a in acts
+                if a.get("add") and a["add"].get("dataChange", True)
+            ]
+            removed = any(
+                a.get("remove", {}).get("dataChange", True)
+                for a in acts
+                if a.get("remove")
+            )
+            dv = any(a.get("deletionVector") for a in adds)
+            if cdcs:
+                chosen, ctype = cdcs, None
+            elif removed or dv:
+                raise ValueError(
+                    f"CDF stream at version {v}: commit rewrote files "
+                    "without cdc actions (change data feed was off at "
+                    "write time); refusing to emit wrong changes"
+                )
+            else:
+                chosen, ctype = adds, "insert"
+            for e in chosen:
+                parts.append(
+                    CdfFilePartition(
+                        str(Path(self.root) / e["path"]),
+                        v,
+                        ctype,
+                        dict(e.get("partitionValues") or {}),
+                        logical,
+                        physical,
+                        phys_pcols,
+                        ddl_types,
+                    )
+                )
+        return parts
+
+    # -- execution (executor) ----------------------------------------------
+
+    def read(self, partition: CdfFilePartition) -> Iterator["pa.RecordBatch"]:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        def arrow_type(ddl: str):
+            return {
+                "tinyint": pa.int8(),
+                "smallint": pa.int16(),
+                "int": pa.int32(),
+                "bigint": pa.int64(),
+                "long": pa.int64(),
+                "float": pa.float32(),
+                "double": pa.float64(),
+                "boolean": pa.bool_(),
+                "date": pa.date32(),
+                "timestamp": pa.timestamp("us"),
+                "string": pa.string(),
+            }.get(ddl, pa.string())
+
+        table = pq.read_table(partition.file_path)
+        n = table.num_rows
+        cols: list[pa.Array | pa.ChunkedArray] = []
+        names: list[str] = []
+        file_cols = set(table.column_names)
+        for lname, pname in zip(
+            partition.logical_names, partition.physical_names
+        ):
+            dtyp = partition.ddl_types.get(lname, "string")
+            if pname in partition.partition_cols:
+                # hive layout: the value lives in the directory, typed
+                # per the logical schema (arrow casts ISO strings to
+                # numeric/date/timestamp)
+                raw = partition.partition_values.get(pname)
+                arr = pa.array([raw] * n, pa.string())
+                if raw is not None:
+                    arr = pc.cast(arr, arrow_type(dtyp))
+                cols.append(arr)
+            elif pname in file_cols:
+                cols.append(table.column(pname))
+            else:
+                # column added by later schema evolution: null-fill
+                cols.append(pa.nulls(n, type=arrow_type(dtyp)))
+            names.append(lname)
+        if partition.change_type is None:
+            cols.append(table.column("_change_type"))
+        else:
+            cols.append(pa.array([partition.change_type] * n, pa.string()))
+        names.append("_change_type")
+        cols.append(pa.array([partition.version] * n, pa.int64()))
+        names.append("_commit_version")
+        out = pa.table(dict(zip(names, cols)))
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+    def commit(self, end: dict) -> None:
+        # offsets are durable in the query checkpoint; track the end
+        # locally only to anchor the maxVersionsPerBatch rate limit
+        self.start_version = max(self.start_version, int(end["version"]))
+
+
+class DeltaCdfStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "delta_cdf_stream"
+
+    def schema(self) -> StructType:
+        root = self.options["path"]
+        schema_json = None
+        for v in _commit_versions(root):
+            for a in _read_commit_actions(root, v):
+                if a.get("metaData"):
+                    schema_json = a["metaData"]["schemaString"]
+        if schema_json is None:
+            raise ValueError(f"no metaData action in {root}")
+        base = StructType.fromJson(json.loads(schema_json))
+        # strip field metadata (mapping ids etc.) from the OUTPUT
+        # schema; read() already resolves physical names
+        fields = [
+            StructField(f.name, f.dataType, True) for f in base.fields
+        ]
+        fields.append(StructField("_change_type", StringType(), True))
+        from pyspark.sql.types import LongType
+
+        fields.append(StructField("_commit_version", LongType(), True))
+        return StructType(fields)
+
+    def streamReader(self, schema: StructType) -> DeltaCdfStreamReader:
+        return DeltaCdfStreamReader(schema, dict(self.options))
+
+
+def register_cdf_stream(spark) -> None:
+    """Register the ``delta_cdf_stream`` format on this session."""
+    spark.dataSource.register(DeltaCdfStreamDataSource)
