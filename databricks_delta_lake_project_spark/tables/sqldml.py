@@ -298,6 +298,9 @@ def statement_kind(sql: str) -> str | None:
         ("delete", "delete"),
         ("insert", "insert"),
         ("alter", "alter"),
+        ("optimize", "optimize"),
+        ("vacuum", "vacuum"),
+        ("restore", "restore"),
     ):
         if head.startswith(kw):
             return kind
@@ -319,6 +322,12 @@ def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
         return _run_delete(spark, text)
     if kind == "alter":
         return _run_alter(spark, text)
+    if kind == "optimize":
+        return _run_optimize(spark, text)
+    if kind == "vacuum":
+        return _run_vacuum(spark, text)
+    if kind == "restore":
+        return _run_restore(spark, text)
     return _run_insert(spark, text)
 
 
@@ -562,6 +571,83 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
         )
         return {"operation": "SET TBLPROPERTIES", "version": v}
     raise NotImplementedError(f"unsupported ALTER TABLE form: {rest[:80]!r}")
+
+
+def _run_optimize(spark: SparkSession, sql: str) -> dict[str, Any]:
+    """``OPTIMIZE t [WHERE pred] [ZORDER BY (c1, c2)]`` — the
+    reference's maintenance surface (``performance_optimization.py:
+    27-134``), routed to :meth:`LakeTable.optimize` (multi-column
+    ZORDER uses the interleaved-bit clustering)."""
+    m = re.match(
+        r"OPTIMIZE\s+(?P<tref>`[^`]+`|[A-Za-z_][\w.]*)"
+        r"(?:\s+WHERE\s+(?P<where>.*?))?"
+        r"(?:\s+ZORDER\s+BY\s*\((?P<zcols>[^)]*)\))?\s*$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse OPTIMIZE statement: {sql[:80]!r}")
+    table = resolve_table(spark, m.group("tref"))
+    zorder = (
+        [c.strip("` ") for c in _split_commas(m.group("zcols"))]
+        if m.group("zcols")
+        else None
+    )
+    return {
+        **table.optimize(
+            zorder_by=zorder,
+            where=(m.group("where") or "").strip() or None,
+        ),
+        "operation": "OPTIMIZE",
+    }
+
+
+def _run_vacuum(spark: SparkSession, sql: str) -> dict[str, Any]:
+    """``VACUUM t [RETAIN n HOURS] [DRY RUN]``
+    (``delta_lake_features.py:385-393``)."""
+    m = re.match(
+        r"VACUUM\s+(?P<tref>`[^`]+`|[A-Za-z_][\w.]*)"
+        r"(?:\s+RETAIN\s+(?P<hours>[\d.]+)\s+HOURS?)?"
+        r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse VACUUM statement: {sql[:80]!r}")
+    table = resolve_table(spark, m.group("tref"))
+    victims = table.vacuum(
+        retain_hours=float(m.group("hours") or 168.0),
+        dry_run=bool(m.group("dry")),
+    )
+    return {"operation": "VACUUM", "numDeletedFiles": len(victims)}
+
+
+def _run_restore(spark: SparkSession, sql: str) -> dict[str, Any]:
+    """``RESTORE TABLE t TO VERSION AS OF n`` — the reference's own
+    form (``delta_lake_features.py:157-176``); TIMESTAMP AS OF resolves
+    through the log's timestamp index."""
+    m = re.match(
+        r"RESTORE\s+(?:TABLE\s+)?(?P<tref>`[^`]+`|[A-Za-z_][\w.]*)\s+"
+        r"TO\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<v>'[^']*'|\d+)\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse RESTORE statement: {sql[:80]!r}")
+    table = resolve_table(spark, m.group("tref"))
+    if m.group("kind").upper() == "VERSION":
+        target = int(m.group("v"))
+    else:
+        from datetime import datetime, timezone
+
+        dt = datetime.fromisoformat(m.group("v").strip("'"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        target = table._log.version_at_timestamp(
+            table.root, int(dt.timestamp() * 1000)
+        )
+    v = table.restore(target)
+    return {"operation": "RESTORE", "restoredVersion": target, "version": v}
 
 
 def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:

@@ -322,3 +322,44 @@ def test_alter_table_sql_forms(spark, tmp_path):
     assert t.properties()["delta.enableChangeDataFeed"] == "true"
     with pytest.raises(NotImplementedError, match="unsupported ALTER"):
         run_statement(spark, "ALTER TABLE alter_t ADD CONSTRAINT c CHECK (a > 0)")
+
+
+def test_maintenance_sql_statements(spark, tmp_path):
+    """OPTIMIZE / VACUUM / RESTORE run as plain SQL statements, routed
+    to the engine's maintenance ops."""
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "maint_t"),
+        df=spark.createDataFrame([Row(a=i, b=i % 4) for i in range(100)]),
+        format="delta",
+    )
+    for i in range(100, 104):
+        t.append(spark.createDataFrame([Row(a=i, b=i % 4)]))
+    sqldml.register_table(spark, "maint_t", t)
+
+    res = run_statement(spark, "OPTIMIZE maint_t").collect()[0]
+    assert res["numFilesAdded"] >= 1
+    res = run_statement(
+        spark, "OPTIMIZE maint_t ZORDER BY (a, b)"
+    ).collect()[0]
+    assert res["numFilesAdded"] >= 1
+
+    v_before = t.version()
+    run_statement(spark, "DELETE FROM maint_t WHERE a < 50")
+    assert t.to_df().count() == 54
+    res = run_statement(
+        spark, f"RESTORE TABLE maint_t TO VERSION AS OF {v_before}"
+    ).collect()[0]
+    assert res["restoredVersion"] == v_before
+    assert t.to_df().count() == 104
+
+    res = run_statement(
+        spark, "VACUUM maint_t RETAIN 0 HOURS DRY RUN"
+    ).collect()[0]
+    assert res["numDeletedFiles"] >= 1  # the pre-restore rewrite files
+    # real vacuum removes them
+    res2 = run_statement(spark, "VACUUM maint_t RETAIN 0 HOURS").collect()[0]
+    assert res2["numDeletedFiles"] >= 1
+    assert t.to_df().count() == 104
