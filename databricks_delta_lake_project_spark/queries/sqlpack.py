@@ -131,6 +131,16 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
     normalization."""
     from ..tables import sqldml
 
+    md = re.match(
+        r"\s*DESCRIBE\s+HISTORY\s+(`[^`]+`|[\w.]+)\s*;?\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if md:
+        # direct DESCRIBE HISTORY over a DML-registered LakeTable (the
+        # Databricks-SQL subquery form `FROM (DESCRIBE HISTORY t)` over
+        # catalog views is handled by normalize_sql)
+        return sqldml.resolve_table(spark, md.group(1)).history()
     if sqldml.statement_kind(sql) is not None:
         metrics = sqldml.run_dml(spark, normalize_sql(sql))
         return sqldml.metrics_df(spark, metrics)

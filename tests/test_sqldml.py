@@ -363,3 +363,11 @@ def test_maintenance_sql_statements(spark, tmp_path):
     res2 = run_statement(spark, "VACUUM maint_t RETAIN 0 HOURS").collect()[0]
     assert res2["numDeletedFiles"] >= 1
     assert t.to_df().count() == 104
+
+
+def test_describe_history_statement(spark, tmp_path):
+    t = _mk_customers(spark, tmp_path, name="hist_t")
+    run_statement(spark, "DELETE FROM hist_t WHERE customer_id = 1")
+    h = run_statement(spark, "DESCRIBE HISTORY hist_t")
+    ops = [r["operation"] for r in h.orderBy("version").collect()]
+    assert ops == ["CREATE TABLE AS SELECT", "DELETE"]
