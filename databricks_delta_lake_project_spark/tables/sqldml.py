@@ -301,6 +301,9 @@ def statement_kind(sql: str) -> str | None:
         ("optimize", "optimize"),
         ("vacuum", "vacuum"),
         ("restore", "restore"),
+        ("create table", "create"),
+        ("create or replace table", "create"),
+        ("create table if not exists", "create"),
     ):
         if head.startswith(kw):
             return kind
@@ -322,6 +325,8 @@ def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
         return _run_delete(spark, text)
     if kind == "alter":
         return _run_alter(spark, text)
+    if kind == "create":
+        return _run_create(spark, text)
     if kind == "optimize":
         return _run_optimize(spark, text)
     if kind == "vacuum":
@@ -545,20 +550,32 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
         for c in _split_commas(cols_text):
             v = table.drop_column(c.strip("`"))
         return {"operation": "DROP COLUMNS", "version": v}
+    mcl = re.match(
+        r"CLUSTER\s+BY\s*\((?P<cols>[^)]*)\)\s*$", rest, re.IGNORECASE
+    )
+    if mcl:
+        # re-declare clustering columns: metadata-only (the liquid
+        # clustering "no full rewrite" contract); the next OPTIMIZE
+        # clusters by the new columns
+        cols = [c.strip("` ") for c in _split_commas(mcl.group("cols"))]
+        merged = {**table.properties(), "engine.clusterBy": ",".join(cols)}
+        v = table._log.commit(
+            table.root,
+            "CLUSTER BY",
+            [],
+            [],
+            table._log.schema_at(table.root),
+            parameters={"clusterBy": cols},
+            properties=merged,
+        )
+        return {"operation": "CLUSTER BY", "version": v}
     mp = re.match(
         r"SET\s+TBLPROPERTIES\s*\((?P<body>.*)\)\s*$",
         rest,
         re.IGNORECASE | re.DOTALL,
     )
     if mp:
-        props = {}
-        for item in _split_commas(mp.group("body")):
-            me = _find_top(item, r"=")
-            if me is None:
-                raise ValueError(f"ALTER: cannot parse property {item!r}")
-            k = item[: me.start()].strip().strip("'\"`")
-            val = item[me.start() + 1 :].strip().strip("'\"")
-            props[k] = val
+        props = _parse_properties(mp.group("body"))
         merged = {**table.properties(), **props}
         v = table._log.commit(
             table.root,
@@ -571,6 +588,160 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
         )
         return {"operation": "SET TBLPROPERTIES", "version": v}
     raise NotImplementedError(f"unsupported ALTER TABLE form: {rest[:80]!r}")
+
+
+def _parse_properties(body: str) -> dict[str, str]:
+    props: dict[str, str] = {}
+    for item in _split_commas(body):
+        me = _find_top(item, r"=")
+        if me is None:
+            raise ValueError(f"cannot parse property {item!r}")
+        k = item[: me.start()].strip().strip("'\"`")
+        props[k] = item[me.start() + 1 :].strip().strip("'\"")
+    return props
+
+
+def _balanced_paren(s: str) -> tuple[str, str]:
+    """``s`` starts at '('; return (inner_text, rest_after_close)."""
+    mask = _mask(s)
+    close = next(
+        i for i, ch in enumerate(s) if ch == ")" and mask[i] == (1, False)
+    )
+    return s[1:close], s[close + 1 :]
+
+
+def _run_create(spark: SparkSession, sql: str) -> dict[str, Any]:
+    """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] name
+    [(col type, ...)] [USING DELTA] [PARTITIONED BY (...)]
+    [CLUSTER BY (...)] [LOCATION 'path'] [TBLPROPERTIES (...)]
+    [AS select]`` — the reference's DDL surface
+    (``delta_lake_features.py:206-212`` schema-demo,
+    ``performance_optimization.py:145-169`` liquid clustering).
+
+    Managed tables land under ``spark.sql.warehouse.dir``/engine_tables
+    with dots mapped to directories; ``CLUSTER BY`` is recorded as the
+    ``engine.clusterBy`` table property, which a later bare OPTIMIZE
+    picks up (the liquid-clustering contract: clustering is declared on
+    the table, triggered by OPTIMIZE, re-declarable without rewrite via
+    ALTER TABLE ... CLUSTER BY). The created table self-registers for
+    later DML by name."""
+    from pyspark.sql.types import StructType as _ST
+
+    from .table import LakeTable
+
+    m = re.match(
+        r"CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?",
+        sql,
+        re.IGNORECASE,
+    )
+    rest = sql[m.end() :]
+    tname, rest = _read_table_ref(rest)
+    rest = rest.lstrip()
+
+    schema: _ST | None = None
+    if rest.startswith("("):
+        cols_text, rest = _balanced_paren(rest)
+        schema = _ST.fromDDL(cols_text)
+        rest = rest.lstrip()
+
+    partition_by: list[str] | None = None
+    cluster_by: list[str] | None = None
+    location: str | None = None
+    props: dict[str, str] = {}
+    select_sql: str | None = None
+    while rest:
+        mu = re.match(r"USING\s+(\w+)\s*", rest, re.IGNORECASE)
+        if mu:
+            fmt = mu.group(1).lower()
+            if fmt not in ("delta", "parquet"):
+                raise ValueError(f"unsupported table format {fmt!r}")
+            rest = rest[mu.end() :]
+            continue
+        mp = re.match(r"PARTITIONED\s+BY\s*\(", rest, re.IGNORECASE)
+        if mp:
+            inner, rest = _balanced_paren(rest[mp.end() - 1 :])
+            partition_by = [c.strip("` ") for c in _split_commas(inner)]
+            rest = rest.lstrip()
+            continue
+        mc = re.match(r"CLUSTER\s+BY\s*\(", rest, re.IGNORECASE)
+        if mc:
+            inner, rest = _balanced_paren(rest[mc.end() - 1 :])
+            cluster_by = [c.strip("` ") for c in _split_commas(inner)]
+            rest = rest.lstrip()
+            continue
+        ml = re.match(r"LOCATION\s+'([^']+)'\s*", rest, re.IGNORECASE)
+        if ml:
+            location = ml.group(1)
+            rest = rest[ml.end() :]
+            continue
+        mt = re.match(r"TBLPROPERTIES\s*\(", rest, re.IGNORECASE)
+        if mt:
+            inner, rest = _balanced_paren(rest[mt.end() - 1 :])
+            props.update(_parse_properties(inner))
+            rest = rest.lstrip()
+            continue
+        ma = re.match(r"AS\s+", rest, re.IGNORECASE)
+        if ma:
+            select_sql = rest[ma.end() :].strip()
+            rest = ""
+            continue
+        raise ValueError(f"CREATE TABLE: cannot parse clause at {rest[:60]!r}")
+
+    if schema is None and select_sql is None:
+        raise ValueError("CREATE TABLE needs a column list or AS SELECT")
+    if cluster_by:
+        props["engine.clusterBy"] = ",".join(cluster_by)
+
+    clean = tname.strip("`")
+    if location is None:
+        import os
+
+        # runtime-settable override first (spark.sql.warehouse.dir is
+        # a static conf), else the session warehouse
+        try:
+            wh = spark.conf.get("spark.engine.warehouse.dir")
+        except Exception:
+            wh = None
+        if not wh:
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        wh = re.sub("^file:/*", "/", wh) if wh.startswith("file:") else wh
+        location = os.path.join(wh, "engine_tables", *clean.split("."))
+
+    from pathlib import Path as _P
+
+    from .delta_interop import is_delta_table
+
+    exists = LakeTable.is_table(location) or is_delta_table(location)
+    if exists and m.group("ine"):
+        t = LakeTable.for_path(spark, location)
+        register_table(spark, clean, t)
+        return {"operation": "CREATE TABLE", "created": 0}
+    if exists and not m.group("replace"):
+        raise ValueError(f"table already exists: {location}")
+    if exists:
+        import shutil
+
+        shutil.rmtree(location, ignore_errors=True)
+    _P(location).parent.mkdir(parents=True, exist_ok=True)
+
+    df = spark.sql(select_sql) if select_sql is not None else None
+    t = LakeTable.create(
+        spark,
+        location,
+        df=df,
+        schema=schema if df is None else None,
+        format="delta",
+        partition_by=partition_by,
+        properties=props or None,
+    )
+    register_table(spark, clean, t)
+    n = (
+        t._log.read_commit(t.root, t.version())
+        .get("operationMetrics", {})
+        .get("numOutputRows", 0)
+    )
+    return {"operation": "CREATE TABLE", "created": 1, "numOutputRows": int(n)}
 
 
 def _run_optimize(spark: SparkSession, sql: str) -> dict[str, Any]:
@@ -593,6 +764,12 @@ def _run_optimize(spark: SparkSession, sql: str) -> dict[str, Any]:
         if m.group("zcols")
         else None
     )
+    if zorder is None:
+        # liquid-clustering contract: a bare OPTIMIZE triggers the
+        # clustering DECLARED on the table (CREATE/ALTER ... CLUSTER BY)
+        declared = table.properties().get("engine.clusterBy")
+        if declared:
+            zorder = [c.strip() for c in str(declared).split(",") if c.strip()]
     return {
         **table.optimize(
             zorder_by=zorder,

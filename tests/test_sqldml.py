@@ -371,3 +371,77 @@ def test_describe_history_statement(spark, tmp_path):
     h = run_statement(spark, "DESCRIBE HISTORY hist_t")
     ops = [r["operation"] for r in h.orderBy("version").collect()]
     assert ops == ["CREATE TABLE AS SELECT", "DELETE"]
+
+
+def test_create_table_sql_schema_demo(spark, tmp_path):
+    """Reference delta_lake_features.py:206-212 verbatim (modulo the
+    catalog prefix resolving to a managed engine path)."""
+    spark.conf.set("spark.engine.warehouse.dir", str(tmp_path / "wh"))
+    res = run_statement(
+        spark,
+        """
+        CREATE OR REPLACE TABLE customer_360_catalog.silver.schema_demo (
+            id INT,
+            name STRING,
+            value DOUBLE
+        ) USING DELTA
+        """,
+    ).collect()[0]
+    assert res["created"] == 1
+    # schema-on-write enforcement: matching append works, extra column
+    # is rejected (the behavior the reference demo shows)
+    run_statement(
+        spark,
+        "INSERT INTO schema_demo VALUES (1, 'Alice', 100.0)",
+    )
+    t = sqldml.resolve_table(spark, "schema_demo")
+    assert t.to_df().count() == 1
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.append(
+            spark.createDataFrame(
+                [(2, "Bob", 200.0, "extra")],
+                "id int, name string, value double, new_col string",
+            )
+        )
+    # IF NOT EXISTS: no-op on the existing table
+    res2 = run_statement(
+        spark,
+        "CREATE TABLE IF NOT EXISTS customer_360_catalog.silver.schema_demo "
+        "(id INT) USING DELTA",
+    ).collect()[0]
+    assert res2["created"] == 0
+    assert t.to_df().count() == 1
+
+
+def test_create_table_ctas_cluster_by_and_optimize(spark, tmp_path):
+    """Liquid-clustering contract (performance_optimization.py:145-169):
+    CLUSTER BY is declared on the table, a bare OPTIMIZE triggers it,
+    ALTER TABLE ... CLUSTER BY re-declares without rewrite."""
+    spark.conf.set("spark.engine.warehouse.dir", str(tmp_path / "wh2"))
+    spark.range(4096).selectExpr(
+        "id % 64 AS customer_id", "CAST(id / 64 AS LONG) AS txn_day",
+        "id AS amount"
+    ).createOrReplaceTempView("src_ctas")
+    res = run_statement(
+        spark,
+        "CREATE OR REPLACE TABLE gold.clustered "
+        "USING DELTA CLUSTER BY (customer_id, txn_day) "
+        "AS SELECT * FROM src_ctas",
+    ).collect()[0]
+    assert res["numOutputRows"] == 4096
+    t = sqldml.resolve_table(spark, "clustered")
+    assert t.properties()["engine.clusterBy"] == "customer_id,txn_day"
+
+    # bare OPTIMIZE picks up the declared clustering (at fixture scale
+    # the scope compacts to one file, so pin the commit's zOrderBy
+    # parameter — pruning quality itself is pinned at scale in
+    # tests/test_read_skipping.py)
+    run_statement(spark, "OPTIMIZE gold.clustered")
+    params = t._log.read_commit(t.root, t.version())["operationParameters"]
+    assert params.get("zOrderBy") == ["customer_id", "txn_day"]
+
+    # re-declare clustering: metadata-only commit
+    files_before = {e["path"] for e in t._files()}
+    run_statement(spark, "ALTER TABLE gold.clustered CLUSTER BY (txn_day)")
+    assert t.properties()["engine.clusterBy"] == "txn_day"
+    assert {e["path"] for e in t._files()} == files_before
