@@ -141,6 +141,8 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
         # Databricks-SQL subquery form `FROM (DESCRIBE HISTORY t)` over
         # catalog views is handled by normalize_sql)
         return sqldml.resolve_table(spark, md.group(1)).history()
+    # registered LakeTables resolve by name in FROM/USING clauses
+    sqldml.sync_views(spark)
     if sqldml.statement_kind(sql) is not None:
         metrics = sqldml.run_dml(spark, normalize_sql(sql))
         return sqldml.metrics_df(spark, metrics)

@@ -57,6 +57,35 @@ def register_table(spark: SparkSession, name: str, table: "LakeTable") -> None:
     _REGISTRY[_skey(spark, name)] = table
 
 
+# temp views this module created (never user-owned ones), so each
+# statement can refresh them to the table's CURRENT snapshot
+_OWNED_VIEWS: set[tuple[int, str]] = set()
+
+
+def sync_views(spark: SparkSession) -> None:
+    """Expose every registered LakeTable as a same-named temp view (last
+    dotted component) so plain SELECTs and MERGE USING clauses resolve
+    table names. Views are refreshed per call — each statement sees the
+    current snapshot — and a user's own temp view is never shadowed."""
+    sid = id(spark._jsparkSession)
+    for (s, n), t in list(_REGISTRY.items()):
+        if s != sid:
+            continue
+        name = n.split(".")[-1]
+        key = (sid, name)
+        if key in _OWNED_VIEWS or not spark.catalog.tableExists(name):
+            try:
+                df = t.to_df()
+            except Exception:
+                # table directory gone (e.g. a temp workspace cleaned
+                # up) — drop the dead registration instead of poisoning
+                # every later statement
+                _REGISTRY.pop((s, n), None)
+                continue
+            df.createOrReplaceTempView(name)
+            _OWNED_VIEWS.add(key)
+
+
 def resolve_table(spark: SparkSession, name: str) -> "LakeTable":
     from .table import LakeTable
 

@@ -445,3 +445,36 @@ def test_create_table_ctas_cluster_by_and_optimize(spark, tmp_path):
     run_statement(spark, "ALTER TABLE gold.clustered CLUSTER BY (txn_day)")
     assert t.properties()["engine.clusterBy"] == "txn_day"
     assert {e["path"] for e in t._files()} == files_before
+
+
+def test_registered_tables_queryable_by_name(spark, tmp_path):
+    """A full SQL session: CREATE -> INSERT -> SELECT -> MERGE USING a
+    registered table -> SELECT again, all by name."""
+    spark.conf.set("spark.engine.warehouse.dir", str(tmp_path / "wh3"))
+    run_statement(
+        spark, "CREATE OR REPLACE TABLE sess.src_t (id INT, v INT) USING DELTA"
+    )
+    run_statement(
+        spark, "CREATE OR REPLACE TABLE sess.dst_t (id INT, v INT) USING DELTA"
+    )
+    run_statement(spark, "INSERT INTO src_t VALUES (1, 10), (2, 20)")
+    run_statement(spark, "INSERT INTO dst_t VALUES (2, 0), (3, 30)")
+    got = {
+        (r["id"], r["v"])
+        for r in run_statement(spark, "SELECT * FROM src_t").collect()
+    }
+    assert got == {(1, 10), (2, 20)}
+    # MERGE USING a registered table BY NAME
+    run_statement(
+        spark,
+        "MERGE INTO dst_t AS t9 USING src_t AS s9 ON t9.id = s9.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {
+        (r["id"], r["v"])
+        for r in run_statement(spark, "SELECT * FROM dst_t ORDER BY id").collect()
+    }
+    assert got == {(1, 10), (2, 20), (3, 30)}
+    # the view refreshes per statement: a later DELETE is visible
+    run_statement(spark, "DELETE FROM dst_t WHERE id = 3")
+    assert run_statement(spark, "SELECT COUNT(*) AS n FROM dst_t").collect()[0]["n"] == 2
