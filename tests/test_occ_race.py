@@ -131,3 +131,37 @@ def test_merge_without_retries_raises_on_forced_conflict(spark, tmp_path):
     assert m["numTargetRowsUpdated"] == 1
     rows = {r["k"]: r["v"] for r in t.to_df().collect()}
     assert rows[1] == 42 and rows[2] == 7
+
+
+def test_concurrent_disjoint_deletes_and_updates_retry(spark, tmp_path):
+    """DELETE/UPDATE get the same OCC recompute-and-retry as MERGE:
+    two threads mutate disjoint key ranges in one single-file table;
+    both land."""
+    t = _mk_table(spark, tmp_path, n=400)
+    barrier = threading.Barrier(2)
+    results: dict[str, object] = {}
+
+    def do_delete():
+        try:
+            barrier.wait(timeout=60)
+            results["del"] = t.delete("k < 100", retries=10)
+        except Exception as e:
+            results["del"] = e
+
+    def do_update():
+        try:
+            barrier.wait(timeout=60)
+            results["upd"] = t.update("k >= 300", {"v": "7"}, retries=10)
+        except Exception as e:
+            results["upd"] = e
+
+    ts = [threading.Thread(target=do_delete), threading.Thread(target=do_update)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join(timeout=300)
+    assert not any(isinstance(v, Exception) for v in results.values()), results
+    rows = {r["k"]: r["v"] for r in t.to_df().collect()}
+    assert set(rows) == set(range(100, 400))
+    assert all(rows[k] == 7 for k in range(300, 400))
+    assert all(rows[k] == 0 for k in range(100, 300))
