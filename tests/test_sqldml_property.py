@@ -1,0 +1,125 @@
+"""Property test: a MERGE expressed as SQL and the SAME clause spec
+applied through the MergeBuilder produce identical final tables — the
+SQL parser/requalifier round-trips arbitrary alias names, clause
+orders, and conditions without changing semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from databricks_delta_lake_project_spark.queries.sqlpack import run_statement
+from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
+
+# aliases deliberately include the builder's canonical t/s and
+# keyword-ish names
+ALIASES = ["t", "s", "target", "source", "tgt", "src_x"]
+
+clause_specs = st.lists(
+    st.sampled_from(
+        [
+            ("matched_update", "s.v > t.v"),
+            ("matched_update", None),
+            ("matched_delete", "s.v % 3 = 0"),
+            ("matched_delete", None),
+            ("not_matched_insert", "s.v % 2 = 0"),
+            ("not_matched_insert", None),
+            ("by_source_delete", "t.v > 60"),
+            ("by_source_update", None),
+        ]
+    ),
+    min_size=1,
+    max_size=4,
+    unique=True,
+)
+
+
+def _apply_builder(t, src, clauses):
+    b = t.merge(src, "t.k = s.k")
+    for kind, cond in clauses:
+        if kind == "matched_update":
+            b.whenMatchedUpdate({"v": "s.v + 100"}, cond)
+        elif kind == "matched_delete":
+            b.whenMatchedDelete(cond)
+        elif kind == "not_matched_insert":
+            b.whenNotMatchedInsert({"k": "s.k", "v": "s.v"}, cond)
+        elif kind == "by_source_delete":
+            b.whenNotMatchedBySourceDelete(cond)
+        elif kind == "by_source_update":
+            b.whenNotMatchedBySourceUpdate({"v": "t.v - 1"}, cond)
+    b.execute()
+
+
+def _to_sql(ta, sa, clauses):
+    def rq(cond):
+        if not cond:
+            return None
+        # two-phase so swapped aliases (ta='s', sa='t') don't
+        # double-substitute
+        return (
+            cond.replace("t.", "\x01.")
+            .replace("s.", "\x02.")
+            .replace("\x01.", f"{ta}.")
+            .replace("\x02.", f"{sa}.")
+        )
+
+    parts = [
+        f"MERGE INTO prop_target AS {ta} USING prop_source AS {sa} "
+        f"ON {ta}.k = {sa}.k"
+    ]
+    for kind, cond in clauses:
+        c = f" AND {rq(cond)}" if cond else ""
+        if kind == "matched_update":
+            parts.append(
+                f"WHEN MATCHED{c} THEN UPDATE SET {ta}.v = {sa}.v + 100"
+            )
+        elif kind == "matched_delete":
+            parts.append(f"WHEN MATCHED{c} THEN DELETE")
+        elif kind == "not_matched_insert":
+            parts.append(
+                f"WHEN NOT MATCHED{c} THEN INSERT (k, v) "
+                f"VALUES ({sa}.k, {sa}.v)"
+            )
+        elif kind == "by_source_delete":
+            parts.append(f"WHEN NOT MATCHED BY SOURCE{c} THEN DELETE")
+        elif kind == "by_source_update":
+            parts.append(
+                f"WHEN NOT MATCHED BY SOURCE{c} THEN UPDATE SET {ta}.v = {ta}.v - 1"
+            )
+    return "\n".join(parts)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    clauses=clause_specs,
+    ta=st.sampled_from(ALIASES),
+    sa=st.sampled_from(ALIASES),
+    seed=st.integers(min_value=0, max_value=5),
+)
+def test_sql_merge_equals_builder_merge(spark, tmp_path_factory, clauses, ta, sa, seed):
+    if ta == sa:
+        sa = "other_side"
+    base = tmp_path_factory.mktemp("prop")
+    tgt_rows = [(k, (k * 7 + seed) % 100) for k in range(0, 30)]
+    src_rows = [(k, (k * 13 + seed) % 100) for k in range(15, 45)]
+    df_t = spark.createDataFrame(tgt_rows, "k int, v int")
+    df_s = spark.createDataFrame(src_rows, "k int, v int")
+
+    t_sql = LakeTable.create(spark, str(base / "sql"), df=df_t)
+    t_api = LakeTable.create(spark, str(base / "api"), df=df_t)
+    sqldml.register_table(spark, "prop_target", t_sql)
+    df_s.createOrReplaceTempView("prop_source")
+
+    run_statement(spark, _to_sql(ta, sa, clauses))
+    _apply_builder(t_api, df_s, clauses)
+
+    got_sql = sorted((r["k"], r["v"]) for r in t_sql.to_df().collect())
+    got_api = sorted((r["k"], r["v"]) for r in t_api.to_df().collect())
+    assert got_sql == got_api, _to_sql(ta, sa, clauses)
