@@ -81,3 +81,74 @@ def test_merge_prunes_files_by_source_range(spark, ranged_table):
         for r in ranged_table.to_df().filter("k IN (101, 150, 500)").collect()
     }
     assert got == {101: -1, 150: -2, 500: 1000}
+
+
+def test_generated_column_partition_pruning(spark, tmp_path):
+    """Delta's generated-column partition pruning: a predicate on the
+    raw timestamp prunes the DATE partitions generated from it — the
+    base-column bounds derive the partition-column interval through
+    the monotone generation expression."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+        DateType,
+    )
+
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType(), True),
+            StructField("v", LongType(), True),
+            StructField(
+                "p_date",
+                DateType(),
+                True,
+                {"delta.generationExpression": "CAST(ts AS DATE)"},
+            ),
+        ]
+    )
+    # 10 days x 100 events
+    df = (
+        spark.range(1000)
+        .select(
+            F.timestamp_seconds(
+                F.lit(1_704_067_200)  # 2024-01-01 00:00:00 UTC
+                + (F.col("id") % 10) * 86400
+                + (F.col("id") * 37) % 86400
+            ).alias("ts"),
+            F.col("id").alias("v"),
+        )
+        .withColumn("p_date", F.lit(None).cast("date"))
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "genpart"),
+        df=spark.createDataFrame(df.rdd, schema),
+        format="delta",
+        partition_by=["p_date"],
+    )
+    n_parts = len({e["partitionValues"]["p_date"] for e in t._files()})
+    assert n_parts == 10
+
+    # read path: 2-day ts window opens only those partitions' files
+    pred = "ts >= '2024-01-03 00:00:00' AND ts <= '2024-01-04 23:59:59'"
+    got = t.read_where(pred)
+    assert len(got.inputFiles()) == len(
+        [e for e in t._files() if e["partitionValues"]["p_date"] in ("2024-01-03", "2024-01-04")]
+    )
+    assert got.count() == t.to_df().filter(pred).count() == 200
+
+    # write path: a ts-window DELETE touches only those partitions
+    m = t.delete(pred)
+    assert m["numDeletedRows"] == 200
+    latest = t._log.read_commit(t.root, t.version())
+    touched_parts = {
+        a["path"].split("/")[1].split("=")[1] for a in [
+            {"path": p} for p in latest["remove"]
+        ]
+    }
+    assert touched_parts <= {"2024-01-03", "2024-01-04"}
