@@ -152,3 +152,52 @@ def test_generated_column_partition_pruning(spark, tmp_path):
         ]
     }
     assert touched_parts <= {"2024-01-03", "2024-01-04"}
+
+
+def test_generated_column_pruning_date_trunc_month(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType(), True),
+            StructField("v", LongType(), True),
+            StructField(
+                "p_month",
+                TimestampType(),
+                True,
+                {"delta.generationExpression": "date_trunc('month', ts)"},
+            ),
+        ]
+    )
+    # 6 months x 50 events
+    df = (
+        spark.range(300)
+        .select(
+            F.timestamp_seconds(
+                F.lit(1_704_067_200) + (F.col("id") % 6) * 2_592_000
+            ).alias("ts"),
+            F.col("id").alias("v"),
+        )
+        .withColumn("p_month", F.lit(None).cast("timestamp"))
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "genmonth"),
+        df=spark.createDataFrame(df.rdd, schema),
+        format="delta",
+        partition_by=["p_month"],
+    )
+    all_files = len(t._files())
+    assert all_files >= 4
+    pred = "ts >= '2024-02-01 00:00:00' AND ts <= '2024-02-25 00:00:00'"
+    got = t.read_where(pred)
+    assert len(got.inputFiles()) < all_files
+    assert got.count() == t.to_df().filter(pred).count()
