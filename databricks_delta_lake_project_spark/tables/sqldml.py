@@ -333,6 +333,7 @@ def statement_kind(sql: str) -> str | None:
         ("create table", "create"),
         ("create or replace table", "create"),
         ("create table if not exists", "create"),
+        ("truncate", "truncate"),
     ):
         if head.startswith(kw):
             return kind
@@ -362,6 +363,16 @@ def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
         return _run_vacuum(spark, text)
     if kind == "restore":
         return _run_restore(spark, text)
+    if kind == "truncate":
+        m = re.match(
+            r"TRUNCATE\s+(?:TABLE\s+)?(`[^`]+`|[\w.]+)\s*$", text, re.IGNORECASE
+        )
+        if not m:
+            raise ValueError(f"cannot parse TRUNCATE statement: {text[:80]!r}")
+        return {
+            **resolve_table(spark, m.group(1)).truncate(),
+            "operation": "TRUNCATE",
+        }
     return _run_insert(spark, text)
 
 

@@ -478,3 +478,13 @@ def test_registered_tables_queryable_by_name(spark, tmp_path):
     # the view refreshes per statement: a later DELETE is visible
     run_statement(spark, "DELETE FROM dst_t WHERE id = 3")
     assert run_statement(spark, "SELECT COUNT(*) AS n FROM dst_t").collect()[0]["n"] == 2
+
+
+def test_truncate_table(spark, tmp_path):
+    t = _mk_customers(spark, tmp_path, name="trunc_t")
+    v_before = t.version()
+    res = run_statement(spark, "TRUNCATE TABLE trunc_t").collect()[0]
+    assert res["numDeletedRows"] == 3 and res["numRemovedFiles"] >= 1
+    assert t.to_df().count() == 0
+    # metadata-only: pre-truncate version still time-travels
+    assert t.to_df(version=v_before).count() == 3
