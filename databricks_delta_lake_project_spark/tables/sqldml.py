@@ -72,6 +72,8 @@ def sync_views(spark: SparkSession) -> None:
         if s != sid:
             continue
         name = n.split(".")[-1]
+        if not re.fullmatch(r"\w+", name):
+            continue  # path-registered tables have no view-able name
         key = (sid, name)
         if key in _OWNED_VIEWS or not spark.catalog.tableExists(name):
             try:
@@ -334,6 +336,7 @@ def statement_kind(sql: str) -> str | None:
         ("create or replace table", "create"),
         ("create table if not exists", "create"),
         ("truncate", "truncate"),
+        ("convert", "convert"),
     ):
         if head.startswith(kw):
             return kind
@@ -363,6 +366,33 @@ def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
         return _run_vacuum(spark, text)
     if kind == "restore":
         return _run_restore(spark, text)
+    if kind == "convert":
+        m = re.match(
+            r"CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`"
+            r"(?:\s+PARTITIONED\s+BY\s*\((?P<pcols>[^)]*)\))?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CONVERT statement: {text[:80]!r}")
+        from .table import LakeTable
+
+        pschema = None
+        if m.group("pcols"):
+            pschema = {}
+            for item in _split_commas(m.group("pcols")):
+                bits = item.split()
+                pschema[bits[0].strip("`")] = (
+                    " ".join(bits[1:]) if len(bits) > 1 else "string"
+                )
+        t = LakeTable.convert_parquet(
+            spark, m.group(1), partition_schema=pschema
+        )
+        register_table(spark, m.group(1), t)
+        return {
+            "operation": "CONVERT TO DELTA",
+            "numConvertedFiles": len(t._files()),
+        }
     if kind == "truncate":
         m = re.match(
             r"TRUNCATE\s+(?:TABLE\s+)?(`[^`]+`|[\w.]+)\s*$", text, re.IGNORECASE

@@ -1413,3 +1413,45 @@ def test_merge_not_matched_by_source_builder(spark, tmp_path):
     assert (5, "delete") in kinds
     assert (1, "update_postimage") in kinds and (1, "update_preimage") in kinds
     assert (6, "insert") in kinds
+
+
+def test_convert_parquet_to_delta_in_place(spark, tmp_path):
+    """CONVERT TO DELTA: a plain hive-partitioned parquet directory
+    becomes a Delta table with NO data rewrite — footer-stats adds,
+    typed partition columns, then full DML + interop round-trip."""
+    src = tmp_path / "raw"
+    df = spark.range(300).selectExpr(
+        "id AS k", "CONCAT('d', id % 3) AS day", "id * 2 AS v"
+    )
+    df.write.partitionBy("day").parquet(str(src))
+    orig_files = {p.name for p in src.rglob("*.parquet")}
+
+    t = LakeTable.convert_parquet(
+        spark, str(src), partition_schema={"day": "string"}
+    )
+    # no rewrite: same physical files
+    assert {p.name for p in Path(str(src)).rglob("*.parquet")} == orig_files
+    assert [f.name for f in t.schema.fields] == ["k", "v", "day"]
+    assert t.to_df().count() == 300
+    assert (
+        t.to_df().filter("day = 'd1'").count()
+        == df.filter("day = 'd1'").count()
+    )
+    # partition pruning works off the synthesized stats
+    m = t.delete("day = 'd2'")
+    assert m["numWholeFilesRemoved"] >= 1 and m["numDeletedRows"] == 100
+    # independent replay reader agrees after DML
+    it = DeltaInteropTable(spark, str(src))
+    assert it.to_df().count() == 200
+    assert {r["day"] for r in it.to_df().select("day").distinct().collect()} == {
+        "d0", "d1",
+    }
+    # appends land hive-style alongside the converted files
+    t.append(
+        spark.createDataFrame([(999, 4.0, "d9")], "k long, v double, day string")
+        .selectExpr("k", "CAST(v AS LONG) v", "day")
+    )
+    assert t.to_df().filter("day = 'd9'").count() == 1
+    # double-convert refuses
+    with pytest.raises(ValueError, match="already a table"):
+        LakeTable.convert_parquet(spark, str(src))

@@ -488,3 +488,18 @@ def test_truncate_table(spark, tmp_path):
     assert t.to_df().count() == 0
     # metadata-only: pre-truncate version still time-travels
     assert t.to_df(version=v_before).count() == 3
+
+
+def test_convert_to_delta_sql(spark, tmp_path):
+    src = tmp_path / "raw_sql"
+    spark.range(60).selectExpr(
+        "id AS k", "CONCAT('p', id % 2) AS part"
+    ).write.partitionBy("part").parquet(str(src))
+    res = run_statement(
+        spark,
+        f"CONVERT TO DELTA parquet.`{src}` PARTITIONED BY (part string)",
+    ).collect()[0]
+    assert res["numConvertedFiles"] >= 2
+    t = sqldml.resolve_table(spark, str(src))
+    assert t.to_df().count() == 60
+    assert [f.name for f in t.schema.fields] == ["k", "part"]
