@@ -31,9 +31,14 @@ Usage::
         spark.readStream.format("delta_cdf_stream")
         .option("path", table_root)
         .option("startingVersion", 0)        # default 0
-        .option("maxVersionsPerBatch", 10)   # optional rate limit
         .load()
     )
+
+No per-batch rate limit is offered: with version-valued offsets a cap
+would have to be anchored at the last COMMITTED offset, which this API
+does not expose to ``latestOffset`` — an in-process anchor regresses
+after restart and would re-deliver committed versions. Bound batch
+size upstream (commit cadence) instead.
 """
 
 from __future__ import annotations
@@ -87,7 +92,7 @@ class CdfFilePartition(InputPartition):
         logical_names: list[str],
         physical_names: list[str],
         partition_cols: list[str],
-        ddl_types: dict[str, str],
+        arrow_types: dict[str, Any],
     ):
         self.file_path = file_path
         self.version = version
@@ -96,7 +101,7 @@ class CdfFilePartition(InputPartition):
         self.logical_names = logical_names
         self.physical_names = physical_names
         self.partition_cols = partition_cols
-        self.ddl_types = ddl_types
+        self.arrow_types = arrow_types
 
 
 class DeltaCdfStreamReader(DataSourceStreamReader):
@@ -105,7 +110,12 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         opts = {k.lower(): v for k, v in options.items()}
         self.root = opts["path"]
         self.start_version = int(opts.get("startingversion", 0) or 0)
-        self.max_versions = int(opts.get("maxversionsperbatch", 0) or 0)
+        if opts.get("maxversionsperbatch"):
+            raise ValueError(
+                "maxVersionsPerBatch is not supported: a version-window "
+                "cap cannot be anchored correctly across restarts with "
+                "this API (it would re-deliver committed versions)"
+            )
         self.out_schema = schema
 
     # -- offsets -----------------------------------------------------------
@@ -116,12 +126,6 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         versions = _commit_versions(self.root)
         latest_excl = (versions[-1] + 1) if versions else self.start_version
-        if self.max_versions:
-            # best-effort rate limit: at most N commits per micro-batch,
-            # anchored at the last committed end (tracked in commit();
-            # a restart re-anchors at startingVersion until the first
-            # batch commits)
-            latest_excl = min(latest_excl, self.start_version + self.max_versions)
         return {"version": max(latest_excl, self.start_version)}
 
     # -- planning (driver) -------------------------------------------------
@@ -159,9 +163,18 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
             f.metadata.get(phys_key, f.name) if mode != "none" else f.name
             for f in schema.fields
         ]
-        ddl_types = {
-            f.name: f.dataType.simpleString() for f in schema.fields
-        }
+        # exact arrow types per column, computed ONCE at planning so
+        # read() types null-fills and partition values correctly for
+        # every Spark type (decimal, binary, nested, ...)
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        arrow_types = {}
+        for f in schema.fields:
+            try:
+                arrow_types[f.name] = to_arrow_type(f.dataType)
+            except Exception:
+                arrow_types[f.name] = pa.string()
         phys_by_logical = dict(zip(logical, physical))
         phys_pcols = [phys_by_logical[c] for c in pcols]
 
@@ -199,7 +212,7 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                         logical,
                         physical,
                         phys_pcols,
-                        ddl_types,
+                        arrow_types,
                     )
                 )
         return parts
@@ -211,21 +224,6 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        def arrow_type(ddl: str):
-            return {
-                "tinyint": pa.int8(),
-                "smallint": pa.int16(),
-                "int": pa.int32(),
-                "bigint": pa.int64(),
-                "long": pa.int64(),
-                "float": pa.float32(),
-                "double": pa.float64(),
-                "boolean": pa.bool_(),
-                "date": pa.date32(),
-                "timestamp": pa.timestamp("us"),
-                "string": pa.string(),
-            }.get(ddl, pa.string())
-
         table = pq.read_table(partition.file_path)
         n = table.num_rows
         cols: list[pa.Array | pa.ChunkedArray] = []
@@ -234,21 +232,21 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         for lname, pname in zip(
             partition.logical_names, partition.physical_names
         ):
-            dtyp = partition.ddl_types.get(lname, "string")
+            atype = partition.arrow_types.get(lname, pa.string())
             if pname in partition.partition_cols:
                 # hive layout: the value lives in the directory, typed
                 # per the logical schema (arrow casts ISO strings to
-                # numeric/date/timestamp)
+                # numeric/date/timestamp/decimal)
                 raw = partition.partition_values.get(pname)
                 arr = pa.array([raw] * n, pa.string())
                 if raw is not None:
-                    arr = pc.cast(arr, arrow_type(dtyp))
+                    arr = pc.cast(arr, atype)
                 cols.append(arr)
             elif pname in file_cols:
                 cols.append(table.column(pname))
             else:
                 # column added by later schema evolution: null-fill
-                cols.append(pa.nulls(n, type=arrow_type(dtyp)))
+                cols.append(pa.nulls(n, type=atype))
             names.append(lname)
         if partition.change_type is None:
             cols.append(table.column("_change_type"))
@@ -261,9 +259,8 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         yield from out.to_batches(max_chunksize=1 << 16)
 
     def commit(self, end: dict) -> None:
-        # offsets are durable in the query checkpoint; track the end
-        # locally only to anchor the maxVersionsPerBatch rate limit
-        self.start_version = max(self.start_version, int(end["version"]))
+        # offsets are durable in the query checkpoint; nothing to ack
+        pass
 
 
 class DeltaCdfStreamDataSource(DataSource):

@@ -735,7 +735,7 @@ class DeltaLogBackend:
         )
         for _ in range(max_retries):
             prev = self.latest_version(root)
-            if remove and prev != planned_prev:
+            if (remove or schema_authoritative) and prev != planned_prev:
                 # lost a race with removes in hand: our add/remove plan
                 # came from a stale snapshot. Conflict iff an
                 # intervening commit TOUCHED a file we plan to remove

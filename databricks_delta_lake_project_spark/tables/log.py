@@ -223,7 +223,16 @@ def commit(
     )
     for _ in range(max_retries):
         prev = latest_version(root)
-        if remove and prev != planned_prev:
+        if (remove or schema_authoritative) and prev != planned_prev:
+            if schema_authoritative:
+                # the caller computed schema metadata (e.g. an identity
+                # highWaterMark) from a now-stale snapshot; emitting it
+                # could regress a rival's advance — recompute and retry
+                raise ConcurrentModificationError(
+                    f"{operation} planned at v{planned_prev} carries "
+                    f"schema metadata but v{prev} landed since; "
+                    "recompute and retry"
+                )
             ours = set(remove)
             lo = -1 if planned_prev is None else planned_prev
             for c in read_log(root):

@@ -57,16 +57,19 @@ def register_table(spark: SparkSession, name: str, table: "LakeTable") -> None:
     _REGISTRY[_skey(spark, name)] = table
 
 
-# temp views this module created (never user-owned ones), so each
-# statement can refresh them to the table's CURRENT snapshot
-_OWNED_VIEWS: set[tuple[int, str]] = set()
+# temp views this module created (never user-owned ones), mapped to
+# the table VERSION they reflect — a view is only rebuilt when the
+# table moved, so a script of N statements over M tables does O(changed
+# tables) refreshes, not O(N*M) log replays
+_OWNED_VIEWS: dict[tuple[int, str], int | None] = {}
 
 
 def sync_views(spark: SparkSession) -> None:
     """Expose every registered LakeTable as a same-named temp view (last
     dotted component) so plain SELECTs and MERGE USING clauses resolve
-    table names. Views are refreshed per call — each statement sees the
-    current snapshot — and a user's own temp view is never shadowed."""
+    table names. A view refreshes only when its table's version moved
+    (cheap latest-version probe, no replay); a user's own temp view is
+    never shadowed."""
     sid = id(spark._jsparkSession)
     for (s, n), t in list(_REGISTRY.items()):
         if s != sid:
@@ -75,7 +78,14 @@ def sync_views(spark: SparkSession) -> None:
         if not re.fullmatch(r"\w+", name):
             continue  # path-registered tables have no view-able name
         key = (sid, name)
-        if key in _OWNED_VIEWS or not spark.catalog.tableExists(name):
+        try:
+            v = t._log.latest_version(t.root)
+        except Exception:
+            v = None
+        owned = key in _OWNED_VIEWS
+        if owned and _OWNED_VIEWS[key] == v:
+            continue  # table unchanged since the last sync
+        if owned or not spark.catalog.tableExists(name):
             try:
                 df = t.to_df()
             except Exception:
@@ -83,9 +93,10 @@ def sync_views(spark: SparkSession) -> None:
                 # up) — drop the dead registration instead of poisoning
                 # every later statement
                 _REGISTRY.pop((s, n), None)
+                _OWNED_VIEWS.pop(key, None)
                 continue
             df.createOrReplaceTempView(name)
-            _OWNED_VIEWS.add(key)
+            _OWNED_VIEWS[key] = v
 
 
 def resolve_table(spark: SparkSession, name: str) -> "LakeTable":
@@ -200,6 +211,47 @@ def _split_top(sql: str, pattern: str) -> list[str]:
         prev = c
     parts.append(sql[prev:])
     return parts
+
+
+def _merge_when_cuts(sql: str) -> list[int]:
+    """Positions of MERGE-clause ``WHEN`` heads: depth-0, unquoted,
+    OUTSIDE any ``CASE .. END`` expression, and followed by
+    ``[NOT] MATCHED`` — so a ``CASE WHEN`` inside a condition or SET
+    value never splits the clause list."""
+    mask = _mask(sql)
+    case_depth = 0
+    cuts: list[int] = []
+    for m in re.finditer(r"\b(CASE|END|WHEN)\b", sql, re.IGNORECASE):
+        if mask[m.start()] != (0, False):
+            continue
+        w = m.group(1).upper()
+        if w == "CASE":
+            case_depth += 1
+        elif w == "END":
+            case_depth = max(0, case_depth - 1)
+        elif case_depth == 0 and re.match(
+            r"WHEN\s+(NOT\s+)?MATCHED\b", sql[m.start() :], re.IGNORECASE
+        ):
+            cuts.append(m.start())
+    return cuts
+
+
+def _find_clause_then(sql: str) -> re.Match | None:
+    """First ``THEN`` at depth 0, unquoted, outside CASE..END — the
+    MERGE clause's THEN, never a CASE's."""
+    mask = _mask(sql)
+    case_depth = 0
+    for m in re.finditer(r"\b(CASE|END|THEN)\b", sql, re.IGNORECASE):
+        if mask[m.start()] != (0, False):
+            continue
+        w = m.group(1).upper()
+        if w == "CASE":
+            case_depth += 1
+        elif w == "END":
+            case_depth = max(0, case_depth - 1)
+        elif case_depth == 0:
+            return m
+    return None
 
 
 def _split_commas(s: str) -> list[str]:
@@ -451,11 +503,13 @@ def _run_merge(spark: SparkSession, sql: str) -> dict[str, Any]:
         raise ValueError("MERGE: expected ON <condition>")
     rest = rest[mo.end() :]
 
-    mw = _find_top(rest, r"\bWHEN\b")
-    if mw is None:
+    cuts = _merge_when_cuts(rest)
+    if not cuts:
         raise ValueError("MERGE: expected at least one WHEN clause")
-    on_cond = rest[: mw.start()].strip()
-    clause_text = rest[mw.start() :]
+    on_cond = rest[: cuts[0]].strip()
+    chunks = [
+        rest[a:b] for a, b in zip(cuts, cuts[1:] + [len(rest)])
+    ]
 
     def rq(e: str) -> str:
         return _requalify(e, tname, talias, sname, salias)
@@ -463,11 +517,11 @@ def _run_merge(spark: SparkSession, sql: str) -> dict[str, Any]:
     table = resolve_table(spark, tname)
     builder = table.merge(source_df, rq(on_cond))
 
-    for chunk in _split_top(clause_text, r"\bWHEN\b"):
+    for chunk in chunks:
         chunk = chunk.strip()
         if not chunk:
             continue
-        mt = _find_top(chunk, r"\bTHEN\b")
+        mt = _find_clause_then(chunk)
         if mt is None:
             raise ValueError(f"MERGE: WHEN clause without THEN: {chunk[:80]!r}")
         head = chunk[4 : mt.start()].strip()  # after 'WHEN'
@@ -494,7 +548,7 @@ def _run_merge(spark: SparkSession, sql: str) -> dict[str, Any]:
                 assigns = _parse_assignments(action[ms.end() :])
                 builder.whenNotMatchedBySourceUpdate(
                     {
-                        _strip_qualifiers(c, tname, talias): rq(e)
+                        _strip_qualifiers(c, tname, talias).strip("`"): rq(e)
                         for c, e in assigns.items()
                     },
                     cond,
@@ -518,7 +572,7 @@ def _run_merge(spark: SparkSession, sql: str) -> dict[str, Any]:
                 assigns = _parse_assignments(action[ms.end() :])
                 builder.whenMatchedUpdate(
                     {
-                        _strip_qualifiers(c, tname, talias): rq(e)
+                        _strip_qualifiers(c, tname, talias).strip("`"): rq(e)
                         for c, e in assigns.items()
                     },
                     cond,
@@ -537,7 +591,7 @@ def _run_merge(spark: SparkSession, sql: str) -> dict[str, Any]:
                 if not mi:
                     raise ValueError(f"MERGE: cannot parse action {action!r}")
                 cols = [
-                    _strip_qualifiers(c, tname, talias)
+                    _strip_qualifiers(c, tname, talias).strip("`")
                     for c in _split_commas(mi.group("cols"))
                 ]
                 vals = [rq(v) for v in _split_commas(mi.group("vals"))]
@@ -571,7 +625,9 @@ def _run_update(spark: SparkSession, sql: str) -> dict[str, Any]:
     else:
         set_text, where = rest, "true"
     assigns = {
-        _strip_qualifiers(c, tname, talias): _strip_qualifiers(e, tname, talias)
+        _strip_qualifiers(c, tname, talias).strip("`"): _strip_qualifiers(
+            e, tname, talias
+        )
         for c, e in _parse_assignments(set_text).items()
     }
     cond = _strip_qualifiers(where, tname, talias)
@@ -924,8 +980,15 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
     if len(names) != len(df.columns):
         raise ValueError("INSERT: column count mismatch")
     df = df.toDF(*names)
-    if overwrite:
-        n = table.overwrite(df)
-        return {"numOutputRows": n, "operation": "INSERT OVERWRITE"}
-    n = table.append(df)
-    return {"numOutputRows": n, "operation": "INSERT INTO"}
+    # append/overwrite return the commit VERSION; the row count lives
+    # in the commit's operationMetrics
+    v = table.overwrite(df) if overwrite else table.append(df)
+    n = (
+        table._log.read_commit(table.root, v)
+        .get("operationMetrics", {})
+        .get("numOutputRows", 0)
+    )
+    return {
+        "numOutputRows": int(n),
+        "operation": "INSERT OVERWRITE" if overwrite else "INSERT INTO",
+    }

@@ -162,3 +162,29 @@ def test_stream_cdf_partitioned_table(spark, tmp_path):
         ("y", 2, "b", "insert"),
         ("y", 2, "b", "delete"),
     }
+
+
+def test_rate_limit_option_refused(spark, tmp_path):
+    # a version-window cap cannot be anchored safely across restarts
+    # with this API; the option is refused rather than silently broken
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "rl"),
+        df=spark.createDataFrame([Row(id=1, val="a")]),
+        format="delta",
+    )
+    register_cdf_stream(spark)
+    df = (
+        spark.readStream.format("delta_cdf_stream")
+        .option("path", t.root)
+        .option("maxVersionsPerBatch", 5)
+        .load()
+    )
+    q = (
+        df.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "rlck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="maxVersionsPerBatch"):
+        q.awaitTermination()

@@ -1455,3 +1455,27 @@ def test_convert_parquet_to_delta_in_place(spark, tmp_path):
     # double-convert refuses
     with pytest.raises(ValueError, match="already a table"):
         LakeTable.convert_parquet(spark, str(src))
+
+
+def test_convert_merges_drifted_footers(spark, tmp_path):
+    """CONVERT over a directory whose files disagree on schema (plain-
+    parquet drift) must take the UNION of columns, not the first
+    footer's subset."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    src = tmp_path / "drift"
+    src.mkdir()
+    pq_.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int64())}), src / "0_old.parquet"
+    )
+    pq_.write_table(
+        pa.table(
+            {"a": pa.array([3], pa.int64()), "b": pa.array(["x"], pa.string())}
+        ),
+        src / "1_new.parquet",
+    )
+    t = LakeTable.convert_parquet(spark, str(src))
+    assert [f.name for f in t.schema.fields] == ["a", "b"]
+    got = {(r["a"], r["b"]) for r in t.to_df().collect()}
+    assert got == {(1, None), (2, None), (3, "x")}

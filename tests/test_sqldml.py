@@ -503,3 +503,63 @@ def test_convert_to_delta_sql(spark, tmp_path):
     t = sqldml.resolve_table(spark, str(src))
     assert t.to_df().count() == 60
     assert [f.name for f in t.schema.fields] == ["k", "part"]
+
+
+def test_case_when_inside_merge_conditions_and_sets(spark, tmp_path):
+    """CASE WHEN expressions inside MERGE conditions and SET values
+    must not be mistaken for clause boundaries."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, status string")
+    t = LakeTable.create(spark, str(tmp_path / "case_t"), df=df)
+    sqldml.register_table(spark, "case_t", t)
+    spark.createDataFrame(
+        [(1, "x"), (3, "y")], "id int, op string"
+    ).createOrReplaceTempView("case_src")
+    run_statement(
+        spark,
+        """
+        MERGE INTO case_t AS tg USING case_src AS sr
+        ON tg.id = sr.id AND CASE WHEN sr.op = 'skip' THEN false ELSE true END
+        WHEN MATCHED THEN UPDATE SET
+          tg.status = CASE WHEN sr.op = 'x' THEN 'was_x' ELSE 'other' END
+        WHEN NOT MATCHED THEN INSERT (id, status)
+          VALUES (sr.id, CASE WHEN sr.op = 'y' THEN 'new_y' ELSE 'new' END)
+        """,
+    )
+    rows = {r["id"]: r["status"] for r in t.to_df().collect()}
+    assert rows == {1: "was_x", 2: "b", 3: "new_y"}
+
+
+def test_backticked_columns_in_set_and_insert(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "id int, val string")
+    t = LakeTable.create(spark, str(tmp_path / "bt_t"), df=df)
+    sqldml.register_table(spark, "bt_t", t)
+    spark.createDataFrame([(1, "B"), (2, "C")], "id int, val string"
+    ).createOrReplaceTempView("bt_src")
+    run_statement(
+        spark,
+        "MERGE INTO bt_t tg USING bt_src sr ON tg.id = sr.id "
+        "WHEN MATCHED THEN UPDATE SET `val` = sr.val "
+        "WHEN NOT MATCHED THEN INSERT (`id`, `val`) VALUES (sr.id, sr.val)",
+    )
+    assert {(r["id"], r["val"]) for r in t.to_df().collect()} == {
+        (1, "B"), (2, "C"),
+    }
+    run_statement(spark, "UPDATE bt_t SET `val` = 'Z' WHERE id = 2")
+    assert {(r["id"], r["val"]) for r in t.to_df().collect()} == {
+        (1, "B"), (2, "Z"),
+    }
+
+
+def test_insert_reports_real_row_count(spark, tmp_path):
+    t = _mk_customers(spark, tmp_path, name="cnt_t")
+    res = run_statement(
+        spark,
+        "INSERT INTO cnt_t VALUES (7, 'g@x.com', 'B', '2024-01-01'), "
+        "(8, 'h@x.com', 'B', '2024-01-02')",
+    ).collect()[0]
+    assert res["numOutputRows"] == 2
+    res = run_statement(
+        spark,
+        "INSERT OVERWRITE cnt_t VALUES (42, 'o@x.com', 'G', '2024-02-01')",
+    ).collect()[0]
+    assert res["numOutputRows"] == 1
