@@ -120,7 +120,9 @@ def resolve_table(spark: SparkSession, name: str) -> "LakeTable":
         return suffix_hits[0]
     if len(suffix_hits) > 1:
         raise ValueError(f"ambiguous DML table name {name!r}")
-    if LakeTable.is_table(clean):
+    from .delta_interop import is_delta_table
+
+    if LakeTable.is_table(clean) or is_delta_table(clean):
         return LakeTable.for_path(spark, clean)
     raise ValueError(
         f"unknown DML target {name!r}: register it with "
@@ -402,6 +404,9 @@ def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
     if kind is None:
         raise ValueError("not a DML statement")
     text = _strip_comments(sql).strip().rstrip(";").strip()
+    # the Databricks path-table form `delta.`/path`` normalizes to a
+    # plain backticked path (resolve_table opens it via for_path)
+    text = re.sub(r"\bdelta\s*\.\s*`", "`", text)
     if kind == "merge":
         return _run_merge(spark, text)
     if kind == "update":

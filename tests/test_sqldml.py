@@ -563,3 +563,19 @@ def test_insert_reports_real_row_count(spark, tmp_path):
         "INSERT OVERWRITE cnt_t VALUES (42, 'o@x.com', 'G', '2024-02-01')",
     ).collect()[0]
     assert res["numOutputRows"] == 1
+
+
+def test_dml_on_delta_path_tables(spark, tmp_path):
+    """The Databricks path form: DML against delta.`/path` with no
+    prior registration — resolve_table opens the Delta dir directly."""
+    p = str(tmp_path / "path_t")
+    LakeTable.create(
+        spark,
+        p,
+        df=spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"),
+        format="delta",
+    )
+    run_statement(spark, f"DELETE FROM delta.`{p}` WHERE id = 1")
+    run_statement(spark, f"UPDATE delta.`{p}` SET v = 'B' WHERE id = 2")
+    t = sqldml.resolve_table(spark, p)
+    assert {(r["id"], r["v"]) for r in t.to_df().collect()} == {(2, "B")}
