@@ -110,7 +110,7 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
         opts = {k.lower(): v for k, v in options.items()}
         self.root = opts["path"]
         self.start_version = int(opts.get("startingversion", 0) or 0)
-        if opts.get("maxversionsperbatch"):
+        if int(opts.get("maxversionsperbatch", 0) or 0):
             raise ValueError(
                 "maxVersionsPerBatch is not supported: a version-window "
                 "cap cannot be anchored correctly across restarts with "
@@ -240,7 +240,14 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                 raw = partition.partition_values.get(pname)
                 arr = pa.array([raw] * n, pa.string())
                 if raw is not None:
-                    arr = pc.cast(arr, atype)
+                    if pa.types.is_timestamp(atype) and atype.tz:
+                        # hive partition strings are naive wall-clock;
+                        # arrow refuses string -> tz-aware directly
+                        arr = pc.assume_timezone(
+                            pc.cast(arr, pa.timestamp(atype.unit)), atype.tz
+                        )
+                    else:
+                        arr = pc.cast(arr, atype)
                 cols.append(arr)
             elif pname in file_cols:
                 cols.append(table.column(pname))

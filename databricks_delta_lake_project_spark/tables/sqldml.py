@@ -405,8 +405,9 @@ def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
         raise ValueError("not a DML statement")
     text = _strip_comments(sql).strip().rstrip(";").strip()
     # the Databricks path-table form `delta.`/path`` normalizes to a
-    # plain backticked path (resolve_table opens it via for_path)
-    text = re.sub(r"\bdelta\s*\.\s*`", "`", text)
+    # plain backticked path (resolve_table opens it via for_path);
+    # quote-aware so string literals are never rewritten
+    text = _replace_outside_quotes(text, r"\bdelta\s*\.\s*`", "`")
     if kind == "merge":
         return _run_merge(spark, text)
     if kind == "update":
@@ -974,7 +975,7 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
         close = next(
             i for i, ch in enumerate(rest) if ch == ")" and mask[i] == (1, False)
         )
-        cols = _split_commas(rest[1:close])
+        cols = [c.strip("`") for c in _split_commas(rest[1:close])]
         rest = rest[close + 1 :].lstrip()
     table = resolve_table(spark, tname)
     if re.match(r"VALUES\b", rest, re.IGNORECASE):

@@ -579,3 +579,13 @@ def test_dml_on_delta_path_tables(spark, tmp_path):
     run_statement(spark, f"UPDATE delta.`{p}` SET v = 'B' WHERE id = 2")
     t = sqldml.resolve_table(spark, p)
     assert {(r["id"], r["v"]) for r in t.to_df().collect()} == {(2, "B")}
+
+
+def test_insert_backticked_column_list_and_overwrite_evolution(spark, tmp_path):
+    t = _mk_customers(spark, tmp_path, name="bt2_t")
+    run_statement(
+        spark,
+        "INSERT INTO bt2_t (`customer_id`, `email`, `loyalty_tier`, "
+        "`updated_date`) VALUES (9, 'i@x.com', 'B', '2024-03-01')",
+    )
+    assert _rows(t)[9] == ("i@x.com", "B", "2024-03-01")
