@@ -9,8 +9,10 @@ collect) so timings reflect the distributed plan, not result transfer.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -27,6 +29,20 @@ from databricks_delta_lake_project_spark.session import get_spark
 
 
 def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--runs",
+        type=int,
+        default=1,
+        help=(
+            "repeat the full catalog N times in one warm session and report "
+            "the per-query MEDIAN (total = sum of medians). Use 3+ to smooth "
+            "the ±10-15%% run-to-run noise on shared boxes when re-anchoring "
+            "BASELINE.md; the default single pass is what the driver records."
+        ),
+    )
+    args = parser.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
     spark = get_spark(app_name="bench")
@@ -56,38 +72,52 @@ def main() -> None:
 
     # Per-query fault isolation: one broken query must never zero the
     # whole benchmark — record its error string and keep timing the rest.
-    timings: dict[str, object] = {}
+    per_run: list[dict[str, float]] = []
+    run_totals: list[float] = []
     errors: dict[str, str] = {}
-    t_all = time.time()
-    for name, (fn, _) in QUERIES.items():
-        # dual-hash queries are timed in their PRODUCTION configuration
-        # (xxhash64 signatures) — the plan a 100 TB deployment runs —
-        # while the correctness gate validates the oracle-portable md5
-        # scheme of the registry entry (same operator, hash injected)
-        fn = PRODUCTION_OVERRIDES.get(name, fn)
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
-            timings[name] = {"err": msg}
-            errors[name] = msg
-    total = round(time.time() - t_all, 3)
+    for _run in range(max(1, args.runs)):
+        run_timings: dict[str, float] = {}
+        t_all = time.time()
+        for name, (fn, _) in QUERIES.items():
+            # dual-hash queries are timed in their PRODUCTION configuration
+            # (xxhash64 signatures) — the plan a 100 TB deployment runs —
+            # while the correctness gate validates the oracle-portable md5
+            # scheme of the registry entry (same operator, hash injected)
+            fn = PRODUCTION_OVERRIDES.get(name, fn)
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                run_timings[name] = round(time.time() - t0, 3)
+            except Exception as exc:  # noqa: BLE001
+                msg = f"{type(exc).__name__}: {exc}".splitlines()[0][:300]
+                errors[name] = msg
+        run_totals.append(round(time.time() - t_all, 3))
+        per_run.append(run_timings)
 
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "production_overrides": sorted(PRODUCTION_OVERRIDES),
-                "sf": sf,
-            }
-        )
-    )
+    # Per-query median across runs; queries that errored in EVERY run keep
+    # their error object so the driver sees the failure.
+    timings: dict[str, object] = {}
+    for name in QUERIES:
+        samples = [r[name] for r in per_run if name in r]
+        if samples:
+            timings[name] = round(statistics.median(samples), 3)
+        else:
+            timings[name] = {"err": errors[name]}
+    total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)
+
+    out: dict[str, object] = {
+        "metric": "catalog_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "production_overrides": sorted(PRODUCTION_OVERRIDES),
+        "sf": sf,
+    }
+    if args.runs > 1:
+        out["runs"] = args.runs
+        out["run_totals"] = run_totals
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
