@@ -120,9 +120,18 @@ def widen(df: DataFrame) -> DataFrame:
     Guarded: at 100 TB a scan already has thousands of splits, the
     condition is false, and NO extra shuffle is added — this only
     trades a few MB of shuffle for full parallelism on narrow inputs.
+
+    The probe is ``len(df.inputFiles())`` — metadata-only, no plan
+    conversion (the earlier ``df.rdd.getNumPartitions()`` forced full
+    analysis + physical planning per call). A parquet file with one row
+    group is one split, so file count lower-bounds split count; when a
+    scan has >= cluster-width files it certainly has enough splits. A
+    non-file plan (in-memory fixture) reports 0 files and is left
+    untouched — createDataFrame already parallelizes to cluster width.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    files = df.inputFiles()
+    if files and len(files) < target:
         return df.repartition(target)
     return df
 

@@ -30,6 +30,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame, SparkSession
 
 from ..functions.masking import GROUPS_CONF_KEY
+from ..session import session_key
 from .catalog import TABLES, load
 
 _RULES: list[tuple[str, str]] = [
@@ -49,7 +50,7 @@ def normalize_sql(sql: str) -> str:
     return out
 
 
-_registered: dict[int, str] = {}
+_registered: dict[str, str] = {}
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -57,7 +58,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     SQL-pack queries resolve like the reference's catalog tables.
     View creation is cached per (session, sf_dir); the UDF re-registers
     every call because the principal's groups may have changed."""
-    key = id(spark._jsparkSession)
+    key = session_key(spark)
     if _registered.get(key) != sf_dir:
         for t in TABLES:
             load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -18,6 +18,31 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Disk-backed streaming state (SURVEY §4): the default HDFS-backed
+# provider keeps every key in executor heap — at 100 TB streaming state
+# (dedup sets, session windows) that's an OOM, while RocksDB spills to
+# local SSD with bounded memory. rocksdbjni ships inside pyspark's jars.
+# Opt out with SPARK_GRAFT_STATE_STORE=hdfs (e.g. to reuse an old
+# checkpoint written by the default provider).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable, never-reused identity for a SparkSession, for keying
+    per-session registries. ``id(spark._jsparkSession)`` is unsafe: a
+    GC'd session's id can be handed to a new session, silently
+    inheriting stale caches. The JVM session UUID is unique for the
+    lifetime of the JVM; fall back to the py4j target id (also unique
+    per JVM object) when running against an exotic session object.
+    """
+    j = spark._jsparkSession
+    try:
+        return str(j.sessionUUID())
+    except Exception:  # noqa: BLE001 — connect/mocked sessions
+        return getattr(j, "_target_id", None) or f"id:{id(j)}"
+
 
 def get_spark(
     app_name: str = "databricks_delta_lake_project_spark",
@@ -56,6 +81,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb").lower() != "hdfs":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -63,4 +92,10 @@ def get_spark(
     # pre-existing session handed to us by the driver.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # providerClass is a runtime SQL conf read at stream start, so it
+    # applies even when getOrCreate() returned a pre-existing session.
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb").lower() != "hdfs":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     return spark

@@ -29,6 +29,8 @@ from typing import Any, TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..session import session_key
+
 if TYPE_CHECKING:  # pragma: no cover
     from .table import LakeTable
 
@@ -44,11 +46,13 @@ __all__ = [
 # name registry (per SparkSession)
 # ---------------------------------------------------------------------------
 
-_REGISTRY: dict[tuple[int, str], "LakeTable"] = {}
+_REGISTRY: dict[tuple[str, str], "LakeTable"] = {}
 
 
-def _skey(spark: SparkSession, name: str) -> tuple[int, str]:
-    return (id(spark._jsparkSession), name.lower().strip("`"))
+def _skey(spark: SparkSession, name: str) -> tuple[str, str]:
+    # session_key (JVM session UUID) never recycles, unlike id() of a
+    # GC'd wrapper — a replacement session must see fresh registries.
+    return (session_key(spark), name.lower().strip("`"))
 
 
 def register_table(spark: SparkSession, name: str, table: "LakeTable") -> None:
@@ -61,7 +65,7 @@ def register_table(spark: SparkSession, name: str, table: "LakeTable") -> None:
 # the table VERSION they reflect — a view is only rebuilt when the
 # table moved, so a script of N statements over M tables does O(changed
 # tables) refreshes, not O(N*M) log replays
-_OWNED_VIEWS: dict[tuple[int, str], int | None] = {}
+_OWNED_VIEWS: dict[tuple[str, str], int | None] = {}
 
 
 def sync_views(spark: SparkSession) -> None:
@@ -70,7 +74,7 @@ def sync_views(spark: SparkSession) -> None:
     table names. A view refreshes only when its table's version moved
     (cheap latest-version probe, no replay); a user's own temp view is
     never shadowed."""
-    sid = id(spark._jsparkSession)
+    sid = session_key(spark)
     for (s, n), t in list(_REGISTRY.items()):
         if s != sid:
             continue
@@ -110,7 +114,7 @@ def resolve_table(spark: SparkSession, name: str) -> "LakeTable":
     # name resolves to a table registered under the bare table name,
     # and vice versa
     last = clean.split(".")[-1].lower()
-    sid = id(spark._jsparkSession)
+    sid = session_key(spark)
     suffix_hits = [
         t
         for (s, n), t in _REGISTRY.items()
