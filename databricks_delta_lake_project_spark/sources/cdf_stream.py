@@ -238,16 +238,23 @@ class DeltaCdfStreamReader(DataSourceStreamReader):
                 # per the logical schema (arrow casts ISO strings to
                 # numeric/date/timestamp/decimal)
                 raw = partition.partition_values.get(pname)
+                if raw is None:
+                    # typed nulls: a string-typed null array would make
+                    # the batch schema mismatch the declared output
+                    # schema for numeric/date/timestamp partition cols
+                    # (__HIVE_DEFAULT_PARTITION__ directories)
+                    cols.append(pa.nulls(n, type=atype))
+                    names.append(lname)
+                    continue
                 arr = pa.array([raw] * n, pa.string())
-                if raw is not None:
-                    if pa.types.is_timestamp(atype) and atype.tz:
-                        # hive partition strings are naive wall-clock;
-                        # arrow refuses string -> tz-aware directly
-                        arr = pc.assume_timezone(
-                            pc.cast(arr, pa.timestamp(atype.unit)), atype.tz
-                        )
-                    else:
-                        arr = pc.cast(arr, atype)
+                if pa.types.is_timestamp(atype) and atype.tz:
+                    # hive partition strings are naive wall-clock;
+                    # arrow refuses string -> tz-aware directly
+                    arr = pc.assume_timezone(
+                        pc.cast(arr, pa.timestamp(atype.unit)), atype.tz
+                    )
+                else:
+                    arr = pc.cast(arr, atype)
                 cols.append(arr)
             elif pname in file_cols:
                 cols.append(table.column(pname))

@@ -28,6 +28,7 @@ import re
 from typing import Any, TYPE_CHECKING
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructField, StructType
 
 from ..session import session_key
 
@@ -474,9 +475,13 @@ def metrics_df(spark: SparkSession, metrics: dict[str, Any]) -> DataFrame:
     items = sorted(
         (k, v) for k, v in metrics.items() if isinstance(v, (int, type(None)))
     )
-    return spark.createDataFrame(
-        [tuple(v for _, v in items)], [k for k, _ in items]
+    # explicit schema: a None-valued metric (e.g. version=None from a
+    # no-op DDL) would otherwise fail Spark's type inference on the
+    # single-row frame
+    schema = StructType(
+        [StructField(k, LongType(), True) for k, _ in items]
     )
+    return spark.createDataFrame([tuple(v for _, v in items)], schema)
 
 
 # ---------------------------------------------------------------------------

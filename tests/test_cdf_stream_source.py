@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from databricks_delta_lake_project_spark.sources.cdf_stream import (
     register_cdf_stream,
@@ -188,3 +189,31 @@ def test_rate_limit_option_refused(spark, tmp_path):
     )
     with pytest.raises(Exception, match="maxVersionsPerBatch"):
         q.awaitTermination()
+
+
+def test_stream_cdf_null_typed_partition_value(spark, tmp_path):
+    """A null value in a TYPED (non-string) hive partition column
+    (__HIVE_DEFAULT_PARTITION__ directory) must be emitted as a typed
+    null, not a string-typed null array — otherwise the Arrow batch
+    schema mismatches the declared stream schema."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "cdf_nullpart"),
+        df=spark.createDataFrame(
+            [Row(id=1, bucket=10), Row(id=2, bucket=None)]
+        ).select("id", F.col("bucket").cast("int").alias("bucket")),
+        format="delta",
+        partition_by=["bucket"],
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.update("id = 2", {"id": "20"})  # cdc commit inside the null partition
+
+    out, ckpt = tmp_path / "np_out", tmp_path / "np_ckpt"
+    got = _drain(spark, t.root, out, ckpt)
+    assert dict(got.dtypes)["bucket"] == "int"
+    rows = {
+        (r["id"], r["bucket"], r["_change_type"]) for r in got.collect()
+    }
+    assert (2, None, "update_preimage") in rows
+    assert (20, None, "update_postimage") in rows
+    assert (1, 10, "insert") in rows

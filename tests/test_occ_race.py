@@ -165,3 +165,63 @@ def test_concurrent_disjoint_deletes_and_updates_retry(spark, tmp_path):
     assert set(rows) == set(range(100, 400))
     assert all(rows[k] == 7 for k in range(300, 400))
     assert all(rows[k] == 0 for k in range(100, 300))
+
+
+def test_failed_dml_commit_unlinks_staged_files(spark, tmp_path, monkeypatch):
+    """A DELETE that loses its OCC race must unlink the parquet it
+    staged — the rewritten add files AND the _change_data cdc files —
+    exactly like append/MERGE, so a raced retry leaves no orphan bytes
+    for VACUUM to sweep."""
+    from pathlib import Path
+    import json as _json
+
+    path = str(tmp_path / "cleanup_race")
+    df = spark.createDataFrame(
+        [Row(k=i, v=0) for i in range(10)]
+    ).coalesce(1)
+    t = LakeTable.create(
+        spark,
+        path,
+        df=df,
+        format="delta",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+
+    def live_files():
+        data = {
+            str(p.relative_to(path))
+            for p in Path(path).rglob("*.parquet")
+            if "_delta_log" not in p.parts
+        }
+        return data
+
+    before = live_files()
+    backend = t._log
+    real_commit = backend.commit
+    log = Path(path) / "_delta_log"
+
+    def sabotage(root, op, adds, removes, *a, **k):
+        # a rival removes one of OUR planned-remove files right before
+        # the commit lands -> lost-update conflict, CME raised
+        if removes:
+            planned = backend.latest_version(root)
+            (log / f"{planned + 1:020d}.json").write_text(
+                _json.dumps(
+                    {
+                        "remove": {
+                            "path": removes[0],
+                            "deletionTimestamp": 1,
+                            "dataChange": True,
+                        }
+                    }
+                )
+            )
+        return real_commit(root, op, adds, removes, *a, **k)
+
+    monkeypatch.setattr(backend, "commit", sabotage)
+    with pytest.raises(ConcurrentModificationError):
+        t.delete("k >= 5", strategy="rewrite")
+    monkeypatch.setattr(backend, "commit", real_commit)
+    after = live_files()
+    # the rewrite's new data file and the staged cdc parquet are gone
+    assert after - before == set(), f"orphaned staged files: {after - before}"

@@ -589,3 +589,14 @@ def test_insert_backticked_column_list_and_overwrite_evolution(spark, tmp_path):
         "`updated_date`) VALUES (9, 'i@x.com', 'B', '2024-03-01')",
     )
     assert _rows(t)[9] == ("i@x.com", "B", "2024-03-01")
+
+
+def test_metrics_df_tolerates_none_values(spark):
+    """A None-valued metric (e.g. version=None from a no-op DDL) must
+    not fail Spark type inference on the one-row metrics frame."""
+    from databricks_delta_lake_project_spark.tables.sqldml import metrics_df
+
+    df = metrics_df(spark, {"numAffectedRows": 3, "version": None})
+    row = df.collect()[0]
+    assert row["numAffectedRows"] == 3 and row["version"] is None
+    assert dict(df.dtypes)["version"] == "bigint"

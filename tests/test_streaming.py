@@ -388,3 +388,39 @@ def test_evolution_mode_fail_on_new_columns(spark, tmp_path):
         spark, str(src), "json", schema_location=reg, evolution_mode="none"
     )
     assert "surprise" not in stream.columns
+
+
+def test_rocksdb_state_store_engaged(spark, tmp_path):
+    """The session factory pins the RocksDB state-store provider
+    (disk-backed state — the 100 TB streaming-state survival path,
+    SURVEY §4): the conf is set AND a stateful query's checkpoint
+    carries RocksDB artifacts (``<v>.zip`` snapshots), not the
+    default heap provider's ``<v>.delta`` files."""
+    from databricks_delta_lake_project_spark.session import ROCKSDB_PROVIDER
+    from databricks_delta_lake_project_spark.streaming import running_totals
+
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == ROCKSDB_PROVIDER
+    )
+
+    src = tmp_path / "rocks_src"
+    ckpt = tmp_path / "rocks_ckpt"
+    src.mkdir()
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0)], "key string, amount double"
+    )
+    df.write.parquet(str(src / "f1.parquet"))
+    stream = spark.readStream.schema(df.schema).parquet(str(src) + "/*")
+    q = (
+        running_totals(stream, "key", "amount")
+        .writeStream.format("noop")
+        .outputMode("update")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    state_files = [p.name for p in (ckpt / "state").rglob("*") if p.is_file()]
+    assert any(n.endswith(".zip") for n in state_files), state_files
+    assert not any(n.endswith(".delta") for n in state_files), state_files
