@@ -254,3 +254,79 @@ def test_share_cdf_over_partitioned_external_table(spark, shared_world, tmp_path
     )
     with pytest.raises(NotImplementedError):
         client.load_cdf(spark, "c360_share.external.partitioned").collect()
+
+
+def test_stream_shared_table_cdf_and_rows(spark, shared_world, tmp_path):
+    """S9 streaming flavor (reference delta_sharing_recipient.py:144-191):
+    a recipient streams a shared Delta table through its own checkpoint —
+    first drain delivers history from startingVersion, a provider commit
+    then arrives INCREMENTALLY on restart (versions are the offsets);
+    change_feed=False yields the plain append-stream shape."""
+    provider, profile, _ = shared_world
+    table_path = str(tmp_path / "stream_gold")
+    t = LakeTable.create(
+        spark,
+        table_path,
+        df=spark.createDataFrame(
+            [Row(region="US", customer_id=1, revenue=100.0)]
+        ),
+        format="delta",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    provider.add_table("c360_share", table_path, "analytics.stream_gold")
+    client = SharingClient(profile)
+
+    out, ckpt = tmp_path / "sync_out", tmp_path / "sync_ckpt"
+
+    def drain():
+        df = client.load_stream(
+            spark, "config.share#c360_share.analytics.stream_gold"
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["customer_id"], r["revenue"], r["_change_type"])
+            for r in spark.read.schema(df.schema).parquet(str(out)).collect()
+        }
+
+    assert drain() == {(1, 100.0, "insert")}
+    # provider keeps writing; the SAME checkpoint picks up only the delta
+    t.append(spark.createDataFrame([Row(region="EU", customer_id=2, revenue=50.0)]))
+    t.update("customer_id = 1", {"revenue": "111.0"})
+    got = drain()
+    assert (2, 50.0, "insert") in got
+    assert (1, 100.0, "update_preimage") in got
+    assert (1, 111.0, "update_postimage") in got
+
+    # plain row stream: insert images only, CDF metadata dropped
+    rows = client.load_stream(
+        spark, "c360_share.analytics.stream_gold", change_feed=False
+    )
+    assert "_change_type" not in rows.columns
+    rout, rckpt = tmp_path / "rows_out", tmp_path / "rows_ckpt"
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", str(rout))
+        .option("checkpointLocation", str(rckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = spark.read.schema(rows.schema).parquet(str(rout))
+    assert {r["customer_id"] for r in got_rows.collect()} == {1, 2}
+
+    # unauthorized: revoked grant refuses the stream BEFORE any read
+    provider.revoke("c360_share", "partner_team")
+    with pytest.raises(PermissionError, match="not granted"):
+        client.load_stream(spark, "c360_share.analytics.stream_gold")
+    provider.grant("c360_share", "partner_team")
+
+    # engine-format (no _delta_log) tables refuse streaming loudly
+    with pytest.raises(ValueError, match="Delta-backed"):
+        client.load_stream(spark, "c360_share.analytics.revenue")
