@@ -142,6 +142,15 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
         # Databricks-SQL subquery form `FROM (DESCRIBE HISTORY t)` over
         # catalog views is handled by normalize_sql)
         return sqldml.resolve_table(spark, md.group(1)).history()
+    # metadata verbs over registered LakeTables (SHOW TABLES/SCHEMAS/
+    # CATALOGS/TBLPROPERTIES/CREATE TABLE, DESCRIBE [EXTENDED|DETAIL],
+    # ANALYZE TABLE, CACHE TABLE) — X9; falls through to spark.sql for
+    # ordinary catalog names so native behavior is preserved
+    from ..tables import metasql
+
+    meta = metasql.run_metadata(spark, sql)
+    if meta is not None:
+        return meta
     # registered LakeTables resolve by name in FROM/USING clauses
     sqldml.sync_views(spark)
     if sqldml.statement_kind(sql) is not None:

@@ -1,0 +1,368 @@
+"""SQL metadata statements over registered LakeTables (X9 in SURVEY
+§2.11): ``SHOW CATALOGS / SCHEMAS / TABLES / TBLPROPERTIES / CREATE
+TABLE``, ``DESCRIBE [EXTENDED | DETAIL]``, ``ANALYZE TABLE`` and
+``CACHE/UNCACHE TABLE`` — the discovery-and-governance verbs the
+reference runs as plain SQL (``src/databricks_connect/
+remote_development.py:210-236`` SHOW CATALOGS/SCHEMAS/TABLES +
+DESCRIBE EXTENDED, ``src/utils/performance_optimization.py:195-234``
+ANALYZE TABLE / CACHE TABLE / DESCRIBE DETAIL,
+``src/utils/common_functions.py:50-60`` DESCRIBE DETAIL sizeInBytes,
+``governance/unity_catalog_setup.py:80-124`` properties surface).
+
+Dispatch contract: :func:`run_metadata` returns a DataFrame when the
+statement is a metadata verb it owns, ``None`` otherwise — the caller
+(``queries/sqlpack.run_statement``) falls through to ``spark.sql`` so
+the same verbs over ordinary catalog/temp-view names keep Spark's
+native behavior. Column names mirror the Spark/Databricks output
+shapes (``namespace/tableName/isTemporary``, ``col_name/data_type/
+comment``, ``key/value``, ``createtab_stmt``, Delta's DESCRIBE DETAIL
+row) so scripts written against the reference parse unchanged.
+
+Scale notes: every listing is O(registry) driver-side metadata — no
+data is read. ANALYZE is the one scanning verb: table-level stats come
+from the commit log's file sizes (no scan), and ``FOR COLUMNS`` runs
+ONE distributed aggregate job computing min/max/null-count/NDV
+(``approx_count_distinct`` — HyperLogLog, exact enough for the CBO and
+O(1) memory per column) for all requested columns at once, never a
+per-column pass. Results are committed as ``engine.stats.*`` table
+properties so later sessions (and DESCRIBE EXTENDED) see them.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import session_key
+from . import sqldml
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .table import LakeTable
+
+__all__ = ["run_metadata"]
+
+
+def _registered(spark: SparkSession) -> dict[str, "LakeTable"]:
+    sid = session_key(spark)
+    return {n: t for (s, n), t in sqldml._REGISTRY.items() if s == sid}
+
+
+def _resolve(spark: SparkSession, name: str) -> "LakeTable | None":
+    """A registered LakeTable (or path-addressed table) for ``name``,
+    or None — the caller then falls through to spark.sql so catalog
+    tables and temp views keep native behavior."""
+    try:
+        return sqldml.resolve_table(spark, name)
+    except ValueError:
+        return None
+
+
+_TREF = r"(`[^`]+`|[\w.]+)"
+
+
+def _schema_rows(t: "LakeTable") -> list[tuple[str, str, str | None]]:
+    return [
+        (
+            f.name,
+            f.dataType.simpleString(),
+            f.metadata.get("comment") if f.metadata else None,
+        )
+        for f in t.schema.fields
+    ]
+
+
+def _table_format(t: "LakeTable") -> str:
+    from . import table as _tablemod
+
+    return "engine" if t._log is _tablemod.tlog else "delta"
+
+
+def _created_last_modified(t: "LakeTable") -> tuple[int | None, int | None]:
+    log = list(t._log.read_log(t.root))
+    if not log:
+        return None, None
+    ts = [c.get("timestamp_ms") for c in log]
+    return ts[0], ts[-1]
+
+
+def _show_create_stmt(name: str, t: "LakeTable") -> str:
+    cols = ",\n  ".join(
+        f"{f.name} {f.dataType.simpleString().upper()}"
+        for f in t.schema.fields
+    )
+    parts = [f"CREATE TABLE {name} (\n  {cols})"]
+    parts.append("USING DELTA" if _table_format(t) == "delta" else "USING ENGINE")
+    props = dict(t.properties())
+    pcols = t._write_partition_columns() or []
+    if pcols:
+        parts.append("PARTITIONED BY (" + ", ".join(pcols) + ")")
+    ccols = [c for c in props.pop("engine.clusterBy", "").split(",") if c]
+    if ccols:
+        parts.append("CLUSTER BY (" + ", ".join(ccols) + ")")
+    parts.append(f"LOCATION '{t.root}'")
+    if props:
+        kv = ",\n  ".join(
+            f"'{k}' = '{v}'" for k, v in sorted(props.items())
+        )
+        parts.append(f"TBLPROPERTIES (\n  {kv})")
+    return "\n".join(parts)
+
+
+def _describe(spark: SparkSession, t: "LakeTable", extended: bool) -> DataFrame:
+    rows: list[tuple[str | None, str | None, str | None]] = _schema_rows(t)
+    pcols = t._write_partition_columns() or []
+    if pcols:
+        rows.append(("# Partition Information", "", ""))
+        rows.append(("# col_name", "data_type", "comment"))
+        by_name = {r[0]: r for r in _schema_rows(t)}
+        rows.extend(by_name[c] for c in pcols if c in by_name)
+    if extended:
+        created, modified = _created_last_modified(t)
+        props = t.properties()
+        rows.append(("", "", ""))
+        rows.append(("# Detailed Table Information", "", ""))
+        rows.append(("Location", t.root, ""))
+        rows.append(("Provider", _table_format(t), ""))
+        rows.append(("Table Version", str(t.version()), ""))
+        if created is not None:
+            rows.append(("Created At (ms)", str(created), ""))
+            rows.append(("Last Modified (ms)", str(modified), ""))
+        if props:
+            kv = ", ".join(f"{k}={v}" for k, v in sorted(props.items()))
+            rows.append(("Table Properties", f"[{kv}]", ""))
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, comment string"
+    )
+
+
+def _describe_detail(spark: SparkSession, t: "LakeTable") -> DataFrame:
+    """Delta's one-row DESCRIBE DETAIL shape
+    (``common_functions.py:54-60`` reads ``sizeInBytes`` from it)."""
+    files = t._files()
+    created, modified = _created_last_modified(t)
+    props = {str(k): str(v) for k, v in t.properties().items()}
+    ccols = [c for c in props.get("engine.clusterBy", "").split(",") if c]
+    row = {
+        "format": _table_format(t),
+        "name": t.root.rstrip("/").rsplit("/", 1)[-1],
+        "location": t.root,
+        "createdAt": created,
+        "lastModified": modified,
+        "partitionColumns": t._write_partition_columns() or [],
+        "clusteringColumns": ccols,
+        "numFiles": len(files),
+        "sizeInBytes": sum(
+            int(e.get("bytes") or e.get("size") or 0) for e in files
+        ),
+        "properties": props,
+    }
+    return spark.createDataFrame(
+        [row],
+        "format string, name string, location string, createdAt long, "
+        "lastModified long, partitionColumns array<string>, "
+        "clusteringColumns array<string>, numFiles long, "
+        "sizeInBytes long, properties map<string,string>",
+    )
+
+
+def _analyze(
+    spark: SparkSession, t: "LakeTable", columns: list[str] | None
+) -> DataFrame:
+    """Table stats from the log (no scan); column stats from ONE
+    aggregate job. Persisted as ``engine.stats.*`` properties in an
+    ANALYZE commit so the next session's planner can read them."""
+    files = t._files()
+    stats: dict[str, Any] = {
+        "engine.stats.numFiles": str(len(files)),
+        "engine.stats.sizeInBytes": str(
+            sum(int(e.get("bytes") or e.get("size") or 0) for e in files)
+        ),
+    }
+    df = t.to_df()
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in columns or []:
+        if c not in df.columns:
+            raise ValueError(f"ANALYZE: no such column {c!r}")
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.approx_count_distinct(c).alias(f"{c}__ndv"),
+        ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    stats["engine.stats.rowCount"] = str(row.pop("__rows"))
+    for c in columns or []:
+        col_stats = {
+            "min": row[f"{c}__min"],
+            "max": row[f"{c}__max"],
+            "nullCount": row[f"{c}__nulls"],
+            "distinctCount": row[f"{c}__ndv"],
+        }
+        stats[f"engine.stats.col.{c}"] = json.dumps(
+            col_stats, default=str, sort_keys=True
+        )
+    merged = {**t.properties(), **stats}
+    t._log.commit(
+        t.root,
+        "ANALYZE",
+        [],
+        [],
+        t._log.schema_at(t.root),
+        parameters={"columns": columns or []},
+        properties=merged,
+    )
+    out = sorted(stats.items())
+    return spark.createDataFrame(out, "key string, value string")
+
+
+def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Execute one metadata statement against the session's registered
+    LakeTables; None when the statement isn't a metadata verb or its
+    target isn't a registered/path table (callers fall through to
+    ``spark.sql``)."""
+    text = sql.strip().rstrip(";").strip()
+
+    m = re.match(r"SHOW\s+CATALOGS\s*$", text, re.IGNORECASE)
+    if m:
+        names = {"spark_catalog"}
+        names.update(
+            n.split(".")[0] for n in _registered(spark) if n.count(".") == 2
+        )
+        return spark.createDataFrame(
+            [(c,) for c in sorted(names)], "catalog string"
+        )
+
+    m = re.match(
+        r"SHOW\s+(?:SCHEMAS|DATABASES)(?:\s+IN\s+(?P<cat>[\w.]+))?\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        cat = (m.group("cat") or "").lower()
+        out = set()
+        for n in _registered(spark):
+            bits = n.split(".")
+            if len(bits) == 3:
+                if not cat or bits[0] == cat:
+                    out.add(bits[1])
+            elif len(bits) == 2:
+                if not cat or bits[0] == cat:
+                    out.add(bits[0])
+            elif not cat:
+                out.add("default")
+        if not out and not cat:
+            out.add("default")
+        return spark.createDataFrame(
+            [(s,) for s in sorted(out)], "namespace string"
+        )
+
+    m = re.match(
+        r"SHOW\s+TABLES(?:\s+IN\s+(?P<ns>[\w.]+))?\s*$", text, re.IGNORECASE
+    )
+    if m:
+        ns = (m.group("ns") or "").lower()
+        rows = []
+        for n in sorted(_registered(spark)):
+            prefix, _, last = n.rpartition(".")
+            if ns and prefix != ns and not prefix.endswith("." + ns) and prefix.split(".")[-1] != ns:
+                continue
+            rows.append((prefix or "default", last, False))
+        return spark.createDataFrame(
+            rows, "namespace string, tableName string, isTemporary boolean"
+        )
+
+    m = re.match(
+        rf"SHOW\s+TBLPROPERTIES\s+{_TREF}(?:\s*\(\s*'?(?P<key>[^')]+)'?\s*\))?\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        t = _resolve(spark, m.group(1))
+        if t is None:
+            return None
+        props = {str(k): str(v) for k, v in t.properties().items()}
+        if m.group("key"):
+            k = m.group("key").strip()
+            return spark.createDataFrame(
+                [(k, props.get(k))], "key string, value string"
+            )
+        return spark.createDataFrame(
+            sorted(props.items()), "key string, value string"
+        )
+
+    m = re.match(
+        rf"SHOW\s+CREATE\s+TABLE\s+{_TREF}\s*$", text, re.IGNORECASE
+    )
+    if m:
+        t = _resolve(spark, m.group(1))
+        if t is None:
+            return None
+        stmt = _show_create_stmt(m.group(1).strip("`"), t)
+        return spark.createDataFrame([(stmt,)], "createtab_stmt string")
+
+    m = re.match(
+        rf"(?:DESCRIBE|DESC)\s+DETAIL\s+{_TREF}\s*$", text, re.IGNORECASE
+    )
+    if m:
+        t = _resolve(spark, m.group(1))
+        return None if t is None else _describe_detail(spark, t)
+
+    m = re.match(
+        rf"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?P<ext>EXTENDED\s+|FORMATTED\s+)?{_TREF.replace('(', '(?P<tref>', 1)}\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m and m.group("tref").lower() not in ("history", "detail"):
+        t = _resolve(spark, m.group("tref"))
+        if t is None:
+            return None
+        return _describe(spark, t, extended=bool(m.group("ext")))
+
+    m = re.match(
+        rf"ANALYZE\s+TABLE\s+{_TREF}\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+FOR\s+(?:(?P<all>ALL\s+COLUMNS)|COLUMNS\s+(?P<cols>[\w`,\s]+)))?\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        t = _resolve(spark, m.group(1))
+        if t is None:
+            return None
+        if m.group("all"):
+            columns = [f.name for f in t.schema.fields]
+        elif m.group("cols"):
+            columns = [
+                c.strip().strip("`")
+                for c in m.group("cols").split(",")
+                if c.strip()
+            ]
+        else:
+            columns = None
+        return _analyze(spark, t, columns)
+
+    m = re.match(
+        rf"(?P<un>UN)?CACHE\s+(?:LAZY\s+)?TABLE\s+{_TREF}\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        t = _resolve(spark, m.group(2))
+        if t is None:
+            return None
+        name = m.group(2).strip("`").split(".")[-1]
+        sqldml.sync_views(spark)
+        if m.group("un"):
+            spark.catalog.uncacheTable(name)
+            op = "UNCACHE TABLE"
+        else:
+            spark.catalog.cacheTable(name)
+            op = "CACHE TABLE"
+        return spark.createDataFrame(
+            [(op, name)], "operation string, tableName string"
+        )
+
+    return None

@@ -1,0 +1,141 @@
+"""SQL metadata statements (X9): SHOW CATALOGS/SCHEMAS/TABLES/
+TBLPROPERTIES/CREATE TABLE, DESCRIBE [EXTENDED|DETAIL], ANALYZE TABLE,
+CACHE TABLE over registered LakeTables (reference
+``remote_development.py:210-236``, ``performance_optimization.py:
+195-234``, ``common_functions.py:50-60``)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from databricks_delta_lake_project_spark.queries.sqlpack import run_statement
+from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
+
+
+@pytest.fixture()
+def world(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "txn"),
+        df=spark.createDataFrame(
+            [
+                Row(customer_id=1, amount=10.0, day="d1"),
+                Row(customer_id=2, amount=None, day="d1"),
+                Row(customer_id=2, amount=30.0, day="d2"),
+            ]
+        ),
+        format="delta",
+        partition_by=["day"],
+        properties={"quality": "silver", "engine.clusterBy": "customer_id"},
+    )
+    sqldml.register_table(spark, "cat360.silver.transactions", t)
+    return t
+
+
+def test_show_catalogs_schemas_tables(spark, world):
+    cats = {r["catalog"] for r in run_statement(spark, "SHOW CATALOGS").collect()}
+    assert {"spark_catalog", "cat360"} <= cats
+
+    schemas = {
+        r["namespace"]
+        for r in run_statement(spark, "SHOW SCHEMAS IN cat360").collect()
+    }
+    assert schemas == {"silver"}
+
+    tables = run_statement(spark, "SHOW TABLES IN cat360.silver").collect()
+    assert [(r["namespace"], r["tableName"], r["isTemporary"]) for r in tables] == [
+        ("cat360.silver", "transactions", False)
+    ]
+    # unfiltered listing includes it too
+    all_tables = {
+        r["tableName"] for r in run_statement(spark, "SHOW TABLES").collect()
+    }
+    assert "transactions" in all_tables
+
+
+def test_describe_and_extended(spark, world):
+    out = run_statement(spark, "DESCRIBE transactions").collect()
+    cols = {(r["col_name"], r["data_type"]) for r in out[:3]}
+    assert ("customer_id", "bigint") in cols and ("day", "string") in cols
+    # partition section present
+    names = [r["col_name"] for r in out]
+    assert "# Partition Information" in names
+
+    ext = run_statement(spark, "DESCRIBE EXTENDED cat360.silver.transactions")
+    info = {r["col_name"]: r["data_type"] for r in ext.collect()}
+    assert info["Location"] == world.root
+    assert info["Provider"] == "delta"
+    assert "quality=silver" in info["Table Properties"]
+
+
+def test_describe_detail(spark, world):
+    d = run_statement(spark, "DESCRIBE DETAIL transactions").collect()[0]
+    assert d["format"] == "delta"
+    assert d["location"] == world.root
+    assert d["partitionColumns"] == ["day"]
+    assert d["clusteringColumns"] == ["customer_id"]
+    assert d["numFiles"] == len(world._files())
+    assert d["sizeInBytes"] > 0
+    assert d["properties"]["quality"] == "silver"
+
+
+def test_show_create_table(spark, world):
+    stmt = run_statement(
+        spark, "SHOW CREATE TABLE cat360.silver.transactions"
+    ).collect()[0]["createtab_stmt"]
+    assert stmt.startswith("CREATE TABLE cat360.silver.transactions")
+    assert "customer_id BIGINT" in stmt
+    assert "USING DELTA" in stmt
+    assert "PARTITIONED BY (day)" in stmt
+    assert "CLUSTER BY (customer_id)" in stmt
+    assert f"LOCATION '{world.root}'" in stmt
+    assert "'quality' = 'silver'" in stmt
+
+
+def test_show_tblproperties(spark, world):
+    props = {
+        r["key"]: r["value"]
+        for r in run_statement(spark, "SHOW TBLPROPERTIES transactions").collect()
+    }
+    assert props["quality"] == "silver"
+    one = run_statement(
+        spark, "SHOW TBLPROPERTIES transactions ('quality')"
+    ).collect()
+    assert one == [Row(key="quality", value="silver")]
+
+
+def test_analyze_table_stats_persisted(spark, world):
+    out = run_statement(
+        spark,
+        "ANALYZE TABLE transactions COMPUTE STATISTICS "
+        "FOR COLUMNS customer_id, amount",
+    )
+    stats = {r["key"]: r["value"] for r in out.collect()}
+    assert stats["engine.stats.rowCount"] == "3"
+    cid = json.loads(stats["engine.stats.col.customer_id"])
+    assert (cid["min"], cid["max"], cid["nullCount"], cid["distinctCount"]) == (
+        1, 2, 0, 2,
+    )
+    amt = json.loads(stats["engine.stats.col.amount"])
+    assert amt["nullCount"] == 1
+    # persisted: a fresh DESCRIBE EXTENDED (and properties()) sees them
+    assert world.properties()["engine.stats.rowCount"] == "3"
+
+
+def test_cache_and_uncache_table(spark, world):
+    got = run_statement(spark, "CACHE TABLE transactions").collect()[0]
+    assert got["operation"] == "CACHE TABLE"
+    assert spark.catalog.isCached("transactions")
+    run_statement(spark, "UNCACHE TABLE transactions")
+    assert not spark.catalog.isCached("transactions")
+
+
+def test_fallthrough_to_native_spark(spark, world):
+    """Metadata verbs over non-LakeTable names keep Spark-native
+    behavior (temp views, catalog objects)."""
+    spark.createDataFrame([Row(x=1)]).createOrReplaceTempView("plain_view")
+    out = run_statement(spark, "DESCRIBE plain_view").collect()
+    assert out[0]["col_name"] == "x"
