@@ -742,6 +742,84 @@ def _parse_properties(body: str) -> dict[str, str]:
     return props
 
 
+def _split_column_items(s: str) -> list[str]:
+    """Split a CREATE TABLE column list on top-level commas, tracking
+    parens AND angle brackets (``map<string,int>`` must not split)."""
+    mask = _mask(s)
+    parts: list[str] = []
+    prev = 0
+    angle = 0
+    for i, ch in enumerate(s):
+        if mask[i][1]:
+            continue
+        if ch == "<":
+            angle += 1
+        elif ch == ">":
+            angle = max(0, angle - 1)
+        elif ch == "," and mask[i][0] == 0 and angle == 0:
+            parts.append(s[prev:i])
+            prev = i + 1
+    parts.append(s[prev:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_create_columns(cols_text: str):
+    """Column-list grammar for CREATE TABLE, including the reference's
+    Delta DDL column clauses (``delta_lake_features.py:206-262``):
+
+    * ``col BIGINT GENERATED ALWAYS AS IDENTITY [(START WITH n
+      [INCREMENT BY m])]`` / ``GENERATED BY DEFAULT AS IDENTITY`` —
+      recorded as ``delta.identity.*`` field metadata, the exact keys
+      the writer obligation (:func:`_generate_identity`) and the
+      highWaterMark tracker already honor.
+    * ``col TYPE GENERATED ALWAYS AS (expr)`` — recorded as
+      ``delta.generationExpression``, recomputed on every write by
+      ``_apply_generated`` and used for partition pruning on monotone
+      shapes.
+    * plain ``name TYPE [NOT NULL] [COMMENT '...']`` items pass
+      through Spark's own DDL parser untouched.
+    """
+    from pyspark.sql.types import StructField as _SF, StructType as _ST
+
+    fields = []
+    for item in _split_column_items(cols_text):
+        meta: dict[str, Any] = {}
+        mi = re.search(
+            r"\sGENERATED\s+(?P<mode>ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+            r"(?:\s*\((?P<opts>[^)]*)\))?",
+            item,
+            re.IGNORECASE,
+        )
+        if mi:
+            opts = mi.group("opts") or ""
+            ms = re.search(r"START\s+WITH\s+(-?\d+)", opts, re.IGNORECASE)
+            mp = re.search(r"INCREMENT\s+BY\s+(-?\d+)", opts, re.IGNORECASE)
+            meta = {
+                "delta.identity.start": int(ms.group(1)) if ms else 1,
+                "delta.identity.step": int(mp.group(1)) if mp else 1,
+                "delta.identity.allowExplicitInsert": (
+                    mi.group("mode").upper() != "ALWAYS"
+                ),
+            }
+            item = (item[: mi.start()] + " " + item[mi.end() :]).strip()
+        else:
+            mg = re.search(
+                r"\sGENERATED\s+ALWAYS\s+AS\s*\(", item, re.IGNORECASE
+            )
+            if mg:
+                inner, after = _balanced_paren(item[mg.end() - 1 :])
+                meta = {"delta.generationExpression": inner.strip()}
+                item = (item[: mg.start()] + " " + after).strip()
+        f = _ST.fromDDL(item).fields[0]
+        if meta:
+            fields.append(
+                _SF(f.name, f.dataType, f.nullable, {**dict(f.metadata or {}), **meta})
+            )
+        else:
+            fields.append(f)
+    return _ST(fields)
+
+
 def _balanced_paren(s: str) -> tuple[str, str]:
     """``s`` starts at '('; return (inner_text, rest_after_close)."""
     mask = _mask(s)
@@ -783,7 +861,7 @@ def _run_create(spark: SparkSession, sql: str) -> dict[str, Any]:
     schema: _ST | None = None
     if rest.startswith("("):
         cols_text, rest = _balanced_paren(rest)
-        schema = _ST.fromDDL(cols_text)
+        schema = _parse_create_columns(cols_text)
         rest = rest.lstrip()
 
     partition_by: list[str] | None = None

@@ -600,3 +600,90 @@ def test_metrics_df_tolerates_none_values(spark):
     row = df.collect()[0]
     assert row["numAffectedRows"] == 3 and row["version"] is None
     assert dict(df.dtypes)["version"] == "bigint"
+
+
+def test_create_table_identity_ddl(spark, tmp_path):
+    """The reference's Delta DDL (delta_lake_features.py:206-262):
+    `BIGINT GENERATED ALWAYS AS IDENTITY (START WITH n INCREMENT BY m)`
+    parsed in CREATE TABLE onto the existing identity plumbing — the
+    SQL-created table generates ids identically to the API-created
+    one (same start/step/highWaterMark behavior)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    loc_sql = str(tmp_path / "ident_sql")
+    sqldml.run_dml(
+        spark,
+        f"""CREATE TABLE ident_sql (
+              uid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 10),
+              name STRING
+            ) USING DELTA LOCATION '{loc_sql}'""",
+    )
+    t_sql = sqldml.resolve_table(spark, "ident_sql")
+
+    meta = {"delta.identity.start": 100, "delta.identity.step": 10}
+    t_api = LakeTable.create(
+        spark,
+        str(tmp_path / "ident_api"),
+        schema=StructType(
+            [
+                StructField("uid", LongType(), True, meta),
+                StructField("name", StringType(), True),
+            ]
+        ),
+        format="delta",
+    )
+    frame = spark.createDataFrame([("a",), ("b",), ("c",)], "name string")
+    t_sql.append(frame.coalesce(1))
+    t_api.append(frame.coalesce(1))
+    ids_sql = sorted(r["uid"] for r in t_sql.to_df().collect())
+    ids_api = sorted(r["uid"] for r in t_api.to_df().collect())
+    assert ids_sql == ids_api == [100, 110, 120]
+    hwm = int(t_sql.schema["uid"].metadata["delta.identity.highWaterMark"])
+    assert hwm == 120
+    # GENERATED ALWAYS: explicit values refused through SQL INSERT too
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        sqldml.run_dml(spark, "INSERT INTO ident_sql (uid, name) VALUES (999, 'x')")
+
+
+def test_create_table_by_default_identity_ddl(spark, tmp_path):
+    loc = str(tmp_path / "ident_bd")
+    sqldml.run_dml(
+        spark,
+        f"""CREATE TABLE ident_bd (
+              uid BIGINT GENERATED BY DEFAULT AS IDENTITY,
+              name STRING
+            ) USING DELTA LOCATION '{loc}'""",
+    )
+    t = sqldml.resolve_table(spark, "ident_bd")
+    sqldml.run_dml(spark, "INSERT INTO ident_bd (uid, name) VALUES (7, 'explicit')")
+    t.append(spark.createDataFrame([("gen",)], "name string"))
+    rows = {r["name"]: r["uid"] for r in t.to_df().collect()}
+    assert rows["explicit"] == 7 and rows["gen"] is not None
+
+
+def test_create_table_generated_column_ddl(spark, tmp_path):
+    """`GENERATED ALWAYS AS (expr)` column clause: the expression is
+    recomputed on every write (writer obligation), usable as a
+    partition column with generated-column pruning."""
+    loc = str(tmp_path / "genc")
+    sqldml.run_dml(
+        spark,
+        f"""CREATE TABLE genc (
+              id BIGINT,
+              ts TIMESTAMP,
+              day DATE GENERATED ALWAYS AS (CAST(ts AS DATE))
+            ) USING DELTA PARTITIONED BY (day) LOCATION '{loc}'""",
+    )
+    t = sqldml.resolve_table(spark, "genc")
+    assert (
+        t.schema["day"].metadata["delta.generationExpression"]
+        == "CAST(ts AS DATE)"
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, "2024-03-01 10:00:00"), (2, "2024-03-02 00:30:00")],
+            "id long, ts string",
+        ).selectExpr("id", "CAST(ts AS TIMESTAMP) ts")
+    )
+    got = {(r["id"], str(r["day"])) for r in t.to_df().collect()}
+    assert got == {(1, "2024-03-01"), (2, "2024-03-02")}
