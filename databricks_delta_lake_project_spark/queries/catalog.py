@@ -136,6 +136,22 @@ def widen(df: DataFrame) -> DataFrame:
     return df
 
 
+def bench_fast() -> bool:
+    """True when SPARK_GRAFT_BENCH_FAST=1: the heavyweight fixture-
+    staging queries (q48/q50/q53 — real streaming pipelines and
+    multi-commit DML whose cost is machinery, not plan) shrink their
+    STAGED INPUT by a deterministic 4x filter so local bench iteration
+    reads the other 47 queries above the noise floor. Semantics are
+    unchanged (same operators, same commit/batch structure); results
+    intentionally differ from the full-input oracle, so the driver —
+    which never sets the env var — always measures and validates the
+    default full-size path.
+    """
+    import os
+
+    return os.environ.get("SPARK_GRAFT_BENCH_FAST", "") == "1"
+
+
 def _dec(c: str | Column) -> Column:
     """Exact money arithmetic: DECIMAL(12,2) keeps sums order-independent
     so Spark and the DuckDB oracle agree bit-for-bit after a final cast

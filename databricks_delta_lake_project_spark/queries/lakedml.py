@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import LakeTable
-from .catalog import load
+from .catalog import bench_fast, load
 
 
 def q50_partitioned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +48,8 @@ def q50_partitioned_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_cents"),
     )
+    if bench_fast():
+        orders = orders.where("pmod(o_orderkey, 4) = 0")
     # co-locate rows with their target partition BEFORE the partitioned
     # write: without this every upstream task writes a sliver into every
     # status dir (tasks × partitions tiny files — the classic

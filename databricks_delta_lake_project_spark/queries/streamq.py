@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import LakeTable
-from .catalog import load, widen
+from .catalog import bench_fast, load, widen
 
 
 def q48_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,6 +48,8 @@ def q48_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = widen(load(spark, sf_dir, "events")).select(
         "event_id", "user_id", "value", "ts"
     )
+    if bench_fast():
+        events = events.where("pmod(user_id, 4) = 0")
     events.repartition(2).write.mode("overwrite").parquet(str(src_dir))
     schema = spark.read.parquet(str(src_dir)).schema
 
@@ -135,6 +137,8 @@ def q53_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = widen(load(spark, sf_dir, "events")).select(
         "user_id", "event_type", "ts"
     )
+    if bench_fast():
+        events = events.where("pmod(user_id, 4) = 0")
     events.repartition(2).write.mode("overwrite").parquet(str(src_dir))
 
     # sentinel: one event far past max(ts); staged strictly after the
