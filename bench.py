@@ -101,6 +101,10 @@ def main() -> None:
         samples = [r[name] for r in per_run if name in r]
         if samples:
             timings[name] = round(statistics.median(samples), 3)
+            # contract: a query has EITHER a timing OR an error — a
+            # transient single-run failure with surviving samples is
+            # reported as a timing, not as a failed benchmark
+            errors.pop(name, None)
         else:
             timings[name] = {"err": errors[name]}
     total = round(sum(v for v in timings.values() if isinstance(v, float)), 3)

@@ -121,17 +121,58 @@ def widen(df: DataFrame) -> DataFrame:
     condition is false, and NO extra shuffle is added — this only
     trades a few MB of shuffle for full parallelism on narrow inputs.
 
-    The probe is ``len(df.inputFiles())`` — metadata-only, no plan
-    conversion (the earlier ``df.rdd.getNumPartitions()`` forced full
-    analysis + physical planning per call). A parquet file with one row
-    group is one split, so file count lower-bounds split count; when a
-    scan has >= cluster-width files it certainly has enough splits. A
-    non-file plan (in-memory fixture) reports 0 files and is left
-    untouched — createDataFrame already parallelizes to cluster width.
+    The probe is metadata-only (the earlier
+    ``df.rdd.getNumPartitions()`` forced full analysis + physical
+    planning per call): ``df.inputFiles()`` plus a driver-side stat of
+    their sizes estimates the split count the same way FilePartition
+    bin-packing does — ``ceil((bytes + nFiles*openCost) /
+    maxPartitionBytes)`` — so a directory of MANY SMALL files (which
+    Spark packs into few splits) still widens, and one file with many
+    row groups never looks wider than it is. A non-file plan
+    (in-memory fixture) reports 0 files and is left untouched —
+    createDataFrame already parallelizes to cluster width; non-local
+    URIs that can't be stat'd fall back to the file count.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
+    import math
+    import os
+    import re as _re
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if files and len(files) < target:
+    if not files:
+        return df
+    if len(files) >= 4 * target:
+        # enough files that even maximal packing leaves plenty of
+        # splits at any realistic size — skip the stat pass
+        return df
+
+    def _bytes(conf_val: str, default: int) -> int:
+        m = _re.match(r"(\d+)\s*([kmg]?)b?$", str(conf_val).strip().lower())
+        if not m:
+            return default
+        return int(m.group(1)) * {
+            "": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30
+        }[m.group(2)]
+
+    max_pb = _bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"),
+        128 << 20,
+    )
+    open_cost = _bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304b"),
+        4 << 20,
+    )
+    try:
+        total = sum(
+            os.stat(_re.sub("^file:", "", f)).st_size for f in files
+        )
+        est_splits = math.ceil(
+            (total + open_cost * len(files)) / max(1, max_pb)
+        )
+    except OSError:
+        est_splits = len(files)
+    if est_splits < target:
         return df.repartition(target)
     return df
 

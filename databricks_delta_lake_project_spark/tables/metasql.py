@@ -175,6 +175,7 @@ def _analyze(
     """Table stats from the log (no scan); column stats from ONE
     aggregate job. Persisted as ``engine.stats.*`` properties in an
     ANALYZE commit so the next session's planner can read them."""
+    snap = t._log.latest_version(t.root)
     files = t._files()
     stats: dict[str, Any] = {
         "engine.stats.numFiles": str(len(files)),
@@ -206,6 +207,9 @@ def _analyze(
             col_stats, default=str, sort_keys=True
         )
     merged = {**t.properties(), **stats}
+    # expected_version: the stats job takes seconds — a rival property
+    # change landing meanwhile must conflict (retryable), not be
+    # silently reverted by this commit's full property snapshot
     t._log.commit(
         t.root,
         "ANALYZE",
@@ -214,9 +218,22 @@ def _analyze(
         t._log.schema_at(t.root),
         parameters={"columns": columns or []},
         properties=merged,
+        expected_version=snap,
     )
     out = sorted(stats.items())
     return spark.createDataFrame(out, "key string, value string")
+
+
+def _native_rows(spark: SparkSession, sql: str, col: str | None = None):
+    """Rows from Spark's own metadata statement, so engine listings
+    MERGE with (never replace) native temp views / catalog tables. An
+    unknown-namespace error (the namespace only exists in the engine
+    registry) yields []."""
+    try:
+        rows = spark.sql(sql).collect()
+    except Exception:  # noqa: BLE001 — engine-only namespace
+        return []
+    return [r[col] for r in rows] if col else rows
 
 
 def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
@@ -228,7 +245,7 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
 
     m = re.match(r"SHOW\s+CATALOGS\s*$", text, re.IGNORECASE)
     if m:
-        names = {"spark_catalog"}
+        names = set(_native_rows(spark, text, "catalog")) or {"spark_catalog"}
         names.update(
             n.split(".")[0] for n in _registered(spark) if n.count(".") == 2
         )
@@ -254,6 +271,7 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
                     out.add(bits[0])
             elif not cat:
                 out.add("default")
+        out.update(_native_rows(spark, text, "namespace"))
         if not out and not cat:
             out.add("default")
         return spark.createDataFrame(
@@ -271,6 +289,12 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
             if ns and prefix != ns and not prefix.endswith("." + ns) and prefix.split(".")[-1] != ns:
                 continue
             rows.append((prefix or "default", last, False))
+        # native temp views / catalog tables merge in (SHOW TABLES must
+        # keep listing what spark.sql would have listed)
+        engine_names = {r[1] for r in rows}
+        for r in _native_rows(spark, text):
+            if r["tableName"] not in engine_names:
+                rows.append((r["namespace"], r["tableName"], r["isTemporary"]))
         return spark.createDataFrame(
             rows, "namespace string, tableName string, isTemporary boolean"
         )
@@ -354,6 +378,13 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         if t is None:
             return None
         name = m.group(2).strip("`").split(".")[-1]
+        if not re.fullmatch(r"\w+", name):
+            # path-addressed tables have no view name to cache under
+            raise ValueError(
+                "CACHE TABLE needs a registered table name (path-"
+                "addressed tables have no view); register_table(...) "
+                "first or cache the DataFrame directly"
+            )
         sqldml.sync_views(spark)
         if m.group("un"):
             spark.catalog.uncacheTable(name)

@@ -752,9 +752,12 @@ def _split_column_items(s: str) -> list[str]:
     for i, ch in enumerate(s):
         if mask[i][1]:
             continue
-        if ch == "<":
+        # angle brackets only open generic types at paren depth 0 —
+        # inside parens (a GENERATED ALWAYS AS (a < 5) expression) a
+        # '<' is a comparison and must not swallow later commas
+        if ch == "<" and mask[i][0] == 0:
             angle += 1
-        elif ch == ">":
+        elif ch == ">" and mask[i][0] == 0:
             angle = max(0, angle - 1)
         elif ch == "," and mask[i][0] == 0 and angle == 0:
             parts.append(s[prev:i])
@@ -784,11 +787,12 @@ def _parse_create_columns(cols_text: str):
     fields = []
     for item in _split_column_items(cols_text):
         meta: dict[str, Any] = {}
-        mi = re.search(
+        # clause keywords inside string literals (COMMENT '...') must
+        # not parse as clauses: only depth-0, unquoted matches count
+        mi = _find_top(
+            item,
             r"\sGENERATED\s+(?P<mode>ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
             r"(?:\s*\((?P<opts>[^)]*)\))?",
-            item,
-            re.IGNORECASE,
         )
         if mi:
             opts = mi.group("opts") or ""
@@ -803,9 +807,7 @@ def _parse_create_columns(cols_text: str):
             }
             item = (item[: mi.start()] + " " + item[mi.end() :]).strip()
         else:
-            mg = re.search(
-                r"\sGENERATED\s+ALWAYS\s+AS\s*\(", item, re.IGNORECASE
-            )
+            mg = _find_top(item, r"\sGENERATED\s+ALWAYS\s+AS\s*\(")
             if mg:
                 inner, after = _balanced_paren(item[mg.end() - 1 :])
                 meta = {"delta.generationExpression": inner.strip()}

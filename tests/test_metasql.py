@@ -139,3 +139,26 @@ def test_fallthrough_to_native_spark(spark, world):
     spark.createDataFrame([Row(x=1)]).createOrReplaceTempView("plain_view")
     out = run_statement(spark, "DESCRIBE plain_view").collect()
     assert out[0]["col_name"] == "x"
+
+
+def test_show_tables_includes_native_temp_views(spark, world):
+    """SHOW TABLES must keep listing what spark.sql would have listed
+    (native temp views / catalog tables) merged with engine tables."""
+    spark.createDataFrame([Row(x=1)]).createOrReplaceTempView("native_tv")
+    rows = run_statement(spark, "SHOW TABLES").collect()
+    names = {r["tableName"] for r in rows}
+    assert "transactions" in names and "native_tv" in names
+    by_name = {r["tableName"]: r for r in rows}
+    assert by_name["native_tv"]["isTemporary"] is True
+    spark.catalog.dropTempView("native_tv")
+
+
+def test_cache_table_path_addressed_refuses_loudly(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "pathtab"),
+        df=spark.createDataFrame([Row(x=1)]),
+        format="delta",
+    )
+    with pytest.raises(ValueError, match="registered table name"):
+        run_statement(spark, f"CACHE TABLE `{t.root}`")

@@ -225,3 +225,80 @@ def test_failed_dml_commit_unlinks_staged_files(spark, tmp_path, monkeypatch):
     after = live_files()
     # the rewrite's new data file and the staged cdc parquet are gone
     assert after - before == set(), f"orphaned staged files: {after - before}"
+
+
+def test_failed_dv_delete_keeps_live_files(spark, tmp_path, monkeypatch):
+    """A DV DELETE that loses its OCC race must unlink ONLY what it
+    staged (fresh deletion-vector sidecars + cdc parquet). The DV
+    re-add actions reference the pre-existing LIVE data files — those
+    must survive the failure and still serve reads."""
+    from pathlib import Path
+    import json as _json
+
+    path = str(tmp_path / "dv_cleanup_race")
+    df = spark.createDataFrame(
+        [Row(k=i, v=0) for i in range(10)]
+    ).coalesce(1)
+    t = LakeTable.create(
+        spark,
+        path,
+        df=df,
+        format="delta",
+        properties={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    data_before = {
+        str(p.relative_to(path))
+        for p in Path(path).rglob("*.parquet")
+        if "_delta_log" not in p.parts
+    }
+    backend = t._log
+    real_commit = backend.commit
+    log = Path(path) / "_delta_log"
+
+    def sabotage(root, op, adds, removes, *a, **k):
+        # a rival lands a metadata-only commit (property change) right
+        # before ours: the remove-carrying DV plan's gates are stale ->
+        # conflict, but NO data file leaves the table, so post-failure
+        # reads must still serve every row
+        if removes:
+            planned = backend.latest_version(root)
+            props = dict(t.properties())
+            props["rival.touch"] = "1"
+            (log / f"{planned + 1:020d}.json").write_text(
+                _json.dumps(
+                    {
+                        "metaData": {
+                            "id": "rival",
+                            "format": {"provider": "parquet", "options": {}},
+                            "schemaString": backend.schema_at(root),
+                            "partitionColumns": [],
+                            "configuration": props,
+                        }
+                    }
+                )
+            )
+        return real_commit(root, op, adds, removes, *a, **k)
+
+    monkeypatch.setattr(backend, "commit", sabotage)
+    with pytest.raises((ValueError, ConcurrentModificationError)):
+        t.delete("k >= 5", strategy="dv")
+    monkeypatch.setattr(backend, "commit", real_commit)
+
+    data_after = {
+        str(p.relative_to(path))
+        for p in Path(path).rglob("*.parquet")
+        if "_delta_log" not in p.parts
+    }
+    # live data files untouched, staged cdc gone
+    assert data_after == data_before
+    # fresh DV sidecars unlinked too
+    assert list(Path(path).glob("deletion_vector_*.bin")) == []
+    # the table still reads every pre-failure row
+    assert {r["k"] for r in t.to_df().collect()} == set(range(10))
+    # and a clean retry succeeds end-to-end
+    m = t.delete("k >= 5", strategy="dv")
+    assert m["numDeletedRows"] == 5
+    assert {r["k"] for r in t.to_df().collect()} == set(range(5))

@@ -687,3 +687,35 @@ def test_create_table_generated_column_ddl(spark, tmp_path):
     )
     got = {(r["id"], str(r["day"])) for r in t.to_df().collect()}
     assert got == {(1, "2024-03-01"), (2, "2024-03-02")}
+
+
+def test_create_table_generated_comparison_and_comment_literal(spark, tmp_path):
+    """Review regressions: (a) a '<' inside a GENERATED expression must
+    not swallow the following columns (angle brackets only open generic
+    types at paren depth 0); (b) clause keywords inside a COMMENT
+    string literal must not parse as clauses; (c) map<string,int>
+    generics still survive the splitter."""
+    loc = str(tmp_path / "genlt")
+    sqldml.run_dml(
+        spark,
+        f"""CREATE TABLE genlt (
+              a INT,
+              note STRING COMMENT 'GENERATED ALWAYS AS IDENTITY',
+              flag BOOLEAN GENERATED ALWAYS AS (a < 5),
+              tags MAP<STRING,INT>,
+              c STRING
+            ) USING DELTA LOCATION '{loc}'""",
+    )
+    t = sqldml.resolve_table(spark, "genlt")
+    assert [f.name for f in t.schema.fields] == ["a", "note", "flag", "tags", "c"]
+    assert "delta.identity.start" not in dict(t.schema["note"].metadata or {})
+    assert t.schema["flag"].metadata["delta.generationExpression"] == "a < 5"
+    assert t.schema["tags"].dataType.simpleString() == "map<string,int>"
+    t.append(
+        spark.createDataFrame(
+            [(3, "x", None, "y"), (9, "x", None, "y")],
+            "a int, note string, tags map<string,int>, c string",
+        )
+    )
+    got = {(r["a"], r["flag"]) for r in t.to_df().collect()}
+    assert got == {(3, True), (9, False)}
