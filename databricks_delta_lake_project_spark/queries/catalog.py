@@ -142,10 +142,6 @@ def widen(df: DataFrame) -> DataFrame:
     files = df.inputFiles()
     if not files:
         return df
-    if len(files) >= 4 * target:
-        # enough files that even maximal packing leaves plenty of
-        # splits at any realistic size — skip the stat pass
-        return df
 
     def _bytes(conf_val: str, default: int) -> int:
         m = _re.match(r"(\d+)\s*([kmg]?)b?$", str(conf_val).strip().lower())
@@ -163,6 +159,11 @@ def widen(df: DataFrame) -> DataFrame:
         spark.conf.get("spark.sql.files.openCostInBytes", "4194304b"),
         4 << 20,
     )
+    # one split packs at most max_pb/open_cost files, so this many
+    # files guarantees >= target splits at ANY file size — skip the
+    # stat pass (it would be O(files) driver-side on a huge scan)
+    if len(files) >= max(1, max_pb // max(1, open_cost)) * target:
+        return df
     try:
         total = sum(
             os.stat(_re.sub("^file:", "", f)).st_size for f in files

@@ -733,9 +733,12 @@ class DeltaLogBackend:
             if expected_version is not None
             else self.latest_version(root)
         )
+        props_guard = properties is not None and expected_version is not None
         for _ in range(max_retries):
             prev = self.latest_version(root)
-            if (remove or schema_authoritative) and prev != planned_prev:
+            if (
+                remove or schema_authoritative or props_guard
+            ) and prev != planned_prev:
                 # lost a race with removes in hand: our add/remove plan
                 # came from a stale snapshot. Conflict iff an
                 # intervening commit TOUCHED a file we plan to remove

@@ -221,9 +221,15 @@ def commit(
         if expected_version is not None
         else latest_version(root)
     )
+    # a full property-SNAPSHOT commit (ANALYZE, SET TBLPROPERTIES)
+    # planned against an explicit snapshot must conflict with any rival
+    # property change landing meanwhile — replaying the stale snapshot
+    # would silently revert it. Plain data commits (properties=None)
+    # and unversioned writes keep the cheap path.
+    props_guard = properties is not None and expected_version is not None
     for _ in range(max_retries):
         prev = latest_version(root)
-        if (remove or schema_authoritative) and prev != planned_prev:
+        if (remove or schema_authoritative or props_guard) and prev != planned_prev:
             if schema_authoritative:
                 # the caller computed schema metadata (e.g. an identity
                 # highWaterMark) from a now-stale snapshot; emitting it
@@ -247,6 +253,13 @@ def commit(
                         f"conflicts with concurrent v{c['version']} "
                         f"({c.get('operation')}) touching "
                         f"{sorted(theirs & ours)[:3]}; recompute and retry"
+                    )
+                if props_guard and c.get("properties"):
+                    raise ConcurrentModificationError(
+                        f"{operation} planned at v{planned_prev} carries "
+                        f"a property snapshot but concurrent "
+                        f"v{c['version']} ({c.get('operation')}) changed "
+                        "properties; recompute and retry"
                     )
             planned_prev = prev  # disjoint files: plan still valid
         version = 0 if prev is None else prev + 1

@@ -231,9 +231,11 @@ def _native_rows(spark: SparkSession, sql: str, col: str | None = None):
     registry) yields []."""
     try:
         rows = spark.sql(sql).collect()
-    except Exception:  # noqa: BLE001 — engine-only namespace
+        return [r[col] for r in rows] if col else rows
+    except Exception:  # noqa: BLE001 — engine-only namespace or a
+        # vendored Spark with different output column names: degrade
+        # to the engine-only listing rather than fail the verb
         return []
-    return [r[col] for r in rows] if col else rows
 
 
 def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
@@ -290,11 +292,18 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
                 continue
             rows.append((prefix or "default", last, False))
         # native temp views / catalog tables merge in (SHOW TABLES must
-        # keep listing what spark.sql would have listed)
+        # keep listing what spark.sql would have listed). A native TEMP
+        # row shadowing an engine table name is this module's own
+        # synced view — suppressed; same-named PERSISTENT tables in
+        # other namespaces still list (dedup on (namespace, tableName))
         engine_names = {r[1] for r in rows}
+        seen = {(r[0], r[1]) for r in rows}
         for r in _native_rows(spark, text):
-            if r["tableName"] not in engine_names:
-                rows.append((r["namespace"], r["tableName"], r["isTemporary"]))
+            if r["isTemporary"] and r["tableName"] in engine_names:
+                continue
+            if (r["namespace"], r["tableName"]) in seen:
+                continue
+            rows.append((r["namespace"], r["tableName"], r["isTemporary"]))
         return spark.createDataFrame(
             rows, "namespace string, tableName string, isTemporary boolean"
         )
@@ -374,17 +383,24 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         re.IGNORECASE,
     )
     if m:
-        t = _resolve(spark, m.group(2))
-        if t is None:
-            return None
-        name = m.group(2).strip("`").split(".")[-1]
-        if not re.fullmatch(r"\w+", name):
-            # path-addressed tables have no view name to cache under
-            raise ValueError(
-                "CACHE TABLE needs a registered table name (path-"
-                "addressed tables have no view); register_table(...) "
-                "first or cache the DataFrame directly"
-            )
+        ref = m.group(2).strip("`")
+        reg = _registered(spark)
+        last = ref.lower().split(".")[-1]
+        hit = ref.lower() in reg or any(
+            n.split(".")[-1] == last for n in reg
+        )
+        if not hit:
+            if "/" in ref:
+                # path-addressed table: resolvable for reads, but there
+                # is no view name to cache under — refuse loudly rather
+                # than cache whatever unrelated view shares the suffix
+                raise ValueError(
+                    "CACHE TABLE needs a registered table name (path-"
+                    "addressed tables have no view); register_table(...)"
+                    " first or cache the DataFrame directly"
+                )
+            return None  # native temp views / catalog tables
+        name = last
         sqldml.sync_views(spark)
         if m.group("un"):
             spark.catalog.uncacheTable(name)

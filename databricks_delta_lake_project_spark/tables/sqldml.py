@@ -699,7 +699,10 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
         # clustering "no full rewrite" contract); the next OPTIMIZE
         # clusters by the new columns
         cols = [c.strip("` ") for c in _split_commas(mcl.group("cols"))]
+        snap = table._log.latest_version(table.root)
         merged = {**table.properties(), "engine.clusterBy": ",".join(cols)}
+        # expected_version: a full property snapshot must conflict with
+        # a rival property change, not silently revert it
         v = table._log.commit(
             table.root,
             "CLUSTER BY",
@@ -708,6 +711,7 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
             table._log.schema_at(table.root),
             parameters={"clusterBy": cols},
             properties=merged,
+            expected_version=snap,
         )
         return {"operation": "CLUSTER BY", "version": v}
     mp = re.match(
@@ -717,6 +721,7 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
     )
     if mp:
         props = _parse_properties(mp.group("body"))
+        snap = table._log.latest_version(table.root)
         merged = {**table.properties(), **props}
         v = table._log.commit(
             table.root,
@@ -726,6 +731,7 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
             table._log.schema_at(table.root),
             parameters={"properties": props},
             properties=merged,
+            expected_version=snap,
         )
         return {"operation": "SET TBLPROPERTIES", "version": v}
     raise NotImplementedError(f"unsupported ALTER TABLE form: {rest[:80]!r}")

@@ -162,3 +162,50 @@ def test_cache_table_path_addressed_refuses_loudly(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="registered table name"):
         run_statement(spark, f"CACHE TABLE `{t.root}`")
+
+
+def test_analyze_conflicts_with_concurrent_property_change(
+    spark, tmp_path, monkeypatch
+):
+    """ANALYZE commits a FULL property snapshot; a rival property
+    change landing between the stats job and the commit must raise a
+    retryable conflict, never be silently reverted."""
+    from databricks_delta_lake_project_spark.tables.log import (
+        ConcurrentModificationError,
+    )
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "an_race"),
+        df=spark.createDataFrame([Row(x=1), Row(x=2)]),
+        format="delta",
+    )
+    sqldml.register_table(spark, "an_race", t)
+    backend = t._log
+    real_commit = backend.commit
+
+    def sabotage(root, op, adds, removes, *a, **k):
+        if op == "ANALYZE":
+            # rival SET TBLPROPERTIES lands first (through the real
+            # commit path so the metaData action is well-formed)
+            real_commit(
+                root,
+                "SET TBLPROPERTIES",
+                [],
+                [],
+                backend.schema_at(root),
+                properties={**t.properties(), "rival.flag": "true"},
+            )
+        return real_commit(root, op, adds, removes, *a, **k)
+
+    monkeypatch.setattr(backend, "commit", sabotage)
+    with pytest.raises(ConcurrentModificationError):
+        run_statement(spark, "ANALYZE TABLE an_race COMPUTE STATISTICS")
+    monkeypatch.setattr(backend, "commit", real_commit)
+    # the rival's property survived
+    assert t.properties()["rival.flag"] == "true"
+    # a clean retry lands the stats WITHOUT reverting the rival
+    run_statement(spark, "ANALYZE TABLE an_race COMPUTE STATISTICS")
+    props = t.properties()
+    assert props["rival.flag"] == "true"
+    assert props["engine.stats.rowCount"] == "2"
