@@ -241,8 +241,12 @@ def commit(
                 )
             ours = set(remove)
             lo = -1 if planned_prev is None else planned_prev
+            base_schema: str | None = None
             for c in read_log(root):
                 if c["version"] <= lo:
+                    # remember the schema AT the planned snapshot so a
+                    # rival schema evolution after it is detectable
+                    base_schema = c.get("schema") or base_schema
                     continue
                 theirs = {a["path"] for a in c.get("add", [])} | set(
                     c.get("remove", [])
@@ -254,12 +258,22 @@ def commit(
                         f"({c.get('operation')}) touching "
                         f"{sorted(theirs & ours)[:3]}; recompute and retry"
                     )
-                if props_guard and c.get("properties"):
+                if props_guard and (
+                    c.get("properties")
+                    or (
+                        c.get("schema") is not None
+                        and c.get("schema") != base_schema
+                    )
+                ):
+                    # a rival property OR schema change landed after the
+                    # planned snapshot: this commit replays stale
+                    # property/schema state — conflict (retryable), like
+                    # the Delta backend's metaData check
                     raise ConcurrentModificationError(
                         f"{operation} planned at v{planned_prev} carries "
                         f"a property snapshot but concurrent "
                         f"v{c['version']} ({c.get('operation')}) changed "
-                        "properties; recompute and retry"
+                        "table metadata; recompute and retry"
                     )
             planned_prev = prev  # disjoint files: plan still valid
         version = 0 if prev is None else prev + 1

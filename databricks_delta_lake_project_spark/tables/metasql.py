@@ -224,17 +224,20 @@ def _analyze(
     return spark.createDataFrame(out, "key string, value string")
 
 
-def _native_rows(spark: SparkSession, sql: str, col: str | None = None):
-    """Rows from Spark's own metadata statement, so engine listings
-    MERGE with (never replace) native temp views / catalog tables. An
-    unknown-namespace error (the namespace only exists in the engine
-    registry) yields []."""
+def _native_rows(
+    spark: SparkSession, sql: str, cols: tuple[str, ...]
+) -> list[tuple]:
+    """Rows (as tuples of ``cols``) from Spark's own metadata
+    statement, so engine listings MERGE with (never replace) native
+    temp views / catalog tables. An unknown-namespace error (the
+    namespace only exists in the engine registry) or a vendored Spark
+    with different output column names degrades to [] — the verb then
+    serves the engine-only listing."""
     try:
-        rows = spark.sql(sql).collect()
-        return [r[col] for r in rows] if col else rows
-    except Exception:  # noqa: BLE001 — engine-only namespace or a
-        # vendored Spark with different output column names: degrade
-        # to the engine-only listing rather than fail the verb
+        return [
+            tuple(r[c] for c in cols) for r in spark.sql(sql).collect()
+        ]
+    except Exception:  # noqa: BLE001
         return []
 
 
@@ -247,7 +250,9 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
 
     m = re.match(r"SHOW\s+CATALOGS\s*$", text, re.IGNORECASE)
     if m:
-        names = set(_native_rows(spark, text, "catalog")) or {"spark_catalog"}
+        names = {
+            c for (c,) in _native_rows(spark, text, ("catalog",))
+        } or {"spark_catalog"}
         names.update(
             n.split(".")[0] for n in _registered(spark) if n.count(".") == 2
         )
@@ -273,7 +278,7 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
                     out.add(bits[0])
             elif not cat:
                 out.add("default")
-        out.update(_native_rows(spark, text, "namespace"))
+        out.update(ns for (ns,) in _native_rows(spark, text, ("namespace",)))
         if not out and not cat:
             out.add("default")
         return spark.createDataFrame(
@@ -292,18 +297,23 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
                 continue
             rows.append((prefix or "default", last, False))
         # native temp views / catalog tables merge in (SHOW TABLES must
-        # keep listing what spark.sql would have listed). A native TEMP
-        # row shadowing an engine table name is this module's own
-        # synced view — suppressed; same-named PERSISTENT tables in
-        # other namespaces still list (dedup on (namespace, tableName))
-        engine_names = {r[1] for r in rows}
+        # keep listing what spark.sql would have listed). Only the
+        # module's OWN synced views (sqldml._OWNED_VIEWS) are
+        # suppressed as duplicates of their engine rows; a user's
+        # pre-existing temp view wins SELECT resolution (sync_views
+        # never shadows it) and must stay listed. Dedup on
+        # (namespace, tableName).
+        sid = session_key(spark)
+        owned = {n for (s2, n) in sqldml._OWNED_VIEWS if s2 == sid}
         seen = {(r[0], r[1]) for r in rows}
-        for r in _native_rows(spark, text):
-            if r["isTemporary"] and r["tableName"] in engine_names:
+        for nsn, tbl, tmp in _native_rows(
+            spark, text, ("namespace", "tableName", "isTemporary")
+        ):
+            if tmp and tbl in owned:
                 continue
-            if (r["namespace"], r["tableName"]) in seen:
+            if (nsn, tbl) in seen:
                 continue
-            rows.append((r["namespace"], r["tableName"], r["isTemporary"]))
+            rows.append((nsn, tbl, tmp))
         return spark.createDataFrame(
             rows, "namespace string, tableName string, isTemporary boolean"
         )
@@ -384,23 +394,38 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
     )
     if m:
         ref = m.group(2).strip("`")
+        if "/" in ref:
+            # path reference (or path-registered table): resolvable for
+            # reads, but there is no view name to cache under — refuse
+            # loudly BEFORE any suffix matching so a dotted basename
+            # can never cache an unrelated same-suffix view
+            raise ValueError(
+                "CACHE TABLE needs a registered table name (path-"
+                "addressed tables have no view); register_table(...) "
+                "first or cache the DataFrame directly"
+            )
+        try:
+            # resolve_table's full semantics: exact hit, UNIQUE-suffix
+            # hit, or a loud ambiguity error — never an arbitrary pick
+            sqldml.resolve_table(spark, ref)
+        except ValueError as e:
+            if "ambiguous" in str(e):
+                raise
+            return None  # unknown -> native temp views / catalog tables
+        name = ref.split(".")[-1]
+        if not re.fullmatch(r"\w+", name):
+            raise ValueError(
+                f"CACHE TABLE: {ref!r} has no view-able name; "
+                "register_table(...) under a word name first"
+            )
         reg = _registered(spark)
-        last = ref.lower().split(".")[-1]
-        hit = ref.lower() in reg or any(
-            n.split(".")[-1] == last for n in reg
-        )
-        if not hit:
-            if "/" in ref:
-                # path-addressed table: resolvable for reads, but there
-                # is no view name to cache under — refuse loudly rather
-                # than cache whatever unrelated view shares the suffix
-                raise ValueError(
-                    "CACHE TABLE needs a registered table name (path-"
-                    "addressed tables have no view); register_table(...)"
-                    " first or cache the DataFrame directly"
-                )
-            return None  # native temp views / catalog tables
-        name = last
+        if not any(
+            n == ref.lower() or n.split(".")[-1] == name.lower()
+            for n in reg
+        ):
+            # resolved via the path probe (a table DIR named like a
+            # word), not the registry — no synced view exists
+            return None
         sqldml.sync_views(spark)
         if m.group("un"):
             spark.catalog.uncacheTable(name)

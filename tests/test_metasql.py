@@ -209,3 +209,84 @@ def test_analyze_conflicts_with_concurrent_property_change(
     props = t.properties()
     assert props["rival.flag"] == "true"
     assert props["engine.stats.rowCount"] == "2"
+
+
+def test_cache_dotted_path_never_caches_same_suffix_view(spark, tmp_path, world):
+    """A path whose basename shares a dotted suffix with a registered
+    table must refuse — not cache the unrelated registered view."""
+    p = tmp_path / "events.transactions"
+    LakeTable.create(
+        spark, str(p), df=spark.createDataFrame([Row(x=1)]), format="delta"
+    )
+    with pytest.raises(ValueError, match="registered table name"):
+        run_statement(spark, f"CACHE TABLE `{p}`")
+    assert not spark.catalog.isCached("transactions")
+
+
+def test_show_tables_keeps_user_view_shadowing_engine_name(
+    spark, tmp_path
+):
+    """A USER-owned temp view that shares an engine table's name wins
+    SELECT resolution (sync_views never shadows it) — SHOW TABLES must
+    list BOTH it and the engine row, suppressing only the module's own
+    synced views. Uses a fresh name so no prior sync owns the view."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "shadowt"),
+        df=spark.createDataFrame([Row(a=1)]),
+        format="delta",
+    )
+    sqldml.register_table(spark, "ns2.shadowt", t)
+    spark.createDataFrame([Row(user_owned=1)]).createOrReplaceTempView(
+        "shadowt"
+    )
+    try:
+        rows = run_statement(spark, "SHOW TABLES").collect()
+        pairs = {(r["namespace"], r["tableName"], r["isTemporary"]) for r in rows}
+        assert ("ns2", "shadowt", False) in pairs
+        assert ("", "shadowt", True) in pairs
+        # and SELECT still resolves to the user's view
+        assert spark.sql("SELECT * FROM shadowt").columns == ["user_owned"]
+    finally:
+        spark.catalog.dropTempView("shadowt")
+
+
+def test_engine_format_analyze_conflicts_with_schema_evolution(
+    spark, tmp_path, monkeypatch
+):
+    """Engine-log parity with the Delta backend: a property-snapshot
+    commit racing a rival SCHEMA change must conflict, not replay the
+    pre-evolution schema."""
+    from databricks_delta_lake_project_spark.tables.log import (
+        ConcurrentModificationError,
+    )
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "an_engine"),
+        df=spark.createDataFrame([Row(x=1)]),
+        format="engine",
+    )
+    sqldml.register_table(spark, "an_engine", t)
+    backend = t._log
+    real_commit = backend.commit
+
+    def sabotage(root, op, adds, removes, *a, **k):
+        if op == "ANALYZE":
+            t2 = LakeTable(t.spark, t.root)
+            monkeypatch.setattr(backend, "commit", real_commit)
+            t2.append(
+                spark.createDataFrame([Row(x=2, y="new")]),
+                merge_schema=True,
+            )
+            monkeypatch.setattr(backend, "commit", sabotage)
+        return real_commit(root, op, adds, removes, *a, **k)
+
+    monkeypatch.setattr(backend, "commit", sabotage)
+    with pytest.raises(ConcurrentModificationError):
+        run_statement(spark, "ANALYZE TABLE an_engine COMPUTE STATISTICS")
+    monkeypatch.setattr(backend, "commit", real_commit)
+    # the rival's evolved schema survived
+    assert {f.name for f in LakeTable(t.spark, t.root).schema.fields} == {
+        "x", "y",
+    }
