@@ -402,6 +402,22 @@ def statement_kind(sql: str) -> str | None:
     return None
 
 
+def statement_target(sql: str) -> str | None:
+    """The mutated table name of a DML/DDL statement (None when not
+    parseable) — the securable the access-control layer checks MODIFY
+    on; source tables in USING/SELECT clauses are read-checked
+    separately."""
+    text = _strip_comments(sql).strip()
+    m = re.match(
+        r"(?:MERGE\s+INTO|UPDATE|DELETE\s+FROM|INSERT\s+(?:INTO|OVERWRITE)"
+        r"|TRUNCATE\s+(?:TABLE\s+)?|ALTER\s+TABLE|OPTIMIZE"
+        r"|VACUUM|RESTORE\s+(?:TABLE\s+)?)\s*(`[^`]+`|[\w.]+)",
+        text,
+        re.IGNORECASE,
+    )
+    return m.group(1).strip("`") if m else None
+
+
 def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
     """Parse + execute one DML statement; returns the operation's
     metrics dict (the engine's operationMetrics surface)."""
@@ -664,8 +680,11 @@ def _run_delete(spark: SparkSession, sql: str) -> dict[str, Any]:
 
 def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
     """ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN(S) a[, b] |
-    SET TBLPROPERTIES (k=v, ...) — the reference's schema-evolution and
-    feature-toggle surface (``delta_lake_features.py:182-262``)."""
+    ADD COLUMNS (c TYPE, ...) | ALTER COLUMN c COMMENT '...' |
+    SET/UNSET TAGS (...) | CLUSTER BY (...) | SET TBLPROPERTIES (...) —
+    the reference's schema-evolution, governance and feature-toggle
+    surface (``delta_lake_features.py:182-262``,
+    ``governance/unity_catalog_setup.py:80-124``)."""
     m = re.match(r"ALTER\s+TABLE\s+", sql, re.IGNORECASE)
     if not m:
         raise ValueError("ALTER: expected ALTER TABLE")
@@ -691,6 +710,40 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
         for c in _split_commas(cols_text):
             v = table.drop_column(c.strip("`"))
         return {"operation": "DROP COLUMNS", "version": v}
+    ma = re.match(
+        r"ADD\s+COLUMNS?\s*\(", rest, re.IGNORECASE
+    )
+    if ma:
+        inner, tail = _balanced_paren(rest[ma.end() - 1 :])
+        if tail.strip():
+            raise ValueError(f"ADD COLUMNS: trailing text {tail[:40]!r}")
+        v = table.add_columns(_parse_create_columns(inner))
+        return {"operation": "ADD COLUMNS", "version": v}
+    mc = re.match(
+        r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+COMMENT\s+'(?P<txt>(?:[^']|'')*)'\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if mc:
+        v = table.set_column_comment(
+            mc.group(2), mc.group("txt").replace("''", "'")
+        )
+        return {"operation": "ALTER COLUMN", "version": v}
+    mt = re.match(
+        r"(?P<un>UN)?SET\s+TAGS\s*\((?P<body>.*)\)\s*$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mt:
+        if mt.group("un"):
+            keys = [
+                k.strip().strip("'\"")
+                for k in _split_commas(mt.group("body"))
+            ]
+            v = table.set_tags(dict.fromkeys(keys, ""), unset=True)
+            return {"operation": "UNSET TAGS", "version": v}
+        v = table.set_tags(_parse_properties(mt.group("body")))
+        return {"operation": "SET TAGS", "version": v}
     mcl = re.match(
         r"CLUSTER\s+BY\s*\((?P<cols>[^)]*)\)\s*$", rest, re.IGNORECASE
     )

@@ -719,3 +719,70 @@ def test_create_table_generated_comparison_and_comment_literal(spark, tmp_path):
     )
     got = {(r["a"], r["flag"]) for r in t.to_df().collect()}
     assert got == {(3, True), (9, False)}
+
+
+@pytest.mark.parametrize("fmt", ["engine", "delta"])
+def test_alter_add_columns_sql(spark, tmp_path, fmt):
+    """ALTER TABLE ADD COLUMNS (delta_lake_features.py:258-262):
+    metadata-only additive evolution on both backends — old rows
+    null-fill, new appends carry the column."""
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / f"addc_{fmt}"),
+        df=spark.createDataFrame([Row(id=1)]),
+        format=fmt,
+    )
+    sqldml.register_table(spark, f"addc_{fmt}", t)
+    out = sqldml.run_dml(
+        spark,
+        f"ALTER TABLE addc_{fmt} ADD COLUMNS (score DOUBLE, note STRING)",
+    )
+    assert out["operation"] == "ADD COLUMNS"
+    t2 = LakeTable(t.spark, t.root)
+    assert [f.name for f in t2.schema.fields] == ["id", "score", "note"]
+    t2.append(spark.createDataFrame([Row(id=2, score=0.5, note="n")]))
+    got = {(r["id"], r["score"], r["note"]) for r in t2.to_df().collect()}
+    assert got == {(1, None, None), (2, 0.5, "n")}
+    # duplicate column refused
+    with pytest.raises(ValueError, match="already exists"):
+        sqldml.run_dml(spark, f"ALTER TABLE addc_{fmt} ADD COLUMNS (id INT)")
+
+
+def test_alter_column_comment_and_tags_sql(spark, tmp_path):
+    """ALTER COLUMN ... COMMENT and SET/UNSET TAGS
+    (unity_catalog_setup.py:96-124): comments land in field metadata
+    (visible to DESCRIBE), tags ride engine.tags.* properties."""
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "govt"),
+        df=spark.createDataFrame([Row(customer_id=1)]),
+        format="delta",
+    )
+    sqldml.register_table(spark, "govt", t)
+    sqldml.run_dml(
+        spark,
+        "ALTER TABLE govt ALTER COLUMN customer_id "
+        "COMMENT 'Unique customer identifier from CRM system'",
+    )
+    t2 = LakeTable(t.spark, t.root)
+    assert (
+        t2.schema["customer_id"].metadata["comment"]
+        == "Unique customer identifier from CRM system"
+    )
+    # DESCRIBE surfaces it
+    desc = run_statement(spark, "DESCRIBE govt").collect()
+    assert desc[0]["comment"] == "Unique customer identifier from CRM system"
+
+    sqldml.run_dml(
+        spark,
+        "ALTER TABLE govt SET TAGS ('pii' = 'true', 'team' = 'data-eng')",
+    )
+    assert LakeTable(t.spark, t.root).tags() == {
+        "pii": "true", "team": "data-eng",
+    }
+    sqldml.run_dml(spark, "ALTER TABLE govt UNSET TAGS ('pii')")
+    assert LakeTable(t.spark, t.root).tags() == {"team": "data-eng"}
