@@ -1,0 +1,309 @@
+"""Unity-Catalog-style GRANT / REVOKE / SHOW GRANTS (X10 extension;
+reference ``governance/access_control.py:30-100`` — catalog/schema/
+table privileges granted to team principals, plus the secured-view
+RLS/masking patterns already covered by ``functions/masking.py``).
+
+Model (the UC subset the reference exercises):
+
+* Securables form the three-level namespace: ``CATALOG c`` >
+  ``SCHEMA c.s`` > ``TABLE/VIEW c.s.t`` (shorter names are allowed —
+  a 1-part table simply has no ancestors).
+* Privileges: ``USAGE``, ``SELECT``, ``MODIFY``, ``CREATE``,
+  ``ALL PRIVILEGES``. A grant on an ancestor INHERITS downward
+  (``GRANT SELECT ON SCHEMA g TO x`` covers every table in ``g``),
+  and object access additionally requires ``USAGE`` (or ALL) on every
+  ancestor — the UC two-key rule the reference's team setup encodes
+  (USAGE on catalog + schema, SELECT on schema).
+* Principals are opaque strings matched against the session identity:
+  ``spark.engine.principal`` plus the group list the masking layer
+  already uses (``functions/masking.py`` GROUPS_CONF_KEY).
+
+Enforcement boundary: like the reference (UC enforces in the managed
+control plane, not in user code), the engine checks at ITS statement
+boundary — ``queries/sqlpack.run_statement`` — and only when the
+operator opts in with ``spark.engine.accessControl.enabled=true``:
+SELECT statements require SELECT on every referenced registered
+table, DML requires MODIFY on its target. API-level DataFrame access
+is the storage-credential trust boundary, same as the reference's
+workspace.
+
+Scale notes: the registry is O(grants) driver-side metadata; checks
+are dict lookups. Nothing here touches data paths.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.masking import GROUPS_CONF_KEY
+from ..session import session_key
+
+__all__ = [
+    "grant",
+    "revoke",
+    "show_grants",
+    "is_authorized",
+    "enforce",
+    "current_principals",
+    "run_acl",
+]
+
+PRIVILEGES = {"USAGE", "SELECT", "MODIFY", "CREATE", "ALL PRIVILEGES"}
+SECURABLE_TYPES = {"CATALOG", "SCHEMA", "TABLE", "VIEW"}
+
+# (session_key) -> list of {privilege, securable_type, securable, principal}
+_GRANTS: dict[str, list[dict[str, str]]] = {}
+
+ENABLED_CONF = "spark.engine.accessControl.enabled"
+PRINCIPAL_CONF = "spark.engine.principal"
+
+
+def _session_grants(spark: SparkSession) -> list[dict[str, str]]:
+    return _GRANTS.setdefault(session_key(spark), [])
+
+
+def grant(
+    spark: SparkSession,
+    privilege: str,
+    securable_type: str,
+    securable: str,
+    principal: str,
+) -> None:
+    privilege = privilege.upper()
+    securable_type = securable_type.upper()
+    if privilege not in PRIVILEGES:
+        raise ValueError(f"unknown privilege {privilege!r}")
+    if securable_type not in SECURABLE_TYPES:
+        raise ValueError(f"unknown securable type {securable_type!r}")
+    entry = {
+        "privilege": privilege,
+        "securable_type": securable_type,
+        "securable": securable.strip("`").lower(),
+        "principal": principal.strip("`"),
+    }
+    g = _session_grants(spark)
+    if entry not in g:
+        g.append(entry)
+
+
+def revoke(
+    spark: SparkSession,
+    privilege: str,
+    securable_type: str,
+    securable: str,
+    principal: str,
+) -> int:
+    privilege = privilege.upper()
+    sec = securable.strip("`").lower()
+    pr = principal.strip("`")
+    g = _session_grants(spark)
+    before = len(g)
+    g[:] = [
+        e
+        for e in g
+        if not (
+            e["privilege"] == privilege
+            and e["securable"] == sec
+            and e["principal"] == pr
+        )
+    ]
+    return before - len(g)
+
+
+def show_grants(
+    spark: SparkSession, on: str | None = None, principal: str | None = None
+) -> DataFrame:
+    sec = on.strip("`").lower() if on else None
+    rows = [
+        (e["principal"], e["privilege"], e["securable_type"], e["securable"])
+        for e in _session_grants(spark)
+        if (sec is None or e["securable"] == sec)
+        and (principal is None or e["principal"] == principal.strip("`"))
+    ]
+    return spark.createDataFrame(
+        sorted(rows),
+        "principal string, privilege string, "
+        "securable_type string, securable string",
+    )
+
+
+def current_principals(spark: SparkSession) -> set[str]:
+    """The session identity: the configured principal name plus its
+    groups (same conf the masking/RLS layer reads)."""
+    out: set[str] = set()
+    for key in (PRINCIPAL_CONF, GROUPS_CONF_KEY):
+        try:
+            raw = spark.conf.get(key)
+        except Exception:  # noqa: BLE001
+            raw = None
+        out.update(p.strip() for p in (raw or "").split(",") if p.strip())
+    return out
+
+
+def _ancestors(securable: str) -> list[str]:
+    """Proper ancestors, outermost first: ``c.s.t`` -> [``c``, ``c.s``]."""
+    bits = securable.split(".")
+    return [".".join(bits[: i + 1]) for i in range(len(bits) - 1)]
+
+
+def _has(
+    grants: list[dict[str, str]],
+    principals: set[str],
+    privileges: set[str],
+    securables: set[str],
+) -> bool:
+    return any(
+        e["principal"] in principals
+        and e["privilege"] in privileges
+        and e["securable"] in securables
+        for e in grants
+    )
+
+
+def is_authorized(
+    spark: SparkSession, privilege: str, securable: str
+) -> bool:
+    """UC-style hierarchical check: ``privilege`` (or ALL) granted on
+    the securable OR any ancestor, AND ``USAGE`` (or ALL) on every
+    ancestor."""
+    privilege = privilege.upper()
+    sec = securable.strip("`").lower()
+    grants = _session_grants(spark)
+    principals = current_principals(spark)
+    if not principals:
+        return False
+    chain = _ancestors(sec)
+    if not _has(
+        grants, principals, {privilege, "ALL PRIVILEGES"}, {sec, *chain}
+    ):
+        return False
+    for anc in chain:
+        # USAGE on an ancestor is satisfied by USAGE/ALL on it or on
+        # ITS ancestors (catalog-level USAGE opens every schema)
+        if not _has(
+            grants,
+            principals,
+            {"USAGE", "ALL PRIVILEGES"},
+            {anc, *_ancestors(anc)},
+        ):
+            return False
+    return True
+
+
+def enabled(spark: SparkSession) -> bool:
+    try:
+        return str(spark.conf.get(ENABLED_CONF)).lower() in ("true", "1")
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def enforce(spark: SparkSession, privilege: str, securable: str) -> None:
+    """Raise PermissionError when access control is enabled and the
+    session principal lacks ``privilege`` on ``securable``."""
+    if not enabled(spark):
+        return
+    if not is_authorized(spark, privilege, securable):
+        who = sorted(current_principals(spark)) or ["<anonymous>"]
+        raise PermissionError(
+            f"principal {who} lacks {privilege.upper()} on "
+            f"{securable.strip('`').lower()!r}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# SQL surface
+# ---------------------------------------------------------------------------
+
+_GRANT_RE = re.compile(
+    r"^\s*GRANT\s+(?P<priv>ALL\s+PRIVILEGES|USAGE|SELECT|MODIFY|CREATE)\s+"
+    r"ON\s+(?P<stype>CATALOG|SCHEMA|TABLE|VIEW)\s+"
+    r"(?P<sec>`[^`]+`|[\w.]+)\s+TO\s+(?P<who>`[^`]+`|[\w.-]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_REVOKE_RE = re.compile(
+    r"^\s*REVOKE\s+(?P<priv>ALL\s+PRIVILEGES|USAGE|SELECT|MODIFY|CREATE)\s+"
+    r"ON\s+(?P<stype>CATALOG|SCHEMA|TABLE|VIEW)\s+"
+    r"(?P<sec>`[^`]+`|[\w.]+)\s+FROM\s+(?P<who>`[^`]+`|[\w.-]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+GRANTS?(?:\s+(?P<who>`[^`]+`|[\w.-]+))?"
+    r"(?:\s+ON\s+(?:CATALOG\s+|SCHEMA\s+|TABLE\s+|VIEW\s+)?"
+    r"(?P<sec>`[^`]+`|[\w.]+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def run_acl(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Execute one GRANT / REVOKE / SHOW GRANTS statement (reference
+    ``governance/access_control.py:39-63,97``); None when ``sql`` is
+    not an ACL statement."""
+    m = _GRANT_RE.match(sql)
+    if m:
+        grant(
+            spark,
+            re.sub(r"\s+", " ", m.group("priv")),
+            m.group("stype"),
+            m.group("sec"),
+            m.group("who"),
+        )
+        return show_grants(spark, on=m.group("sec"))
+    m = _REVOKE_RE.match(sql)
+    if m:
+        n = revoke(
+            spark,
+            re.sub(r"\s+", " ", m.group("priv")),
+            m.group("stype"),
+            m.group("sec"),
+            m.group("who"),
+        )
+        return spark.createDataFrame([(n,)], "revoked long")
+    m = _SHOW_RE.match(sql)
+    if m and (m.group("who") or m.group("sec")) and re.match(
+        r"^\s*SHOW\s+GRANT", sql, re.IGNORECASE
+    ):
+        return show_grants(
+            spark, on=m.group("sec"), principal=m.group("who")
+        )
+    if re.match(r"^\s*SHOW\s+GRANTS?\s*;?\s*$", sql, re.IGNORECASE):
+        return show_grants(spark)
+    return None
+
+
+def canonical_name(spark: SparkSession, name: str) -> str:
+    """Resolve a statement's table reference to its REGISTERED full
+    name (the securable grants are written against) using the same
+    suffix rule sqldml resolution applies; unknown names pass
+    through unchanged."""
+    from ..tables import sqldml
+
+    sid = session_key(spark)
+    clean = name.strip("`").lower()
+    names = [n for (s, n) in sqldml._REGISTRY if s == sid]
+    if clean in names:
+        return clean
+    hits = [n for n in names if n.split(".")[-1] == clean.split(".")[-1]]
+    return hits[0] if len(hits) == 1 else clean
+
+
+def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
+    """Registered table names that appear as words in ``sql`` — the
+    SELECT-enforcement scan (token-level; the statement boundary is
+    over synced views, so word-match equals reference-match for the
+    registered namespace)."""
+    from ..tables import sqldml
+
+    sid = session_key(spark)
+    words = {w.lower() for w in re.findall(r"[A-Za-z_][\w.]*", sql)}
+    out: set[str] = set()
+    for (s, n) in sqldml._REGISTRY:
+        if s != sid:
+            continue
+        if n in words or n.split(".")[-1] in {
+            w.split(".")[-1] for w in words
+        }:
+            out.add(n)
+    return out

@@ -130,7 +130,13 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
     returns the one-row metrics DataFrame Databricks SQL returns for
     DML. Everything else goes to ``spark.sql`` after dialect
     normalization."""
+    from ..governance import access_control as acl
     from ..tables import sqldml
+
+    # GRANT / REVOKE / SHOW GRANTS (X10 SQL surface)
+    acl_out = acl.run_acl(spark, sql)
+    if acl_out is not None:
+        return acl_out
 
     md = re.match(
         r"\s*DESCRIBE\s+HISTORY\s+(`[^`]+`|[\w.]+)\s*;?\s*$",
@@ -154,8 +160,19 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
     # registered LakeTables resolve by name in FROM/USING clauses
     sqldml.sync_views(spark)
     if sqldml.statement_kind(sql) is not None:
+        # opt-in enforcement (spark.engine.accessControl.enabled):
+        # MODIFY on the mutated target, SELECT on read-side tables
+        target = sqldml.statement_target(sql)
+        if target is not None:
+            target = acl.canonical_name(spark, target)
+            acl.enforce(spark, "MODIFY", target)
+        for name in acl.referenced_tables(spark, sql):
+            if target is None or name.split(".")[-1] != target.split(".")[-1]:
+                acl.enforce(spark, "SELECT", name)
         metrics = sqldml.run_dml(spark, normalize_sql(sql))
         return sqldml.metrics_df(spark, metrics)
+    for name in acl.referenced_tables(spark, sql):
+        acl.enforce(spark, "SELECT", name)
     return spark.sql(normalize_sql(rewrite_time_travel(spark, sql)))
 
 
