@@ -78,10 +78,15 @@ def grant(
         raise ValueError(f"unknown privilege {privilege!r}")
     if securable_type not in SECURABLE_TYPES:
         raise ValueError(f"unknown securable type {securable_type!r}")
+    sec = securable.strip("`").lower()
+    if securable_type in ("TABLE", "VIEW"):
+        # grants written against the short name must authorize the
+        # registered full name enforcement checks
+        sec = canonical_name(spark, sec)
     entry = {
         "privilege": privilege,
         "securable_type": securable_type,
-        "securable": securable.strip("`").lower(),
+        "securable": sec,
         "principal": principal.strip("`"),
     }
     g = _session_grants(spark)
@@ -97,7 +102,10 @@ def revoke(
     principal: str,
 ) -> int:
     privilege = privilege.upper()
+    securable_type = securable_type.upper()
     sec = securable.strip("`").lower()
+    if securable_type in ("TABLE", "VIEW"):
+        sec = canonical_name(spark, sec)
     pr = principal.strip("`")
     g = _session_grants(spark)
     before = len(g)
@@ -106,6 +114,7 @@ def revoke(
         for e in g
         if not (
             e["privilege"] == privilege
+            and e["securable_type"] == securable_type
             and e["securable"] == sec
             and e["principal"] == pr
         )
@@ -117,10 +126,13 @@ def show_grants(
     spark: SparkSession, on: str | None = None, principal: str | None = None
 ) -> DataFrame:
     sec = on.strip("`").lower() if on else None
+    # the filter accepts the short name too — grants on tables are
+    # stored under their canonical registered securable
+    secs = {sec, canonical_name(spark, sec)} if sec else None
     rows = [
         (e["principal"], e["privilege"], e["securable_type"], e["securable"])
         for e in _session_grants(spark)
-        if (sec is None or e["securable"] == sec)
+        if (secs is None or e["securable"] in secs)
         and (principal is None or e["principal"] == principal.strip("`"))
     ]
     return spark.createDataFrame(
@@ -262,14 +274,10 @@ def run_acl(spark: SparkSession, sql: str) -> DataFrame | None:
         )
         return spark.createDataFrame([(n,)], "revoked long")
     m = _SHOW_RE.match(sql)
-    if m and (m.group("who") or m.group("sec")) and re.match(
-        r"^\s*SHOW\s+GRANT", sql, re.IGNORECASE
-    ):
+    if m:
         return show_grants(
             spark, on=m.group("sec"), principal=m.group("who")
         )
-    if re.match(r"^\s*SHOW\s+GRANTS?\s*;?\s*$", sql, re.IGNORECASE):
-        return show_grants(spark)
     return None
 
 
@@ -290,20 +298,30 @@ def canonical_name(spark: SparkSession, name: str) -> str:
 
 
 def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
-    """Registered table names that appear as words in ``sql`` — the
-    SELECT-enforcement scan (token-level; the statement boundary is
-    over synced views, so word-match equals reference-match for the
-    registered namespace)."""
+    """Registered table names referenced in FROM / JOIN / USING
+    position (quote-masked, so string literals, aliases and column
+    names never trigger a check) — the SELECT-enforcement scan. The
+    statement boundary resolves those positions against synced views,
+    so position-match equals reference-match for the registered
+    namespace."""
     from ..tables import sqldml
 
     sid = session_key(spark)
-    words = {w.lower() for w in re.findall(r"[A-Za-z_][\w.]*", sql)}
+    mask = sqldml._mask(sql)
+    refs = set()
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN|USING)\s+(`[^`]+`|[A-Za-z_][\w.]*)",
+        sql,
+        re.IGNORECASE,
+    ):
+        if not mask[m.start()][1]:
+            refs.add(m.group(1).strip("`").lower())
     out: set[str] = set()
     for (s, n) in sqldml._REGISTRY:
         if s != sid:
             continue
-        if n in words or n.split(".")[-1] in {
-            w.split(".")[-1] for w in words
+        if n in refs or n.split(".")[-1] in {
+            r.split(".")[-1] for r in refs
         }:
             out.add(n)
     return out

@@ -138,6 +138,7 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
     if acl_out is not None:
         return acl_out
 
+    enforcing = acl.enabled(spark)
     md = re.match(
         r"\s*DESCRIBE\s+HISTORY\s+(`[^`]+`|[\w.]+)\s*;?\s*$",
         sql,
@@ -147,6 +148,10 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
         # direct DESCRIBE HISTORY over a DML-registered LakeTable (the
         # Databricks-SQL subquery form `FROM (DESCRIBE HISTORY t)` over
         # catalog views is handled by normalize_sql)
+        if enforcing:
+            acl.enforce(
+                spark, "SELECT", acl.canonical_name(spark, md.group(1))
+            )
         return sqldml.resolve_table(spark, md.group(1)).history()
     # metadata verbs over registered LakeTables (SHOW TABLES/SCHEMAS/
     # CATALOGS/TBLPROPERTIES/CREATE TABLE, DESCRIBE [EXTENDED|DETAIL],
@@ -159,20 +164,40 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
         return meta
     # registered LakeTables resolve by name in FROM/USING clauses
     sqldml.sync_views(spark)
-    if sqldml.statement_kind(sql) is not None:
+    kind = sqldml.statement_kind(sql)
+    if kind is not None:
         # opt-in enforcement (spark.engine.accessControl.enabled):
-        # MODIFY on the mutated target, SELECT on read-side tables
-        target = sqldml.statement_target(sql)
-        if target is not None:
-            target = acl.canonical_name(spark, target)
-            acl.enforce(spark, "MODIFY", target)
-        for name in acl.referenced_tables(spark, sql):
-            if target is None or name.split(".")[-1] != target.split(".")[-1]:
-                acl.enforce(spark, "SELECT", name)
+        # MODIFY on the mutated target, CREATE on a new table's parent
+        # namespace, SELECT on read-side tables. All scanning is gated
+        # on the conf so the default path pays nothing.
+        if enforcing:
+            if kind in ("create", "convert"):
+                m = re.search(
+                    r"(?:CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+                    r"(?:IF\s+NOT\s+EXISTS\s+)?|CONVERT\s+TO\s+DELTA\s+)"
+                    r"(`[^`]+`|[\w.]+)",
+                    sql,
+                    re.IGNORECASE,
+                )
+                if m:
+                    name = m.group(1).strip("`").lower()
+                    parent = name.rpartition(".")[0] or name
+                    acl.enforce(spark, "CREATE", parent)
+            target = sqldml.statement_target(sql)
+            if target is not None:
+                target = acl.canonical_name(spark, target)
+                acl.enforce(spark, "MODIFY", target)
+            for name in acl.referenced_tables(spark, sql):
+                if (
+                    target is None
+                    or name.split(".")[-1] != target.split(".")[-1]
+                ):
+                    acl.enforce(spark, "SELECT", name)
         metrics = sqldml.run_dml(spark, normalize_sql(sql))
         return sqldml.metrics_df(spark, metrics)
-    for name in acl.referenced_tables(spark, sql):
-        acl.enforce(spark, "SELECT", name)
+    if enforcing:
+        for name in acl.referenced_tables(spark, sql):
+            acl.enforce(spark, "SELECT", name)
     return spark.sql(normalize_sql(rewrite_time_travel(spark, sql)))
 
 

@@ -817,11 +817,18 @@ class DeltaLogBackend:
                 or state0.schema_json is None
                 or json.loads(state0.schema_json) != json.loads(schema_json)
             )
-            if version == 0 or properties or schema_changed:
+            # `properties is not None` (not truthiness): unsetting the
+            # LAST property passes {} and must still emit metaData,
+            # else the old configuration survives the replay
+            if version == 0 or properties is not None or schema_changed:
                 config = {
                     k: str(v) for k, v in (properties or {}).items()
                 }
-                if version > 0 and not properties and state0 is not None:
+                # preserve the current configuration only when the
+                # caller passed NO properties (schema-change-only
+                # commits); an explicit {} means "empty" — the
+                # unset-last-property snapshot
+                if version > 0 and properties is None and state0 is not None:
                     config = {
                         k: str(v) for k, v in state0.properties.items()
                     }

@@ -92,6 +92,7 @@ def write_checkpoint(root: str, version: int) -> None:
         for a in c.get("add", []):
             files[a["path"]] = a
         props.update(c.get("properties", {}))
+        props = {k: v for k, v in props.items() if v is not None}
         txn = c.get("operationParameters", {}).get("txn")
         if txn:
             txns[txn["appId"]] = max(
@@ -330,11 +331,15 @@ def schema_at(root: str, version: int | None = None) -> str:
 
 
 def table_properties(root: str) -> dict[str, Any]:
+    """Fold per-commit property dicts; a ``None`` value is a DELETION
+    tombstone (the merge-on-replay model has no other way to unset —
+    popping a key from a later snapshot would be silently re-merged
+    from the earlier commit)."""
     ckpt = latest_checkpoint(root)
     props: dict[str, Any] = dict(ckpt["properties"]) if ckpt else {}
     for c in read_log(root, use_checkpoint=True):
         props.update(c.get("properties", {}))
-    return props
+    return {k: v for k, v in props.items() if v is not None}
 
 
 def referenced_files_all_versions(root: str) -> set[str]:

@@ -51,6 +51,16 @@ def _registered(spark: SparkSession) -> dict[str, "LakeTable"]:
     return {n: t for (s, n), t in sqldml._REGISTRY.items() if s == sid}
 
 
+def _enforce(spark: SparkSession, privilege: str, name: str) -> None:
+    """Opt-in ACL gate for metadata verbs (read verbs require SELECT,
+    ANALYZE commits so it requires MODIFY); no-op unless
+    spark.engine.accessControl.enabled."""
+    from ..governance import access_control as acl
+
+    if acl.enabled(spark):
+        acl.enforce(spark, privilege, acl.canonical_name(spark, name))
+
+
 def _resolve(spark: SparkSession, name: str) -> "LakeTable | None":
     """A registered LakeTable (or path-addressed table) for ``name``,
     or None — the caller then falls through to spark.sql so catalog
@@ -327,6 +337,7 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         t = _resolve(spark, m.group(1))
         if t is None:
             return None
+        _enforce(spark, "SELECT", m.group(1))
         props = {str(k): str(v) for k, v in t.properties().items()}
         if m.group("key"):
             k = m.group("key").strip()
@@ -344,6 +355,7 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         t = _resolve(spark, m.group(1))
         if t is None:
             return None
+        _enforce(spark, "SELECT", m.group(1))
         stmt = _show_create_stmt(m.group(1).strip("`"), t)
         return spark.createDataFrame([(stmt,)], "createtab_stmt string")
 
@@ -352,7 +364,10 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
     )
     if m:
         t = _resolve(spark, m.group(1))
-        return None if t is None else _describe_detail(spark, t)
+        if t is None:
+            return None
+        _enforce(spark, "SELECT", m.group(1))
+        return _describe_detail(spark, t)
 
     m = re.match(
         rf"(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?(?P<ext>EXTENDED\s+|FORMATTED\s+)?{_TREF.replace('(', '(?P<tref>', 1)}\s*$",
@@ -363,6 +378,7 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         t = _resolve(spark, m.group("tref"))
         if t is None:
             return None
+        _enforce(spark, "SELECT", m.group("tref"))
         return _describe(spark, t, extended=bool(m.group("ext")))
 
     m = re.match(
@@ -375,6 +391,7 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         t = _resolve(spark, m.group(1))
         if t is None:
             return None
+        _enforce(spark, "MODIFY", m.group(1))
         if m.group("all"):
             columns = [f.name for f in t.schema.fields]
         elif m.group("cols"):
@@ -426,6 +443,7 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
             # resolved via the path probe (a table DIR named like a
             # word), not the registry — no synced view exists
             return None
+        _enforce(spark, "SELECT", ref)
         sqldml.sync_views(spark)
         if m.group("un"):
             spark.catalog.uncacheTable(name)

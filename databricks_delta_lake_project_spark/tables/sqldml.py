@@ -409,7 +409,8 @@ def statement_target(sql: str) -> str | None:
     separately."""
     text = _strip_comments(sql).strip()
     m = re.match(
-        r"(?:MERGE\s+INTO|UPDATE|DELETE\s+FROM|INSERT\s+(?:INTO|OVERWRITE)"
+        r"(?:MERGE\s+INTO|UPDATE|DELETE\s+FROM"
+        r"|INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
         r"|TRUNCATE\s+(?:TABLE\s+)?|ALTER\s+TABLE|OPTIMIZE"
         r"|VACUUM|RESTORE\s+(?:TABLE\s+)?)\s*(`[^`]+`|[\w.]+)",
         text,

@@ -111,3 +111,74 @@ def test_is_authorized_inheritance_unit(spark, acl_world):
     # USAGE on the catalog also satisfies USAGE for the schema level
     assert acl.is_authorized(spark, "SELECT", "cat.gold.c360")
     assert not acl.is_authorized(spark, "MODIFY", "cat.gold.c360")
+
+
+def test_grant_on_short_table_name_matches_registered(spark, acl_world):
+    """GRANT ... ON TABLE c360 (the name the DML uses) must authorize
+    the registered full securable, not record a dead grant."""
+    run_statement(spark, "GRANT USAGE ON CATALOG cat TO analytics_team")
+    run_statement(spark, "GRANT USAGE ON SCHEMA cat.gold TO analytics_team")
+    run_statement(spark, "GRANT MODIFY ON TABLE c360 TO analytics_team")
+    g = run_statement(spark, "SHOW GRANTS ON TABLE c360").collect()
+    assert {r["securable"] for r in g} == {"cat.gold.c360"}
+    out = run_statement(spark, "DELETE FROM c360 WHERE id = 2").collect()[0]
+    assert out["numDeletedRows"] == 1
+    # revoke with the WRONG securable type must not remove it
+    assert (
+        run_statement(
+            spark, "REVOKE MODIFY ON SCHEMA c360 FROM analytics_team"
+        ).collect()[0]["revoked"]
+        == 0
+    )
+    assert (
+        run_statement(
+            spark, "REVOKE MODIFY ON TABLE c360 FROM analytics_team"
+        ).collect()[0]["revoked"]
+        == 1
+    )
+
+
+def test_string_literal_does_not_trigger_select_check(spark, acl_world, tmp_path):
+    """referenced_tables anchors on FROM/JOIN/USING outside quotes: a
+    string literal or column alias matching a registered table name
+    must not cause a spurious PermissionError."""
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "open_events"),
+        df=spark.createDataFrame([Row(e=1)]),
+        format="delta",
+    )
+    sqldml.register_table(spark, "cat.gold.events_t", t2)
+    for stmt in (
+        "GRANT USAGE ON CATALOG cat TO analytics_team",
+        "GRANT USAGE ON SCHEMA cat.gold TO analytics_team",
+        "GRANT SELECT ON TABLE events_t TO analytics_team",
+    ):
+        run_statement(spark, stmt)
+    # 'c360' appears only as a string literal — no SELECT grant on it
+    out = run_statement(
+        spark, "SELECT 'c360' AS label, count(*) AS n FROM events_t"
+    ).collect()[0]
+    assert (out["label"], out["n"]) == ("c360", 1)
+
+
+def test_metadata_verbs_and_create_enforced(spark, acl_world):
+    """DESCRIBE/SHOW TBLPROPERTIES/ANALYZE/DESCRIBE HISTORY honor the
+    ACL; CREATE TABLE requires CREATE on the parent namespace."""
+    with pytest.raises(PermissionError, match="SELECT"):
+        run_statement(spark, "DESCRIBE c360")
+    with pytest.raises(PermissionError, match="SELECT"):
+        run_statement(spark, "SHOW TBLPROPERTIES c360")
+    with pytest.raises(PermissionError, match="SELECT"):
+        run_statement(spark, "DESCRIBE HISTORY c360")
+    with pytest.raises(PermissionError, match="MODIFY"):
+        run_statement(spark, "ANALYZE TABLE c360 COMPUTE STATISTICS")
+    with pytest.raises(PermissionError, match="CREATE"):
+        run_statement(
+            spark, "CREATE TABLE cat.gold.newt (id BIGINT) USING DELTA"
+        )
+    run_statement(spark, "GRANT USAGE ON CATALOG cat TO analytics_team")
+    run_statement(spark, "GRANT USAGE ON SCHEMA cat.gold TO analytics_team")
+    run_statement(spark, "GRANT SELECT ON SCHEMA cat.gold TO analytics_team")
+    assert run_statement(spark, "DESCRIBE c360").collect()
+    assert run_statement(spark, "DESCRIBE HISTORY c360").collect() is not None

@@ -786,3 +786,54 @@ def test_alter_column_comment_and_tags_sql(spark, tmp_path):
     }
     sqldml.run_dml(spark, "ALTER TABLE govt UNSET TAGS ('pii')")
     assert LakeTable(t.spark, t.root).tags() == {"team": "data-eng"}
+
+
+@pytest.mark.parametrize("fmt", ["engine", "delta"])
+def test_unset_tags_both_backends(spark, tmp_path, fmt):
+    """UNSET TAGS must actually delete on BOTH backends — the engine
+    log merges per-commit property dicts on replay (deletion is a None
+    tombstone), delta replaces wholesale (incl. unsetting the LAST
+    property, which still must emit metaData)."""
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / f"tags_{fmt}"),
+        df=spark.createDataFrame([Row(x=1)]),
+        format=fmt,
+    )
+    t.set_tags({"pii": "true"})
+    assert LakeTable(t.spark, t.root).tags() == {"pii": "true"}
+    t.set_tags({"pii": ""}, unset=True)
+    fresh = LakeTable(t.spark, t.root)
+    assert fresh.tags() == {}
+    assert "engine.tags.pii" not in fresh.properties()
+
+
+def test_add_columns_rejects_duplicates_within_statement(spark, tmp_path):
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "dupadd"),
+        df=spark.createDataFrame([Row(id=1)]),
+        format="delta",
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_columns("a INT, A STRING")
+
+
+def test_set_column_comment_case_insensitive(spark, tmp_path):
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "cmtcase"),
+        df=spark.createDataFrame([Row(customer_id=1)]),
+        format="delta",
+    )
+    t.set_column_comment("Customer_ID", "resolved like Spark")
+    fresh = LakeTable(t.spark, t.root)
+    assert fresh.schema["customer_id"].metadata["comment"] == (
+        "resolved like Spark"
+    )
