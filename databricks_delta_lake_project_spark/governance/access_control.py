@@ -81,7 +81,12 @@ def grant(
     sec = securable.strip("`").lower()
     if securable_type in ("TABLE", "VIEW"):
         # grants written against the short name must authorize the
-        # registered full name enforcement checks
+        # registered full name enforcement checks. NOTE: this mirrors
+        # DML resolution — a dotted name whose last component uniquely
+        # matches a registered table IS that table for every engine
+        # statement, so the grant follows the same rule. Ambiguity is
+        # an admin error, not a silent arbitrary pick.
+        _raise_if_ambiguous(spark, sec)
         sec = canonical_name(spark, sec)
     entry = {
         "privilege": privilege,
@@ -105,6 +110,7 @@ def revoke(
     securable_type = securable_type.upper()
     sec = securable.strip("`").lower()
     if securable_type in ("TABLE", "VIEW"):
+        _raise_if_ambiguous(spark, sec)
         sec = canonical_name(spark, sec)
     pr = principal.strip("`")
     g = _session_grants(spark)
@@ -123,12 +129,23 @@ def revoke(
 
 
 def show_grants(
-    spark: SparkSession, on: str | None = None, principal: str | None = None
+    spark: SparkSession,
+    on: str | None = None,
+    principal: str | None = None,
+    on_type: str | None = None,
 ) -> DataFrame:
     sec = on.strip("`").lower() if on else None
     # the filter accepts the short name too — grants on tables are
-    # stored under their canonical registered securable
-    secs = {sec, canonical_name(spark, sec)} if sec else None
+    # stored under their canonical registered securable. An explicit
+    # SCHEMA/CATALOG keyword suppresses table canonicalization so a
+    # schema whose last component matches a table basename lists its
+    # OWN grants only.
+    if sec is None:
+        secs = None
+    elif on_type in ("CATALOG", "SCHEMA"):
+        secs = {sec}
+    else:
+        secs = {sec, canonical_name(spark, sec)}
     rows = [
         (e["principal"], e["privilege"], e["securable_type"], e["securable"])
         for e in _session_grants(spark)
@@ -243,7 +260,7 @@ _REVOKE_RE = re.compile(
 )
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+GRANTS?(?:\s+(?P<who>`[^`]+`|[\w.-]+))?"
-    r"(?:\s+ON\s+(?:CATALOG\s+|SCHEMA\s+|TABLE\s+|VIEW\s+)?"
+    r"(?:\s+ON\s+(?:(?P<stype>CATALOG|SCHEMA|TABLE|VIEW)\s+)?"
     r"(?P<sec>`[^`]+`|[\w.]+))?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -275,10 +292,26 @@ def run_acl(spark: SparkSession, sql: str) -> DataFrame | None:
         return spark.createDataFrame([(n,)], "revoked long")
     m = _SHOW_RE.match(sql)
     if m:
+        stype = (m.group("stype") or "").upper() or None
         return show_grants(
-            spark, on=m.group("sec"), principal=m.group("who")
+            spark, on=m.group("sec"), principal=m.group("who"), on_type=stype
         )
     return None
+
+
+def _raise_if_ambiguous(spark: SparkSession, name: str) -> None:
+    from ..tables import sqldml
+
+    sid = session_key(spark)
+    clean = name.strip("`").lower()
+    names = [n for (s, n) in sqldml._REGISTRY if s == sid]
+    if clean in names:
+        return
+    hits = [n for n in names if n.split(".")[-1] == clean.split(".")[-1]]
+    if len(hits) > 1:
+        raise ValueError(
+            f"ambiguous securable {name!r}: matches {sorted(hits)}"
+        )
 
 
 def canonical_name(spark: SparkSession, name: str) -> str:
@@ -298,30 +331,30 @@ def canonical_name(spark: SparkSession, name: str) -> str:
 
 
 def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
-    """Registered table names referenced in FROM / JOIN / USING
-    position (quote-masked, so string literals, aliases and column
-    names never trigger a check) — the SELECT-enforcement scan. The
-    statement boundary resolves those positions against synced views,
-    so position-match equals reference-match for the registered
-    namespace."""
+    """Registered table names the statement COULD read: every
+    identifier token outside string literals (plus backtick-quoted
+    identifiers) matched against the registry. Deliberately
+    FAIL-CLOSED for a security check: comma joins, subqueries and
+    per-part-quoted refs are all caught; the cost is that a column or
+    alias that shares a registered table's name also requires the
+    SELECT grant (over-enforcement, never under). String literals are
+    excluded via the quote mask, so data values cannot trigger
+    checks."""
     from ..tables import sqldml
 
     sid = session_key(spark)
     mask = sqldml._mask(sql)
-    refs = set()
-    for m in re.finditer(
-        r"\b(?:FROM|JOIN|USING)\s+(`[^`]+`|[A-Za-z_][\w.]*)",
-        sql,
-        re.IGNORECASE,
-    ):
+    refs: set[str] = set()
+    for m in re.finditer(r"[A-Za-z_][\w.]*", sql):
         if not mask[m.start()][1]:
-            refs.add(m.group(1).strip("`").lower())
+            refs.add(m.group(0).lower())
+    for m in re.finditer(r"`([^`]+)`", sql):
+        refs.add(m.group(1).lower())
+    lasts = {r.split(".")[-1] for r in refs}
     out: set[str] = set()
     for (s, n) in sqldml._REGISTRY:
         if s != sid:
             continue
-        if n in refs or n.split(".")[-1] in {
-            r.split(".")[-1] for r in refs
-        }:
+        if n in refs or n.split(".")[-1] in lasts:
             out.add(n)
     return out

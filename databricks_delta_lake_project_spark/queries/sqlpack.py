@@ -175,13 +175,18 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
                 m = re.search(
                     r"(?:CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
                     r"(?:IF\s+NOT\s+EXISTS\s+)?|CONVERT\s+TO\s+DELTA\s+)"
-                    r"(`[^`]+`|[\w.]+)",
+                    r"(?:(?:parquet|delta)\s*\.\s*`|(`[^`]+`|[\w.]+))",
                     sql,
                     re.IGNORECASE,
                 )
-                if m:
-                    name = m.group(1).strip("`").lower()
-                    parent = name.rpartition(".")[0] or name
+                # path targets (CONVERT TO DELTA parquet.`/p`, CREATE
+                # ... LOCATION-less backtick paths) are the storage-
+                # credential trust boundary, like API writes — only
+                # NAMED tables get the namespace CREATE check; a
+                # 1-part name creates in the implicit 'default' schema
+                if m and m.group(1) and not m.group(1).startswith("`"):
+                    name = m.group(1).lower()
+                    parent = name.rpartition(".")[0] or "default"
                     acl.enforce(spark, "CREATE", parent)
             target = sqldml.statement_target(sql)
             if target is not None:

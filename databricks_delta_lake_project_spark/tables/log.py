@@ -92,13 +92,15 @@ def write_checkpoint(root: str, version: int) -> None:
         for a in c.get("add", []):
             files[a["path"]] = a
         props.update(c.get("properties", {}))
-        props = {k: v for k, v in props.items() if v is not None}
         txn = c.get("operationParameters", {}).get("txn")
         if txn:
             txns[txn["appId"]] = max(
                 txns.get(txn["appId"], -1), int(txn["version"])
             )
         schema = c["schema"]
+    # drop deletion tombstones once after the fold — a checkpoint IS a
+    # full snapshot, later merges start from it
+    props = {k: v for k, v in props.items() if v is not None}
     doc = {
         "version": version,
         "files": files,

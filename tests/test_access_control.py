@@ -182,3 +182,51 @@ def test_metadata_verbs_and_create_enforced(spark, acl_world):
     run_statement(spark, "GRANT SELECT ON SCHEMA cat.gold TO analytics_team")
     assert run_statement(spark, "DESCRIBE c360").collect()
     assert run_statement(spark, "DESCRIBE HISTORY c360").collect() is not None
+
+
+def test_comma_join_and_subquery_enforced_fail_closed(spark, acl_world, tmp_path):
+    """The reference scan is fail-closed: comma joins and DESCRIBE
+    HISTORY subqueries require the SELECT grant too."""
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "other_t"),
+        df=spark.createDataFrame([Row(o=1)]),
+        format="delta",
+    )
+    sqldml.register_table(spark, "cat.gold.other_t", t2)
+    for stmt in (
+        "GRANT USAGE ON CATALOG cat TO analytics_team",
+        "GRANT USAGE ON SCHEMA cat.gold TO analytics_team",
+        "GRANT SELECT ON TABLE other_t TO analytics_team",
+    ):
+        run_statement(spark, stmt)
+    # comma join pulls in c360, which has no SELECT grant
+    with pytest.raises(PermissionError, match="c360"):
+        run_statement(spark, "SELECT * FROM other_t, c360")
+    run_statement(spark, "GRANT SELECT ON TABLE c360 TO analytics_team")
+    assert run_statement(spark, "SELECT count(*) AS n FROM other_t, c360")
+
+
+def test_grant_ambiguous_suffix_raises(spark, acl_world, tmp_path):
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "c360_dup"),
+        df=spark.createDataFrame([Row(x=1)]),
+        format="delta",
+    )
+    sqldml.register_table(spark, "other.schema.c360", t2)
+    try:
+        with pytest.raises(ValueError, match="ambiguous"):
+            run_statement(spark, "GRANT SELECT ON TABLE c360 TO alice")
+    finally:
+        from databricks_delta_lake_project_spark.tables.sqldml import _skey
+        sqldml._REGISTRY.pop(_skey(spark, "other.schema.c360"), None)
+
+
+def test_convert_path_target_skips_namespace_check(spark, acl_world, tmp_path):
+    """CONVERT TO DELTA parquet.`/path` is a storage-boundary write —
+    it must not demand CREATE on the bogus 'parquet' namespace."""
+    src = tmp_path / "raw_pq"
+    spark.createDataFrame([Row(a=1)]).write.parquet(str(src))
+    out = run_statement(spark, f"CONVERT TO DELTA parquet.`{src}`")
+    assert out.collect()[0]["numConvertedFiles"] >= 1
