@@ -230,3 +230,63 @@ def test_convert_path_target_skips_namespace_check(spark, acl_world, tmp_path):
     spark.createDataFrame([Row(a=1)]).write.parquet(str(src))
     out = run_statement(spark, f"CONVERT TO DELTA parquet.`{src}`")
     assert out.collect()[0]["numConvertedFiles"] >= 1
+
+
+def test_reference_rls_view_flow_end_to_end(spark, acl_world, tmp_path):
+    """The reference's row-level-security pattern verbatim
+    (governance/access_control.py:75-97): a dynamic view gating rows on
+    IS_ACCOUNT_GROUP_MEMBER, then GRANT SELECT ON VIEW — regional
+    managers see only their region, admins see everything, and the
+    grant is on the VIEW, not the underlying table."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "cust_rls"),
+        df=spark.createDataFrame(
+            [
+                Row(customer_id=1, state="NY"),
+                Row(customer_id=2, state="CA"),
+                Row(customer_id=3, state="TX"),
+            ]
+        ),
+        format="delta",
+    )
+    sqldml.register_table(spark, "cat.gold.cust_rls", t)
+    sqldml.sync_views(spark)
+    # the view CREATOR needs SELECT on the base table (UC semantics:
+    # enforcement fires on the CREATE VIEW statement's reference too)
+    run_statement(spark, "GRANT USAGE ON CATALOG cat TO analytics_team")
+    run_statement(spark, "GRANT USAGE ON SCHEMA cat.gold TO analytics_team")
+    run_statement(spark, "GRANT SELECT ON TABLE cust_rls TO analytics_team")
+    # register the engine_is_group_member UDF the dialect rewrite
+    # targets (normally done once by register_views)
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        register_views,
+    )
+
+    register_views(spark, "/root/testdata/sf0.001")
+    run_statement(
+        spark,
+        """CREATE OR REPLACE TEMPORARY VIEW regional_customers AS
+           SELECT * FROM cust_rls
+           WHERE IS_ACCOUNT_GROUP_MEMBER('admin_group')
+              OR (IS_ACCOUNT_GROUP_MEMBER('region_east') AND state IN ('NY'))
+              OR (IS_ACCOUNT_GROUP_MEMBER('region_west') AND state IN ('CA'))""",
+    )
+    run_statement(
+        spark, "GRANT SELECT ON VIEW regional_customers TO regional_managers"
+    )
+
+    def rows_for(groups):
+        spark.conf.set(GROUPS_CONF_KEY, groups)
+        # re-register the membership UDF for the new group snapshot
+        register_views(spark, "/root/testdata/sf0.001")
+        return {
+            r["state"]
+            for r in run_statement(
+                spark, "SELECT state FROM regional_customers"
+            ).collect()
+        }
+
+    assert rows_for("analytics_team,region_east") == {"NY"}
+    assert rows_for("analytics_team,region_west") == {"CA"}
+    assert rows_for("analytics_team,admin_group") == {"NY", "CA", "TX"}
