@@ -59,6 +59,12 @@ _GRANTS: dict[str, list[dict[str, str]]] = {}
 
 ENABLED_CONF = "spark.engine.accessControl.enabled"
 PRINCIPAL_CONF = "spark.engine.principal"
+# comma-separated principals allowed to GRANT/REVOKE through the SQL
+# surface while enforcement is on (UC gates grants on ownership/MANAGE;
+# the engine's equivalent is this conf OR ALL PRIVILEGES on the
+# securable). The PYTHON grant()/revoke() API is not gated — it is the
+# storage-credential trust boundary, same as DataFrame access.
+ADMINS_CONF = "spark.engine.accessControl.admins"
 
 
 def _session_grants(spark: SparkSession) -> list[dict[str, str]]:
@@ -229,6 +235,38 @@ def enabled(spark: SparkSession) -> bool:
         return False
 
 
+def can_manage(spark: SparkSession, securable: str) -> bool:
+    """May the session principal administer grants on ``securable``?
+    True when any session principal is listed in the admins conf, or
+    holds ALL PRIVILEGES on the securable / an ancestor (with the usual
+    USAGE chain)."""
+    try:
+        raw = spark.conf.get(ADMINS_CONF)
+    except Exception:  # noqa: BLE001
+        raw = None
+    admins = {a.strip() for a in (raw or "").split(",") if a.strip()}
+    if admins & current_principals(spark):
+        return True
+    return is_authorized(spark, "ALL PRIVILEGES", securable)
+
+
+def can_list(spark: SparkSession, securable: str) -> bool:
+    """Should a listing verb (SHOW TABLES/SCHEMAS/CATALOGS) reveal this
+    securable? UC lists an object when the principal holds ANY
+    privilege on it, an ancestor, or anything inside it — so a USAGE
+    grant on a catalog reveals the catalog, and a table grant reveals
+    the table's schema and catalog."""
+    sec = securable.strip("`").lower()
+    principals = current_principals(spark)
+    scope = {sec, *_ancestors(sec)}
+    prefix = sec + "."
+    return any(
+        e["principal"] in principals
+        and (e["securable"] in scope or e["securable"].startswith(prefix))
+        for e in _session_grants(spark)
+    )
+
+
 def enforce(spark: SparkSession, privilege: str, securable: str) -> None:
     """Raise PermissionError when access control is enabled and the
     session principal lacks ``privilege`` on ``securable``."""
@@ -272,6 +310,7 @@ def run_acl(spark: SparkSession, sql: str) -> DataFrame | None:
     not an ACL statement."""
     m = _GRANT_RE.match(sql)
     if m:
+        _require_manage(spark, m.group("sec"), m.group("stype"))
         grant(
             spark,
             re.sub(r"\s+", " ", m.group("priv")),
@@ -279,9 +318,12 @@ def run_acl(spark: SparkSession, sql: str) -> DataFrame | None:
             m.group("sec"),
             m.group("who"),
         )
-        return show_grants(spark, on=m.group("sec"))
+        return show_grants(
+            spark, on=m.group("sec"), on_type=m.group("stype").upper()
+        )
     m = _REVOKE_RE.match(sql)
     if m:
+        _require_manage(spark, m.group("sec"), m.group("stype"))
         n = revoke(
             spark,
             re.sub(r"\s+", " ", m.group("priv")),
@@ -297,6 +339,30 @@ def run_acl(spark: SparkSession, sql: str) -> DataFrame | None:
             spark, on=m.group("sec"), principal=m.group("who"), on_type=stype
         )
     return None
+
+
+def _require_manage(
+    spark: SparkSession, securable: str, securable_type: str
+) -> None:
+    """SQL-surface GRANT/REVOKE gate: with enforcement ON, the issuing
+    principal must be an admin (ADMINS_CONF) or hold ALL PRIVILEGES on
+    the securable — otherwise any session could escalate itself with
+    ``GRANT ALL PRIVILEGES ... TO <self>`` through the very boundary
+    the ACL guards. No-op when enforcement is off (the registry is
+    then advisory metadata, like the reference's notebook setup)."""
+    if not enabled(spark):
+        return
+    if securable_type.upper() in ("TABLE", "VIEW"):
+        # the ALL-PRIVILEGES check must see the securable grants are
+        # written against (SCHEMA/CATALOG names stay as-is)
+        securable = canonical_name(spark, securable)
+    if not can_manage(spark, securable):
+        who = sorted(current_principals(spark)) or ["<anonymous>"]
+        raise PermissionError(
+            f"principal {who} may not GRANT/REVOKE on "
+            f"{securable.strip('`').lower()!r}: requires membership in "
+            f"{ADMINS_CONF} or ALL PRIVILEGES on the securable"
+        )
 
 
 def _raise_if_ambiguous(spark: SparkSession, name: str) -> None:

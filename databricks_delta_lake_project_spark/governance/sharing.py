@@ -240,6 +240,7 @@ class SharingClient:
         url: str,
         starting_version: int = 0,
         change_feed: bool = True,
+        ignore_changes: bool = False,
     ) -> DataFrame:
         """Streaming read of a shared table — the reference's
         ``spark.readStream.format("deltaSharing")
@@ -254,8 +255,12 @@ class SharingClient:
 
         ``change_feed=True`` yields the full CDF schema (table columns
         + ``_change_type`` + ``_commit_version``); ``False`` yields the
-        plain append-stream shape (insert images only, CDF metadata
-        dropped) — the semantics of streaming a Delta table directly.
+        plain append-stream shape — and, matching Delta's append-only
+        stream contract, RAISES mid-stream when a change commit
+        (update/delete rows) is encountered unless
+        ``ignore_changes=True``, which drops the non-insert rows
+        (Delta's ``ignoreChanges`` opt-in) instead of silently losing
+        them.
 
         Scale: each micro-batch plans only the files of its version
         range (Arrow-batched reads, partition filter applied before
@@ -281,6 +286,23 @@ class SharingClient:
         if entry["filter"]:
             df = df.filter(entry["filter"])
         if not change_feed:
+            if not ignore_changes:
+                # assert_true inside a FILTER (not a pruned-away
+                # projection): evaluates per row, returns NULL (-> rows
+                # kept) when every row is an insert, raises on the
+                # first update/delete row — Delta's append-only stream
+                # contract
+                df = df.filter(
+                    F.assert_true(
+                        F.col("_change_type") == "insert",
+                        F.lit(
+                            "shared-table stream hit a change commit "
+                            "(update/delete rows); pass "
+                            "ignore_changes=True to drop them or "
+                            "change_feed=True to consume them as CDF"
+                        ),
+                    ).isNull()
+                )
             df = df.filter(F.col("_change_type") == "insert").drop(
                 "_change_type", "_commit_version"
             )

@@ -193,10 +193,11 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
                 target = acl.canonical_name(spark, target)
                 acl.enforce(spark, "MODIFY", target)
             for name in acl.referenced_tables(spark, sql):
-                if (
-                    target is None
-                    or name.split(".")[-1] != target.split(".")[-1]
-                ):
+                # skip ONLY the statement's own target (both sides are
+                # canonical registered names) — a second table that
+                # merely shares the target's basename (`a.t` vs `b.t`)
+                # is a read source and still needs SELECT
+                if name != target:
                     acl.enforce(spark, "SELECT", name)
         metrics = sqldml.run_dml(spark, normalize_sql(sql))
         return sqldml.metrics_df(spark, metrics)

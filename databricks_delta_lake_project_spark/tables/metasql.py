@@ -61,6 +61,17 @@ def _enforce(spark: SparkSession, privilege: str, name: str) -> None:
         acl.enforce(spark, privilege, acl.canonical_name(spark, name))
 
 
+def _listable(spark: SparkSession, securable: str) -> bool:
+    """Listing filter for SHOW verbs: with enforcement on, engine rows
+    are revealed only when the principal holds some privilege on the
+    securable, an ancestor, or something inside it (UC filters listings
+    by privilege). Native catalog/temp-view rows are outside engine
+    governance and stay unfiltered."""
+    from ..governance import access_control as acl
+
+    return not acl.enabled(spark) or acl.can_list(spark, securable)
+
+
 def _resolve(spark: SparkSession, name: str) -> "LakeTable | None":
     """A registered LakeTable (or path-addressed table) for ``name``,
     or None — the caller then falls through to spark.sql so catalog
@@ -264,7 +275,9 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
             c for (c,) in _native_rows(spark, text, ("catalog",))
         } or {"spark_catalog"}
         names.update(
-            n.split(".")[0] for n in _registered(spark) if n.count(".") == 2
+            n.split(".")[0]
+            for n in _registered(spark)
+            if n.count(".") == 2 and _listable(spark, n.split(".")[0])
         )
         return spark.createDataFrame(
             [(c,) for c in sorted(names)], "catalog string"
@@ -281,12 +294,18 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         for n in _registered(spark):
             bits = n.split(".")
             if len(bits) == 3:
-                if not cat or bits[0] == cat:
+                if (not cat or bits[0] == cat) and _listable(
+                    spark, f"{bits[0]}.{bits[1]}"
+                ):
                     out.add(bits[1])
             elif len(bits) == 2:
-                if not cat or bits[0] == cat:
+                if (not cat or bits[0] == cat) and _listable(
+                    spark, bits[0]
+                ):
                     out.add(bits[0])
-            elif not cat:
+            elif not cat and _listable(spark, n):
+                # 1-part tables sit in the implicit 'default' schema:
+                # the row is revealed by a grant on the table itself
                 out.add("default")
         out.update(ns for (ns,) in _native_rows(spark, text, ("namespace",)))
         if not out and not cat:
@@ -304,6 +323,8 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         for n in sorted(_registered(spark)):
             prefix, _, last = n.rpartition(".")
             if ns and prefix != ns and not prefix.endswith("." + ns) and prefix.split(".")[-1] != ns:
+                continue
+            if not _listable(spark, n):
                 continue
             rows.append((prefix or "default", last, False))
         # native temp views / catalog tables merge in (SHOW TABLES must

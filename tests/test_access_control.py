@@ -28,10 +28,14 @@ def acl_world(spark, tmp_path):
     spark.conf.set(acl.ENABLED_CONF, "true")
     spark.conf.set(acl.PRINCIPAL_CONF, "alice")
     spark.conf.set(GROUPS_CONF_KEY, "analytics_team")
+    # alice administers grants (SQL GRANT/REVOKE is gated while
+    # enforcement is on — see test_grant_is_not_self_escalatable)
+    spark.conf.set(acl.ADMINS_CONF, "alice")
     yield t
     spark.conf.set(acl.ENABLED_CONF, "false")
     spark.conf.unset(acl.PRINCIPAL_CONF)
     spark.conf.unset(GROUPS_CONF_KEY)
+    spark.conf.unset(acl.ADMINS_CONF)
     acl._GRANTS.clear()
 
 
@@ -290,3 +294,123 @@ def test_reference_rls_view_flow_end_to_end(spark, acl_world, tmp_path):
     assert rows_for("analytics_team,region_east") == {"NY"}
     assert rows_for("analytics_team,region_west") == {"CA"}
     assert rows_for("analytics_team,admin_group") == {"NY", "CA", "TX"}
+
+
+def test_grant_is_not_self_escalatable(spark, acl_world):
+    """With enforcement ON, the SQL GRANT surface itself is gated: a
+    non-admin principal cannot issue GRANT ALL PRIVILEGES to itself
+    (the UC manage/ownership rule). Admins and holders of ALL
+    PRIVILEGES on the securable may administer grants."""
+    spark.conf.set(acl.ADMINS_CONF, "root_admin")  # alice is NOT admin
+    with pytest.raises(PermissionError, match="GRANT/REVOKE"):
+        run_statement(spark, "GRANT ALL PRIVILEGES ON CATALOG cat TO alice")
+    with pytest.raises(PermissionError, match="GRANT/REVOKE"):
+        run_statement(spark, "REVOKE SELECT ON TABLE c360 FROM alice")
+    assert len(run_statement(spark, "SHOW GRANTS").collect()) == 0
+    # the Python API is the storage-credential trust boundary: an
+    # operator bootstraps ALL PRIVILEGES there, after which the holder
+    # can administer grants below that securable via SQL
+    acl.grant(spark, "ALL PRIVILEGES", "CATALOG", "cat", "alice")
+    run_statement(spark, "GRANT SELECT ON TABLE c360 TO analytics_team")
+    g = run_statement(spark, "SHOW GRANTS analytics_team").collect()
+    assert {r["securable"] for r in g} == {"cat.gold.c360"}
+    # ...but not on an unrelated catalog
+    with pytest.raises(PermissionError, match="GRANT/REVOKE"):
+        run_statement(spark, "GRANT USAGE ON CATALOG other_cat TO alice")
+
+
+def test_same_basename_source_still_needs_select(spark, acl_world, tmp_path):
+    """MERGE INTO a.t USING b.t: the source table shares the target's
+    BASENAME but is a different securable — it must still pass the
+    SELECT check (the skip compares canonical names, not basenames)."""
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "staging_c360"),
+        df=spark.createDataFrame([Row(id=1, v=99)]),
+        format="delta",
+    )
+    sqldml.register_table(spark, "stage.gold.c360", src)
+    try:
+        run_statement(spark, "GRANT USAGE ON CATALOG cat TO analytics_team")
+        run_statement(spark, "GRANT USAGE ON SCHEMA cat.gold TO analytics_team")
+        run_statement(spark, "GRANT MODIFY ON TABLE cat.gold.c360 TO analytics_team")
+        with pytest.raises(PermissionError, match="stage.gold.c360"):
+            run_statement(
+                spark,
+                "MERGE INTO cat.gold.c360 t USING stage.gold.c360 s "
+                "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v",
+            )
+        run_statement(spark, "GRANT USAGE ON CATALOG stage TO analytics_team")
+        run_statement(spark, "GRANT USAGE ON SCHEMA stage.gold TO analytics_team")
+        run_statement(
+            spark, "GRANT SELECT ON TABLE stage.gold.c360 TO analytics_team"
+        )
+        # with the SELECT grant in place the ACL no longer blocks the
+        # statement — whatever the duplicate-basename EXECUTION path
+        # does next (two tables sharing a basename cannot both resolve
+        # as views), the refusal is not a PermissionError anymore
+        try:
+            run_statement(
+                spark,
+                "MERGE INTO cat.gold.c360 t USING stage.gold.c360 s "
+                "ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = s.v",
+            )
+        except PermissionError as e:  # pragma: no cover
+            raise AssertionError(f"ACL still blocking after grant: {e}")
+        except Exception:
+            pass
+    finally:
+        from databricks_delta_lake_project_spark.tables.sqldml import _skey
+
+        sqldml._REGISTRY.pop(_skey(spark, "stage.gold.c360"), None)
+
+
+def test_show_listings_filtered_by_privilege(spark, acl_world):
+    """SHOW TABLES/SCHEMAS/CATALOGS reveal an engine securable only to
+    principals holding some privilege on it, an ancestor, or something
+    inside it (UC listing semantics)."""
+    out = run_statement(spark, "SHOW TABLES IN cat.gold").collect()
+    assert all(r["tableName"] != "c360" for r in out)
+    assert all(
+        r["namespace"] != "gold"
+        for r in run_statement(spark, "SHOW SCHEMAS IN cat").collect()
+    )
+    assert all(
+        r["catalog"] != "cat"
+        for r in run_statement(spark, "SHOW CATALOGS").collect()
+    )
+    run_statement(spark, "GRANT SELECT ON TABLE c360 TO analytics_team")
+    assert any(
+        r["tableName"] == "c360"
+        for r in run_statement(spark, "SHOW TABLES IN cat.gold").collect()
+    )
+    # the table grant reveals the ancestors too
+    assert any(
+        r["namespace"] == "gold"
+        for r in run_statement(spark, "SHOW SCHEMAS IN cat").collect()
+    )
+    assert any(
+        r["catalog"] == "cat"
+        for r in run_statement(spark, "SHOW CATALOGS").collect()
+    )
+
+
+def test_grant_confirmation_scopes_to_securable_type(spark, acl_world):
+    """The GRANT statement's confirmation frame lists grants of the
+    GRANTED securable type only — granting on SCHEMA gold must not list
+    a TABLE whose basename matches (show_grants on_type pass-through)."""
+    sqldml.register_table(
+        spark, "cat.gold.gold", acl_world
+    )  # table literally named 'gold'
+    try:
+        run_statement(spark, "GRANT SELECT ON TABLE cat.gold.gold TO bob")
+        out = run_statement(
+            spark, "GRANT USAGE ON SCHEMA cat.gold TO analytics_team"
+        ).collect()
+        assert {(r["securable_type"], r["securable"]) for r in out} == {
+            ("SCHEMA", "cat.gold")
+        }
+    finally:
+        from databricks_delta_lake_project_spark.tables.sqldml import _skey
+
+        sqldml._REGISTRY.pop(_skey(spark, "cat.gold.gold"), None)

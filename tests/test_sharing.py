@@ -304,11 +304,30 @@ def test_stream_shared_table_cdf_and_rows(spark, shared_world, tmp_path):
     assert (1, 100.0, "update_preimage") in got
     assert (1, 111.0, "update_postimage") in got
 
-    # plain row stream: insert images only, CDF metadata dropped
+    # plain row stream over a history that CONTAINS an update commit:
+    # the append-only stream contract raises (Delta semantics) instead
+    # of silently dropping the updated rows...
     rows = client.load_stream(
         spark, "c360_share.analytics.stream_gold", change_feed=False
     )
     assert "_change_type" not in rows.columns
+    fail_out, fail_ckpt = tmp_path / "fail_out", tmp_path / "fail_ckpt"
+    q = (
+        rows.writeStream.format("parquet")
+        .option("path", str(fail_out))
+        .option("checkpointLocation", str(fail_ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="change commit"):
+        q.awaitTermination()
+    # ...and ignore_changes=True opts into dropping them (ignoreChanges)
+    rows = client.load_stream(
+        spark,
+        "c360_share.analytics.stream_gold",
+        change_feed=False,
+        ignore_changes=True,
+    )
     rout, rckpt = tmp_path / "rows_out", tmp_path / "rows_ckpt"
     q = (
         rows.writeStream.format("parquet")
