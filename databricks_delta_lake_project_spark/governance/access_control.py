@@ -269,10 +269,19 @@ def can_list(spark: SparkSession, securable: str) -> bool:
 
 def enforce(spark: SparkSession, privilege: str, securable: str) -> None:
     """Raise PermissionError when access control is enabled and the
-    session principal lacks ``privilege`` on ``securable``."""
+    session principal lacks ``privilege`` on ``securable``. Every
+    enforced check (allowed or denied) is recorded as a
+    ``system.access.audit`` event — the enforcement boundary IS the
+    audit boundary, like UC's control plane."""
     if not enabled(spark):
         return
-    if not is_authorized(spark, privilege, securable):
+    from . import systables
+
+    ok = is_authorized(spark, privilege, securable)
+    systables.record_access(
+        spark, privilege, securable.strip("`").lower(), 200 if ok else 403
+    )
+    if not ok:
         who = sorted(current_principals(spark)) or ["<anonymous>"]
         raise PermissionError(
             f"principal {who} lacks {privilege.upper()} on "
@@ -287,17 +296,17 @@ def enforce(spark: SparkSession, privilege: str, securable: str) -> None:
 _GRANT_RE = re.compile(
     r"^\s*GRANT\s+(?P<priv>ALL\s+PRIVILEGES|USAGE|SELECT|MODIFY|CREATE)\s+"
     r"ON\s+(?P<stype>CATALOG|SCHEMA|TABLE|VIEW)\s+"
-    r"(?P<sec>`[^`]+`|[\w.]+)\s+TO\s+(?P<who>`[^`]+`|[\w.-]+)\s*;?\s*$",
+    r"(?P<sec>`[^`]+`|[\w.]+)\s+TO\s+(?P<who>`[^`]+`|[\w.@-]+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _REVOKE_RE = re.compile(
     r"^\s*REVOKE\s+(?P<priv>ALL\s+PRIVILEGES|USAGE|SELECT|MODIFY|CREATE)\s+"
     r"ON\s+(?P<stype>CATALOG|SCHEMA|TABLE|VIEW)\s+"
-    r"(?P<sec>`[^`]+`|[\w.]+)\s+FROM\s+(?P<who>`[^`]+`|[\w.-]+)\s*;?\s*$",
+    r"(?P<sec>`[^`]+`|[\w.]+)\s+FROM\s+(?P<who>`[^`]+`|[\w.@-]+)\s*;?\s*$",
     re.IGNORECASE,
 )
 _SHOW_RE = re.compile(
-    r"^\s*SHOW\s+GRANTS?(?:\s+(?P<who>`[^`]+`|[\w.-]+))?"
+    r"^\s*SHOW\s+GRANTS?(?:\s+(?P<who>`[^`]+`|[\w.@-]+))?"
     r"(?:\s+ON\s+(?:(?P<stype>CATALOG|SCHEMA|TABLE|VIEW)\s+)?"
     r"(?P<sec>`[^`]+`|[\w.]+))?\s*;?\s*$",
     re.IGNORECASE,
@@ -318,12 +327,14 @@ def run_acl(spark: SparkSession, sql: str) -> DataFrame | None:
             m.group("sec"),
             m.group("who"),
         )
+        _audit_acl(spark, "grantPermission", m.group("sec"))
         return show_grants(
             spark, on=m.group("sec"), on_type=m.group("stype").upper()
         )
     m = _REVOKE_RE.match(sql)
     if m:
         _require_manage(spark, m.group("sec"), m.group("stype"))
+        _audit_acl(spark, "revokePermission", m.group("sec"))
         n = revoke(
             spark,
             re.sub(r"\s+", " ", m.group("priv")),
@@ -339,6 +350,21 @@ def run_acl(spark: SparkSession, sql: str) -> DataFrame | None:
             spark, on=m.group("sec"), principal=m.group("who"), on_type=stype
         )
     return None
+
+
+def _audit_acl(spark: SparkSession, action: str, securable: str) -> None:
+    """Record a grant-administration event (enforcement on only)."""
+    if not enabled(spark):
+        return
+    from . import systables
+
+    systables.record_access(
+        spark,
+        "ALL PRIVILEGES",
+        securable.strip("`").lower(),
+        200,
+        action=action,
+    )
 
 
 def _require_manage(
@@ -357,6 +383,15 @@ def _require_manage(
         # written against (SCHEMA/CATALOG names stay as-is)
         securable = canonical_name(spark, securable)
     if not can_manage(spark, securable):
+        from . import systables
+
+        systables.record_access(
+            spark,
+            "ALL PRIVILEGES",
+            securable.strip("`").lower(),
+            403,
+            action="grantPermission",
+        )
         who = sorted(current_principals(spark)) or ["<anonymous>"]
         raise PermissionError(
             f"principal {who} may not GRANT/REVOKE on "

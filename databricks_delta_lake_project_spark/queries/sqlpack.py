@@ -122,6 +122,54 @@ def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     return run_statement(spark, sql)
 
 
+# session -> {qualified_function_name_lower: temp_basename}: the
+# reference creates SQL scalar UDFs under 3-part UC names
+# (``governance/access_control.py:111-133`` CREATE OR REPLACE FUNCTION
+# catalog.gold.mask_email ... RETURN ...). OSS Spark's session catalog
+# rejects multi-part persistent function names, so the engine creates
+# them as TEMPORARY functions under the basename and re-points later
+# full-name calls. PySpark 4.1 SQL UDF bodies resolve
+# ``engine_is_group_member`` (the IS_ACCOUNT_GROUP_MEMBER rewrite) at
+# query time, so group-membership changes apply without re-creating
+# the function.
+_FUNCS: dict[str, dict[str, str]] = {}
+
+_CREATE_FN_RE = re.compile(
+    r"^(?P<head>\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMPORARY\s+)?"
+    r"FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?)(?P<name>`[^`]+`|[\w.]+)"
+    r"(?=\s*\()",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_functions(spark: SparkSession, sql: str) -> str:
+    sid = session_key(spark)
+    m = _CREATE_FN_RE.match(sql)
+    if m:
+        full = m.group("name").strip("`")
+        if "." not in full:
+            return sql  # 1-part names work natively; leave untouched
+        base = full.split(".")[-1]
+        if not re.fullmatch(r"\w+", base):
+            raise ValueError(f"CREATE FUNCTION: bad name {full!r}")
+        _FUNCS.setdefault(sid, {})[full.lower()] = base
+        head = re.sub(
+            r"CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?FUNCTION",
+            lambda mm: "CREATE "
+            + (mm.group(1) or "")
+            + "TEMPORARY FUNCTION",
+            m.group("head"),
+            count=1,
+            flags=re.IGNORECASE,
+        )
+        return head + base + sql[m.end("name"):]
+    for full, base in _FUNCS.get(sid, {}).items():
+        sql = re.sub(
+            re.escape(full) + r"(?=\s*\()", base, sql, flags=re.IGNORECASE
+        )
+    return sql
+
+
 def run_statement(spark: SparkSession, sql: str) -> DataFrame:
     """One SQL statement, SELECT or DML. DML (MERGE INTO / UPDATE /
     DELETE FROM / INSERT) routes through the engine's DML parser to
@@ -137,6 +185,14 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
     acl_out = acl.run_acl(spark, sql)
     if acl_out is not None:
         return acl_out
+
+    # CREATE SHARE / ALTER SHARE / CREATE RECIPIENT / GRANT ... ON
+    # SHARE / SHOW SHARES|RECIPIENTS (S9/X10 share-DDL surface)
+    from ..governance import share_sql
+
+    share_out = share_sql.run_share_sql(spark, sql)
+    if share_out is not None:
+        return share_out
 
     enforcing = acl.enabled(spark)
     md = re.match(
@@ -204,7 +260,15 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
     if enforcing:
         for name in acl.referenced_tables(spark, sql):
             acl.enforce(spark, "SELECT", name)
-    return spark.sql(normalize_sql(rewrite_time_travel(spark, sql)))
+    # engine-owned system tables (information_schema tags, access
+    # audit) resolve to temp views refreshed from live metadata
+    from ..governance import systables
+
+    text = systables.repoint(spark, sql)
+    # SQL scalar functions: 3-part CREATE FUNCTION DDL -> a temp
+    # function under the basename; later full-name calls re-point
+    text = _rewrite_functions(spark, text)
+    return spark.sql(normalize_sql(rewrite_time_travel(spark, text)))
 
 
 # ---------------------------------------------------------------------------

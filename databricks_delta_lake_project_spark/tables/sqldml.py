@@ -66,7 +66,11 @@ def register_table(spark: SparkSession, name: str, table: "LakeTable") -> None:
 # the table VERSION they reflect — a view is only rebuilt when the
 # table moved, so a script of N statements over M tables does O(changed
 # tables) refreshes, not O(N*M) log replays
-_OWNED_VIEWS: dict[tuple[str, str], int | None] = {}
+# (session, view_name) -> (table_version, table_root): the root is
+# part of the freshness key so a DIFFERENT table re-registered under a
+# previously-used name refreshes the view even when both tables happen
+# to sit at the same version number
+_OWNED_VIEWS: dict[tuple[str, str], tuple[int | None, str] | None] = {}
 
 
 def sync_views(spark: SparkSession) -> None:
@@ -88,8 +92,8 @@ def sync_views(spark: SparkSession) -> None:
         except Exception:
             v = None
         owned = key in _OWNED_VIEWS
-        if owned and _OWNED_VIEWS[key] == v:
-            continue  # table unchanged since the last sync
+        if owned and _OWNED_VIEWS[key] == (v, t.root):
+            continue  # same table, unchanged since the last sync
         if owned or not spark.catalog.tableExists(name):
             try:
                 df = t.to_df()
@@ -100,8 +104,27 @@ def sync_views(spark: SparkSession) -> None:
                 _REGISTRY.pop((s, n), None)
                 _OWNED_VIEWS.pop(key, None)
                 continue
+            masks = t.column_masks()
+            if masks:
+                # SET MASK binds a SQL function to the column; the
+                # synced view IS the engine's secured-view layer, so
+                # every SQL SELECT sees fn(col) (the function body
+                # decides privilege via engine_is_group_member). API
+                # DataFrame reads stay raw — the storage-credential
+                # trust boundary. Mask names were validated \w+ at
+                # bind time.
+                from pyspark.sql import functions as F
+
+                df = df.select(
+                    *[
+                        F.expr(f"{masks[c]}(`{c}`)").alias(c)
+                        if c in masks
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
             df.createOrReplaceTempView(name)
-            _OWNED_VIEWS[key] = v
+            _OWNED_VIEWS[key] = (v, t.root)
 
 
 def resolve_table(spark: SparkSession, name: str) -> "LakeTable":
@@ -685,7 +708,49 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
     SET/UNSET TAGS (...) | CLUSTER BY (...) | SET TBLPROPERTIES (...) —
     the reference's schema-evolution, governance and feature-toggle
     surface (``delta_lake_features.py:182-262``,
-    ``governance/unity_catalog_setup.py:80-124``)."""
+    ``governance/unity_catalog_setup.py:80-124``). Also routes the
+    namespace-level tag forms ``ALTER CATALOG|SCHEMA <name> SET/UNSET
+    TAGS (...)`` (reference ``governance/data_classification.py:39-48``)
+    to the session tag registry."""
+    ml = re.match(
+        r"ALTER\s+(?P<lvl>CATALOG|SCHEMA|DATABASE)\s+"
+        r"(?P<name>`[^`]+`|[\w.]+)\s+(?P<un>UN)?SET\s+TAGS\s*"
+        r"\((?P<body>.*)\)\s*$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if ml:
+        from ..governance import access_control as acl
+        from ..governance import systables
+
+        level = (
+            "schema"
+            if ml.group("lvl").upper() in ("SCHEMA", "DATABASE")
+            else "catalog"
+        )
+        name = ml.group("name")
+        if acl.enabled(spark) and not acl.can_manage(
+            spark, name.strip("`").lower()
+        ):
+            who = sorted(acl.current_principals(spark)) or ["<anonymous>"]
+            raise PermissionError(
+                f"principal {who} may not tag {level} "
+                f"{name.strip('`').lower()!r}: requires "
+                f"{acl.ADMINS_CONF} membership or ALL PRIVILEGES on it"
+            )
+        if ml.group("un"):
+            keys = [
+                k.strip().strip("'\"")
+                for k in _split_commas(ml.group("body"))
+            ]
+            systables.set_layer_tags(
+                spark, level, name, dict.fromkeys(keys, ""), unset=True
+            )
+            return {"operation": "UNSET TAGS", "target": name}
+        systables.set_layer_tags(
+            spark, level, name, _parse_properties(ml.group("body"))
+        )
+        return {"operation": "SET TAGS", "target": name}
     m = re.match(r"ALTER\s+TABLE\s+", sql, re.IGNORECASE)
     if not m:
         raise ValueError("ALTER: expected ALTER TABLE")
@@ -730,6 +795,63 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
             mc.group(2), mc.group("txt").replace("''", "'")
         )
         return {"operation": "ALTER COLUMN", "version": v}
+    mct = re.match(
+        r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+(?P<un>UN)?SET\s+TAGS\s*"
+        r"\((?P<body>.*)\)\s*$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mct:
+        # reference governance/data_classification.py:108-129 (PII
+        # column classification)
+        if mct.group("un"):
+            keys = [
+                k.strip().strip("'\"")
+                for k in _split_commas(mct.group("body"))
+            ]
+            v = table.set_column_tags(
+                mct.group(2), dict.fromkeys(keys, ""), unset=True
+            )
+            return {"operation": "UNSET COLUMN TAGS", "version": v}
+        v = table.set_column_tags(
+            mct.group(2), _parse_properties(mct.group("body"))
+        )
+        return {"operation": "SET COLUMN TAGS", "version": v}
+    mmk = re.match(
+        r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+SET\s+MASK\s+"
+        r"(?P<fn>`[^`]+`|[\w.]+)\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if mmk:
+        # reference governance/access_control.py:135-143. The mask
+        # function must already exist (CREATE FUNCTION ... RETURN runs
+        # through sqlpack as a temp SQL UDF under its basename) — a
+        # dangling binding would poison the table's synced view for
+        # every later SELECT, so fail at bind time instead.
+        fn = mmk.group("fn").strip("`")
+        base = fn.split(".")[-1]
+        if not re.fullmatch(r"\w+", base):
+            raise ValueError(f"SET MASK: {fn!r} is not a function name")
+        try:
+            known = spark.catalog.functionExists(base)
+        except Exception:  # noqa: BLE001
+            known = False
+        if not known:
+            raise ValueError(
+                f"SET MASK: function {fn!r} is not defined; run "
+                f"CREATE FUNCTION {fn}(...) RETURNS ... RETURN ... first"
+            )
+        v = table.set_column_mask(mmk.group(2), base)
+        return {"operation": "SET MASK", "version": v}
+    mdm = re.match(
+        r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+DROP\s+MASK\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if mdm:
+        v = table.set_column_mask(mdm.group(2), None)
+        return {"operation": "DROP MASK", "version": v}
     mt = re.match(
         r"(?P<un>UN)?SET\s+TAGS\s*\((?P<body>.*)\)\s*$",
         rest,

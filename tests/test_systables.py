@@ -1,0 +1,306 @@
+"""Engine-owned system tables (X9/X11 SQL tail): column/catalog/schema
+SET TAGS grammar, the ``system.information_schema.*_tags`` views, and
+``system.access.audit`` — the reference's classification report
+(``governance/data_classification.py:279-300``), PII-exposure query
+(``compliance_policies.py:387-394``) and access-audit query
+(``compliance_policies.py:321-334``) running verbatim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from databricks_delta_lake_project_spark.functions.masking import (
+    GROUPS_CONF_KEY,
+)
+from databricks_delta_lake_project_spark.governance import (
+    access_control as acl,
+    systables,
+)
+from databricks_delta_lake_project_spark.queries.sqlpack import run_statement
+from databricks_delta_lake_project_spark.session import session_key
+from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
+
+
+@pytest.fixture()
+def tag_world(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "customers"),
+        df=spark.createDataFrame(
+            [
+                Row(customer_id=1, email="a@x.com", phone="555-0100"),
+                Row(customer_id=2, email="b@y.org", phone="555-0101"),
+            ]
+        ),
+        format="delta",
+    )
+    sqldml.register_table(spark, "tagcat.silver.customers", t)
+    yield t
+    sqldml._REGISTRY.pop((session_key(spark), "tagcat.silver.customers"), None)
+    systables._LAYER_TAGS.clear()
+
+
+def test_reference_classification_report_sql(spark, tag_world):
+    # the reference's tagging DDL (data_classification.py:39-48,108-129)
+    run_statement(
+        spark,
+        "ALTER CATALOG tagcat SET TAGS "
+        "('project' = 'customer_360', 'domain' = 'customer_analytics')",
+    )
+    run_statement(
+        spark,
+        "ALTER SCHEMA tagcat.silver SET TAGS "
+        "('layer' = 'silver', 'data_quality' = 'cleaned')",
+    )
+    run_statement(
+        spark,
+        "ALTER TABLE tagcat.silver.customers SET TAGS "
+        "('sensitivity' = 'high', 'domain' = 'customer')",
+    )
+    run_statement(
+        spark,
+        "ALTER TABLE tagcat.silver.customers ALTER COLUMN email "
+        "SET TAGS ('pii' = 'true', 'pii_type' = 'email', "
+        "'sensitivity' = 'high')",
+    )
+    run_statement(
+        spark,
+        "ALTER TABLE tagcat.silver.customers ALTER COLUMN phone "
+        "SET TAGS ('pii' = 'true', 'pii_type' = 'phone', "
+        "'sensitivity' = 'medium')",
+    )
+
+    # table-level classification (data_classification.py:279-287 verbatim)
+    rows = run_statement(
+        spark,
+        """
+        SELECT table_schema, table_name, tag_name, tag_value
+        FROM system.information_schema.table_tags
+        WHERE table_catalog = 'tagcat'
+        ORDER BY table_schema, table_name
+        """,
+    ).collect()
+    assert sorted(
+        (r.table_schema, r.table_name, r.tag_name, r.tag_value) for r in rows
+    ) == [
+        ("silver", "customers", "domain", "customer"),
+        ("silver", "customers", "sensitivity", "high"),
+    ]
+
+    # PII column summary (data_classification.py:289-300 verbatim)
+    pii = run_statement(
+        spark,
+        """
+        SELECT table_schema, table_name, column_name, tag_value AS pii_type
+        FROM system.information_schema.column_tags
+        WHERE table_catalog = 'tagcat'
+          AND tag_name = 'pii_type'
+        ORDER BY table_schema, table_name, column_name
+        """,
+    ).collect()
+    assert sorted((r.column_name, r.pii_type) for r in pii) == [
+        ("email", "email"),
+        ("phone", "phone"),
+    ]
+
+    # PII exposure summary (compliance_policies.py:387-394 verbatim)
+    exposure = run_statement(
+        spark,
+        """
+        SELECT table_schema, table_name, COUNT(*) AS pii_column_count
+        FROM system.information_schema.column_tags
+        WHERE tag_name = 'pii' AND tag_value = 'true'
+          AND table_catalog = 'tagcat'
+        GROUP BY table_schema, table_name
+        """,
+    ).collect()
+    assert [(r.table_schema, r.table_name, r.pii_column_count) for r in exposure] == [
+        ("silver", "customers", 2)
+    ]
+
+    # catalog/schema tag views
+    cat = run_statement(
+        spark,
+        "SELECT tag_name, tag_value FROM "
+        "system.information_schema.catalog_tags "
+        "WHERE catalog_name = 'tagcat' ORDER BY tag_name",
+    ).collect()
+    assert sorted((r.tag_name, r.tag_value) for r in cat) == [
+        ("domain", "customer_analytics"),
+        ("project", "customer_360"),
+    ]
+    sch = run_statement(
+        spark,
+        "SELECT schema_name, tag_name, tag_value FROM "
+        "system.information_schema.schema_tags "
+        "WHERE catalog_name = 'tagcat' ORDER BY tag_name",
+    ).collect()
+    assert sorted((r.schema_name, r.tag_name, r.tag_value) for r in sch) == [
+        ("silver", "data_quality", "cleaned"),
+        ("silver", "layer", "silver"),
+    ]
+
+
+def test_unset_column_and_layer_tags(spark, tag_world):
+    run_statement(
+        spark,
+        "ALTER TABLE customers ALTER COLUMN email SET TAGS ('pii' = 'true')",
+    )
+    assert tag_world.column_tags() == {"email": {"pii": "true"}}
+    run_statement(
+        spark, "ALTER TABLE customers ALTER COLUMN email UNSET TAGS ('pii')"
+    )
+    assert tag_world.column_tags() == {}
+
+    run_statement(spark, "ALTER CATALOG tagcat SET TAGS ('a' = '1', 'b' = '2')")
+    run_statement(spark, "ALTER CATALOG tagcat UNSET TAGS ('a')")
+    assert systables.layer_tags(spark, "catalog") == {"tagcat": {"b": "2"}}
+
+
+def test_column_tag_unknown_column_rejected(spark, tag_world):
+    with pytest.raises(ValueError, match="no such column"):
+        run_statement(
+            spark,
+            "ALTER TABLE customers ALTER COLUMN nope SET TAGS ('x' = 'y')",
+        )
+
+
+def test_rename_and_drop_migrate_column_tags(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "mapped"),
+        df=spark.createDataFrame([Row(a=1, b="x")]),
+        format="delta",
+        properties={"delta.columnMapping.mode": "name"},
+    )
+    t.set_column_tags("a", {"pii": "true", "pii_type": "id"})
+    t.set_column_tags("b", {"pii": "true"})
+    t.rename_column("a", "a2")
+    assert t.column_tags()["a2"] == {"pii": "true", "pii_type": "id"}
+    assert "a" not in t.column_tags()
+    t.drop_column("b")
+    assert "b" not in t.column_tags()
+    # tag of the renamed column survives a further write
+    assert sorted(t.column_tags()) == ["a2"]
+
+
+@pytest.fixture()
+def audit_world(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "aud_customers"),
+        df=spark.createDataFrame([Row(id=1, v=10), Row(id=2, v=20)]),
+        format="delta",
+    )
+    sqldml.register_table(spark, "audcat.silver.customers", t)
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "auditor@corp.com")
+    spark.conf.set(acl.ADMINS_CONF, "auditor@corp.com")
+    yield t
+    spark.conf.set(acl.ENABLED_CONF, "false")
+    spark.conf.unset(acl.PRINCIPAL_CONF)
+    spark.conf.unset(acl.ADMINS_CONF)
+    acl._GRANTS.clear()
+    systables._AUDIT.clear()
+    sqldml._REGISTRY.pop((session_key(spark), "audcat.silver.customers"), None)
+
+
+def test_reference_access_audit_sql(spark, audit_world):
+    run_statement(
+        spark, "GRANT ALL PRIVILEGES ON CATALOG audcat TO auditor@corp.com"
+    )
+    run_statement(spark, "SELECT count(*) AS n FROM customers").collect()
+    run_statement(spark, "SELECT * FROM customers WHERE id = 1").collect()
+    run_statement(spark, "UPDATE customers SET v = 11 WHERE id = 1")
+
+    # the reference's data-access audit (compliance_policies.py:321-334)
+    rows = run_statement(
+        spark,
+        """
+        SELECT
+            DATE(event_time) AS access_date,
+            user_identity.email AS user_email,
+            action_name,
+            request_params.full_name_arg AS table_accessed,
+            COUNT(*) AS access_count
+        FROM system.access.audit
+        WHERE request_params.full_name_arg LIKE 'audcat.silver.customers%'
+          AND action_name IN ('getTable', 'commandSubmit')
+          AND event_time >= DATEADD(DAY, -30, CURRENT_TIMESTAMP())
+        GROUP BY ALL
+        ORDER BY access_date DESC, access_count DESC
+        """,
+    ).collect()
+    by_action = {r.action_name: r for r in rows}
+    assert by_action["getTable"].access_count >= 2
+    assert by_action["commandSubmit"].access_count >= 1
+    assert by_action["getTable"].user_email == "auditor@corp.com"
+
+    # grants are audited too
+    grants = run_statement(
+        spark,
+        "SELECT count(*) AS n FROM system.access.audit "
+        "WHERE action_name = 'grantPermission'",
+    ).collect()[0]["n"]
+    assert grants >= 1
+
+
+def test_denied_access_recorded_403(spark, audit_world):
+    spark.conf.set(acl.PRINCIPAL_CONF, "intruder")
+    with pytest.raises(PermissionError):
+        run_statement(spark, "SELECT * FROM customers")
+    spark.conf.set(acl.PRINCIPAL_CONF, "auditor@corp.com")
+    rows = run_statement(
+        spark,
+        "SELECT user_identity.email AS who, response.status_code AS code "
+        "FROM system.access.audit WHERE response.status_code = 403",
+    ).collect()
+    assert ("intruder", 403) in {(r.who, r.code) for r in rows}
+
+
+def test_audit_view_is_admin_gated(spark, audit_world):
+    run_statement(spark, "SELECT 1").collect()
+    spark.conf.set(acl.PRINCIPAL_CONF, "nosy")
+    with pytest.raises(PermissionError, match="system.access.audit"):
+        run_statement(spark, "SELECT * FROM system.access.audit")
+    spark.conf.set(acl.PRINCIPAL_CONF, "auditor@corp.com")
+
+
+def test_repoint_skips_string_literals(spark, audit_world):
+    out = run_statement(
+        spark,
+        "SELECT 'system.access.audit' AS s, count(*) AS n "
+        "FROM system.access.audit",
+    ).collect()[0]
+    assert out["s"] == "system.access.audit"
+
+
+def test_tag_views_filtered_by_acl(spark, audit_world):
+    run_statement(
+        spark, "GRANT ALL PRIVILEGES ON CATALOG audcat TO auditor@corp.com"
+    )
+    run_statement(
+        spark,
+        "ALTER TABLE audcat.silver.customers SET TAGS ('sensitivity' = 'high')",
+    )
+    # admin sees the row
+    assert (
+        run_statement(
+            spark,
+            "SELECT count(*) AS n FROM system.information_schema.table_tags "
+            "WHERE table_catalog = 'audcat'",
+        ).collect()[0]["n"]
+        == 1
+    )
+    # a principal with no grants sees nothing (listing rule)
+    spark.conf.set(acl.PRINCIPAL_CONF, "stranger")
+    assert (
+        run_statement(
+            spark,
+            "SELECT count(*) AS n FROM system.information_schema.table_tags "
+            "WHERE table_catalog = 'audcat'",
+        ).collect()[0]["n"]
+        == 0
+    )
+    spark.conf.set(acl.PRINCIPAL_CONF, "auditor@corp.com")
