@@ -65,10 +65,70 @@ PRINCIPAL_CONF = "spark.engine.principal"
 # securable). The PYTHON grant()/revoke() API is not gated — it is the
 # storage-credential trust boundary, same as DataFrame access.
 ADMINS_CONF = "spark.engine.accessControl.admins"
+# opt-in durable grants: a LakeTable path. When set, grants written in
+# one session load in the next (UC grants are durable; the default
+# in-memory registry is not) — the table is read once per (session,
+# path) and overwritten write-through on every grant/revoke. A
+# fail-closed deployment that relies on enforcement should set this.
+PATH_CONF = "spark.engine.accessControl.path"
+
+_GRANT_SCHEMA = (
+    "privilege string, securable_type string, "
+    "securable string, principal string"
+)
+_GRANT_COLS = ("privilege", "securable_type", "securable", "principal")
+
+# session -> registry path already loaded into _GRANTS
+_LOADED: dict[str, str] = {}
+
+
+def _registry_path(spark: SparkSession) -> str | None:
+    try:
+        return spark.conf.get(PATH_CONF) or None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def _session_grants(spark: SparkSession) -> list[dict[str, str]]:
-    return _GRANTS.setdefault(session_key(spark), [])
+    sid = session_key(spark)
+    g = _GRANTS.setdefault(sid, [])
+    path = _registry_path(spark)
+    if path and _LOADED.get(sid) != path:
+        # merge durable rows under in-memory ones (first load only; the
+        # registry is then write-through, so memory stays authoritative
+        # for this session). A broken registry table must fail loudly —
+        # silently dropping grants would lock every principal out (or,
+        # worse for audit trust, forget a revoke).
+        from ..tables import LakeTable
+
+        _LOADED[sid] = path
+        if LakeTable.is_table(path):
+            rows = LakeTable.for_path(spark, path).to_df().collect()
+            for r in rows:
+                entry = {c: r[c] for c in _GRANT_COLS}
+                if entry not in g:
+                    g.append(entry)
+    return g
+
+
+def _persist_grants(spark: SparkSession) -> None:
+    """Write-through the session's grants to the durable registry
+    (no-op without PATH_CONF). Full overwrite — the registry is tiny
+    (O(grants) rows) and the commit is atomic, so a rival writer
+    conflicts instead of interleaving."""
+    path = _registry_path(spark)
+    if not path:
+        return
+    from ..tables import LakeTable
+
+    g = _GRANTS.get(session_key(spark), [])
+    df = spark.createDataFrame(
+        [tuple(e[c] for c in _GRANT_COLS) for e in g], _GRANT_SCHEMA
+    )
+    if LakeTable.is_table(path):
+        LakeTable.for_path(spark, path).overwrite(df)
+    else:
+        LakeTable.create(spark, path, df=df)
 
 
 def grant(
@@ -103,6 +163,7 @@ def grant(
     g = _session_grants(spark)
     if entry not in g:
         g.append(entry)
+        _persist_grants(spark)
 
 
 def revoke(
@@ -131,6 +192,8 @@ def revoke(
             and e["principal"] == pr
         )
     ]
+    if len(g) != before:
+        _persist_grants(spark)
     return before - len(g)
 
 

@@ -54,6 +54,11 @@ __all__ = [
     "schema_tags_df",
     "record_access",
     "audit_df",
+    "record_query",
+    "query_history_df",
+    "record_lineage",
+    "table_lineage_df",
+    "storage_tables_df",
     "repoint",
 ]
 
@@ -285,6 +290,144 @@ def audit_df(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# system.query.history
+# ---------------------------------------------------------------------------
+
+# session -> list of query events; capped FIFO like the audit buffer
+_QUERY_HISTORY: dict[str, list[tuple]] = {}
+
+_QUERY_HISTORY_SCHEMA = (
+    "statement_text string, total_duration_ms long, rows_produced long, "
+    "read_bytes long, executed_by string, warehouse_id string, "
+    "start_time timestamp, end_time timestamp"
+)
+
+
+def record_query(
+    spark: SparkSession,
+    statement_text: str,
+    start: _dt.datetime,
+    duration_ms: int,
+    rows_produced: int | None = None,
+) -> None:
+    """Append one statement to the session's query history (called from
+    ``sqlpack.run_statement`` for every statement it executes). For
+    lazy SELECTs the duration covers parse/analyze/plan — execution
+    happens at the caller's action — while DML statements (executed
+    eagerly) carry their full runtime and affected-row count. The
+    reference's slow-query report (``sql_warehouse_management.py:
+    280-296``) filters on total_duration_ms/start_time, both real."""
+    try:
+        principal = spark.conf.get("spark.engine.principal")
+    except Exception:  # noqa: BLE001
+        principal = None
+    try:
+        master = spark.conf.get("spark.master")
+    except Exception:  # noqa: BLE001
+        master = "local"
+    buf = _QUERY_HISTORY.setdefault(session_key(spark), [])
+    buf.append(
+        (
+            statement_text,
+            duration_ms,
+            rows_produced,
+            None,  # read_bytes: not tracked per-statement
+            principal or "engine",
+            master,
+            start.replace(tzinfo=None),
+            (start + _dt.timedelta(milliseconds=duration_ms)).replace(
+                tzinfo=None
+            ),
+        )
+    )
+    if len(buf) > _AUDIT_CAP:
+        del buf[: len(buf) - _AUDIT_CAP]
+
+
+def query_history_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        _QUERY_HISTORY.get(session_key(spark), []), _QUERY_HISTORY_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# system.lineage.table_lineage
+# ---------------------------------------------------------------------------
+
+# session -> {(source_full_name, target_full_name, source_type,
+# target_type)}: a SET — lineage is an edge list, re-running a pipeline
+# must not duplicate edges
+_LINEAGE: dict[str, set[tuple[str, str, str, str]]] = {}
+
+_LINEAGE_SCHEMA = (
+    "source_table_full_name string, target_table_full_name string, "
+    "source_type string, target_type string"
+)
+
+
+def record_lineage(
+    spark: SparkSession,
+    source: str,
+    target: str,
+    source_type: str = "TABLE",
+    target_type: str = "TABLE",
+) -> None:
+    """Record one table-to-table dependency edge. Called from the DML
+    boundary (MERGE/INSERT read sources -> write target) and available
+    to the pipeline runner; UC derives the same edges from query plans
+    (reference ``lineage_and_audit.py:115-124``)."""
+    _LINEAGE.setdefault(session_key(spark), set()).add(
+        (source.lower(), target.lower(), source_type, target_type)
+    )
+
+
+def table_lineage_df(spark: SparkSession) -> DataFrame:
+    rows = sorted(_LINEAGE.get(session_key(spark), set()))
+    return spark.createDataFrame(rows, _LINEAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# system.storage.tables
+# ---------------------------------------------------------------------------
+
+
+def storage_tables_df(spark: SparkSession) -> DataFrame:
+    """One row of size/layout metadata per visible registered table
+    (the reference's system-table tour lists this as 'table metadata
+    and sizes'; the engine serves it from commit-log file statistics —
+    no data read)."""
+    rows = []
+    for name, t in _visible_tables(spark):
+        cat, sch, tbl = _split_name(name)
+        try:
+            files = t._files()
+        except Exception:  # noqa: BLE001
+            continue
+        rows.append(
+            (
+                cat,
+                sch,
+                tbl,
+                t.root,
+                len(files),
+                sum(int(e.get("bytes") or e.get("size") or 0) for e in files),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "table_catalog string, table_schema string, table_name string, "
+        "storage_path string, num_files long, size_in_bytes long",
+    )
+
+
+def _unsupported(name: str, why: str):
+    def _raise(spark: SparkSession) -> DataFrame:
+        raise NotImplementedError(f"system table {name} is unsupported: {why}")
+
+    return _raise
+
+
+# ---------------------------------------------------------------------------
 # SQL re-pointing
 # ---------------------------------------------------------------------------
 
@@ -313,6 +456,51 @@ _SYS_TABLES: list[tuple[str, str, Callable[[SparkSession], DataFrame]]] = [
         r"\bsystem\s*\.\s*access\s*\.\s*audit\b",
         "engine_sys_access_audit",
         audit_df,
+    ),
+    (
+        r"\bsystem\s*\.\s*query\s*\.\s*history\b",
+        "engine_sys_query_history",
+        query_history_df,
+    ),
+    (
+        r"\bsystem\s*\.\s*lineage\s*\.\s*table_lineage\b",
+        "engine_sys_table_lineage",
+        table_lineage_df,
+    ),
+    (
+        r"\bsystem\s*\.\s*storage\s*\.\s*tables\b",
+        "engine_sys_storage_tables",
+        storage_tables_df,
+    ),
+    # loud refusals: these UC system tables describe managed-workspace
+    # infrastructure (cost meters, cluster registry) or plan-derived
+    # column lineage the engine does not collect — an empty view would
+    # read as "nothing happened", which is worse than an error
+    (
+        r"\bsystem\s*\.\s*lineage\s*\.\s*column_lineage\b",
+        "engine_sys_column_lineage",
+        _unsupported(
+            "system.lineage.column_lineage",
+            "the engine records table-level lineage "
+            "(system.lineage.table_lineage); column-level plan "
+            "derivation is not implemented",
+        ),
+    ),
+    (
+        r"\bsystem\s*\.\s*billing\s*\.\s*usage\b",
+        "engine_sys_billing_usage",
+        _unsupported(
+            "system.billing.usage",
+            "no managed-workspace cost meter exists in the engine",
+        ),
+    ),
+    (
+        r"\bsystem\s*\.\s*compute\s*\.\s*clusters\b",
+        "engine_sys_compute_clusters",
+        _unsupported(
+            "system.compute.clusters",
+            "no managed-cluster registry exists in the engine",
+        ),
     ),
 ]
 

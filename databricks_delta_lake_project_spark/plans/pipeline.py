@@ -141,6 +141,14 @@ class Pipeline:
                 except _Deferred:
                     continue
                 metrics[name] = self._materialize(spark, node, df)
+                # the inferred DAG edges feed the engine's
+                # system.lineage.table_lineage view (reference
+                # lineage_and_audit.py:115-124 derives the same edges
+                # in the UC control plane)
+                from ..governance import systables
+
+                for dep in sorted(node.deps):
+                    systables.record_lineage(spark, dep, name)
                 order.append(name)
                 pending.discard(name)
                 progressed = True

@@ -64,18 +64,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
             load(spark, sf_dir, t).createOrReplaceTempView(t)
         _registered[key] = sf_dir
 
-    # snapshot the session principal's groups on the driver — the UDF
-    # closure must not capture the SparkSession (not serializable)
+    _ensure_group_udf(spark)
+
+
+def _ensure_group_udf(spark: SparkSession) -> None:
+    """(Re-)register ``engine_is_group_member`` with a FRESH snapshot of
+    the session principal's groups. Registered as a SQL temp function
+    (not a Python UDF): the analyzer inlines the body into the calling
+    plan, so ``engine_is_group_member('pii_authorized')`` becomes
+    ``array_contains(array(<group literals>), 'pii_authorized')`` — a
+    constant the optimizer folds away. Masked/RLS scans therefore stay
+    inside whole-stage codegen with NO BatchEvalPython, and membership
+    changes apply because every statement that can evaluate the
+    function re-registers it (and masked views re-analyze per
+    statement)."""
     try:
         raw = spark.conf.get(GROUPS_CONF_KEY)
     except Exception:
         raw = ""
-    groups = frozenset(g.strip() for g in (raw or "").split(",") if g.strip())
-
-    def _is_member(group: str) -> bool:
-        return group in groups
-
-    spark.udf.register("engine_is_group_member", _is_member, "boolean")
+    groups = sorted({g.strip() for g in (raw or "").split(",") if g.strip()})
+    if groups:
+        lits = ", ".join(
+            "'" + g.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for g in groups
+        )
+        body = f"array_contains(array({lits}), g)"
+    else:
+        body = "false"
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION engine_is_group_member"
+        f"(g STRING) RETURNS BOOLEAN RETURN {body}"
+    )
 
 
 # `delta.`/path`` or bare `` `/path` `` followed by a time-travel
@@ -177,7 +196,25 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
     scripts (``delta_lake_features.py:268-323``) run verbatim — and
     returns the one-row metrics DataFrame Databricks SQL returns for
     DML. Everything else goes to ``spark.sql`` after dialect
-    normalization."""
+    normalization.
+
+    Every successful statement lands in ``system.query.history``
+    (driver-side tuple append; lazy SELECT durations cover
+    parse/analyze only — execution happens at the caller's action)."""
+    import time as _time
+
+    from ..governance import systables
+
+    start = datetime.now(timezone.utc)
+    t0 = _time.perf_counter()
+    out = _run_statement_impl(spark, sql)
+    systables.record_query(
+        spark, sql.strip(), start, int((_time.perf_counter() - t0) * 1000)
+    )
+    return out
+
+
+def _run_statement_impl(spark: SparkSession, sql: str) -> DataFrame:
     from ..governance import access_control as acl
     from ..tables import sqldml
 
@@ -218,6 +255,23 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
     meta = metasql.run_metadata(spark, sql)
     if meta is not None:
         return meta
+    # statements that can evaluate group membership — masked views
+    # (SET MASK flags the session; sync_views then re-analyzes those
+    # views against the refreshed UDF), SQL UDFs created this session,
+    # or a direct IS_ACCOUNT_GROUP_MEMBER call — need the membership
+    # UDF re-registered with the CURRENT groups conf BEFORE the view
+    # sync, because analysis snapshots the UDF closure
+    sid = session_key(spark)
+    if (
+        sid in sqldml._MASKED_SESSIONS
+        or _FUNCS.get(sid)
+        or re.search(
+            r"\b(?:IS_ACCOUNT_GROUP_MEMBER|engine_is_group_member)\s*\(",
+            sql,
+            re.IGNORECASE,
+        )
+    ):
+        _ensure_group_udf(spark)
     # registered LakeTables resolve by name in FROM/USING clauses
     sqldml.sync_views(spark)
     kind = sqldml.statement_kind(sql)
@@ -256,6 +310,17 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
                 if name != target:
                     acl.enforce(spark, "SELECT", name)
         metrics = sqldml.run_dml(spark, normalize_sql(sql))
+        if kind in ("merge", "insert"):
+            # table-level lineage edges (system.lineage.table_lineage):
+            # every registered read source feeding the written target
+            from ..governance import systables
+
+            tgt = sqldml.statement_target(sql)
+            if tgt is not None:
+                tgt_c = acl.canonical_name(spark, tgt)
+                for src in acl.referenced_tables(spark, sql):
+                    if src != tgt_c:
+                        systables.record_lineage(spark, src, tgt_c)
         return sqldml.metrics_df(spark, metrics)
     if enforcing:
         for name in acl.referenced_tables(spark, sql):

@@ -66,6 +66,11 @@ def register_table(spark: SparkSession, name: str, table: "LakeTable") -> None:
 # the table VERSION they reflect — a view is only rebuilt when the
 # table moved, so a script of N statements over M tables does O(changed
 # tables) refreshes, not O(N*M) log replays
+# sessions whose synced views carry SET MASK bindings — sqlpack
+# refreshes the group-membership UDF before statements in these
+# sessions (the mask functions late-bind it at query time)
+_MASKED_SESSIONS: set[str] = set()
+
 # (session, view_name) -> (table_version, table_root): the root is
 # part of the freshness key so a DIFFERENT table re-registered under a
 # previously-used name refreshes the view even when both tables happen
@@ -93,7 +98,18 @@ def sync_views(spark: SparkSession) -> None:
             v = None
         owned = key in _OWNED_VIEWS
         if owned and _OWNED_VIEWS[key] == (v, t.root):
-            continue  # same table, unchanged since the last sync
+            # same table, unchanged since the last sync — EXCEPT masked
+            # views, which must re-analyze so the mask function binds
+            # the freshly-registered group-membership UDF (the closure
+            # snapshots the session's groups). Sessions that never SET
+            # MASK skip the properties probe entirely.
+            if sid not in _MASKED_SESSIONS:
+                continue
+            try:
+                if not t.column_masks():
+                    continue
+            except Exception:  # noqa: BLE001
+                continue
         if owned or not spark.catalog.tableExists(name):
             try:
                 df = t.to_df()
@@ -106,6 +122,7 @@ def sync_views(spark: SparkSession) -> None:
                 continue
             masks = t.column_masks()
             if masks:
+                _MASKED_SESSIONS.add(sid)
                 # SET MASK binds a SQL function to the column; the
                 # synced view IS the engine's secured-view layer, so
                 # every SQL SELECT sees fn(col) (the function body
@@ -843,6 +860,7 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
                 f"CREATE FUNCTION {fn}(...) RETURNS ... RETURN ... first"
             )
         v = table.set_column_mask(mmk.group(2), base)
+        _MASKED_SESSIONS.add(session_key(spark))
         return {"operation": "SET MASK", "version": v}
     mdm = re.match(
         r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+DROP\s+MASK\s*$",

@@ -19,3 +19,39 @@ SF_MED = "/root/testdata/sf0.01"
 def spark():
     spark = get_spark(app_name="engine-tests", shuffle_partitions=8)
     yield spark
+
+
+@pytest.fixture(autouse=True)
+def _engine_registry_isolation():
+    """Per-test isolation of the session-global DML name registry.
+
+    The SparkSession is session-scoped (JVM startup is expensive), so
+    tables a test registers — explicitly or via SQL CREATE/CONVERT —
+    would otherwise leak into every later test: a leftover bare
+    ``customers`` silently captures another test's suffix resolution
+    and widens ACL SELECT checks (this bit for real — the registration
+    pointed at a deleted tmp_path). Snapshot the registry and the
+    engine-owned view set before each test; afterwards drop the temp
+    views the engine created during the test and restore both maps.
+    User-created temp views are untouched (the engine never owned
+    them)."""
+    from databricks_delta_lake_project_spark.tables import sqldml
+
+    snap_registry = dict(sqldml._REGISTRY)
+    snap_views = dict(sqldml._OWNED_VIEWS)
+    yield
+    added_views = set(sqldml._OWNED_VIEWS) - set(snap_views)
+    if added_views:
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            for (_sid, name) in added_views:
+                try:
+                    sess.catalog.dropTempView(name)
+                except Exception:
+                    pass
+    sqldml._REGISTRY.clear()
+    sqldml._REGISTRY.update(snap_registry)
+    sqldml._OWNED_VIEWS.clear()
+    sqldml._OWNED_VIEWS.update(snap_views)

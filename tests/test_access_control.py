@@ -414,3 +414,37 @@ def test_grant_confirmation_scopes_to_securable_type(spark, acl_world):
         from databricks_delta_lake_project_spark.tables.sqldml import _skey
 
         sqldml._REGISTRY.pop(_skey(spark, "cat.gold.gold"), None)
+
+
+def test_grants_persist_across_sessions(spark, tmp_path):
+    """Opt-in durable grants (spark.engine.accessControl.path): grants
+    written in one session enforce in a fresh one — the registry table
+    is loaded lazily and written through on every grant/revoke."""
+    path = str(tmp_path / "acl_registry")
+    spark.conf.set(acl.PATH_CONF, path)
+    try:
+        acl.grant(spark, "USAGE", "CATALOG", "pcat", "team")
+        acl.grant(spark, "SELECT", "SCHEMA", "pcat.gold", "team")
+        # simulate a fresh session: all in-memory ACL state gone
+        acl._GRANTS.clear()
+        acl._LOADED.clear()
+        spark.conf.set(acl.ENABLED_CONF, "true")
+        spark.conf.set(acl.PRINCIPAL_CONF, "team")
+        assert acl.is_authorized(spark, "SELECT", "pcat.gold.t1")
+        # grants loaded from the table are visible to SHOW GRANTS
+        assert len(acl.show_grants(spark).collect()) == 2
+        # a revoke persists too
+        acl.revoke(spark, "SELECT", "SCHEMA", "pcat.gold", "team")
+        acl._GRANTS.clear()
+        acl._LOADED.clear()
+        assert not acl.is_authorized(spark, "SELECT", "pcat.gold.t1")
+        assert len(acl.show_grants(spark).collect()) == 1
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PATH_CONF)
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+        acl._GRANTS.clear()
+        acl._LOADED.clear()
+        from databricks_delta_lake_project_spark.governance import systables
+
+        systables._AUDIT.clear()

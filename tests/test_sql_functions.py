@@ -1,0 +1,171 @@
+"""SQL scalar UDFs + column masks (U1/U2 SQL tail): the reference's
+``CREATE OR REPLACE FUNCTION ... RETURN CASE WHEN
+IS_ACCOUNT_GROUP_MEMBER(...) ...`` masking functions
+(``governance/access_control.py:105-143``) created through
+``run_statement`` and bound with ``ALTER TABLE ... ALTER COLUMN ...
+SET MASK`` onto the engine's secured-view layer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from databricks_delta_lake_project_spark.functions.masking import (
+    GROUPS_CONF_KEY,
+)
+from databricks_delta_lake_project_spark.queries import sqlpack
+from databricks_delta_lake_project_spark.queries.sqlpack import run_statement
+from databricks_delta_lake_project_spark.session import session_key
+from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
+
+MASK_EMAIL_DDL = """
+CREATE OR REPLACE FUNCTION fncat.gold.mask_email(email STRING)
+RETURNS STRING
+RETURN
+    CASE
+        WHEN IS_ACCOUNT_GROUP_MEMBER('pii_authorized')
+        THEN email
+        ELSE CONCAT(LEFT(email, 2), '***@', SPLIT(email, '@')[1])
+    END
+"""
+
+MASK_PHONE_DDL = """
+CREATE OR REPLACE FUNCTION fncat.gold.mask_phone(phone STRING)
+RETURNS STRING
+RETURN
+    CASE
+        WHEN IS_ACCOUNT_GROUP_MEMBER('pii_authorized')
+        THEN phone
+        ELSE CONCAT('***-***-', RIGHT(phone, 4))
+    END
+"""
+
+
+@pytest.fixture()
+def fn_world(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "fn_customers"),
+        df=spark.createDataFrame(
+            [
+                Row(customer_id=1, email="alice@x.com", phone="555-0100"),
+                Row(customer_id=2, email="bob@y.org", phone="555-0101"),
+            ]
+        ),
+        format="delta",
+    )
+    sqldml.register_table(spark, "fncat.silver.fn_customers", t)
+    yield t
+    sqldml._REGISTRY.pop(
+        (session_key(spark), "fncat.silver.fn_customers"), None
+    )
+    sqlpack._FUNCS.pop(session_key(spark), None)
+    sqldml._MASKED_SESSIONS.discard(session_key(spark))
+    try:
+        spark.conf.unset(GROUPS_CONF_KEY)
+    except Exception:
+        pass
+
+
+def test_create_function_and_full_name_call(spark, fn_world):
+    run_statement(spark, MASK_EMAIL_DDL)
+    # later statements may call the function by its full UC name
+    out = run_statement(
+        spark,
+        "SELECT fncat.gold.mask_email('alice@x.com') AS e",
+    ).collect()[0]["e"]
+    assert out == "al***@x.com"
+    spark.conf.set(GROUPS_CONF_KEY, "pii_authorized")
+    out = run_statement(
+        spark,
+        "SELECT fncat.gold.mask_email('alice@x.com') AS e",
+    ).collect()[0]["e"]
+    assert out == "alice@x.com"
+    spark.conf.unset(GROUPS_CONF_KEY)
+
+
+def test_set_mask_secures_the_view(spark, fn_world):
+    run_statement(spark, MASK_EMAIL_DDL)
+    run_statement(spark, MASK_PHONE_DDL)
+    run_statement(
+        spark,
+        "ALTER TABLE fncat.silver.fn_customers "
+        "ALTER COLUMN email SET MASK fncat.gold.mask_email",
+    )
+    run_statement(
+        spark,
+        "ALTER TABLE fncat.silver.fn_customers "
+        "ALTER COLUMN phone SET MASK fncat.gold.mask_phone",
+    )
+    assert fn_world.column_masks() == {
+        "email": "mask_email",
+        "phone": "mask_phone",
+    }
+    rows = run_statement(
+        spark,
+        "SELECT email, phone FROM fn_customers ORDER BY customer_id",
+    ).collect()
+    assert [(r.email, r.phone) for r in rows] == [
+        ("al***@x.com", "***-***-0100"),
+        ("bo***@y.org", "***-***-0101"),
+    ]
+    # privileged group sees raw values through the SAME view
+    spark.conf.set(GROUPS_CONF_KEY, "pii_authorized")
+    rows = run_statement(
+        spark,
+        "SELECT email, phone FROM fn_customers ORDER BY customer_id",
+    ).collect()
+    assert rows[0].email == "alice@x.com" and rows[0].phone == "555-0100"
+    spark.conf.unset(GROUPS_CONF_KEY)
+
+    # DROP MASK restores one column, keeps the other masked
+    run_statement(
+        spark,
+        "ALTER TABLE fncat.silver.fn_customers "
+        "ALTER COLUMN email DROP MASK",
+    )
+    rows = run_statement(
+        spark,
+        "SELECT email, phone FROM fn_customers ORDER BY customer_id",
+    ).collect()
+    assert rows[0].email == "alice@x.com"
+    assert rows[0].phone == "***-***-0100"
+
+
+def test_set_mask_requires_existing_function(spark, fn_world):
+    with pytest.raises(ValueError, match="not defined"):
+        run_statement(
+            spark,
+            "ALTER TABLE fn_customers ALTER COLUMN email "
+            "SET MASK fncat.gold.no_such_fn",
+        )
+
+
+def test_masked_scan_stays_jvm_side(spark, fn_world):
+    """The mask function and the group-membership check are SQL UDFs
+    the analyzer inlines — a masked SELECT must contain NO
+    BatchEvalPython (whole-stage codegen keeps the 100 TB scan on the
+    fast path)."""
+    run_statement(spark, MASK_EMAIL_DDL)
+    run_statement(
+        spark,
+        "ALTER TABLE fn_customers ALTER COLUMN email "
+        "SET MASK fncat.gold.mask_email",
+    )
+    df = run_statement(spark, "SELECT email FROM fn_customers")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_api_reads_stay_raw(spark, fn_world):
+    """API DataFrame access is the storage-credential trust boundary —
+    masks bind to the secured VIEW only."""
+    run_statement(spark, MASK_EMAIL_DDL)
+    run_statement(
+        spark,
+        "ALTER TABLE fn_customers ALTER COLUMN email "
+        "SET MASK fncat.gold.mask_email",
+    )
+    raw = {r.email for r in fn_world.to_df().collect()}
+    assert raw == {"alice@x.com", "bob@y.org"}

@@ -39,6 +39,8 @@ def tag_world(spark, tmp_path):
     yield t
     sqldml._REGISTRY.pop((session_key(spark), "tagcat.silver.customers"), None)
     systables._LAYER_TAGS.clear()
+    systables._QUERY_HISTORY.clear()
+    systables._LINEAGE.clear()
 
 
 def test_reference_classification_report_sql(spark, tag_world):
@@ -304,3 +306,84 @@ def test_tag_views_filtered_by_acl(spark, audit_world):
         == 0
     )
     spark.conf.set(acl.PRINCIPAL_CONF, "auditor@corp.com")
+
+
+def test_query_history_and_storage_tables(spark, tag_world):
+    run_statement(spark, "SELECT 42 AS the_answer").collect()
+    # the reference's slow-query report shape
+    # (sql_warehouse_management.py:280-296)
+    hist = run_statement(
+        spark,
+        """
+        SELECT statement_text, total_duration_ms, rows_produced,
+               read_bytes, executed_by, warehouse_id, start_time
+        FROM system.query.history
+        WHERE start_time >= DATEADD(DAY, -7, CURRENT_TIMESTAMP())
+        ORDER BY total_duration_ms DESC
+        """,
+    ).collect()
+    assert any("the_answer" in r.statement_text for r in hist)
+    assert all(r.total_duration_ms >= 0 for r in hist)
+
+    st = run_statement(
+        spark,
+        "SELECT * FROM system.storage.tables "
+        "WHERE table_catalog = 'tagcat'",
+    ).collect()
+    assert len(st) == 1
+    assert st[0].table_name == "customers"
+    assert st[0].num_files >= 1 and st[0].size_in_bytes > 0
+
+
+def test_table_lineage_from_dml_and_pipeline(spark, tag_world, tmp_path):
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "cust_updates"),
+        df=spark.createDataFrame(
+            [Row(customer_id=2, email="b2@y.org", phone="555-0199")]
+        ),
+        format="delta",
+    )
+    sqldml.register_table(spark, "tagcat.silver.cust_updates", t2)
+    try:
+        run_statement(
+            spark,
+            "MERGE INTO customers t USING cust_updates s "
+            "ON t.customer_id = s.customer_id "
+            "WHEN MATCHED THEN UPDATE SET t.email = s.email",
+        )
+        # the reference's lineage query shape
+        # (lineage_and_audit.py:115-124)
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_table_full_name, target_table_full_name,
+                   source_type, target_type
+            FROM system.lineage.table_lineage
+            WHERE target_table_full_name LIKE 'tagcat.silver%'
+            ORDER BY target_table_full_name
+            """,
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            (
+                "tagcat.silver.cust_updates",
+                "tagcat.silver.customers",
+                "TABLE",
+                "TABLE",
+            )
+        ]
+    finally:
+        sqldml._REGISTRY.pop(
+            (session_key(spark), "tagcat.silver.cust_updates"), None
+        )
+
+
+def test_unsupported_system_tables_refuse_loudly(spark, tag_world):
+    with pytest.raises(NotImplementedError, match="column_lineage"):
+        run_statement(
+            spark, "SELECT * FROM system.lineage.column_lineage"
+        )
+    with pytest.raises(NotImplementedError, match="billing"):
+        run_statement(spark, "SELECT * FROM system.billing.usage")
+    with pytest.raises(NotImplementedError, match="compute"):
+        run_statement(spark, "SELECT * FROM system.compute.clusters")
