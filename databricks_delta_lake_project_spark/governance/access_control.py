@@ -101,13 +101,17 @@ def _session_grants(spark: SparkSession) -> list[dict[str, str]]:
         # worse for audit trust, forget a revoke).
         from ..tables import LakeTable
 
-        _LOADED[sid] = path
         if LakeTable.is_table(path):
             rows = LakeTable.for_path(spark, path).to_df().collect()
             for r in rows:
                 entry = {c: r[c] for c in _GRANT_COLS}
                 if entry not in g:
                     g.append(entry)
+        # mark loaded only AFTER the load succeeded: a transient read
+        # failure must retry on the next call, not leave a session that
+        # thinks it loaded and then OVERWRITES the registry with its
+        # partial in-memory state on the next grant/revoke
+        _LOADED[sid] = path
     return g
 
 
@@ -396,8 +400,9 @@ def run_acl(spark: SparkSession, sql: str) -> DataFrame | None:
         )
     m = _REVOKE_RE.match(sql)
     if m:
-        _require_manage(spark, m.group("sec"), m.group("stype"))
-        _audit_acl(spark, "revokePermission", m.group("sec"))
+        _require_manage(
+            spark, m.group("sec"), m.group("stype"), action="revokePermission"
+        )
         n = revoke(
             spark,
             re.sub(r"\s+", " ", m.group("priv")),
@@ -405,6 +410,10 @@ def run_acl(spark: SparkSession, sql: str) -> DataFrame | None:
             m.group("sec"),
             m.group("who"),
         )
+        # recorded AFTER the revoke (and its persist) succeeded — a
+        # success event for a revoke that didn't happen would be an
+        # audit-trail lie
+        _audit_acl(spark, "revokePermission", m.group("sec"))
         return spark.createDataFrame([(n,)], "revoked long")
     m = _SHOW_RE.match(sql)
     if m:
@@ -431,7 +440,10 @@ def _audit_acl(spark: SparkSession, action: str, securable: str) -> None:
 
 
 def _require_manage(
-    spark: SparkSession, securable: str, securable_type: str
+    spark: SparkSession,
+    securable: str,
+    securable_type: str,
+    action: str = "grantPermission",
 ) -> None:
     """SQL-surface GRANT/REVOKE gate: with enforcement ON, the issuing
     principal must be an admin (ADMINS_CONF) or hold ALL PRIVILEGES on
@@ -453,7 +465,7 @@ def _require_manage(
             "ALL PRIVILEGES",
             securable.strip("`").lower(),
             403,
-            action="grantPermission",
+            action=action,
         )
         who = sorted(current_principals(spark)) or ["<anonymous>"]
         raise PermissionError(

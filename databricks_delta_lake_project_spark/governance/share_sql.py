@@ -209,17 +209,29 @@ def run_share_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     m = _CREATE_RECIPIENT_RE.match(sql)
     if m:
         name = _clean(m.group("name"))
+        # the name becomes a filesystem path component (the profile
+        # file): a traversal like `../../x` must never escape the
+        # provider root
+        if not re.fullmatch(r"\w+", name):
+            raise ValueError(
+                f"CREATE RECIPIENT: name must be a word, got {name!r}"
+            )
         _require_share_admin(spark, name)
         provider = _provider(spark)
         profile = str(Path(provider.root) / "recipients" / f"{name}.share")
         reg = _load_registry(provider.root)
-        if name in reg["recipients"] and re.search(
-            r"IF\s+NOT\s+EXISTS", sql, re.IGNORECASE
-        ):
-            return spark.createDataFrame(
-                [("CREATE RECIPIENT", name, profile, True)],
-                "operation string, recipient string, "
-                "profile string, already_exists boolean",
+        if name in reg["recipients"]:
+            if re.search(r"IF\s+NOT\s+EXISTS", sql, re.IGNORECASE):
+                return spark.createDataFrame(
+                    [("CREATE RECIPIENT", name, profile, True)],
+                    "operation string, recipient string, "
+                    "profile string, already_exists boolean",
+                )
+            # a silent re-create would rotate the bearer token and
+            # break the profile already distributed to the recipient
+            raise ValueError(
+                f"recipient already exists: {name} "
+                "(use CREATE RECIPIENT IF NOT EXISTS to keep it)"
             )
         Path(profile).parent.mkdir(parents=True, exist_ok=True)
         provider.create_recipient(name, profile, comment=_comment(m))

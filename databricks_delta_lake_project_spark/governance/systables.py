@@ -271,19 +271,27 @@ def record_access(
         del buf[: len(buf) - _AUDIT_CAP]
 
 
-def audit_df(spark: SparkSession) -> DataFrame:
-    """The session's access events as ``system.access.audit``. Admin-
-    gated while enforcement is on (UC system tables are admin-granted);
-    wide open otherwise — the buffer is then empty anyway because
-    recording only happens under enforcement."""
+def _require_system_admin(spark: SparkSession, table: str) -> None:
+    """UC gates audit/query-history/lineage system tables on account
+    admins; the engine's equivalent (while enforcement is on) is
+    ADMINS_CONF membership or ALL PRIVILEGES on the ``system``
+    catalog. No-op otherwise."""
     from . import access_control as acl
 
     if acl.enabled(spark) and not acl.can_manage(spark, "system"):
         who = sorted(acl.current_principals(spark)) or ["<anonymous>"]
         raise PermissionError(
-            f"principal {who} may not read system.access.audit: requires "
+            f"principal {who} may not read {table}: requires "
             f"{acl.ADMINS_CONF} membership or ALL PRIVILEGES on 'system'"
         )
+
+
+def audit_df(spark: SparkSession) -> DataFrame:
+    """The session's access events as ``system.access.audit``. Admin-
+    gated while enforcement is on; wide open otherwise — the buffer is
+    then empty anyway because recording only happens under
+    enforcement."""
+    _require_system_admin(spark, "system.access.audit")
     return spark.createDataFrame(
         _AUDIT.get(session_key(spark), []), _AUDIT_SCHEMA
     )
@@ -345,6 +353,9 @@ def record_query(
 
 
 def query_history_df(spark: SparkSession) -> DataFrame:
+    """Admin-gated like the audit view: statement texts carry literals
+    (predicates over PII values) every principal's queries share."""
+    _require_system_admin(spark, "system.query.history")
     return spark.createDataFrame(
         _QUERY_HISTORY.get(session_key(spark), []), _QUERY_HISTORY_SCHEMA
     )
@@ -382,6 +393,9 @@ def record_lineage(
 
 
 def table_lineage_df(spark: SparkSession) -> DataFrame:
+    """Admin-gated: edges reveal the names of tables a principal may
+    not be able to list."""
+    _require_system_admin(spark, "system.lineage.table_lineage")
     rows = sorted(_LINEAGE.get(session_key(spark), set()))
     return spark.createDataFrame(rows, _LINEAGE_SCHEMA)
 
@@ -505,13 +519,22 @@ _SYS_TABLES: list[tuple[str, str, Callable[[SparkSession], DataFrame]]] = [
 ]
 
 
-def repoint(spark: SparkSession, sql: str) -> str:
+def repoint(spark: SparkSession, sql: str) -> tuple[str, list[str]]:
     """Rewrite ``system.*`` table references to engine temp views,
     refreshing each referenced view from live metadata first. Quote-
-    aware: occurrences inside string literals are left alone."""
+    aware: occurrences inside string literals are left alone.
+
+    Returns ``(rewritten_sql, created_view_names)`` — the caller MUST
+    drop the views after running the statement (``drop_views``): they
+    materialize gated/principal-filtered snapshots, and a later
+    principal could otherwise read them directly under the
+    ``engine_sys_*`` names, bypassing the gate. Dropping is safe
+    because ``spark.sql`` analyzes eagerly — the returned DataFrame
+    keeps its resolved plan."""
     from ..tables import sqldml
 
     out = sql
+    created: list[str] = []
     for pattern, view, builder in _SYS_TABLES:
         mask = sqldml._mask(out)
         hits = [
@@ -522,6 +545,7 @@ def repoint(spark: SparkSession, sql: str) -> str:
         if not hits:
             continue
         builder(spark).createOrReplaceTempView(view)
+        created.append(view)
         pieces, prev = [], 0
         for m in hits:
             pieces.append(out[prev : m.start()])
@@ -529,4 +553,12 @@ def repoint(spark: SparkSession, sql: str) -> str:
             prev = m.end()
         pieces.append(out[prev:])
         out = "".join(pieces)
-    return out
+    return out, created
+
+
+def drop_views(spark: SparkSession, views: list[str]) -> None:
+    for v in views:
+        try:
+            spark.catalog.dropTempView(v)
+        except Exception:  # noqa: BLE001
+            pass

@@ -172,12 +172,26 @@ def _rewrite_functions(spark: SparkSession, sql: str) -> str:
         if not re.fullmatch(r"\w+", base):
             raise ValueError(f"CREATE FUNCTION: bad name {full!r}")
         _FUNCS.setdefault(sid, {})[full.lower()] = base
+        head = m.group("head")
+        ine = re.search(r"IF\s+NOT\s+EXISTS\s+", head, re.IGNORECASE)
+        if ine:
+            # Spark forbids TEMPORARY FUNCTION IF NOT EXISTS: emulate
+            # the idempotence with a pre-check, then strip the clause
+            try:
+                exists = spark.catalog.functionExists(base)
+            except Exception:  # noqa: BLE001
+                exists = False
+            if exists:
+                return (
+                    f"SELECT '{base}' AS function_name, false AS created"
+                )
+            head = head[: ine.start()] + head[ine.end():]
         head = re.sub(
             r"CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?FUNCTION",
             lambda mm: "CREATE "
             + (mm.group(1) or "")
             + "TEMPORARY FUNCTION",
-            m.group("head"),
+            head,
             count=1,
             flags=re.IGNORECASE,
         )
@@ -207,14 +221,66 @@ def run_statement(spark: SparkSession, sql: str) -> DataFrame:
 
     start = datetime.now(timezone.utc)
     t0 = _time.perf_counter()
-    out = _run_statement_impl(spark, sql)
+    qctx: dict = {"rows": None}
+    out = _run_statement_impl(spark, sql, _qctx=qctx)
     systables.record_query(
-        spark, sql.strip(), start, int((_time.perf_counter() - t0) * 1000)
+        spark,
+        sql.strip(),
+        start,
+        int((_time.perf_counter() - t0) * 1000),
+        rows_produced=qctx["rows"],
     )
     return out
 
 
-def _run_statement_impl(spark: SparkSession, sql: str) -> DataFrame:
+_ROW_METRIC_KEYS = (
+    "numAffectedRows",
+    "numUpdatedRows",
+    "numInsertedRows",
+    "numDeletedRows",
+    "numTargetRowsUpdated",
+    "numTargetRowsInserted",
+    "numTargetRowsDeleted",
+    "numOutputRows",
+)
+
+
+def _affected_rows(metrics: dict) -> int | None:
+    """DML affected-row count for query history (numTargetRowsCopied —
+    rows rewritten but unchanged — deliberately excluded)."""
+    vals = [
+        int(metrics[k])
+        for k in _ROW_METRIC_KEYS
+        if isinstance(metrics.get(k), (int, float))
+    ]
+    return sum(vals) if vals else None
+
+
+def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
+    """Registered tables in FROM/USING/JOIN positions (quote-aware) —
+    the precise-read-set scan lineage needs, as opposed to the
+    fail-closed identifier scan enforcement uses."""
+    from ..governance import access_control as acl
+    from ..tables import sqldml
+
+    sid = session_key(spark)
+    registered = {n for (s, n) in sqldml._REGISTRY if s == sid}
+    mask = sqldml._mask(sql)
+    out: set[str] = set()
+    for m in re.finditer(
+        r"\b(?:FROM|USING|JOIN)\s+(`[^`]+`|[\w.]+)", sql, re.IGNORECASE
+    ):
+        if mask[m.start()][1]:
+            continue
+        name = acl.canonical_name(spark, m.group(1).strip("`").lower())
+        if name in registered:
+            out.add(name)
+    return out
+
+
+def _run_statement_impl(
+    spark: SparkSession, sql: str, _qctx: dict | None = None
+) -> DataFrame:
     from ..governance import access_control as acl
     from ..tables import sqldml
 
@@ -310,15 +376,22 @@ def _run_statement_impl(spark: SparkSession, sql: str) -> DataFrame:
                 if name != target:
                     acl.enforce(spark, "SELECT", name)
         metrics = sqldml.run_dml(spark, normalize_sql(sql))
+        if _qctx is not None:
+            _qctx["rows"] = _affected_rows(metrics)
         if kind in ("merge", "insert"):
             # table-level lineage edges (system.lineage.table_lineage):
-            # every registered read source feeding the written target
+            # registered read sources feeding the written target. NOT
+            # acl.referenced_tables — its fail-closed identifier scan
+            # is right for enforcement (over-checking is safe) but
+            # would fabricate lineage facts (a column sharing a table's
+            # name becomes a false edge); lineage anchors to
+            # FROM/USING/JOIN clause positions instead.
             from ..governance import systables
 
             tgt = sqldml.statement_target(sql)
             if tgt is not None:
                 tgt_c = acl.canonical_name(spark, tgt)
-                for src in acl.referenced_tables(spark, sql):
+                for src in _lineage_sources(spark, sql):
                     if src != tgt_c:
                         systables.record_lineage(spark, src, tgt_c)
         return sqldml.metrics_df(spark, metrics)
@@ -326,14 +399,19 @@ def _run_statement_impl(spark: SparkSession, sql: str) -> DataFrame:
         for name in acl.referenced_tables(spark, sql):
             acl.enforce(spark, "SELECT", name)
     # engine-owned system tables (information_schema tags, access
-    # audit) resolve to temp views refreshed from live metadata
+    # audit) resolve to temp views refreshed from live metadata; the
+    # views are dropped after the statement (they hold gated snapshots
+    # — spark.sql analyzes eagerly, so the returned frame survives)
     from ..governance import systables
 
-    text = systables.repoint(spark, sql)
+    text, sys_views = systables.repoint(spark, sql)
     # SQL scalar functions: 3-part CREATE FUNCTION DDL -> a temp
     # function under the basename; later full-name calls re-point
     text = _rewrite_functions(spark, text)
-    return spark.sql(normalize_sql(rewrite_time_travel(spark, text)))
+    try:
+        return spark.sql(normalize_sql(rewrite_time_travel(spark, text)))
+    finally:
+        systables.drop_views(spark, sys_views)
 
 
 # ---------------------------------------------------------------------------

@@ -132,14 +132,26 @@ def sync_views(spark: SparkSession) -> None:
                 # bind time.
                 from pyspark.sql import functions as F
 
-                df = df.select(
-                    *[
-                        F.expr(f"{masks[c]}(`{c}`)").alias(c)
-                        if c in masks
-                        else F.col(c)
-                        for c in df.columns
-                    ]
-                )
+                try:
+                    df = df.select(
+                        *[
+                            F.expr(f"{masks[c]}(`{c}`)").alias(c)
+                            if c in masks
+                            else F.col(c)
+                            for c in df.columns
+                        ]
+                    )
+                except Exception:  # noqa: BLE001
+                    # the mask binding is durable (table property) but
+                    # the function is TEMPORARY — in a session where it
+                    # isn't (re)created yet, fail CLOSED for this one
+                    # table: drop any pre-mask view so nothing serves
+                    # raw data, keep every other statement working (a
+                    # raise here would brick the whole SQL surface,
+                    # including the CREATE FUNCTION that fixes it)
+                    spark.catalog.dropTempView(name)
+                    _OWNED_VIEWS.pop(key, None)
+                    continue
             df.createOrReplaceTempView(name)
             _OWNED_VIEWS[key] = (v, t.root)
 

@@ -187,3 +187,20 @@ def test_share_admin_gated_under_acl(spark, share_world):
         from databricks_delta_lake_project_spark.governance import systables
 
         systables._AUDIT.clear()
+
+
+def test_create_recipient_name_validated_and_no_silent_rotate(
+    spark, share_world
+):
+    with pytest.raises(ValueError, match="must be a word"):
+        run_statement(spark, "CREATE RECIPIENT `../../evil`")
+    rec = run_statement(spark, "CREATE RECIPIENT dupe").collect()[0]
+    token_before = open(rec["profile"]).read()
+    with pytest.raises(ValueError, match="already exists"):
+        run_statement(spark, "CREATE RECIPIENT dupe")
+    # IF NOT EXISTS keeps the original credential
+    out = run_statement(
+        spark, "CREATE RECIPIENT IF NOT EXISTS dupe"
+    ).collect()[0]
+    assert out["already_exists"] is True
+    assert open(rec["profile"]).read() == token_before

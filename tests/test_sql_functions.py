@@ -169,3 +169,52 @@ def test_api_reads_stay_raw(spark, fn_world):
     )
     raw = {r.email for r in fn_world.to_df().collect()}
     assert raw == {"alice@x.com", "bob@y.org"}
+
+
+def test_create_function_if_not_exists_is_idempotent(spark, fn_world):
+    ddl = (
+        "CREATE FUNCTION IF NOT EXISTS fncat.gold.fn_ine(x STRING) "
+        "RETURNS STRING RETURN UPPER(x)"
+    )
+    run_statement(spark, ddl)
+    assert (
+        run_statement(spark, "SELECT fncat.gold.fn_ine('a') AS v").collect()[
+            0
+        ]["v"]
+        == "A"
+    )
+    # second run must neither fail (TEMPORARY + IF NOT EXISTS is
+    # invalid Spark grammar) nor replace the function
+    out = run_statement(spark, ddl).collect()[0]
+    assert out["created"] is False
+
+
+def test_missing_mask_function_fails_closed_not_bricked(spark, fn_world):
+    import re as _re
+
+    from databricks_delta_lake_project_spark.tables.sqldml import (
+        _OWNED_VIEWS,
+    )
+
+    run_statement(spark, MASK_EMAIL_DDL)
+    run_statement(
+        spark,
+        "ALTER TABLE fn_customers ALTER COLUMN email "
+        "SET MASK fncat.gold.mask_email",
+    )
+    # simulate a fresh session where the TEMPORARY function is gone
+    # and no view has been synced yet
+    spark.sql("DROP TEMPORARY FUNCTION mask_email")
+    spark.catalog.dropTempView("fn_customers")
+    _OWNED_VIEWS.clear()
+    # other statements still work (the session is not bricked) ...
+    assert run_statement(spark, "SELECT 1 AS one").collect()[0]["one"] == 1
+    # ... and the masked table fails CLOSED: no view serving raw rows
+    with pytest.raises(Exception, match=_re.compile("fn_customers", _re.I)):
+        run_statement(spark, "SELECT email FROM fn_customers").collect()
+    # re-creating the function through the engine heals the table
+    run_statement(spark, MASK_EMAIL_DDL)
+    rows = run_statement(
+        spark, "SELECT email FROM fn_customers ORDER BY email"
+    ).collect()
+    assert rows[0]["email"] == "al***@x.com"

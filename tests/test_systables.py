@@ -387,3 +387,38 @@ def test_unsupported_system_tables_refuse_loudly(spark, tag_world):
         run_statement(spark, "SELECT * FROM system.billing.usage")
     with pytest.raises(NotImplementedError, match="compute"):
         run_statement(spark, "SELECT * FROM system.compute.clusters")
+
+
+def test_repointed_views_dropped_after_statement(spark, audit_world):
+    run_statement(
+        spark, "GRANT ALL PRIVILEGES ON CATALOG audcat TO auditor@corp.com"
+    )
+    run_statement(
+        spark, "SELECT count(*) AS n FROM system.access.audit"
+    ).collect()
+    # the materialized snapshot must not stay readable under the
+    # internal view name (a later principal would bypass the gate)
+    assert not spark.catalog.tableExists("engine_sys_access_audit")
+
+
+def test_query_history_and_lineage_admin_gated(spark, audit_world):
+    run_statement(spark, "SELECT 1 AS x").collect()
+    spark.conf.set(acl.PRINCIPAL_CONF, "nosy")
+    with pytest.raises(PermissionError, match="query.history"):
+        run_statement(spark, "SELECT * FROM system.query.history")
+    with pytest.raises(PermissionError, match="table_lineage"):
+        run_statement(spark, "SELECT * FROM system.lineage.table_lineage")
+    spark.conf.set(acl.PRINCIPAL_CONF, "auditor@corp.com")
+
+
+def test_query_history_records_dml_rows(spark, tag_world):
+    run_statement(
+        spark,
+        "UPDATE customers SET phone = '555-0999' WHERE customer_id = 1",
+    )
+    rows = run_statement(
+        spark,
+        "SELECT statement_text, rows_produced FROM system.query.history "
+        "WHERE statement_text LIKE 'UPDATE customers%'",
+    ).collect()
+    assert rows and rows[-1]["rows_produced"] == 1
