@@ -48,7 +48,7 @@ _NAME = r"(`[^`]+`|[\w.]+)"
 _COMMENT = r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)')?"
 
 _CREATE_SHARE_RE = re.compile(
-    rf"^\s*CREATE\s+SHARE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_NAME})"
+    rf"^\s*CREATE\s+SHARE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>{_NAME})"
     rf"{_COMMENT}\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -66,7 +66,7 @@ _REMOVE_TABLE_RE = re.compile(
     re.IGNORECASE,
 )
 _CREATE_RECIPIENT_RE = re.compile(
-    rf"^\s*CREATE\s+RECIPIENT\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    rf"^\s*CREATE\s+RECIPIENT\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     rf"(?P<name>{_NAME})"
     r"(?:\s+USING\s+ID\s+'(?P<id>[^']*)')?"
     rf"{_COMMENT}\s*;?\s*$",
@@ -161,7 +161,15 @@ def run_share_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     if m:
         name = _clean(m.group("name"))
         _require_share_admin(spark, name)
-        _provider(spark).create_share(name, comment=_comment(m))
+        provider = _provider(spark)
+        if name in _load_registry(provider.root)["shares"] and not m.group(
+            "ine"
+        ):
+            raise ValueError(
+                f"share already exists: {name} "
+                "(use CREATE SHARE IF NOT EXISTS to keep it)"
+            )
+        provider.create_share(name, comment=_comment(m))
         return spark.createDataFrame(
             [("CREATE SHARE", name)], "operation string, share string"
         )
@@ -210,18 +218,24 @@ def run_share_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     if m:
         name = _clean(m.group("name"))
         # the name becomes a filesystem path component (the profile
-        # file): a traversal like `../../x` must never escape the
-        # provider root
-        if not re.fullmatch(r"\w+", name):
+        # file): block traversal/separators, keep Databricks-legal
+        # hyphens and dots
+        if (
+            not re.fullmatch(r"[\w.-]+", name)
+            or ".." in name
+            or name.startswith(".")
+        ):
             raise ValueError(
-                f"CREATE RECIPIENT: name must be a word, got {name!r}"
+                f"CREATE RECIPIENT: invalid recipient name {name!r}"
             )
         _require_share_admin(spark, name)
         provider = _provider(spark)
         profile = str(Path(provider.root) / "recipients" / f"{name}.share")
         reg = _load_registry(provider.root)
         if name in reg["recipients"]:
-            if re.search(r"IF\s+NOT\s+EXISTS", sql, re.IGNORECASE):
+            # the parsed clause, NOT a statement-wide re-scan (the
+            # phrase inside a COMMENT literal must not count)
+            if m.group("ine"):
                 return spark.createDataFrame(
                     [("CREATE RECIPIENT", name, profile, True)],
                     "operation string, recipient string, "

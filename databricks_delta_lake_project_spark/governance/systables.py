@@ -279,6 +279,9 @@ def _require_system_admin(spark: SparkSession, table: str) -> None:
     from . import access_control as acl
 
     if acl.enabled(spark) and not acl.can_manage(spark, "system"):
+        # denied probes of system tables are themselves audit events
+        # (the module contract: every enforced check is recorded)
+        record_access(spark, "SELECT", table, 403)
         who = sorted(acl.current_principals(spark)) or ["<anonymous>"]
         raise PermissionError(
             f"principal {who} may not read {table}: requires "
@@ -535,24 +538,30 @@ def repoint(spark: SparkSession, sql: str) -> tuple[str, list[str]]:
 
     out = sql
     created: list[str] = []
-    for pattern, view, builder in _SYS_TABLES:
-        mask = sqldml._mask(out)
-        hits = [
-            m
-            for m in re.finditer(pattern, out, re.IGNORECASE)
-            if not mask[m.start()][1]
-        ]
-        if not hits:
-            continue
-        builder(spark).createOrReplaceTempView(view)
-        created.append(view)
-        pieces, prev = [], 0
-        for m in hits:
-            pieces.append(out[prev : m.start()])
-            pieces.append(view)
-            prev = m.end()
-        pieces.append(out[prev:])
-        out = "".join(pieces)
+    try:
+        for pattern, view, builder in _SYS_TABLES:
+            mask = sqldml._mask(out)
+            hits = [
+                m
+                for m in re.finditer(pattern, out, re.IGNORECASE)
+                if not mask[m.start()][1]
+            ]
+            if not hits:
+                continue
+            builder(spark).createOrReplaceTempView(view)
+            created.append(view)
+            pieces, prev = [], 0
+            for m in hits:
+                pieces.append(out[prev : m.start()])
+                pieces.append(view)
+                prev = m.end()
+            pieces.append(out[prev:])
+            out = "".join(pieces)
+    except Exception:
+        # a later builder raising (gate denial, unsupported table) must
+        # not leave earlier views behind — they hold gated snapshots
+        drop_views(spark, created)
+        raise
     return out, created
 
 

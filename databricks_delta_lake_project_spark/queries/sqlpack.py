@@ -171,21 +171,32 @@ def _rewrite_functions(spark: SparkSession, sql: str) -> str:
         base = full.split(".")[-1]
         if not re.fullmatch(r"\w+", base):
             raise ValueError(f"CREATE FUNCTION: bad name {full!r}")
-        _FUNCS.setdefault(sid, {})[full.lower()] = base
+        fmap = _FUNCS.setdefault(sid, {})
+        created_before = fmap.get(full.lower()) == base
+        if not created_before:
+            # the temp-function namespace is session-global by
+            # BASENAME: refuse (loudly) a second full name that would
+            # silently capture an existing binding (cat1.gold.fn then
+            # cat2.gold.fn would both resolve to one body)
+            clash = [f for f, b in fmap.items() if b == base]
+            if clash:
+                raise ValueError(
+                    f"CREATE FUNCTION: basename {base!r} is already "
+                    f"bound to {clash[0]!r}; temp functions resolve by "
+                    "basename — pick a distinct function name"
+                )
         head = m.group("head")
         ine = re.search(r"IF\s+NOT\s+EXISTS\s+", head, re.IGNORECASE)
         if ine:
             # Spark forbids TEMPORARY FUNCTION IF NOT EXISTS: emulate
-            # the idempotence with a pre-check, then strip the clause
-            try:
-                exists = spark.catalog.functionExists(base)
-            except Exception:  # noqa: BLE001
-                exists = False
-            if exists:
+            # the idempotence against OUR registry (functionExists
+            # would also match builtins), then strip the clause
+            if created_before:
                 return (
                     f"SELECT '{base}' AS function_name, false AS created"
                 )
             head = head[: ine.start()] + head[ine.end():]
+        fmap[full.lower()] = base
         head = re.sub(
             r"CREATE\s+(OR\s+REPLACE\s+)?(TEMPORARY\s+)?FUNCTION",
             lambda mm: "CREATE "
@@ -241,25 +252,45 @@ _ROW_METRIC_KEYS = (
     "numTargetRowsUpdated",
     "numTargetRowsInserted",
     "numTargetRowsDeleted",
-    "numOutputRows",
 )
 
 
 def _affected_rows(metrics: dict) -> int | None:
-    """DML affected-row count for query history (numTargetRowsCopied —
-    rows rewritten but unchanged — deliberately excluded)."""
+    """DML affected-row count for query history. Specific per-action
+    counters first; ``numOutputRows`` only as a FALLBACK (INSERT/CTAS,
+    where it is the inserted count) — in MERGE metrics it counts every
+    rewritten row including copied-unmodified ones, which must not
+    inflate rows_produced."""
     vals = [
         int(metrics[k])
         for k in _ROW_METRIC_KEYS
         if isinstance(metrics.get(k), (int, float))
     ]
-    return sum(vals) if vals else None
+    if vals:
+        return sum(vals)
+    n = metrics.get("numOutputRows")
+    return int(n) if isinstance(n, (int, float)) else None
+
+
+# words that precede a NON-table FROM: EXTRACT(DAY FROM ts),
+# TRIM(BOTH ' ' FROM s) — the ANSI keyword-FROM forms
+_NON_TABLE_FROM_PRECEDERS = frozenset(
+    {
+        "year", "yearofweek", "quarter", "month", "week", "day",
+        "dayofweek", "dayofweek_iso", "dow", "doy", "hour", "minute",
+        "second", "millisecond", "microsecond", "epoch",
+        "leading", "trailing", "both",
+    }
+)
 
 
 def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
-    """Registered tables in FROM/USING/JOIN positions (quote-aware) —
-    the precise-read-set scan lineage needs, as opposed to the
-    fail-closed identifier scan enforcement uses."""
+    """Registered tables in FROM/USING/JOIN positions (quote-aware,
+    comma joins included) — the precise-read-set scan lineage needs, as
+    opposed to the fail-closed identifier scan enforcement uses.
+    Best-effort by design: EXTRACT/TRIM keyword-FROM forms are
+    excluded via their preceding keyword; ``substring(col FROM n)``
+    captures ``n``, which resolves to no registered table."""
     from ..governance import access_control as acl
     from ..tables import sqldml
 
@@ -268,13 +299,33 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
     mask = sqldml._mask(sql)
     out: set[str] = set()
     for m in re.finditer(
-        r"\b(?:FROM|USING|JOIN)\s+(`[^`]+`|[\w.]+)", sql, re.IGNORECASE
+        r"\b(?P<kw>FROM|USING|JOIN)\s+(`[^`]+`|[\w.]+)", sql, re.IGNORECASE
     ):
         if mask[m.start()][1]:
             continue
-        name = acl.canonical_name(spark, m.group(1).strip("`").lower())
-        if name in registered:
-            out.add(name)
+        is_from = m.group("kw").upper() == "FROM"
+        if is_from:
+            prev = re.search(r"([\w.]+|')\s*$", sql[: m.start()])
+            if prev and (
+                prev.group(1).split(".")[-1].lower()
+                in _NON_TABLE_FROM_PRECEDERS
+                or prev.group(1) == "'"
+            ):
+                continue
+        names = [m.group(2)]
+        if is_from:
+            # comma join: FROM a, b, c
+            pos = m.end()
+            while True:
+                cm = re.match(r"\s*,\s*(`[^`]+`|[\w.]+)", sql[pos:])
+                if not cm:
+                    break
+                names.append(cm.group(1))
+                pos += cm.end()
+        for ref in names:
+            name = acl.canonical_name(spark, ref.strip("`").lower())
+            if name in registered:
+                out.add(name)
     return out
 
 
@@ -405,10 +456,10 @@ def _run_statement_impl(
     from ..governance import systables
 
     text, sys_views = systables.repoint(spark, sql)
-    # SQL scalar functions: 3-part CREATE FUNCTION DDL -> a temp
-    # function under the basename; later full-name calls re-point
-    text = _rewrite_functions(spark, text)
     try:
+        # SQL scalar functions: 3-part CREATE FUNCTION DDL -> a temp
+        # function under the basename; later full-name calls re-point
+        text = _rewrite_functions(spark, text)
         return spark.sql(normalize_sql(rewrite_time_travel(spark, text)))
     finally:
         systables.drop_views(spark, sys_views)

@@ -192,8 +192,13 @@ def test_share_admin_gated_under_acl(spark, share_world):
 def test_create_recipient_name_validated_and_no_silent_rotate(
     spark, share_world
 ):
-    with pytest.raises(ValueError, match="must be a word"):
+    with pytest.raises(ValueError, match="invalid recipient name"):
         run_statement(spark, "CREATE RECIPIENT `../../evil`")
+    with pytest.raises(ValueError, match="invalid recipient name"):
+        run_statement(spark, "CREATE RECIPIENT `..`")
+    # hyphens/dots are legal recipient names (no traversal)
+    ok = run_statement(spark, "CREATE RECIPIENT `ext-partner.team`").collect()
+    assert ok[0]["recipient"] == "ext-partner.team"
     rec = run_statement(spark, "CREATE RECIPIENT dupe").collect()[0]
     token_before = open(rec["profile"]).read()
     with pytest.raises(ValueError, match="already exists"):
@@ -204,3 +209,15 @@ def test_create_recipient_name_validated_and_no_silent_rotate(
     ).collect()[0]
     assert out["already_exists"] is True
     assert open(rec["profile"]).read() == token_before
+
+
+def test_comment_literal_does_not_trigger_if_not_exists(spark, share_world):
+    run_statement(spark, "CREATE RECIPIENT r9")
+    with pytest.raises(ValueError, match="already exists"):
+        run_statement(
+            spark,
+            "CREATE RECIPIENT r9 COMMENT 'kept if not exists by policy'",
+        )
+    run_statement(spark, "CREATE SHARE s9")
+    with pytest.raises(ValueError, match="share already exists"):
+        run_statement(spark, "CREATE SHARE s9")

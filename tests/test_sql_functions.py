@@ -218,3 +218,17 @@ def test_missing_mask_function_fails_closed_not_bricked(spark, fn_world):
         spark, "SELECT email FROM fn_customers ORDER BY email"
     ).collect()
     assert rows[0]["email"] == "al***@x.com"
+
+
+def test_basename_clash_across_catalogs_refused(spark, fn_world):
+    run_statement(
+        spark,
+        "CREATE OR REPLACE FUNCTION cat1.gold.fn_clash(x STRING) "
+        "RETURNS STRING RETURN LOWER(x)",
+    )
+    with pytest.raises(ValueError, match="already bound"):
+        run_statement(
+            spark,
+            "CREATE OR REPLACE FUNCTION cat2.gold.fn_clash(x STRING) "
+            "RETURNS STRING RETURN UPPER(x)",
+        )

@@ -422,3 +422,97 @@ def test_query_history_records_dml_rows(spark, tag_world):
         "WHERE statement_text LIKE 'UPDATE customers%'",
     ).collect()
     assert rows and rows[-1]["rows_produced"] == 1
+
+
+def test_failed_repoint_leaves_no_gated_views(spark, audit_world):
+    run_statement(
+        spark, "GRANT ALL PRIVILEGES ON CATALOG audcat TO auditor@corp.com"
+    )
+    # second system table in the statement raises AFTER the audit view
+    # was created — the already-created view must be cleaned up
+    with pytest.raises(NotImplementedError, match="billing"):
+        run_statement(
+            spark,
+            "SELECT * FROM system.access.audit a "
+            "JOIN system.billing.usage b ON 1 = 1",
+        )
+    assert not spark.catalog.tableExists("engine_sys_access_audit")
+
+
+def test_denied_system_table_probe_is_audited(spark, audit_world):
+    spark.conf.set(acl.PRINCIPAL_CONF, "nosy")
+    with pytest.raises(PermissionError):
+        run_statement(spark, "SELECT * FROM system.access.audit")
+    spark.conf.set(acl.PRINCIPAL_CONF, "auditor@corp.com")
+    rows = run_statement(
+        spark,
+        "SELECT user_identity.email AS who, "
+        "request_params.full_name_arg AS what "
+        "FROM system.access.audit WHERE response.status_code = 403",
+    ).collect()
+    assert ("nosy", "system.access.audit") in {(r.who, r.what) for r in rows}
+
+
+def test_merge_rows_produced_excludes_copied_rows(spark, tag_world, tmp_path):
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "one_update"),
+        df=spark.createDataFrame(
+            [Row(customer_id=1, email="new@x.com", phone="555-0100")]
+        ),
+        format="delta",
+    )
+    sqldml.register_table(spark, "tagcat.silver.one_update", t2)
+    try:
+        run_statement(
+            spark,
+            "MERGE INTO customers t USING one_update s "
+            "ON t.customer_id = s.customer_id "
+            "WHEN MATCHED THEN UPDATE SET t.email = s.email",
+        )
+        rows = run_statement(
+            spark,
+            "SELECT rows_produced FROM system.query.history "
+            "WHERE statement_text LIKE 'MERGE INTO customers%'",
+        ).collect()
+        # 1 matched row updated; the other row in the rewritten file is
+        # copied-unmodified and must NOT count
+        assert rows[-1]["rows_produced"] == 1
+    finally:
+        sqldml._REGISTRY.pop(
+            (session_key(spark), "tagcat.silver.one_update"), None
+        )
+
+
+def test_extract_from_does_not_fabricate_lineage(spark, tag_world, tmp_path):
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        _lineage_sources,
+    )
+
+    # a registered table named like a column used inside EXTRACT
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "order_date"),
+        df=spark.createDataFrame([Row(x=1)]),
+        format="delta",
+    )
+    sqldml.register_table(spark, "tagcat.silver.order_date", t2)
+    try:
+        srcs = _lineage_sources(
+            spark,
+            "INSERT INTO daily_agg SELECT extract(DAY FROM order_date) "
+            "AS d, count(*) FROM customers GROUP BY 1",
+        )
+        assert srcs == {"tagcat.silver.customers"}
+        # comma joins capture every source
+        srcs2 = _lineage_sources(
+            spark, "INSERT INTO t SELECT 1 FROM customers, order_date"
+        )
+        assert srcs2 == {
+            "tagcat.silver.customers",
+            "tagcat.silver.order_date",
+        }
+    finally:
+        sqldml._REGISTRY.pop(
+            (session_key(spark), "tagcat.silver.order_date"), None
+        )
