@@ -302,17 +302,21 @@ def enabled(spark: SparkSession) -> bool:
         return False
 
 
-def can_manage(spark: SparkSession, securable: str) -> bool:
-    """May the session principal administer grants on ``securable``?
-    True when any session principal is listed in the admins conf, or
-    holds ALL PRIVILEGES on the securable / an ancestor (with the usual
-    USAGE chain)."""
+def _is_admin(spark: SparkSession) -> bool:
     try:
         raw = spark.conf.get(ADMINS_CONF)
     except Exception:  # noqa: BLE001
         raw = None
     admins = {a.strip() for a in (raw or "").split(",") if a.strip()}
-    if admins & current_principals(spark):
+    return bool(admins & current_principals(spark))
+
+
+def can_manage(spark: SparkSession, securable: str) -> bool:
+    """May the session principal administer grants on ``securable``?
+    True when any session principal is listed in the admins conf, or
+    holds ALL PRIVILEGES on the securable / an ancestor (with the usual
+    USAGE chain)."""
+    if _is_admin(spark):
         return True
     return is_authorized(spark, "ALL PRIVILEGES", securable)
 
@@ -323,6 +327,9 @@ def can_list(spark: SparkSession, securable: str) -> bool:
     privilege on it, an ancestor, or anything inside it — so a USAGE
     grant on a catalog reveals the catalog, and a table grant reveals
     the table's schema and catalog."""
+    if _is_admin(spark):
+        # metastore-admin equivalent: sees every listing (UC admins do)
+        return True
     sec = securable.strip("`").lower()
     principals = current_principals(spark)
     scope = {sec, *_ancestors(sec)}

@@ -40,9 +40,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .sharing import ShareProvider, _load_registry
 
-__all__ = ["run_share_sql", "ROOT_CONF"]
+__all__ = ["run_share_sql", "rewrite_mounts", "ROOT_CONF", "PROFILE_CONF"]
 
 ROOT_CONF = "spark.engine.sharing.root"
+# recipient-side: path to the provider-issued profile file, used by
+# CREATE CATALOG ... USING SHARE (the D2D mount,
+# delta_sharing_recipient.py:35-39)
+PROFILE_CONF = "spark.engine.sharing.profile"
+
+# session -> {mounted_full_name_lower: temp_view_name}: SELECTs over
+# `partner_data.schema.table` re-point to the mounted view
+# (sqlpack rewrites via rewrite_mounts)
+_MOUNTS: dict[str, dict[str, str]] = {}
 
 _NAME = r"(`[^`]+`|[\w.]+)"
 _COMMENT = r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)')?"
@@ -94,7 +103,16 @@ _SHOW_IN_SHARE_RE = re.compile(
 _SHARE_VERB_RE = re.compile(
     r"^\s*(?:CREATE\s+SHARE|ALTER\s+SHARE|CREATE\s+RECIPIENT"
     r"|GRANT\s+SELECT\s+ON\s+SHARE|REVOKE\s+SELECT\s+ON\s+SHARE"
-    r"|SHOW\s+SHARES|SHOW\s+RECIPIENTS|SHOW\s+ALL\s+IN\s+SHARE)\b",
+    r"|SHOW\s+SHARES|SHOW\s+RECIPIENTS|SHOW\s+ALL\s+IN\s+SHARE"
+    r"|CREATE\s+CATALOG\b)\b",
+    re.IGNORECASE,
+)
+
+_MOUNT_RE = re.compile(
+    rf"^\s*CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    rf"(?P<cat>{_NAME})\s+USING\s+SHARE\s+"
+    r"(?P<ref>(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*)"
+    rf"{_COMMENT}\s*;?\s*$",
     re.IGNORECASE,
 )
 
@@ -150,12 +168,99 @@ def _partition_filter(part: str | None) -> str | None:
     return " AND ".join(clauses)
 
 
+def _mount_share_catalog(spark: SparkSession, m: re.Match) -> DataFrame:
+    """``CREATE CATALOG <cat> USING SHARE <provider>.<share>`` — the
+    Databricks-to-Databricks consumption form
+    (``delta_sharing_recipient.py:35-39``): every table the share
+    exposes becomes queryable as ``<cat>.<schema>.<table>``. The
+    engine's transport is the provider-issued profile file
+    (``spark.engine.sharing.profile``); each shared table mounts as a
+    temp view (token auth + partition filter applied by the client)
+    and later SELECTs over the 3-part names re-point via
+    :func:`rewrite_mounts`. Views snapshot the share at mount time —
+    re-issue the statement to refresh."""
+    from ..session import session_key
+    from .sharing import SharingClient
+
+    cat = _clean(m.group("cat")).lower()
+    if not re.fullmatch(r"\w+", cat):
+        raise ValueError(f"CREATE CATALOG: invalid catalog name {cat!r}")
+    _require_share_admin(spark, cat)
+    # the provider-account prefix is transport routing metadata; the
+    # profile already pins the provider, so the share name is the last
+    # component
+    share = re.split(r"\s*\.\s*", m.group("ref"))[-1].strip("`")
+    try:
+        profile = spark.conf.get(PROFILE_CONF)
+    except Exception:  # noqa: BLE001
+        profile = None
+    if not profile:
+        raise ValueError(
+            f"CREATE CATALOG ... USING SHARE needs {PROFILE_CONF} set to "
+            "the provider-issued profile file"
+        )
+    client = SharingClient(profile)
+    if share not in client.list_shares():
+        raise PermissionError(
+            f"share {share!r} is not granted to this recipient"
+        )
+    mounts = _MOUNTS.setdefault(session_key(spark), {})
+    rows = []
+    for tbl in client.list_tables(share):
+        view = f"{cat}__{tbl.replace('.', '__')}"
+        client.load_table(spark, f"{share}.{tbl}").createOrReplaceTempView(
+            view
+        )
+        mounts[f"{cat}.{tbl}".lower()] = view
+        rows.append((f"{cat}.{tbl}", view))
+    return spark.createDataFrame(
+        rows, "table string, mounted_view string"
+    )
+
+
+def rewrite_mounts(spark: SparkSession, sql: str) -> str:
+    """Re-point mounted 3-part names (``partner_data.schema.table``)
+    at their mounted views; quote-aware."""
+    from ..session import session_key
+    from ..tables import sqldml
+
+    mounts = _MOUNTS.get(session_key(spark))
+    if not mounts:
+        return sql
+    for full, view in mounts.items():
+        pattern = re.compile(
+            r"\b" + re.escape(full) + r"\b", re.IGNORECASE
+        )
+        mask = sqldml._mask(sql)
+        hits = [
+            h for h in pattern.finditer(sql) if not mask[h.start()][1]
+        ]
+        if not hits:
+            continue
+        pieces, prev = [], 0
+        for h in hits:
+            pieces.append(sql[prev : h.start()])
+            pieces.append(view)
+            prev = h.end()
+        pieces.append(sql[prev:])
+        sql = "".join(pieces)
+    return sql
+
+
 def run_share_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     """Execute one share-DDL statement; None when ``sql`` is not one.
     An unparseable statement that still starts with a share verb raises
     (loud refusal) rather than falling through to spark.sql."""
     if not _SHARE_VERB_RE.match(sql):
         return None
+
+    if re.match(r"^\s*CREATE\s+CATALOG\b", sql, re.IGNORECASE):
+        m = _MOUNT_RE.match(sql)
+        if m is None:
+            # plain CREATE CATALOG (no USING SHARE) is namespace DDL —
+            # tables/metasql owns it
+            return None
+        return _mount_share_catalog(spark, m)
 
     m = _CREATE_SHARE_RE.match(sql)
     if m:

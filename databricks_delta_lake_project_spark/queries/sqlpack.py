@@ -460,6 +460,11 @@ def _run_statement_impl(
         # SQL scalar functions: 3-part CREATE FUNCTION DDL -> a temp
         # function under the basename; later full-name calls re-point
         text = _rewrite_functions(spark, text)
+        # share-mounted catalogs (CREATE CATALOG ... USING SHARE):
+        # 3-part names -> mounted views
+        from ..governance import share_sql
+
+        text = share_sql.rewrite_mounts(spark, text)
         return spark.sql(normalize_sql(rewrite_time_travel(spark, text)))
     finally:
         systables.drop_views(spark, sys_views)

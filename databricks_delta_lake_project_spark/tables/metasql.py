@@ -262,12 +262,81 @@ def _native_rows(
         return []
 
 
+# session -> (kind, name) -> {"comment": ..., "location": ...} for
+# namespaces declared via CREATE CATALOG / CREATE SCHEMA (reference
+# governance/unity_catalog_setup.py:33-53 runs these as plain SQL; OSS
+# Spark has no CREATE CATALOG and no multi-part CREATE SCHEMA, so the
+# engine records them as driver-side metadata — its namespace is
+# otherwise implicit in registered table names)
+_NAMESPACES: dict[str, dict[tuple[str, str], dict[str, str | None]]] = {}
+
+
+def declared_namespaces(spark: SparkSession, kind: str) -> dict[str, dict]:
+    reg = _NAMESPACES.get(session_key(spark), {})
+    return {n: dict(m) for (k, n), m in reg.items() if k == kind}
+
+
+def _run_create_namespace(spark: SparkSession, text: str) -> DataFrame | None:
+    m = re.match(
+        r"CREATE\s+(?P<kind>CATALOG|SCHEMA|DATABASE)\s+"
+        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>`[^`]+`|[\w.]+)"
+        r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)')?"
+        r"(?:\s+MANAGED\s+LOCATION\s+'(?P<loc>[^']*)')?\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if not m:
+        # includes CREATE CATALOG ... USING SHARE (the D2D mount) —
+        # share_sql owns that form and runs before this module
+        return None
+    kind = (
+        "catalog" if m.group("kind").upper() == "CATALOG" else "schema"
+    )
+    name = m.group("name").strip("`").lower()
+    if kind == "schema" and "." not in name:
+        # 1-part CREATE SCHEMA works natively in spark_catalog — keep
+        # Spark's behavior (local_testing.py relies on it)
+        return None
+    from ..governance import access_control as acl
+
+    if acl.enabled(spark):
+        if kind == "catalog":
+            if not acl.can_manage(spark, name):
+                who = sorted(acl.current_principals(spark)) or [
+                    "<anonymous>"
+                ]
+                raise PermissionError(
+                    f"principal {who} may not CREATE CATALOG {name!r}: "
+                    f"requires {acl.ADMINS_CONF} membership or ALL "
+                    "PRIVILEGES"
+                )
+        else:
+            acl.enforce(spark, "CREATE", name.rpartition(".")[0])
+    reg = _NAMESPACES.setdefault(session_key(spark), {})
+    key = (kind, name)
+    if key in reg and not m.group("ine"):
+        raise ValueError(f"{kind} already exists: {name}")
+    reg.setdefault(key, {})
+    if m.group("comment"):
+        reg[key]["comment"] = m.group("comment").replace("''", "'")
+    if m.group("loc"):
+        reg[key]["location"] = m.group("loc")
+    return spark.createDataFrame(
+        [(f"CREATE {m.group('kind').upper()}", name)],
+        "operation string, name string",
+    )
+
+
 def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
     """Execute one metadata statement against the session's registered
     LakeTables; None when the statement isn't a metadata verb or its
     target isn't a registered/path table (callers fall through to
     ``spark.sql``)."""
     text = sql.strip().rstrip(";").strip()
+
+    ns = _run_create_namespace(spark, text)
+    if ns is not None:
+        return ns
 
     m = re.match(r"SHOW\s+CATALOGS\s*$", text, re.IGNORECASE)
     if m:
@@ -278,6 +347,11 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
             n.split(".")[0]
             for n in _registered(spark)
             if n.count(".") == 2 and _listable(spark, n.split(".")[0])
+        )
+        names.update(
+            n
+            for n in declared_namespaces(spark, "catalog")
+            if _listable(spark, n)
         )
         return spark.createDataFrame(
             [(c,) for c in sorted(names)], "catalog string"
@@ -307,6 +381,10 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
                 # 1-part tables sit in the implicit 'default' schema:
                 # the row is revealed by a grant on the table itself
                 out.add("default")
+        for n in declared_namespaces(spark, "schema"):
+            c, _, s = n.rpartition(".")
+            if (not cat or c == cat) and _listable(spark, n):
+                out.add(s)
         out.update(ns for (ns,) in _native_rows(spark, text, ("namespace",)))
         if not out and not cat:
             out.add("default")

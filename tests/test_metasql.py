@@ -294,3 +294,54 @@ def test_engine_format_analyze_conflicts_with_schema_evolution(
     assert {f.name for f in LakeTable(t.spark, t.root).schema.fields} == {
         "x", "y",
     }
+
+
+def test_create_catalog_and_schema_namespace_ddl(spark):
+    """The reference's unity_catalog_setup.py:33-53 sequence verbatim:
+    CREATE CATALOG / multi-part CREATE SCHEMA (both unsupported by OSS
+    Spark) land in the engine's namespace registry and show up in
+    SHOW CATALOGS / SHOW SCHEMAS."""
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    try:
+        run_statement(
+            spark,
+            "CREATE CATALOG IF NOT EXISTS customer_360_catalog "
+            "COMMENT 'Customer 360 Analytics Platform - All data assets';",
+        )
+        for schema, comment in [
+            ("bronze", "Raw data layer - append-only, no transformations"),
+            ("silver", "Cleaned and conformed data - business rules applied"),
+            ("gold", "Business-ready aggregations and analytics tables"),
+        ]:
+            run_statement(
+                spark,
+                f"CREATE SCHEMA IF NOT EXISTS customer_360_catalog.{schema} "
+                f"COMMENT '{comment}';",
+            )
+        cats = {
+            r["catalog"]
+            for r in run_statement(spark, "SHOW CATALOGS").collect()
+        }
+        assert "customer_360_catalog" in cats
+        schemas = {
+            r["namespace"]
+            for r in run_statement(
+                spark, "SHOW SCHEMAS IN customer_360_catalog"
+            ).collect()
+        }
+        assert {"bronze", "silver", "gold"} <= schemas
+        # IF NOT EXISTS is idempotent; plain CREATE on existing raises
+        run_statement(
+            spark, "CREATE CATALOG IF NOT EXISTS customer_360_catalog"
+        )
+        with pytest.raises(ValueError, match="already exists"):
+            run_statement(spark, "CREATE CATALOG customer_360_catalog")
+        assert (
+            metasql.declared_namespaces(spark, "catalog")[
+                "customer_360_catalog"
+            ]["comment"]
+            == "Customer 360 Analytics Platform - All data assets"
+        )
+    finally:
+        metasql._NAMESPACES.clear()

@@ -221,3 +221,52 @@ def test_comment_literal_does_not_trigger_if_not_exists(spark, share_world):
     run_statement(spark, "CREATE SHARE s9")
     with pytest.raises(ValueError, match="share already exists"):
         run_statement(spark, "CREATE SHARE s9")
+
+
+def test_create_catalog_using_share_mount(spark, share_world):
+    """The D2D consumption form (delta_sharing_recipient.py:35-39):
+    CREATE CATALOG ... USING SHARE mounts every shared table as
+    <catalog>.<schema>.<table>."""
+    run_statement(spark, "CREATE SHARE IF NOT EXISTS d2d_share")
+    run_statement(
+        spark,
+        "ALTER SHARE d2d_share ADD TABLE shcat.gold.revenue_analytics "
+        "PARTITION (region = 'US') AS customer_analytics.revenue_us",
+    )
+    rec = run_statement(spark, "CREATE RECIPIENT d2d_partner").collect()[0]
+    run_statement(
+        spark, "GRANT SELECT ON SHARE d2d_share TO RECIPIENT d2d_partner"
+    )
+    spark.conf.set(share_sql.PROFILE_CONF, rec["profile"])
+    try:
+        mounted = run_statement(
+            spark,
+            "CREATE CATALOG IF NOT EXISTS partner_data "
+            "USING SHARE `provider_account`.d2d_share "
+            "COMMENT 'Shared data from the Customer 360 provider';",
+        ).collect()
+        assert [(r["table"], r["mounted_view"]) for r in mounted] == [
+            (
+                "partner_data.customer_analytics.revenue_us",
+                "partner_data__customer_analytics__revenue_us",
+            )
+        ]
+        rows = run_statement(
+            spark,
+            "SELECT region, revenue FROM "
+            "partner_data.customer_analytics.revenue_us ORDER BY revenue",
+        ).collect()
+        assert [r["region"] for r in rows] == ["US", "US"]
+        # an ungranted share refuses to mount
+        run_statement(spark, "REVOKE SELECT ON SHARE d2d_share FROM RECIPIENT d2d_partner")
+        with pytest.raises(PermissionError, match="not granted"):
+            run_statement(
+                spark,
+                "CREATE CATALOG p2 USING SHARE d2d_share",
+            )
+    finally:
+        spark.conf.unset(share_sql.PROFILE_CONF)
+        share_sql._MOUNTS.clear()
+        spark.catalog.dropTempView(
+            "partner_data__customer_analytics__revenue_us"
+        )
