@@ -536,6 +536,9 @@ def repoint(spark: SparkSession, sql: str) -> tuple[str, list[str]]:
     keeps its resolved plan."""
     from ..tables import sqldml
 
+    if "system" not in sql.lower():
+        # cheap short-circuit: every pattern starts with `system.`
+        return sql, []
     out = sql
     created: list[str] = []
     try:
