@@ -205,14 +205,35 @@ def _mount_share_catalog(spark: SparkSession, m: re.Match) -> DataFrame:
             f"share {share!r} is not granted to this recipient"
         )
     mounts = _MOUNTS.setdefault(session_key(spark), {})
+    # re-issuing the statement is the refresh path: drop entries (and
+    # views) for tables the share no longer exposes, or stale data
+    # would keep serving under the mounted name
+    for full in [f for f in mounts if f.startswith(cat + ".")]:
+        try:
+            spark.catalog.dropTempView(mounts.pop(full))
+        except Exception:  # noqa: BLE001
+            pass
     rows = []
+    schemas = set()
     for tbl in client.list_tables(share):
         view = f"{cat}__{tbl.replace('.', '__')}"
         client.load_table(spark, f"{share}.{tbl}").createOrReplaceTempView(
             view
         )
         mounts[f"{cat}.{tbl}".lower()] = view
+        schemas.add(tbl.rpartition(".")[0])
         rows.append((f"{cat}.{tbl}", view))
+    # the mounted catalog is part of the namespace surface: SHOW
+    # CATALOGS/SCHEMAS must list it like Databricks lists a share-
+    # backed catalog
+    from ..tables import metasql
+
+    reg = metasql._NAMESPACES.setdefault(session_key(spark), {})
+    reg.setdefault(("catalog", cat), {})["comment"] = _comment(m) or (
+        f"mounted from share {share}"
+    )
+    for sch in schemas:
+        reg.setdefault(("schema", f"{cat}.{sch}"), {})
     return spark.createDataFrame(
         rows, "table string, mounted_view string"
     )
@@ -220,30 +241,23 @@ def _mount_share_catalog(spark: SparkSession, m: re.Match) -> DataFrame:
 
 def rewrite_mounts(spark: SparkSession, sql: str) -> str:
     """Re-point mounted 3-part names (``partner_data.schema.table``)
-    at their mounted views; quote-aware."""
+    at their mounted views; quote-aware (via sqldml's shared
+    replace-outside-quotes helper). A cheap substring pre-check keeps
+    the cost zero for statements that reference no mount."""
     from ..session import session_key
     from ..tables import sqldml
 
     mounts = _MOUNTS.get(session_key(spark))
     if not mounts:
         return sql
+    low = sql.lower()
     for full, view in mounts.items():
-        pattern = re.compile(
-            r"\b" + re.escape(full) + r"\b", re.IGNORECASE
-        )
-        mask = sqldml._mask(sql)
-        hits = [
-            h for h in pattern.finditer(sql) if not mask[h.start()][1]
-        ]
-        if not hits:
+        if full not in low:
             continue
-        pieces, prev = [], 0
-        for h in hits:
-            pieces.append(sql[prev : h.start()])
-            pieces.append(view)
-            prev = h.end()
-        pieces.append(sql[prev:])
-        sql = "".join(pieces)
+        sql = sqldml._replace_outside_quotes(
+            sql, r"\b" + re.escape(full) + r"\b", view
+        )
+        low = sql.lower()
     return sql
 
 

@@ -391,6 +391,12 @@ def _run_statement_impl(
         _ensure_group_udf(spark)
     # registered LakeTables resolve by name in FROM/USING clauses
     sqldml.sync_views(spark)
+    # share-mounted catalogs (CREATE CATALOG ... USING SHARE): 3-part
+    # mounted names re-point to their views BEFORE routing, so DML/CTAS
+    # reading a mounted table resolves like a plain SELECT does
+    from ..governance import share_sql as _share_sql
+
+    sql = _share_sql.rewrite_mounts(spark, sql)
     kind = sqldml.statement_kind(sql)
     if kind is not None:
         # opt-in enforcement (spark.engine.accessControl.enabled):
@@ -460,11 +466,6 @@ def _run_statement_impl(
         # SQL scalar functions: 3-part CREATE FUNCTION DDL -> a temp
         # function under the basename; later full-name calls re-point
         text = _rewrite_functions(spark, text)
-        # share-mounted catalogs (CREATE CATALOG ... USING SHARE):
-        # 3-part names -> mounted views
-        from ..governance import share_sql
-
-        text = share_sql.rewrite_mounts(spark, text)
         return spark.sql(normalize_sql(rewrite_time_travel(spark, text)))
     finally:
         systables.drop_views(spark, sys_views)

@@ -280,8 +280,8 @@ def _run_create_namespace(spark: SparkSession, text: str) -> DataFrame | None:
     m = re.match(
         r"CREATE\s+(?P<kind>CATALOG|SCHEMA|DATABASE)\s+"
         r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>`[^`]+`|[\w.]+)"
-        r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)')?"
-        r"(?:\s+MANAGED\s+LOCATION\s+'(?P<loc>[^']*)')?\s*$",
+        r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)'"
+        r"|\s+MANAGED\s+LOCATION\s+'(?P<loc>[^']*)')*\s*$",
         text,
         re.IGNORECASE,
     )
@@ -293,10 +293,20 @@ def _run_create_namespace(spark: SparkSession, text: str) -> DataFrame | None:
         "catalog" if m.group("kind").upper() == "CATALOG" else "schema"
     )
     name = m.group("name").strip("`").lower()
-    if kind == "schema" and "." not in name:
-        # 1-part CREATE SCHEMA works natively in spark_catalog — keep
-        # Spark's behavior (local_testing.py relies on it)
-        return None
+    if kind == "schema":
+        if "." not in name:
+            # 1-part CREATE SCHEMA works natively in spark_catalog —
+            # keep Spark's behavior (local_testing.py relies on it)
+            return None
+        # a multi-part name under a REAL Spark catalog (spark_catalog
+        # or a configured plugin) is also native territory — the engine
+        # registry only backstops catalogs Spark doesn't know
+        try:
+            native = {c.name for c in spark.catalog.listCatalogs()}
+        except Exception:  # noqa: BLE001
+            native = {"spark_catalog"}
+        if name.split(".")[0] in native:
+            return None
     from ..governance import access_control as acl
 
     if acl.enabled(spark):
@@ -311,7 +321,12 @@ def _run_create_namespace(spark: SparkSession, text: str) -> DataFrame | None:
                     "PRIVILEGES"
                 )
         else:
-            acl.enforce(spark, "CREATE", name.rpartition(".")[0])
+            # admins (or ALL PRIVILEGES holders) create schemas too —
+            # the unity-catalog-setup sequence is run by the admin that
+            # just created the catalog, who may hold no explicit grant
+            parent = name.rpartition(".")[0]
+            if not acl.can_manage(spark, parent):
+                acl.enforce(spark, "CREATE", parent)
     reg = _NAMESPACES.setdefault(session_key(spark), {})
     key = (kind, name)
     if key in reg and not m.group("ine"):

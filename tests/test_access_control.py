@@ -368,7 +368,10 @@ def test_same_basename_source_still_needs_select(spark, acl_world, tmp_path):
 def test_show_listings_filtered_by_privilege(spark, acl_world):
     """SHOW TABLES/SCHEMAS/CATALOGS reveal an engine securable only to
     principals holding some privilege on it, an ancestor, or something
-    inside it (UC listing semantics)."""
+    inside it (UC listing semantics). ADMINS_CONF members see every
+    listing (metastore-admin semantics), so the hidden-case assertions
+    run as a NON-admin principal."""
+    spark.conf.set(acl.PRINCIPAL_CONF, "outsider")
     out = run_statement(spark, "SHOW TABLES IN cat.gold").collect()
     assert all(r["tableName"] != "c360" for r in out)
     assert all(
@@ -379,7 +382,16 @@ def test_show_listings_filtered_by_privilege(spark, acl_world):
         r["catalog"] != "cat"
         for r in run_statement(spark, "SHOW CATALOGS").collect()
     )
+    # the admin sees everything even with zero grants
+    spark.conf.set(acl.PRINCIPAL_CONF, "alice")
+    assert any(
+        r["tableName"] == "c360"
+        for r in run_statement(spark, "SHOW TABLES IN cat.gold").collect()
+    )
     run_statement(spark, "GRANT SELECT ON TABLE c360 TO analytics_team")
+    # the grant now reveals the table to its (non-admin) grantee
+    spark.conf.set(acl.PRINCIPAL_CONF, "bob")
+    spark.conf.set(GROUPS_CONF_KEY, "analytics_team")
     assert any(
         r["tableName"] == "c360"
         for r in run_statement(spark, "SHOW TABLES IN cat.gold").collect()

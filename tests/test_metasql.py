@@ -345,3 +345,60 @@ def test_create_catalog_and_schema_namespace_ddl(spark):
         )
     finally:
         metasql._NAMESPACES.clear()
+
+
+def test_multiparts_under_real_catalogs_stay_native(spark):
+    """CREATE SCHEMA spark_catalog.x is native OSS Spark territory —
+    the engine registry must not hijack it (the real schema must
+    exist afterwards)."""
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    try:
+        run_statement(spark, "CREATE SCHEMA spark_catalog.revtest_ns")
+        assert spark.catalog.databaseExists("revtest_ns")
+        assert ("schema", "spark_catalog.revtest_ns") not in (
+            metasql._NAMESPACES.get(
+                next(iter(metasql._NAMESPACES), ""), {}
+            )
+        )
+    finally:
+        spark.sql("DROP SCHEMA IF EXISTS spark_catalog.revtest_ns")
+        metasql._NAMESPACES.clear()
+
+
+def test_namespace_clause_order_and_admin_sequence(spark):
+    """MANAGED LOCATION before COMMENT (the Databricks-documented
+    order) parses, and an ADMINS_CONF admin can run the whole
+    unity_catalog_setup sequence under enforcement."""
+    from databricks_delta_lake_project_spark.governance import (
+        access_control as acl,
+        systables,
+    )
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "platform_admin")
+    spark.conf.set(acl.ADMINS_CONF, "platform_admin")
+    try:
+        run_statement(
+            spark,
+            "CREATE CATALOG adm_cat MANAGED LOCATION 's3://b/p' "
+            "COMMENT 'ordered the Databricks way'",
+        )
+        run_statement(
+            spark, "CREATE SCHEMA adm_cat.bronze COMMENT 'raw layer'"
+        )
+        ns = metasql.declared_namespaces(spark, "catalog")["adm_cat"]
+        assert ns["location"] == "s3://b/p"
+        assert ns["comment"] == "ordered the Databricks way"
+        assert "adm_cat.bronze" in metasql.declared_namespaces(
+            spark, "schema"
+        )
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+        spark.conf.unset(acl.ADMINS_CONF)
+        acl._GRANTS.clear()
+        systables._AUDIT.clear()
+        systables._QUERY_HISTORY.clear()
+        metasql._NAMESPACES.clear()

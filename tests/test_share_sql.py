@@ -270,3 +270,67 @@ def test_create_catalog_using_share_mount(spark, share_world):
         spark.catalog.dropTempView(
             "partner_data__customer_analytics__revenue_us"
         )
+
+
+def test_mount_refresh_drops_stale_and_feeds_dml(spark, share_world):
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    run_statement(spark, "CREATE SHARE IF NOT EXISTS ref_share")
+    run_statement(
+        spark,
+        "ALTER SHARE ref_share ADD TABLE shcat.gold.revenue_analytics "
+        "AS s.keepme",
+    )
+    run_statement(
+        spark,
+        "ALTER SHARE ref_share ADD TABLE shcat.gold.revenue_analytics "
+        "AS s.dropme",
+    )
+    rec = run_statement(spark, "CREATE RECIPIENT ref_rcpt").collect()[0]
+    run_statement(
+        spark, "GRANT SELECT ON SHARE ref_share TO RECIPIENT ref_rcpt"
+    )
+    spark.conf.set(share_sql.PROFILE_CONF, rec["profile"])
+    try:
+        run_statement(spark, "CREATE CATALOG pmount USING SHARE ref_share")
+        # the mounted catalog is discoverable
+        cats = {
+            r["catalog"]
+            for r in run_statement(spark, "SHOW CATALOGS").collect()
+        }
+        assert "pmount" in cats
+        # DML reads resolve mounted names too (not just plain SELECT)
+        t = LakeTable.create(
+            spark,
+            str(share_world[1] / "dml_target"),
+            df=spark.createDataFrame([Row(region="XX", revenue=0.0)]),
+        )
+        sqldml.register_table(spark, "dml_target", t)
+        run_statement(
+            spark,
+            "INSERT INTO dml_target SELECT region, revenue "
+            "FROM pmount.s.keepme WHERE region = 'EU'",
+        )
+        assert t.to_df().count() == 2
+        # provider removes one table; re-issuing the mount drops it
+        run_statement(spark, "ALTER SHARE ref_share REMOVE TABLE s.dropme")
+        run_statement(spark, "CREATE CATALOG pmount USING SHARE ref_share")
+        with pytest.raises(Exception):
+            run_statement(
+                spark, "SELECT * FROM pmount.s.dropme"
+            ).collect()
+        assert (
+            run_statement(spark, "SELECT count(*) AS n FROM pmount.s.keepme")
+            .collect()[0]["n"]
+            == 3
+        )
+    finally:
+        spark.conf.unset(share_sql.PROFILE_CONF)
+        share_sql._MOUNTS.clear()
+        metasql._NAMESPACES.clear()
+        sqldml._REGISTRY.pop((session_key(spark), "dml_target"), None)
+        for v in ("pmount__s__keepme", "pmount__s__dropme"):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass
