@@ -140,6 +140,17 @@ def read_file_stream(
     """
     if evolution_mode not in EVOLUTION_MODES:
         raise ValueError(f"evolution_mode must be one of {EVOLUTION_MODES}")
+    if path.startswith("/Volumes/") or schema_location.startswith(
+        "/Volumes/"
+    ):
+        # the reference's landing zones and checkpoint dirs live in UC
+        # volumes (/Volumes/<cat>/<schema>/<vol>/..., e.g.
+        # ingest_transactions.py:21-23) — translate to the declared
+        # volume's backing directory
+        from ..tables.metasql import resolve_volume_path
+
+        path = resolve_volume_path(spark, path)
+        schema_location = resolve_volume_path(spark, schema_location)
     registry = SchemaRegistry(schema_location)
     known = registry.latest()
     if known is None:

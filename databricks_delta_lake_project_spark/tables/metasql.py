@@ -276,6 +276,99 @@ def declared_namespaces(spark: SparkSession, kind: str) -> dict[str, dict]:
     return {n: dict(m) for (k, n), m in reg.items() if k == kind}
 
 
+# managed-volume storage root (each volume c.s.v maps to
+# <root>/c/s/v); EXTERNAL volumes carry their own LOCATION
+VOLUMES_ROOT_CONF = "spark.engine.volumes.root"
+
+
+def volume_path(spark: SparkSession, name: str) -> str:
+    """Directory backing a declared volume (created on demand)."""
+    import os
+    import tempfile
+
+    reg = _NAMESPACES.get(session_key(spark), {})
+    meta = reg.get(("volume", name.strip("`").lower()))
+    if meta is None:
+        declared = sorted(
+            n for (k, n) in reg if k == "volume"
+        )
+        raise ValueError(
+            f"no such volume {name!r}; declared volumes: {declared} "
+            "(CREATE VOLUME first)"
+        )
+    loc = meta.get("location")
+    if not loc:
+        try:
+            root = spark.conf.get(VOLUMES_ROOT_CONF)
+        except Exception:  # noqa: BLE001
+            root = None
+        root = root or os.path.join(
+            tempfile.gettempdir(), "engine_volumes"
+        )
+        loc = os.path.join(root, *name.strip("`").lower().split("."))
+    os.makedirs(loc, exist_ok=True)
+    return loc
+
+
+def resolve_volume_path(spark: SparkSession, path: str) -> str:
+    """Translate a UC-style ``/Volumes/<catalog>/<schema>/<volume>/…``
+    path (the convention every reference ingestion job uses, e.g.
+    ``src/bronze/ingest_transactions.py:21``) to the declared volume's
+    backing directory; non-volume paths pass through unchanged.
+    Undeclared volumes refuse loudly, like UC."""
+    if not path.startswith("/Volumes/"):
+        return path
+    bits = path[len("/Volumes/"):].split("/")
+    if len(bits) < 3:
+        raise ValueError(
+            f"volume path {path!r} needs /Volumes/<catalog>/<schema>/"
+            "<volume>[/...]"
+        )
+    base = volume_path(spark, ".".join(bits[:3]))
+    rest = "/".join(bits[3:])
+    return f"{base}/{rest}" if rest else base
+
+
+def _run_create_volume(spark: SparkSession, text: str) -> DataFrame | None:
+    m = re.match(
+        r"CREATE\s+(?P<ext>EXTERNAL\s+)?VOLUME\s+"
+        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>`[^`]+`|[\w.]+)"
+        r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)'"
+        r"|\s+LOCATION\s+'(?P<loc>[^']*)')*\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if not m:
+        return None
+    name = m.group("name").strip("`").lower()
+    if name.count(".") != 2:
+        raise ValueError(
+            f"CREATE VOLUME needs a 3-part name catalog.schema.volume, "
+            f"got {name!r}"
+        )
+    if m.group("ext") and not m.group("loc"):
+        raise ValueError("CREATE EXTERNAL VOLUME requires LOCATION '...'")
+    from ..governance import access_control as acl
+
+    if acl.enabled(spark):
+        parent = name.rpartition(".")[0]
+        if not acl.can_manage(spark, parent):
+            acl.enforce(spark, "CREATE", parent)
+    reg = _NAMESPACES.setdefault(session_key(spark), {})
+    key = ("volume", name)
+    if key in reg and not m.group("ine"):
+        raise ValueError(f"volume already exists: {name}")
+    reg.setdefault(key, {})
+    if m.group("comment"):
+        reg[key]["comment"] = m.group("comment").replace("''", "'")
+    if m.group("loc"):
+        reg[key]["location"] = m.group("loc")
+    return spark.createDataFrame(
+        [("CREATE VOLUME", name, volume_path(spark, name))],
+        "operation string, name string, path string",
+    )
+
+
 def _run_create_namespace(spark: SparkSession, text: str) -> DataFrame | None:
     m = re.match(
         r"CREATE\s+(?P<kind>CATALOG|SCHEMA|DATABASE)\s+"
@@ -352,6 +445,36 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
     ns = _run_create_namespace(spark, text)
     if ns is not None:
         return ns
+
+    if re.match(r"CREATE\s+(?:EXTERNAL\s+)?VOLUME\b", text, re.IGNORECASE):
+        vol = _run_create_volume(spark, text)
+        if vol is not None:
+            return vol
+        raise ValueError(f"cannot parse CREATE VOLUME: {text[:80]!r}")
+
+    m = re.match(
+        r"SHOW\s+VOLUMES(?:\s+IN\s+(?P<ns>[\w.]+))?\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        ns_filter = (m.group("ns") or "").lower()
+        rows = []
+        reg = _NAMESPACES.get(session_key(spark), {})
+        for (k, n), meta in sorted(reg.items()):
+            if k != "volume":
+                continue
+            if ns_filter and not n.startswith(ns_filter + "."):
+                continue
+            if not _listable(spark, n):
+                continue
+            cat, sch, vol = n.split(".")
+            rows.append((cat, sch, vol, meta.get("comment")))
+        return spark.createDataFrame(
+            rows,
+            "catalog string, schema string, "
+            "volume_name string, comment string",
+        )
 
     m = re.match(r"SHOW\s+CATALOGS\s*$", text, re.IGNORECASE)
     if m:

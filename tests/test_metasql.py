@@ -402,3 +402,83 @@ def test_namespace_clause_order_and_admin_sequence(spark):
         systables._AUDIT.clear()
         systables._QUERY_HISTORY.clear()
         metasql._NAMESPACES.clear()
+
+
+def test_volumes_ddl_and_path_resolution(spark, tmp_path):
+    """The reference's volume setup (unity_catalog_setup.py:67-71) and
+    the /Volumes/<cat>/<schema>/<vol>/... path convention its
+    ingestion jobs use (ingest_transactions.py:21-23)."""
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    spark.conf.set(metasql.VOLUMES_ROOT_CONF, str(tmp_path / "vols"))
+    try:
+        run_statement(
+            spark,
+            "CREATE VOLUME IF NOT EXISTS cat1.landing.raw_data "
+            "COMMENT 'Landing zone for raw data files from source systems';",
+        )
+        run_statement(
+            spark,
+            "CREATE VOLUME IF NOT EXISTS cat1.checkpoints.streaming "
+            "COMMENT 'Checkpoint storage for streaming pipelines';",
+        )
+        vols = run_statement(spark, "SHOW VOLUMES IN cat1.landing").collect()
+        assert [(r["catalog"], r["schema"], r["volume_name"]) for r in vols] == [
+            ("cat1", "landing", "raw_data")
+        ]
+        p = metasql.resolve_volume_path(
+            spark, "/Volumes/cat1/landing/raw_data/crm"
+        )
+        assert p.startswith(str(tmp_path / "vols")) and p.endswith("/crm")
+        # non-volume paths pass through untouched
+        assert metasql.resolve_volume_path(spark, "/data/x") == "/data/x"
+        with pytest.raises(ValueError, match="no such volume"):
+            metasql.resolve_volume_path(spark, "/Volumes/cat1/landing/nope/x")
+        with pytest.raises(ValueError, match="already exists"):
+            run_statement(spark, "CREATE VOLUME cat1.landing.raw_data")
+        with pytest.raises(ValueError, match="LOCATION"):
+            run_statement(spark, "CREATE EXTERNAL VOLUME cat1.landing.ext1")
+        ext = run_statement(
+            spark,
+            "CREATE EXTERNAL VOLUME cat1.landing.ext1 "
+            f"LOCATION '{tmp_path / 'ext'}'",
+        ).collect()[0]
+        assert ext["path"] == str(tmp_path / "ext")
+    finally:
+        spark.conf.unset(metasql.VOLUMES_ROOT_CONF)
+        metasql._NAMESPACES.clear()
+
+
+def test_file_stream_reads_volume_paths(spark, tmp_path):
+    """read_file_stream accepts the reference's /Volumes/... landing
+    and schema-registry paths (translated to the volume's backing
+    directory)."""
+    import json as _json
+
+    from databricks_delta_lake_project_spark.sources.autoload import (
+        read_file_stream,
+    )
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    spark.conf.set(metasql.VOLUMES_ROOT_CONF, str(tmp_path / "vols"))
+    try:
+        run_statement(spark, "CREATE VOLUME c9.landing.raw_data")
+        landing = metasql.resolve_volume_path(
+            spark, "/Volumes/c9/landing/raw_data/txn"
+        )
+        import os
+
+        os.makedirs(landing, exist_ok=True)
+        with open(f"{landing}/a.json", "w") as f:
+            f.write(_json.dumps({"txn_id": 1, "amount": 9.5}) + "\n")
+        df = read_file_stream(
+            spark,
+            "/Volumes/c9/landing/raw_data/txn",
+            fmt="json",
+            schema_location="/Volumes/c9/landing/raw_data/_schemas",
+        )
+        assert df.isStreaming
+        assert {"txn_id", "amount"} <= set(df.columns)
+    finally:
+        spark.conf.unset(metasql.VOLUMES_ROOT_CONF)
+        metasql._NAMESPACES.clear()
