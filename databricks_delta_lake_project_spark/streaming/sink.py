@@ -77,6 +77,13 @@ def _start(
     available_now: bool,
     processing_time: str | None,
 ) -> StreamingQuery:
+    if checkpoint.startswith("/Volumes/"):
+        # reference jobs keep CHECKPOINT_PATH in a UC volume
+        # (ingest_transactions.py:23) — resolve to the declared
+        # volume's backing directory, same as the landing-path side
+        from ..tables.metasql import resolve_volume_path
+
+        checkpoint = resolve_volume_path(df.sparkSession, checkpoint)
     writer = (
         df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)

@@ -282,20 +282,33 @@ VOLUMES_ROOT_CONF = "spark.engine.volumes.root"
 
 
 def volume_path(spark: SparkSession, name: str) -> str:
-    """Directory backing a declared volume (created on demand)."""
+    """Directory backing a declared volume (created on demand for
+    local paths; URI-style EXTERNAL locations pass through untouched).
+    With ACL enforcement on, using a volume requires SELECT on the
+    volume securable (or admin/ALL PRIVILEGES) — path access is a data
+    read/write boundary like every table verb."""
     import os
     import tempfile
 
+    from ..governance import access_control as acl
+
+    clean = name.strip("`").lower()
     reg = _NAMESPACES.get(session_key(spark), {})
-    meta = reg.get(("volume", name.strip("`").lower()))
+    meta = reg.get(("volume", clean))
     if meta is None:
+        # with enforcement on, only reveal volumes the principal could
+        # list anyway — the error must not leak the catalog inventory
         declared = sorted(
-            n for (k, n) in reg if k == "volume"
+            n
+            for (k, n) in reg
+            if k == "volume" and _listable(spark, n)
         )
         raise ValueError(
             f"no such volume {name!r}; declared volumes: {declared} "
             "(CREATE VOLUME first)"
         )
+    if acl.enabled(spark) and not acl.can_manage(spark, clean):
+        acl.enforce(spark, "SELECT", clean)
     loc = meta.get("location")
     if not loc:
         try:
@@ -305,8 +318,11 @@ def volume_path(spark: SparkSession, name: str) -> str:
         root = root or os.path.join(
             tempfile.gettempdir(), "engine_volumes"
         )
-        loc = os.path.join(root, *name.strip("`").lower().split("."))
-    os.makedirs(loc, exist_ok=True)
+        loc = os.path.join(root, *clean.split("."))
+    if "://" not in loc:
+        # a URI location (s3://...) belongs to a remote filesystem —
+        # os.makedirs would fabricate a bogus local 's3:' directory
+        os.makedirs(loc, exist_ok=True)
     return loc
 
 
@@ -329,40 +345,94 @@ def resolve_volume_path(spark: SparkSession, path: str) -> str:
     return f"{base}/{rest}" if rest else base
 
 
+# dotted name with optional whole-name or per-part backticks
+_NSNAME = r"(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"
+# COMMENT/LOCATION string literal, single- or double-quoted
+_NSLIT = "(?:'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")"
+
+
+def _clean_ns_name(raw: str) -> str:
+    """```c`.`s`.`v``` / ``c.s.v`` /
+    ```c.s.v``` -> ``c.s.v`` (lowered)."""
+    parts = re.findall(r"`([^`]+)`|(\w+)", raw)
+    return ".".join((a or b) for a, b in parts).lower()
+
+
+def _unquote(lit: str | None) -> str | None:
+    if lit is None:
+        return None
+    q = lit[0]
+    return lit[1:-1].replace(q + q, q)
+
+
+def _upsert_namespace(
+    spark: SparkSession,
+    kind: str,
+    name: str,
+    ine: bool,
+    comment: str | None,
+    location: str | None,
+) -> bool:
+    """Shared registry upsert for CREATE CATALOG/SCHEMA/VOLUME: returns
+    False when the entry already existed and IF NOT EXISTS applied (the
+    existing metadata is left UNTOUCHED — a re-run must not silently
+    re-point a volume's location), raises without the clause."""
+    reg = _NAMESPACES.setdefault(session_key(spark), {})
+    key = (kind, name)
+    if key in reg:
+        if ine:
+            return False
+        raise ValueError(f"{kind} already exists: {name}")
+    meta: dict[str, str | None] = {}
+    if comment:
+        meta["comment"] = comment
+    if location:
+        meta["location"] = location
+    reg[key] = meta
+    return True
+
+
 def _run_create_volume(spark: SparkSession, text: str) -> DataFrame | None:
     m = re.match(
-        r"CREATE\s+(?P<ext>EXTERNAL\s+)?VOLUME\s+"
-        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>`[^`]+`|[\w.]+)"
-        r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)'"
-        r"|\s+LOCATION\s+'(?P<loc>[^']*)')*\s*$",
+        rf"CREATE\s+(?P<ext>EXTERNAL\s+)?VOLUME\s+"
+        rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>{_NSNAME})"
+        rf"(?:\s+COMMENT\s+(?P<comment>{_NSLIT})"
+        rf"|\s+LOCATION\s+(?P<loc>{_NSLIT}))*\s*$",
         text,
         re.IGNORECASE,
     )
     if not m:
         return None
-    name = m.group("name").strip("`").lower()
+    name = _clean_ns_name(m.group("name"))
     if name.count(".") != 2:
         raise ValueError(
             f"CREATE VOLUME needs a 3-part name catalog.schema.volume, "
             f"got {name!r}"
         )
-    if m.group("ext") and not m.group("loc"):
+    loc = _unquote(m.group("loc"))
+    if m.group("ext") and not loc:
         raise ValueError("CREATE EXTERNAL VOLUME requires LOCATION '...'")
+    if loc and not m.group("ext"):
+        # UC rejects LOCATION on managed volumes; accepting it would
+        # silently diverge from the platform being emulated
+        raise ValueError(
+            "managed CREATE VOLUME cannot take LOCATION — use "
+            "CREATE EXTERNAL VOLUME"
+        )
     from ..governance import access_control as acl
 
     if acl.enabled(spark):
         parent = name.rpartition(".")[0]
         if not acl.can_manage(spark, parent):
             acl.enforce(spark, "CREATE", parent)
-    reg = _NAMESPACES.setdefault(session_key(spark), {})
-    key = ("volume", name)
-    if key in reg and not m.group("ine"):
-        raise ValueError(f"volume already exists: {name}")
-    reg.setdefault(key, {})
-    if m.group("comment"):
-        reg[key]["comment"] = m.group("comment").replace("''", "'")
-    if m.group("loc"):
-        reg[key]["location"] = m.group("loc")
+    _upsert_namespace(
+        spark,
+        "volume",
+        name,
+        bool(m.group("ine")),
+        _unquote(m.group("comment")),
+        loc,
+    )
     return spark.createDataFrame(
         [("CREATE VOLUME", name, volume_path(spark, name))],
         "operation string, name string, path string",
@@ -371,10 +441,10 @@ def _run_create_volume(spark: SparkSession, text: str) -> DataFrame | None:
 
 def _run_create_namespace(spark: SparkSession, text: str) -> DataFrame | None:
     m = re.match(
-        r"CREATE\s+(?P<kind>CATALOG|SCHEMA|DATABASE)\s+"
-        r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>`[^`]+`|[\w.]+)"
-        r"(?:\s+COMMENT\s+'(?P<comment>(?:[^']|'')*)'"
-        r"|\s+MANAGED\s+LOCATION\s+'(?P<loc>[^']*)')*\s*$",
+        rf"CREATE\s+(?P<kind>CATALOG|SCHEMA|DATABASE)\s+"
+        rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>{_NSNAME})"
+        rf"(?:\s+COMMENT\s+(?P<comment>{_NSLIT})"
+        rf"|\s+MANAGED\s+LOCATION\s+(?P<loc>{_NSLIT}))*\s*$",
         text,
         re.IGNORECASE,
     )
@@ -385,7 +455,7 @@ def _run_create_namespace(spark: SparkSession, text: str) -> DataFrame | None:
     kind = (
         "catalog" if m.group("kind").upper() == "CATALOG" else "schema"
     )
-    name = m.group("name").strip("`").lower()
+    name = _clean_ns_name(m.group("name"))
     if kind == "schema":
         if "." not in name:
             # 1-part CREATE SCHEMA works natively in spark_catalog —
@@ -420,15 +490,14 @@ def _run_create_namespace(spark: SparkSession, text: str) -> DataFrame | None:
             parent = name.rpartition(".")[0]
             if not acl.can_manage(spark, parent):
                 acl.enforce(spark, "CREATE", parent)
-    reg = _NAMESPACES.setdefault(session_key(spark), {})
-    key = (kind, name)
-    if key in reg and not m.group("ine"):
-        raise ValueError(f"{kind} already exists: {name}")
-    reg.setdefault(key, {})
-    if m.group("comment"):
-        reg[key]["comment"] = m.group("comment").replace("''", "'")
-    if m.group("loc"):
-        reg[key]["location"] = m.group("loc")
+    _upsert_namespace(
+        spark,
+        kind,
+        name,
+        bool(m.group("ine")),
+        _unquote(m.group("comment")),
+        _unquote(m.group("loc")),
+    )
     return spark.createDataFrame(
         [(f"CREATE {m.group('kind').upper()}", name)],
         "operation string, name string",

@@ -482,3 +482,103 @@ def test_file_stream_reads_volume_paths(spark, tmp_path):
     finally:
         spark.conf.unset(metasql.VOLUMES_ROOT_CONF)
         metasql._NAMESPACES.clear()
+
+
+def test_volume_hardening(spark, tmp_path):
+    """Review pins: managed volumes reject LOCATION, IF NOT EXISTS
+    never re-points existing metadata, URI locations skip makedirs,
+    per-part backticks and double-quoted comments parse, volume access
+    is ACL-enforced, and streaming checkpoints translate too."""
+    from databricks_delta_lake_project_spark.governance import (
+        access_control as acl,
+        systables,
+    )
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    spark.conf.set(metasql.VOLUMES_ROOT_CONF, str(tmp_path / "vols"))
+    try:
+        with pytest.raises(ValueError, match="managed CREATE VOLUME"):
+            run_statement(
+                spark, f"CREATE VOLUME h.s.v1 LOCATION '{tmp_path}/x'"
+            )
+        run_statement(
+            spark,
+            'CREATE VOLUME `h`.`s`.`v2` COMMENT "per-part backticks"',
+        )
+        assert metasql.declared_namespaces(spark, "volume")["h.s.v2"][
+            "comment"
+        ] == "per-part backticks"
+        # IF NOT EXISTS on an existing volume keeps its metadata
+        ext_loc = str(tmp_path / "ext_a")
+        run_statement(
+            spark, f"CREATE EXTERNAL VOLUME h.s.v3 LOCATION '{ext_loc}'"
+        )
+        run_statement(
+            spark,
+            "CREATE EXTERNAL VOLUME IF NOT EXISTS h.s.v3 "
+            f"LOCATION '{tmp_path}/ext_b'",
+        )
+        assert metasql.volume_path(spark, "h.s.v3") == ext_loc
+        # URI-style external location: no local makedirs fabrication
+        run_statement(
+            spark,
+            "CREATE EXTERNAL VOLUME h.s.v4 LOCATION 's3://bucket/landing'",
+        )
+        assert metasql.volume_path(spark, "h.s.v4") == "s3://bucket/landing"
+        import os
+
+        assert not os.path.exists("s3:")
+        # volume access enforced under the ACL
+        spark.conf.set(acl.ENABLED_CONF, "true")
+        spark.conf.set(acl.PRINCIPAL_CONF, "nobody")
+        with pytest.raises(PermissionError, match="SELECT"):
+            metasql.resolve_volume_path(spark, "/Volumes/h/s/v2/f")
+        # and the not-found error hides unlistable volumes
+        with pytest.raises(ValueError, match=r"declared volumes: \[\]"):
+            metasql.resolve_volume_path(spark, "/Volumes/h/s/nope/f")
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+        spark.conf.unset(metasql.VOLUMES_ROOT_CONF)
+        acl._GRANTS.clear()
+        systables._AUDIT.clear()
+        metasql._NAMESPACES.clear()
+
+
+def test_stream_sink_checkpoint_in_volume(spark, tmp_path):
+    from databricks_delta_lake_project_spark.streaming.sink import (
+        stream_to_lake_table,
+    )
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    spark.conf.set(metasql.VOLUMES_ROOT_CONF, str(tmp_path / "vols"))
+    try:
+        run_statement(spark, "CREATE VOLUME sv.checkpoints.streaming")
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame([Row(x=1), Row(x=2)]).write.mode(
+            "overwrite"
+        ).parquet(str(src))
+        t = LakeTable.create(
+            spark,
+            str(tmp_path / "sink_t"),
+            schema=spark.read.parquet(str(src)).schema,
+        )
+        stream = spark.readStream.schema(
+            spark.read.parquet(str(src)).schema
+        ).parquet(str(src))
+        q = stream_to_lake_table(
+            stream, t, "/Volumes/sv/checkpoints/streaming/txn"
+        )
+        q.awaitTermination(60)
+        assert t.to_df().count() == 2
+        # the checkpoint landed inside the volume's backing dir
+        resolved = metasql.resolve_volume_path(
+            spark, "/Volumes/sv/checkpoints/streaming/txn"
+        )
+        import os
+
+        assert os.path.isdir(resolved) and os.listdir(resolved)
+    finally:
+        spark.conf.unset(metasql.VOLUMES_ROOT_CONF)
+        metasql._NAMESPACES.clear()
