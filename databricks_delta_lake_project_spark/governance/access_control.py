@@ -68,7 +68,10 @@ ADMINS_CONF = "spark.engine.accessControl.admins"
 # opt-in durable grants: a LakeTable path. When set, grants written in
 # one session load in the next (UC grants are durable; the default
 # in-memory registry is not) — the table is read once per (session,
-# path) and overwritten write-through on every grant/revoke. A
+# path), and every grant/revoke persists by RE-READING the registry
+# and applying this session's mutation journal onto it (never a blind
+# overwrite from session memory: a rival session's revoke that landed
+# meanwhile must stay revoked, not be resurrected by stale state). A
 # fail-closed deployment that relies on enforcement should set this.
 PATH_CONF = "spark.engine.accessControl.path"
 
@@ -80,6 +83,14 @@ _GRANT_COLS = ("privilege", "securable_type", "securable", "principal")
 
 # session -> registry path already loaded into _GRANTS
 _LOADED: dict[str, str] = {}
+
+# session -> mutation journal since session start: grants added and
+# revoked THROUGH this session. _persist_grants applies the journal
+# onto a fresh read of the on-disk registry, so concurrent sessions
+# compose: B's revoke of a row A never touched survives A's next
+# persist, and rows granted here before PATH_CONF was set still land.
+_LOCAL_ADDS: dict[str, list[dict[str, str]]] = {}
+_LOCAL_DELS: dict[str, list[dict[str, str]]] = {}
 
 
 def _registry_path(spark: SparkSession) -> str | None:
@@ -116,23 +127,45 @@ def _session_grants(spark: SparkSession) -> list[dict[str, str]]:
 
 
 def _persist_grants(spark: SparkSession) -> None:
-    """Write-through the session's grants to the durable registry
-    (no-op without PATH_CONF). Full overwrite — the registry is tiny
+    """Write-through to the durable registry (no-op without
+    PATH_CONF): RE-READ the on-disk rows, drop the ones this session
+    revoked, append the ones it granted, write the result back, and
+    adopt it as the session's in-memory view. The registry is tiny
     (O(grants) rows) and the commit is atomic, so a rival writer
-    conflicts instead of interleaving."""
+    conflicts instead of interleaving; re-reading (instead of
+    overwriting from session memory) means a rival session's revoke
+    that landed since our load stays revoked."""
     path = _registry_path(spark)
     if not path:
         return
     from ..tables import LakeTable
 
-    g = _GRANTS.get(session_key(spark), [])
+    sid = session_key(spark)
+    adds = _LOCAL_ADDS.get(sid, [])
+    dels = _LOCAL_DELS.get(sid, [])
+    disk: list[dict[str, str]] = []
+    if LakeTable.is_table(path):
+        for r in LakeTable.for_path(spark, path).to_df().collect():
+            disk.append({c: r[c] for c in _GRANT_COLS})
+    merged = [e for e in disk if e not in dels]
+    merged += [e for e in adds if e not in merged]
     df = spark.createDataFrame(
-        [tuple(e[c] for c in _GRANT_COLS) for e in g], _GRANT_SCHEMA
+        [tuple(e[c] for c in _GRANT_COLS) for e in merged], _GRANT_SCHEMA
     )
     if LakeTable.is_table(path):
         LakeTable.for_path(spark, path).overwrite(df)
     else:
         LakeTable.create(spark, path, df=df)
+    # memory mirrors the registry it just wrote — rival sessions'
+    # grants that landed since our load become visible here too
+    g = _GRANTS.setdefault(sid, [])
+    g[:] = merged
+    _LOADED[sid] = path
+    # the journal is now reflected on disk: clear it, or an old add
+    # would re-resurrect a row a rival session revokes LATER (and an
+    # old tombstone would keep deleting a row a rival re-grants)
+    adds.clear()
+    dels.clear()
 
 
 def grant(
@@ -165,6 +198,12 @@ def grant(
         "principal": principal.strip("`"),
     }
     g = _session_grants(spark)
+    sid = session_key(spark)
+    dels = _LOCAL_DELS.setdefault(sid, [])
+    dels[:] = [e for e in dels if e != entry]  # re-grant clears the tombstone
+    adds = _LOCAL_ADDS.setdefault(sid, [])
+    if entry not in adds:
+        adds.append(entry)
     if entry not in g:
         g.append(entry)
         _persist_grants(spark)
@@ -184,19 +223,25 @@ def revoke(
         _raise_if_ambiguous(spark, sec)
         sec = canonical_name(spark, sec)
     pr = principal.strip("`")
+    entry = {
+        "privilege": privilege,
+        "securable_type": securable_type,
+        "securable": sec,
+        "principal": pr,
+    }
     g = _session_grants(spark)
+    sid = session_key(spark)
+    adds = _LOCAL_ADDS.setdefault(sid, [])
+    adds[:] = [e for e in adds if e != entry]
+    dels = _LOCAL_DELS.setdefault(sid, [])
+    if entry not in dels:
+        # tombstoned even when absent from session memory: the row may
+        # exist on disk (granted by a rival session) and must not
+        # survive the next persist's re-read merge
+        dels.append(entry)
     before = len(g)
-    g[:] = [
-        e
-        for e in g
-        if not (
-            e["privilege"] == privilege
-            and e["securable_type"] == securable_type
-            and e["securable"] == sec
-            and e["principal"] == pr
-        )
-    ]
-    if len(g) != before:
+    g[:] = [e for e in g if e != entry]
+    if len(g) != before or _registry_path(spark):
         _persist_grants(spark)
     return before - len(g)
 

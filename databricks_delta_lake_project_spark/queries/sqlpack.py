@@ -207,9 +207,14 @@ def _rewrite_functions(spark: SparkSession, sql: str) -> str:
             flags=re.IGNORECASE,
         )
         return head + base + sql[m.end("name"):]
+    from ..tables import sqldml
+
     for full, base in _FUNCS.get(sid, {}).items():
-        sql = re.sub(
-            re.escape(full) + r"(?=\s*\()", base, sql, flags=re.IGNORECASE
+        # quote-aware (a full name inside a string literal stays data)
+        # and boundary-guarded: `xcat.gold.fn(` / `other.cat.gold.fn(`
+        # must not suffix-match a registered `cat.gold.fn`
+        sql = sqldml._replace_outside_quotes(
+            sql, r"(?<![\w.])" + re.escape(full) + r"(?=\s*\()", base
         )
     return sql
 

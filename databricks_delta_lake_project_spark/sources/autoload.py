@@ -150,7 +150,10 @@ def read_file_stream(
         from ..tables.metasql import resolve_volume_path
 
         path = resolve_volume_path(spark, path)
-        schema_location = resolve_volume_path(spark, schema_location)
+        # the schema registry WRITES evolved schemas into its volume
+        schema_location = resolve_volume_path(
+            spark, schema_location, intent="write"
+        )
     registry = SchemaRegistry(schema_location)
     known = registry.latest()
     if known is None:

@@ -83,7 +83,11 @@ def _start(
         # volume's backing directory, same as the landing-path side
         from ..tables.metasql import resolve_volume_path
 
-        checkpoint = resolve_volume_path(df.sparkSession, checkpoint)
+        # a checkpoint dir is written to: WRITE VOLUME (MODIFY), not
+        # the read grant
+        checkpoint = resolve_volume_path(
+            df.sparkSession, checkpoint, intent="write"
+        )
     writer = (
         df.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)

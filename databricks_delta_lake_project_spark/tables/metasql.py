@@ -281,34 +281,14 @@ def declared_namespaces(spark: SparkSession, kind: str) -> dict[str, dict]:
 VOLUMES_ROOT_CONF = "spark.engine.volumes.root"
 
 
-def volume_path(spark: SparkSession, name: str) -> str:
+def _backing_path(spark: SparkSession, clean: str, meta: dict) -> str:
     """Directory backing a declared volume (created on demand for
     local paths; URI-style EXTERNAL locations pass through untouched).
-    With ACL enforcement on, using a volume requires SELECT on the
-    volume securable (or admin/ALL PRIVILEGES) — path access is a data
-    read/write boundary like every table verb."""
+    No ACL check — callers gate (volume_path for use, CREATE VOLUME
+    after its own creation check)."""
     import os
     import tempfile
 
-    from ..governance import access_control as acl
-
-    clean = name.strip("`").lower()
-    reg = _NAMESPACES.get(session_key(spark), {})
-    meta = reg.get(("volume", clean))
-    if meta is None:
-        # with enforcement on, only reveal volumes the principal could
-        # list anyway — the error must not leak the catalog inventory
-        declared = sorted(
-            n
-            for (k, n) in reg
-            if k == "volume" and _listable(spark, n)
-        )
-        raise ValueError(
-            f"no such volume {name!r}; declared volumes: {declared} "
-            "(CREATE VOLUME first)"
-        )
-    if acl.enabled(spark) and not acl.can_manage(spark, clean):
-        acl.enforce(spark, "SELECT", clean)
     loc = meta.get("location")
     if not loc:
         try:
@@ -326,12 +306,48 @@ def volume_path(spark: SparkSession, name: str) -> str:
     return loc
 
 
-def resolve_volume_path(spark: SparkSession, path: str) -> str:
+def volume_path(spark: SparkSession, name: str, intent: str = "read") -> str:
+    """Directory backing a declared volume. With ACL enforcement on,
+    using a volume requires SELECT (``intent='read'`` — UC READ VOLUME)
+    or MODIFY (``intent='write'`` — UC WRITE VOLUME) on the volume
+    securable, or admin/ALL PRIVILEGES — path access is a data
+    read/write boundary like every table verb, and a read-only grant
+    must not open the write path."""
+    from ..governance import access_control as acl
+
+    if intent not in ("read", "write"):
+        raise ValueError(f"volume intent must be read|write, got {intent!r}")
+    clean = name.strip("`").lower()
+    reg = _NAMESPACES.get(session_key(spark), {})
+    meta = reg.get(("volume", clean))
+    if meta is None:
+        # with enforcement on, only reveal volumes the principal could
+        # list anyway — the error must not leak the catalog inventory
+        declared = sorted(
+            n
+            for (k, n) in reg
+            if k == "volume" and _listable(spark, n)
+        )
+        raise ValueError(
+            f"no such volume {name!r}; declared volumes: {declared} "
+            "(CREATE VOLUME first)"
+        )
+    if acl.enabled(spark) and not acl.can_manage(spark, clean):
+        acl.enforce(
+            spark, "SELECT" if intent == "read" else "MODIFY", clean
+        )
+    return _backing_path(spark, clean, meta)
+
+
+def resolve_volume_path(
+    spark: SparkSession, path: str, intent: str = "read"
+) -> str:
     """Translate a UC-style ``/Volumes/<catalog>/<schema>/<volume>/…``
     path (the convention every reference ingestion job uses, e.g.
     ``src/bronze/ingest_transactions.py:21``) to the declared volume's
     backing directory; non-volume paths pass through unchanged.
-    Undeclared volumes refuse loudly, like UC."""
+    Undeclared volumes refuse loudly, like UC. ``intent`` gates like
+    :func:`volume_path` (read -> SELECT, write -> MODIFY)."""
     if not path.startswith("/Volumes/"):
         return path
     bits = path[len("/Volumes/"):].split("/")
@@ -340,7 +356,7 @@ def resolve_volume_path(spark: SparkSession, path: str) -> str:
             f"volume path {path!r} needs /Volumes/<catalog>/<schema>/"
             "<volume>[/...]"
         )
-    base = volume_path(spark, ".".join(bits[:3]))
+    base = volume_path(spark, ".".join(bits[:3]), intent=intent)
     rest = "/".join(bits[3:])
     return f"{base}/{rest}" if rest else base
 
@@ -433,8 +449,13 @@ def _run_create_volume(spark: SparkSession, text: str) -> DataFrame | None:
         _unquote(m.group("comment")),
         loc,
     )
+    # the result row's path comes from the UNGUARDED resolver: the
+    # creation privilege was already checked above, and a principal
+    # holding only CREATE on the parent schema must not hit a SELECT
+    # denial on the volume it just created (with partial state behind)
+    meta = _NAMESPACES[session_key(spark)][("volume", name)]
     return spark.createDataFrame(
-        [("CREATE VOLUME", name, volume_path(spark, name))],
+        [("CREATE VOLUME", name, _backing_path(spark, name, meta))],
         "operation string, name string, path string",
     )
 

@@ -35,10 +35,38 @@ def _engine_registry_isolation():
     views the engine created during the test and restore both maps.
     User-created temp views are untouched (the engine never owned
     them)."""
-    from databricks_delta_lake_project_spark.tables import sqldml
+    import copy
+
+    from databricks_delta_lake_project_spark.governance import (
+        access_control as acl,
+        share_sql,
+        systables,
+    )
+    from databricks_delta_lake_project_spark.queries import sqlpack
+    from databricks_delta_lake_project_spark.tables import metasql, sqldml
 
     snap_registry = dict(sqldml._REGISTRY)
     snap_views = dict(sqldml._OWNED_VIEWS)
+    # governance session-state (all plain str/tuple containers, so
+    # deepcopy is cheap and safe — never deepcopy _REGISTRY, it holds
+    # LakeTable objects): masks, grants, mounts, namespaces, tags,
+    # audit buffers and SQL-function bindings must not leak between
+    # tests that skip per-fixture cleanup
+    gov_regs = [
+        sqldml._MASKED_SESSIONS,
+        acl._GRANTS,
+        acl._LOADED,
+        acl._LOCAL_ADDS,
+        acl._LOCAL_DELS,
+        share_sql._MOUNTS,
+        sqlpack._FUNCS,
+        metasql._NAMESPACES,
+        systables._LAYER_TAGS,
+        systables._AUDIT,
+        systables._QUERY_HISTORY,
+        systables._LINEAGE,
+    ]
+    gov_snaps = [copy.deepcopy(r) for r in gov_regs]
     yield
     added_views = set(sqldml._OWNED_VIEWS) - set(snap_views)
     if added_views:
@@ -55,3 +83,6 @@ def _engine_registry_isolation():
     sqldml._REGISTRY.update(snap_registry)
     sqldml._OWNED_VIEWS.clear()
     sqldml._OWNED_VIEWS.update(snap_views)
+    for reg, snap in zip(gov_regs, gov_snaps):
+        reg.clear()
+        reg.update(snap)

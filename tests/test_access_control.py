@@ -460,3 +460,76 @@ def test_grants_persist_across_sessions(spark, tmp_path):
         from databricks_delta_lake_project_spark.governance import systables
 
         systables._AUDIT.clear()
+
+
+def _wipe_acl_session_state():
+    acl._GRANTS.clear()
+    acl._LOADED.clear()
+    acl._LOCAL_ADDS.clear()
+    acl._LOCAL_DELS.clear()
+
+
+def test_rival_session_revoke_survives_stale_persist(spark, tmp_path):
+    """Two sessions on one durable registry: B revokes a grant and
+    persists; A (whose in-memory copy is stale and still holds it)
+    then grants something else. A's persist must NOT resurrect the
+    revoked row — persist re-reads the registry and applies only the
+    session's own unflushed journal, never a blind memory overwrite."""
+    path = str(tmp_path / "acl_rival")
+    spark.conf.set(acl.PATH_CONF, path)
+    try:
+        # --- session A grants two rows (journal flushed on persist)
+        acl.grant(spark, "USAGE", "CATALOG", "rcat", "team")
+        acl.grant(spark, "SELECT", "SCHEMA", "rcat.gold", "team")
+        stale_a = {
+            sid: [dict(e) for e in g] for sid, g in acl._GRANTS.items()
+        }
+        loaded_a = dict(acl._LOADED)
+        # --- session B: fresh state, loads registry, revokes one row
+        _wipe_acl_session_state()
+        assert acl.revoke(spark, "SELECT", "SCHEMA", "rcat.gold", "team") == 1
+        # --- back in session A: stale memory, empty journal
+        _wipe_acl_session_state()
+        for sid, g in stale_a.items():
+            acl._GRANTS[sid] = [dict(e) for e in g]
+        acl._LOADED.update(loaded_a)
+        acl.grant(spark, "MODIFY", "SCHEMA", "rcat.silver", "team")
+        # --- fresh load: the revoked row stayed revoked, the new
+        # grant landed, and A's memory converged onto the registry
+        _wipe_acl_session_state()
+        rows = {
+            (r["privilege"], r["securable"])
+            for r in acl.show_grants(spark).collect()
+        }
+        assert rows == {("USAGE", "rcat"), ("MODIFY", "rcat.silver")}
+    finally:
+        spark.conf.unset(acl.PATH_CONF)
+        _wipe_acl_session_state()
+
+
+def test_revoke_of_rival_granted_row_hits_disk(spark, tmp_path):
+    """A revoke must tombstone the on-disk row even when the revoking
+    session never saw it in memory (it landed on disk from a rival
+    session after this session's load)."""
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    path = str(tmp_path / "acl_tomb")
+    spark.conf.set(acl.PATH_CONF, path)
+    try:
+        # this session loads the (not-yet-existing) registry first
+        assert acl.show_grants(spark).count() == 0
+        # ...then a rival session's grant lands on disk behind its back
+        LakeTable.create(
+            spark,
+            path,
+            df=spark.createDataFrame(
+                [("SELECT", "TABLE", "tcat.gold.t", "eve")],
+                acl._GRANT_SCHEMA,
+            ),
+        )
+        acl.revoke(spark, "SELECT", "TABLE", "tcat.gold.t", "eve")
+        _wipe_acl_session_state()
+        assert acl.show_grants(spark).count() == 0
+    finally:
+        spark.conf.unset(acl.PATH_CONF)
+        _wipe_acl_session_state()

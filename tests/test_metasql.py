@@ -582,3 +582,57 @@ def test_stream_sink_checkpoint_in_volume(spark, tmp_path):
     finally:
         spark.conf.unset(metasql.VOLUMES_ROOT_CONF)
         metasql._NAMESPACES.clear()
+
+
+def test_volume_read_write_privilege_split(spark, tmp_path):
+    """UC distinguishes READ VOLUME / WRITE VOLUME: a read-only grant
+    (SELECT) opens volume reads but NOT writes (MODIFY); and a
+    principal holding only CREATE on the parent schema can CREATE a
+    volume without tripping a SELECT denial on the result row."""
+    import pytest as _pytest
+
+    from databricks_delta_lake_project_spark.governance import (
+        access_control as acl,
+        systables,
+    )
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    spark.conf.set(metasql.VOLUMES_ROOT_CONF, str(tmp_path / "vols"))
+    try:
+        run_statement(spark, "CREATE VOLUME rw.land.zone")
+        spark.conf.set(acl.ENABLED_CONF, "true")
+        spark.conf.set(acl.PRINCIPAL_CONF, "reader")
+        acl.grant(spark, "USAGE", "CATALOG", "rw", "reader")
+        acl.grant(spark, "USAGE", "SCHEMA", "rw.land", "reader")
+        acl.grant(spark, "SELECT", "TABLE", "rw.land.zone", "reader")
+        # read intent passes...
+        p = metasql.resolve_volume_path(spark, "/Volumes/rw/land/zone/in")
+        assert p.endswith("/in")
+        # ...write intent is denied for the read-only principal
+        with _pytest.raises(PermissionError, match="MODIFY"):
+            metasql.resolve_volume_path(
+                spark, "/Volumes/rw/land/zone/out", intent="write"
+            )
+        acl.grant(spark, "MODIFY", "TABLE", "rw.land.zone", "reader")
+        assert metasql.volume_path(spark, "rw.land.zone", intent="write")
+        with _pytest.raises(ValueError, match="read|write"):
+            metasql.volume_path(spark, "rw.land.zone", intent="append")
+        # CREATE-only principal: creation succeeds end-to-end (the
+        # result row's path must not be SELECT-gated)
+        spark.conf.set(acl.PRINCIPAL_CONF, "builder")
+        acl.grant(spark, "USAGE", "CATALOG", "rw", "builder")
+        acl.grant(spark, "CREATE", "SCHEMA", "rw.land", "builder")
+        out = run_statement(
+            spark, "CREATE VOLUME rw.land.fresh"
+        ).collect()[0]
+        assert out["operation"] == "CREATE VOLUME" and out["path"]
+        # and the volume it just created is still read-gated for it
+        with _pytest.raises(PermissionError, match="SELECT"):
+            metasql.volume_path(spark, "rw.land.fresh")
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+        spark.conf.unset(metasql.VOLUMES_ROOT_CONF)
+        acl._GRANTS.clear()
+        systables._AUDIT.clear()
+        metasql._NAMESPACES.clear()

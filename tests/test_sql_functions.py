@@ -232,3 +232,31 @@ def test_basename_clash_across_catalogs_refused(spark, fn_world):
             "CREATE OR REPLACE FUNCTION cat2.gold.fn_clash(x STRING) "
             "RETURNS STRING RETURN UPPER(x)",
         )
+
+
+def test_full_name_repoint_is_quote_aware_and_boundary_guarded(
+    spark, fn_world
+):
+    """The full-name -> basename re-point must not rewrite occurrences
+    inside string literals, and must not suffix-match a LONGER dotted
+    name (`xcat.gold.fn(` / `other.fncat.gold.fn(`)."""
+    run_statement(spark, MASK_EMAIL_DDL)
+    # a string literal containing `name(` survives verbatim
+    row = run_statement(
+        spark,
+        "SELECT 'call fncat.gold.mask_email(x) later' AS note",
+    ).collect()[0]
+    assert row["note"] == "call fncat.gold.mask_email(x) later"
+    # a longer dotted name is NOT captured by the suffix: the untouched
+    # full name surfaces in the resolver error
+    # (Spark reports the multi-part namespace `other`.`fncat`.`gold`
+    # unresolved — proof the longer name was left untouched)
+    with pytest.raises(Exception, match="`other`|UNRESOLVED"):
+        run_statement(
+            spark, "SELECT other.fncat.gold.mask_email('a@b.com')"
+        ).collect()
+    # the real full-name call still re-points and runs
+    got = run_statement(
+        spark, "SELECT fncat.gold.mask_email('john.doe@x.io') AS m"
+    ).collect()[0]["m"]
+    assert got == "jo***@x.io"
