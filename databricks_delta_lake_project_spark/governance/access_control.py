@@ -126,7 +126,7 @@ def _session_grants(spark: SparkSession) -> list[dict[str, str]]:
     return g
 
 
-def _persist_grants(spark: SparkSession) -> None:
+def _persist_grants(spark: SparkSession) -> list[dict[str, str]]:
     """Write-through to the durable registry (no-op without
     PATH_CONF): RE-READ the on-disk rows, drop the ones this session
     revoked, append the ones it granted, write the result back, and
@@ -134,38 +134,57 @@ def _persist_grants(spark: SparkSession) -> None:
     (O(grants) rows) and the commit is atomic, so a rival writer
     conflicts instead of interleaving; re-reading (instead of
     overwriting from session memory) means a rival session's revoke
-    that landed since our load stays revoked."""
+    that landed since our load stays revoked. An OCC loser (a rival
+    session persisting concurrently) retries the whole
+    read-merge-write loop a bounded number of times — the journal
+    composes with whatever the rival wrote, so a retry is always
+    safe. Returns the disk rows this persist DROPPED (the tombstoned
+    rows that existed on disk), so ``revoke`` can report a revoke
+    that only existed in the durable registry."""
     path = _registry_path(spark)
     if not path:
-        return
+        return []
     from ..tables import LakeTable
+    from ..tables.log import ConcurrentModificationError
 
     sid = session_key(spark)
     adds = _LOCAL_ADDS.get(sid, [])
     dels = _LOCAL_DELS.get(sid, [])
-    disk: list[dict[str, str]] = []
-    if LakeTable.is_table(path):
-        for r in LakeTable.for_path(spark, path).to_df().collect():
-            disk.append({c: r[c] for c in _GRANT_COLS})
-    merged = [e for e in disk if e not in dels]
-    merged += [e for e in adds if e not in merged]
-    df = spark.createDataFrame(
-        [tuple(e[c] for c in _GRANT_COLS) for e in merged], _GRANT_SCHEMA
-    )
-    if LakeTable.is_table(path):
-        LakeTable.for_path(spark, path).overwrite(df)
-    else:
-        LakeTable.create(spark, path, df=df)
-    # memory mirrors the registry it just wrote — rival sessions'
-    # grants that landed since our load become visible here too
-    g = _GRANTS.setdefault(sid, [])
-    g[:] = merged
-    _LOADED[sid] = path
-    # the journal is now reflected on disk: clear it, or an old add
-    # would re-resurrect a row a rival session revokes LATER (and an
-    # old tombstone would keep deleting a row a rival re-grants)
-    adds.clear()
-    dels.clear()
+    last_err: Exception | None = None
+    for _ in range(5):
+        disk: list[dict[str, str]] = []
+        if LakeTable.is_table(path):
+            for r in LakeTable.for_path(spark, path).to_df().collect():
+                disk.append({c: r[c] for c in _GRANT_COLS})
+        dropped = [e for e in disk if e in dels]
+        merged = [e for e in disk if e not in dels]
+        merged += [e for e in adds if e not in merged]
+        df = spark.createDataFrame(
+            [tuple(e[c] for c in _GRANT_COLS) for e in merged],
+            _GRANT_SCHEMA,
+        )
+        try:
+            if LakeTable.is_table(path):
+                LakeTable.for_path(spark, path).overwrite(df)
+            else:
+                LakeTable.create(spark, path, df=df)
+        except ConcurrentModificationError as e:
+            # rival writer won the commit race: re-read its registry
+            # and re-apply the journal onto THAT view
+            last_err = e
+            continue
+        # memory mirrors the registry it just wrote — rival sessions'
+        # grants that landed since our load become visible here too
+        g = _GRANTS.setdefault(sid, [])
+        g[:] = merged
+        _LOADED[sid] = path
+        # the journal is now reflected on disk: clear it, or an old add
+        # would re-resurrect a row a rival session revokes LATER (and an
+        # old tombstone would keep deleting a row a rival re-grants)
+        adds.clear()
+        dels.clear()
+        return dropped
+    raise last_err  # five straight OCC losses: surface it
 
 
 def grant(
@@ -204,8 +223,15 @@ def grant(
     adds = _LOCAL_ADDS.setdefault(sid, [])
     if entry not in adds:
         adds.append(entry)
-    if entry not in g:
+    appended = entry not in g
+    if appended:
         g.append(entry)
+    # persist whenever a durable registry is configured, even when the
+    # entry already sat in session memory: the disk row may have been
+    # revoked by a rival session since our load, and a deliberate
+    # re-grant must land the journaled add back on disk (mirrors
+    # revoke's trigger)
+    if appended or _registry_path(spark):
         _persist_grants(spark)
 
 
@@ -241,9 +267,16 @@ def revoke(
         dels.append(entry)
     before = len(g)
     g[:] = [e for e in g if e != entry]
-    if len(g) != before or _registry_path(spark):
-        _persist_grants(spark)
-    return before - len(g)
+    session_removed = before - len(g)
+    disk_removed = 0
+    if session_removed or _registry_path(spark):
+        # the revoked row may exist ONLY on disk (granted by a rival
+        # session after this session's load): the tombstone removes it
+        # during the persist's re-read merge, and the count must say so
+        disk_removed = sum(
+            1 for e in _persist_grants(spark) if e == entry
+        )
+    return 1 if (session_removed or disk_removed) else 0
 
 
 def show_grants(

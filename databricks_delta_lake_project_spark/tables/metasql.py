@@ -309,10 +309,13 @@ def _backing_path(spark: SparkSession, clean: str, meta: dict) -> str:
 def volume_path(spark: SparkSession, name: str, intent: str = "read") -> str:
     """Directory backing a declared volume. With ACL enforcement on,
     using a volume requires SELECT (``intent='read'`` — UC READ VOLUME)
-    or MODIFY (``intent='write'`` — UC WRITE VOLUME) on the volume
+    or BOTH MODIFY and SELECT (``intent='write'`` — UC WRITE VOLUME,
+    which Databricks only grants alongside READ VOLUME) on the volume
     securable, or admin/ALL PRIVILEGES — path access is a data
-    read/write boundary like every table verb, and a read-only grant
-    must not open the write path."""
+    read/write boundary like every table verb, a read-only grant must
+    not open the write path, and a write-only grant must not quietly
+    read back volume contents (checkpoint dirs and schema registries
+    are read-modify-write)."""
     from ..governance import access_control as acl
 
     if intent not in ("read", "write"):
@@ -333,9 +336,9 @@ def volume_path(spark: SparkSession, name: str, intent: str = "read") -> str:
             "(CREATE VOLUME first)"
         )
     if acl.enabled(spark) and not acl.can_manage(spark, clean):
-        acl.enforce(
-            spark, "SELECT" if intent == "read" else "MODIFY", clean
-        )
+        acl.enforce(spark, "SELECT", clean)
+        if intent == "write":
+            acl.enforce(spark, "MODIFY", clean)
     return _backing_path(spark, clean, meta)
 
 
@@ -441,7 +444,7 @@ def _run_create_volume(spark: SparkSession, text: str) -> DataFrame | None:
         parent = name.rpartition(".")[0]
         if not acl.can_manage(spark, parent):
             acl.enforce(spark, "CREATE", parent)
-    _upsert_namespace(
+    created = _upsert_namespace(
         spark,
         "volume",
         name,
@@ -449,13 +452,23 @@ def _run_create_volume(spark: SparkSession, text: str) -> DataFrame | None:
         _unquote(m.group("comment")),
         loc,
     )
-    # the result row's path comes from the UNGUARDED resolver: the
-    # creation privilege was already checked above, and a principal
-    # holding only CREATE on the parent schema must not hit a SELECT
-    # denial on the volume it just created (with partial state behind)
-    meta = _NAMESPACES[session_key(spark)][("volume", name)]
+    if created:
+        # the result row's path comes from the UNGUARDED resolver: the
+        # creation privilege was already checked above, and a principal
+        # holding only CREATE on the parent schema must not hit a
+        # SELECT denial on the volume it just created (with partial
+        # state behind)
+        meta = _NAMESPACES[session_key(spark)][("volume", name)]
+        path = _backing_path(spark, name, meta)
+    else:
+        # IF NOT EXISTS hit an existing volume: nothing was created, so
+        # the path (possibly another team's external LOCATION) is only
+        # revealed through the ACL-gated resolver — a principal holding
+        # just CREATE on the parent schema must not learn (or makedirs)
+        # an existing volume's location by re-issuing CREATE
+        path = volume_path(spark, name, intent="read")
     return spark.createDataFrame(
-        [("CREATE VOLUME", name, _backing_path(spark, name, meta))],
+        [("CREATE VOLUME", name, path)],
         "operation string, name string, path string",
     )
 

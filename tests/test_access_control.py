@@ -533,3 +533,62 @@ def test_revoke_of_rival_granted_row_hits_disk(spark, tmp_path):
     finally:
         spark.conf.unset(acl.PATH_CONF)
         _wipe_acl_session_state()
+
+
+def test_regrant_after_rival_disk_revoke_lands_on_disk(spark, tmp_path):
+    """A deliberate re-grant of a row that still sits in this session's
+    (stale) memory but was revoked on disk by a rival session must
+    flush back to the durable registry — grant() persists whenever a
+    registry path is configured, mirroring revoke()."""
+    path = str(tmp_path / "acl_regrant")
+    spark.conf.set(acl.PATH_CONF, path)
+    try:
+        acl.grant(spark, "SELECT", "SCHEMA", "gcat.gold", "team")
+        stale_a = {
+            sid: [dict(e) for e in g] for sid, g in acl._GRANTS.items()
+        }
+        loaded_a = dict(acl._LOADED)
+        # rival session revokes the row on disk
+        _wipe_acl_session_state()
+        assert acl.revoke(spark, "SELECT", "SCHEMA", "gcat.gold", "team") == 1
+        # back in session A: stale memory still holds the entry; the
+        # re-grant is journaled AND must persist (not silently skip)
+        _wipe_acl_session_state()
+        for sid, g in stale_a.items():
+            acl._GRANTS[sid] = [dict(e) for e in g]
+        acl._LOADED.update(loaded_a)
+        acl.grant(spark, "SELECT", "SCHEMA", "gcat.gold", "team")
+        _wipe_acl_session_state()
+        rows = {
+            (r["privilege"], r["securable"])
+            for r in acl.show_grants(spark).collect()
+        }
+        assert rows == {("SELECT", "gcat.gold")}
+    finally:
+        spark.conf.unset(acl.PATH_CONF)
+        _wipe_acl_session_state()
+
+
+def test_revoke_of_disk_only_row_reports_count(spark, tmp_path):
+    """revoke() returns 1 when the revoked row existed only in the
+    durable registry (granted by a rival session after this session's
+    load) — the SQL surface must not report 'revoked 0' for a revoke
+    that took effect."""
+    path = str(tmp_path / "acl_count")
+    spark.conf.set(acl.PATH_CONF, path)
+    try:
+        assert acl.show_grants(spark).count() == 0
+        LakeTable.create(
+            spark,
+            path,
+            df=spark.createDataFrame(
+                [("SELECT", "TABLE", "ccat.gold.t", "eve")],
+                acl._GRANT_SCHEMA,
+            ),
+        )
+        assert acl.revoke(spark, "SELECT", "TABLE", "ccat.gold.t", "eve") == 1
+        # a second revoke of the now-gone row reports 0
+        assert acl.revoke(spark, "SELECT", "TABLE", "ccat.gold.t", "eve") == 0
+    finally:
+        spark.conf.unset(acl.PATH_CONF)
+        _wipe_acl_session_state()

@@ -636,3 +636,83 @@ def test_volume_read_write_privilege_split(spark, tmp_path):
         acl._GRANTS.clear()
         systables._AUDIT.clear()
         metasql._NAMESPACES.clear()
+
+
+def test_create_volume_ine_existing_path_is_acl_gated(spark, tmp_path):
+    """CREATE VOLUME IF NOT EXISTS over an EXISTING volume must not
+    reveal (or makedirs) its location to a principal holding only
+    CREATE on the parent schema — the path in the result row comes
+    from the ACL-gated resolver when nothing was created."""
+    import pytest as _pytest
+
+    from databricks_delta_lake_project_spark.governance import (
+        access_control as acl,
+        systables,
+    )
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    ext = tmp_path / "secret_loc"
+    try:
+        run_statement(
+            spark,
+            f"CREATE EXTERNAL VOLUME ine.land.zone LOCATION '{ext}'",
+        )
+        spark.conf.set(acl.ENABLED_CONF, "true")
+        spark.conf.set(acl.PRINCIPAL_CONF, "builder")
+        acl.grant(spark, "USAGE", "CATALOG", "ine", "builder")
+        acl.grant(spark, "CREATE", "SCHEMA", "ine.land", "builder")
+        with _pytest.raises(PermissionError, match="SELECT"):
+            run_statement(
+                spark,
+                "CREATE EXTERNAL VOLUME IF NOT EXISTS ine.land.zone "
+                f"LOCATION '{tmp_path / 'other'}'",
+            )
+        # with the read grant, the idempotent re-create reveals the
+        # EXISTING location (metadata untouched by the second LOCATION)
+        acl.grant(spark, "SELECT", "TABLE", "ine.land.zone", "builder")
+        out = run_statement(
+            spark,
+            "CREATE EXTERNAL VOLUME IF NOT EXISTS ine.land.zone "
+            f"LOCATION '{tmp_path / 'other'}'",
+        ).collect()[0]
+        assert out["path"] == str(ext)
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+        acl._GRANTS.clear()
+        systables._AUDIT.clear()
+        metasql._NAMESPACES.clear()
+
+
+def test_volume_write_intent_requires_read_too(spark, tmp_path):
+    """Write intent enforces SELECT in addition to MODIFY: checkpoint
+    dirs and schema registries are read-modify-write, and UC grants
+    WRITE VOLUME alongside READ VOLUME — a MODIFY-only principal must
+    not gain read access through the write path."""
+    import pytest as _pytest
+
+    from databricks_delta_lake_project_spark.governance import (
+        access_control as acl,
+        systables,
+    )
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    spark.conf.set(metasql.VOLUMES_ROOT_CONF, str(tmp_path / "vols"))
+    try:
+        run_statement(spark, "CREATE VOLUME wo.land.zone")
+        spark.conf.set(acl.ENABLED_CONF, "true")
+        spark.conf.set(acl.PRINCIPAL_CONF, "writeonly")
+        acl.grant(spark, "USAGE", "CATALOG", "wo", "writeonly")
+        acl.grant(spark, "USAGE", "SCHEMA", "wo.land", "writeonly")
+        acl.grant(spark, "MODIFY", "TABLE", "wo.land.zone", "writeonly")
+        with _pytest.raises(PermissionError, match="SELECT"):
+            metasql.volume_path(spark, "wo.land.zone", intent="write")
+        acl.grant(spark, "SELECT", "TABLE", "wo.land.zone", "writeonly")
+        assert metasql.volume_path(spark, "wo.land.zone", intent="write")
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+        spark.conf.unset(metasql.VOLUMES_ROOT_CONF)
+        acl._GRANTS.clear()
+        systables._AUDIT.clear()
+        metasql._NAMESPACES.clear()
