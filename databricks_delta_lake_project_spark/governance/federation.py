@@ -1,0 +1,570 @@
+"""Lakehouse-Federation SQL DDL (S10 SQL tail; reference
+``src/delta_sharing/lakehouse_federation.py:45-106``):
+
+* ``CREATE CONNECTION [IF NOT EXISTS] <name> TYPE <type>
+  OPTIONS (host '...', port '...', user secret('scope','key'), ...)``
+* ``CREATE FOREIGN CATALOG [IF NOT EXISTS] <cat>
+  USING CONNECTION <conn> [OPTIONS (database '...')]``
+* ``SHOW CONNECTIONS`` (secret-valued / password options redacted)
+* ``DROP CONNECTION [IF EXISTS] <name>`` /
+  ``DROP FOREIGN CATALOG [IF EXISTS] <cat>``
+* ``SHOW SCHEMAS IN <foreign-cat>`` / ``SHOW TABLES IN
+  <foreign-cat>.<schema>`` — live JDBC metadata queries against the
+  remote engine's system catalog (``lakehouse_federation.py:119-123``)
+
+Foreign tables then resolve by 3-part name (``crm_postgres.public.
+customers``) in any engine SQL statement: :func:`rewrite_foreign_tables`
+re-points each reference at a lazily-created temp view over
+``sources/jdbc.read_federated`` — the view wraps the UNMATERIALIZED
+JDBC relation, so Catalyst still pushes filters and column pruning
+into the remote SQL (the notebook's "predicate pushdown happens
+automatically"). Nothing is copied until an action runs; repeated-use
+mirroring goes through :func:`mirror_table`
+(``lakehouse_federation.py:268-292``).
+
+Secrets: ``secret('scope','key')`` literals resolve at CONNECTION USE
+time (never stored resolved) from session conf
+``spark.engine.secrets.<scope>.<key>`` — the OSS stand-in for
+Databricks secret scopes. A missing secret refuses loudly at query
+time, not silently at DDL time, matching how Databricks validates
+connections lazily.
+
+Governance: with ACL enforcement on, CREATE/DROP CONNECTION and
+CREATE/DROP FOREIGN CATALOG require admin rights (UC gates these on
+metastore privileges); reading a foreign table requires SELECT on the
+``cat.schema.table`` securable with the usual USAGE inheritance — the
+notebook's ``GRANT USAGE ON CATALOG crm_postgres`` /
+``GRANT SELECT ON SCHEMA crm_postgres.public`` flow works unchanged,
+and every enforced read lands in ``system.access.audit``.
+
+Scale notes: registries are O(connections) driver-side metadata. The
+data path is Spark's JDBC source — pushdown + ``partitionColumn``
+range splitting (``sources/jdbc.py``) keep remote scans parallel and
+narrow; metadata SHOW queries read a handful of system-catalog rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import session_key
+
+__all__ = [
+    "run_federation_sql",
+    "rewrite_foreign_tables",
+    "foreign_table",
+    "mirror_table",
+    "resolve_secret",
+    "SECRET_CONF_PREFIX",
+]
+
+SECRET_CONF_PREFIX = "spark.engine.secrets."
+
+# session -> {connection_name: {"type": str, "options": {k: v}}}; a
+# secret-ref option value is stored as ("secret", scope, key) and
+# resolved only when the connection is used
+_CONNECTIONS: dict[str, dict[str, dict]] = {}
+# session -> {catalog_name: {"connection": str, "database": str|None,
+#             "comment": str|None}}
+_FOREIGN_CATALOGS: dict[str, dict[str, dict]] = {}
+
+# option keys consumed by URL construction; everything else (user,
+# password, driver, ssl...) passes through as JDBC reader options
+_URL_KEYS = frozenset({"host", "port", "path", "url", "warehouse"})
+# option keys whose values SHOW CONNECTIONS must never print
+_REDACT_KEYS = frozenset({"password", "token", "private_key"})
+
+_DEFAULT_PORTS = {"postgresql": 5432, "mysql": 3306, "sqlserver": 1433}
+
+
+def resolve_secret(spark: SparkSession, scope: str, key: str) -> str:
+    """``secret('scope','key')`` -> session conf
+    ``spark.engine.secrets.<scope>.<key>``; loud refusal when unset."""
+    conf_key = f"{SECRET_CONF_PREFIX}{scope}.{key}"
+    try:
+        val = spark.conf.get(conf_key)
+    except Exception:  # noqa: BLE001
+        val = None
+    if val is None:
+        raise ValueError(
+            f"secret({scope!r}, {key!r}) is not defined: set "
+            f"{conf_key} in the session conf"
+        )
+    return val
+
+
+def _resolved_options(spark: SparkSession, conn: dict) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for k, v in conn["options"].items():
+        if isinstance(v, tuple) and v and v[0] == "secret":
+            out[k] = resolve_secret(spark, v[1], v[2])
+        else:
+            out[k] = v
+    return out
+
+
+def _build_url(
+    ctype: str, opts: dict[str, str], database: str | None
+) -> str:
+    """JDBC URL for a connection type; an explicit ``url`` option wins
+    (the escape hatch that makes ANY JDBC engine reachable)."""
+    if opts.get("url"):
+        return opts["url"]
+    host = opts.get("host")
+    port = opts.get("port") or _DEFAULT_PORTS.get(ctype)
+    if ctype == "postgresql":
+        return f"jdbc:postgresql://{host}:{port}/{database or ''}"
+    if ctype == "mysql":
+        return f"jdbc:mysql://{host}:{port}/{database or ''}"
+    if ctype == "sqlserver":
+        return (
+            f"jdbc:sqlserver://{host}:{port};databaseName={database or ''}"
+        )
+    if ctype == "snowflake":
+        url = f"jdbc:snowflake://{host}/?db={database or ''}"
+        if opts.get("warehouse"):
+            url += f"&warehouse={opts['warehouse']}"
+        return url
+    if ctype == "derby":
+        # embedded test engine (driver ships inside Spark): the DB is a
+        # directory; a foreign catalog's `database` selects a subdir
+        base = opts.get("path")
+        if not base:
+            raise ValueError(
+                "connection TYPE DERBY needs OPTIONS (path '<dir>')"
+            )
+        return f"jdbc:derby:{base}/{database}" if database else (
+            f"jdbc:derby:{base}"
+        )
+    raise ValueError(
+        f"unsupported connection type {ctype!r}: supported are "
+        "postgresql, mysql, sqlserver, snowflake, derby, or pass "
+        "OPTIONS (url 'jdbc:...') for any other JDBC engine"
+    )
+
+
+def _connection(spark: SparkSession, name: str) -> dict:
+    conns = _CONNECTIONS.get(session_key(spark), {})
+    if name not in conns:
+        raise ValueError(
+            f"no such connection {name!r}; declared connections: "
+            f"{sorted(conns)} (CREATE CONNECTION first)"
+        )
+    return conns[name]
+
+
+def _jdbc_target(
+    spark: SparkSession, cat: str
+) -> tuple[str, str, dict[str, str]]:
+    """(connection type, url, passthrough options) for a foreign
+    catalog — secrets resolved here, at use time."""
+    fcats = _FOREIGN_CATALOGS.get(session_key(spark), {})
+    if cat not in fcats:
+        raise ValueError(
+            f"no such foreign catalog {cat!r}; declared: {sorted(fcats)}"
+        )
+    fc = fcats[cat]
+    conn = _connection(spark, fc["connection"])
+    opts = _resolved_options(spark, conn)
+    url = _build_url(conn["type"], opts, fc.get("database"))
+    passthrough = {k: v for k, v in opts.items() if k not in _URL_KEYS}
+    return conn["type"], url, passthrough
+
+
+def foreign_table(spark: SparkSession, full_name: str) -> DataFrame:
+    """Lazy DataFrame over ``<foreign-cat>.<schema>.<table>`` — a
+    pushdown-enabled JDBC scan (``sources/jdbc.read_federated``); the
+    remote engine sees ``schema.table``."""
+    bits = full_name.strip("`").split(".")
+    if len(bits) != 3:
+        raise ValueError(
+            f"foreign table reference needs catalog.schema.table, got "
+            f"{full_name!r}"
+        )
+    from ..sources.jdbc import read_federated
+
+    _, url, opts = _jdbc_target(spark, bits[0].lower())
+    return read_federated(spark, url, f"{bits[1]}.{bits[2]}", options=opts)
+
+
+def mirror_table(
+    spark: SparkSession,
+    full_name: str,
+    path: str,
+    key: str | None = None,
+):
+    """Delta mirror of a federated table for repeated local joins
+    (reference ``create_mirror_table``, ``lakehouse_federation.py:
+    268-292``): full overwrite, or MERGE refresh when ``key`` is
+    given; rows are stamped ``_mirror_timestamp`` like the
+    reference's."""
+    from ..sources.jdbc import mirror_to_lake
+
+    src = foreign_table(spark, full_name).withColumn(
+        "_mirror_timestamp", F.current_timestamp()
+    )
+    return mirror_to_lake(spark, src, path, key=key)
+
+
+# ---------------------------------------------------------------------------
+# SQL surface
+# ---------------------------------------------------------------------------
+
+_NAMEPAT = r"(`[^`]+`|\w+)"
+_FED_VERB_RE = re.compile(
+    r"^\s*(?:CREATE\s+CONNECTION|CREATE\s+FOREIGN\s+CATALOG"
+    r"|SHOW\s+CONNECTIONS|DROP\s+CONNECTION|DROP\s+FOREIGN\s+CATALOG)\b",
+    re.IGNORECASE,
+)
+_CREATE_CONN_RE = re.compile(
+    rf"^\s*CREATE\s+CONNECTION\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    rf"(?P<name>{_NAMEPAT})\s+TYPE\s+(?P<type>\w+)\s+"
+    r"OPTIONS\s*\((?P<opts>.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_CREATE_FCAT_RE = re.compile(
+    rf"^\s*CREATE\s+FOREIGN\s+CATALOG\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    rf"(?P<name>{_NAMEPAT})\s+USING\s+CONNECTION\s+(?P<conn>{_NAMEPAT})"
+    r"(?:\s+OPTIONS\s*\((?P<opts>.*)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_CONN_RE = re.compile(
+    rf"^\s*DROP\s+CONNECTION\s+(?P<ie>IF\s+EXISTS\s+)?"
+    rf"(?P<name>{_NAMEPAT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_FCAT_RE = re.compile(
+    rf"^\s*DROP\s+FOREIGN\s+CATALOG\s+(?P<ie>IF\s+EXISTS\s+)?"
+    rf"(?P<name>{_NAMEPAT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_CONNS_RE = re.compile(
+    r"^\s*SHOW\s+CONNECTIONS\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_SCHEMAS_RE = re.compile(
+    r"^\s*SHOW\s+(?:SCHEMAS|DATABASES)\s+IN\s+(?P<cat>[\w.`]+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_TABLES_RE = re.compile(
+    r"^\s*SHOW\s+TABLES\s+IN\s+(?P<ns>[\w.`]+)\s*;?\s*$", re.IGNORECASE
+)
+# one OPTIONS item: key 'literal' | key "literal" | key secret('s','k')
+_OPT_ITEM_RE = re.compile(
+    r"\s*(?P<key>\w+)\s+(?:"
+    r"secret\s*\(\s*'(?P<scope>[^']*)'\s*,\s*'(?P<skey>[^']*)'\s*\)"
+    r"|'(?P<sq>(?:[^']|'')*)'"
+    r"|\"(?P<dq>(?:[^\"]|\"\")*)\""
+    r")\s*$"
+)
+
+
+def _parse_options(raw: str | None) -> dict:
+    out: dict = {}
+    raw = (raw or "").strip()
+    if not raw:
+        return out
+    # split on commas outside quotes/parens (secret(...) holds a comma)
+    items, depth, in_q, start = [], 0, None, 0
+    for i, ch in enumerate(raw):
+        if in_q:
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in ("'", '"'):
+            in_q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(raw[start:i])
+            start = i + 1
+    items.append(raw[start:])
+    for item in items:
+        if not item.strip():
+            continue
+        m = _OPT_ITEM_RE.match(item)
+        if not m:
+            raise ValueError(f"cannot parse OPTIONS item {item!r}")
+        key = m.group("key").lower()
+        if m.group("scope") is not None:
+            out[key] = ("secret", m.group("scope"), m.group("skey"))
+        elif m.group("sq") is not None:
+            out[key] = m.group("sq").replace("''", "'")
+        else:
+            out[key] = m.group("dq").replace('""', '"')
+    return out
+
+
+def _require_fed_admin(spark: SparkSession, securable: str, verb: str) -> None:
+    from . import access_control as acl
+
+    if not acl.enabled(spark):
+        return
+    if not acl.can_manage(spark, securable.lower()):
+        who = sorted(acl.current_principals(spark)) or ["<anonymous>"]
+        raise PermissionError(
+            f"principal {who} may not {verb} {securable!r}: requires "
+            f"{acl.ADMINS_CONF} membership or ALL PRIVILEGES "
+            "(UC gates federation DDL on metastore privileges)"
+        )
+
+
+# remote system-catalog queries per connection type; {schema} is the
+# literal schema-name filter (pre-escaped). information_schema is the
+# ANSI default; Derby exposes SYS.* instead.
+_SCHEMAS_QUERY = {
+    "derby": (
+        "SELECT schemaname AS ns FROM sys.sysschemas "
+        "WHERE schemaname NOT LIKE 'SYS%' "
+        "AND schemaname NOT IN ('SQLJ', 'NULLID')"
+    ),
+    "default": "SELECT schema_name AS ns FROM information_schema.schemata",
+}
+_TABLES_QUERY = {
+    "derby": (
+        "SELECT s.schemaname AS ns, t.tablename AS tbl "
+        "FROM sys.systables t "
+        "JOIN sys.sysschemas s ON t.schemaid = s.schemaid "
+        "WHERE t.tabletype = 'T' AND UPPER(s.schemaname) = '{schema}'"
+    ),
+    "default": (
+        "SELECT table_schema AS ns, table_name AS tbl "
+        "FROM information_schema.tables "
+        "WHERE UPPER(table_schema) = '{schema}'"
+    ),
+}
+
+
+def _meta_df(
+    spark: SparkSession, ctype: str, url: str, opts: dict, query: str
+) -> DataFrame:
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", f"({query}) engine_meta")
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
+    """Re-point ``<foreign-cat>.<schema>.<table>`` references at lazy
+    temp views over the JDBC scan; quote-aware, zero cost when the
+    statement names no foreign catalog. With enforcement on, each
+    referenced foreign table needs SELECT (+ USAGE chain) — and the
+    check lands in system.access.audit like any table read."""
+    fcats = _FOREIGN_CATALOGS.get(session_key(spark))
+    if not fcats:
+        return sql
+    from ..tables import sqldml
+    from . import access_control as acl
+
+    low = sql.lower()
+    for cat in fcats:
+        if cat + "." not in low:
+            continue
+        pat = re.compile(
+            r"(?<![\w.`])" + re.escape(cat) + r"\.(\w+)\.(\w+)\b",
+            re.IGNORECASE,
+        )
+        mask = sqldml._mask(sql)
+        # collect matches outside string literals first; then replace
+        refs = {
+            (m.group(1).lower(), m.group(2).lower())
+            for m in pat.finditer(sql)
+            if not mask[m.start()][1]
+        }
+        for schema, table in refs:
+            full = f"{cat}.{schema}.{table}"
+            if acl.enabled(spark):
+                acl.enforce(spark, "SELECT", full)
+            view = f"fed__{cat}__{schema}__{table}"
+            foreign_table(spark, full).createOrReplaceTempView(view)
+            sql = sqldml._replace_outside_quotes(
+                sql,
+                r"(?<![\w.`])"
+                + re.escape(cat)
+                + r"\s*\.\s*"
+                + re.escape(schema)
+                + r"\s*\.\s*"
+                + re.escape(table)
+                + r"\b",
+                view,
+            )
+        low = sql.lower()
+    return sql
+
+
+def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
+    """Execute one federation DDL/metadata statement; None when ``sql``
+    is not one (the caller falls through). Unparseable statements that
+    still start with a federation verb refuse loudly."""
+    sid = session_key(spark)
+
+    m = _SHOW_SCHEMAS_RE.match(sql)
+    if m:
+        cat = m.group("cat").strip("`").lower()
+        if cat not in _FOREIGN_CATALOGS.get(sid, {}):
+            return None  # not ours: metasql / native handles it
+        ctype, url, opts = _jdbc_target(spark, cat)
+        q = _SCHEMAS_QUERY.get(ctype, _SCHEMAS_QUERY["default"])
+        df = _meta_df(spark, ctype, url, opts, q)
+        return df.select(
+            F.lower(F.col(df.columns[0])).alias("namespace")
+        ).orderBy("namespace")
+
+    m = _SHOW_TABLES_RE.match(sql)
+    if m:
+        ns = m.group("ns").strip("`").lower()
+        cat, _, schema = ns.partition(".")
+        if not schema or cat not in _FOREIGN_CATALOGS.get(sid, {}):
+            return None
+        ctype, url, opts = _jdbc_target(spark, cat)
+        q = _TABLES_QUERY.get(ctype, _TABLES_QUERY["default"]).format(
+            schema=schema.upper().replace("'", "''")
+        )
+        df = _meta_df(spark, ctype, url, opts, q)
+        return df.select(
+            F.lower(F.col(df.columns[0])).alias("namespace"),
+            F.lower(F.col(df.columns[1])).alias("tableName"),
+            F.lit(False).alias("isTemporary"),
+        ).orderBy("tableName")
+
+    if not _FED_VERB_RE.match(sql):
+        return None
+
+    m = _CREATE_CONN_RE.match(sql)
+    if m:
+        name = m.group("name").strip("`").lower()
+        _require_fed_admin(spark, name, "CREATE CONNECTION")
+        conns = _CONNECTIONS.setdefault(sid, {})
+        if name in conns:
+            if m.group("ine"):
+                return spark.createDataFrame(
+                    [("CREATE CONNECTION", name, True)],
+                    "operation string, name string, already_exists boolean",
+                )
+            raise ValueError(
+                f"connection already exists: {name} "
+                "(use CREATE CONNECTION IF NOT EXISTS to keep it)"
+            )
+        ctype = m.group("type").lower()
+        conns[name] = {
+            "type": ctype,
+            "options": _parse_options(m.group("opts")),
+        }
+        return spark.createDataFrame(
+            [("CREATE CONNECTION", name, False)],
+            "operation string, name string, already_exists boolean",
+        )
+
+    m = _CREATE_FCAT_RE.match(sql)
+    if m:
+        name = m.group("name").strip("`").lower()
+        _require_fed_admin(spark, name, "CREATE FOREIGN CATALOG")
+        conn_name = m.group("conn").strip("`").lower()
+        _connection(spark, conn_name)  # loud refusal before registering
+        fcats = _FOREIGN_CATALOGS.setdefault(sid, {})
+        if name in fcats:
+            if m.group("ine"):
+                return spark.createDataFrame(
+                    [("CREATE FOREIGN CATALOG", name, True)],
+                    "operation string, name string, already_exists boolean",
+                )
+            raise ValueError(
+                f"foreign catalog already exists: {name} "
+                "(use CREATE FOREIGN CATALOG IF NOT EXISTS to keep it)"
+            )
+        opts = _parse_options(m.group("opts"))
+        db = opts.get("database")
+        if isinstance(db, tuple):
+            raise ValueError(
+                "FOREIGN CATALOG OPTIONS (database ...) cannot be a secret"
+            )
+        fcats[name] = {"connection": conn_name, "database": db}
+        # the foreign catalog is part of the namespace surface: SHOW
+        # CATALOGS lists it like Databricks lists a federated catalog
+        from ..tables import metasql
+
+        reg = metasql._NAMESPACES.setdefault(sid, {})
+        reg.setdefault(("catalog", name), {})["comment"] = (
+            f"foreign catalog using connection {conn_name}"
+        )
+        return spark.createDataFrame(
+            [("CREATE FOREIGN CATALOG", name, False)],
+            "operation string, name string, already_exists boolean",
+        )
+
+    if _SHOW_CONNS_RE.match(sql):
+        rows = []
+        for name, conn in sorted(_CONNECTIONS.get(sid, {}).items()):
+            shown = []
+            for k, v in sorted(conn["options"].items()):
+                if isinstance(v, tuple) and v and v[0] == "secret":
+                    shown.append(f"{k}=secret('{v[1]}','{v[2]}')")
+                elif k in _REDACT_KEYS:
+                    shown.append(f"{k}=<redacted>")
+                else:
+                    shown.append(f"{k}={v}")
+            rows.append((name, conn["type"], ", ".join(shown)))
+        return spark.createDataFrame(
+            rows, "name string, connection_type string, options string"
+        )
+
+    m = _DROP_CONN_RE.match(sql)
+    if m:
+        name = m.group("name").strip("`").lower()
+        _require_fed_admin(spark, name, "DROP CONNECTION")
+        conns = _CONNECTIONS.get(sid, {})
+        if name not in conns:
+            if m.group("ie"):
+                return spark.createDataFrame(
+                    [("DROP CONNECTION", name, False)],
+                    "operation string, name string, dropped boolean",
+                )
+            raise ValueError(f"no such connection: {name}")
+        users = sorted(
+            c
+            for c, fc in _FOREIGN_CATALOGS.get(sid, {}).items()
+            if fc["connection"] == name
+        )
+        if users:
+            # a dangling foreign catalog would fail at first use with a
+            # confusing missing-connection error — refuse up front
+            raise ValueError(
+                f"connection {name!r} is used by foreign catalog(s) "
+                f"{users}: DROP FOREIGN CATALOG first"
+            )
+        del conns[name]
+        return spark.createDataFrame(
+            [("DROP CONNECTION", name, True)],
+            "operation string, name string, dropped boolean",
+        )
+
+    m = _DROP_FCAT_RE.match(sql)
+    if m:
+        name = m.group("name").strip("`").lower()
+        _require_fed_admin(spark, name, "DROP FOREIGN CATALOG")
+        fcats = _FOREIGN_CATALOGS.get(sid, {})
+        if name not in fcats:
+            if m.group("ie"):
+                return spark.createDataFrame(
+                    [("DROP FOREIGN CATALOG", name, False)],
+                    "operation string, name string, dropped boolean",
+                )
+            raise ValueError(f"no such foreign catalog: {name}")
+        del fcats[name]
+        from ..tables import metasql
+
+        metasql._NAMESPACES.get(sid, {}).pop(("catalog", name), None)
+        return spark.createDataFrame(
+            [("DROP FOREIGN CATALOG", name, True)],
+            "operation string, name string, dropped boolean",
+        )
+
+    raise ValueError(f"cannot parse federation statement: {sql[:100]!r}")

@@ -353,6 +353,16 @@ def _run_statement_impl(
     if share_out is not None:
         return share_out
 
+    # CREATE CONNECTION / CREATE FOREIGN CATALOG / SHOW CONNECTIONS /
+    # SHOW SCHEMAS|TABLES over a foreign catalog (S10 SQL surface) —
+    # before metasql so foreign-catalog SHOW verbs route to live JDBC
+    # metadata instead of the engine registry
+    from ..governance import federation
+
+    fed_out = federation.run_federation_sql(spark, sql)
+    if fed_out is not None:
+        return fed_out
+
     enforcing = acl.enabled(spark)
     md = re.match(
         r"\s*DESCRIBE\s+HISTORY\s+(`[^`]+`|[\w.]+)\s*;?\s*$",
@@ -402,6 +412,10 @@ def _run_statement_impl(
     from ..governance import share_sql as _share_sql
 
     sql = _share_sql.rewrite_mounts(spark, sql)
+    # federated 3-part names (crm_postgres.public.customers) re-point
+    # to lazy pushdown-enabled JDBC views the same way — SELECTs, DML
+    # sources and CTAS over foreign tables all resolve
+    sql = federation.rewrite_foreign_tables(spark, sql)
     kind = sqldml.statement_kind(sql)
     if kind is not None:
         # opt-in enforcement (spark.engine.accessControl.enabled):

@@ -39,6 +39,7 @@ def _engine_registry_isolation():
 
     from databricks_delta_lake_project_spark.governance import (
         access_control as acl,
+        federation,
         share_sql,
         systables,
     )
@@ -59,6 +60,8 @@ def _engine_registry_isolation():
         acl._LOCAL_ADDS,
         acl._LOCAL_DELS,
         share_sql._MOUNTS,
+        federation._CONNECTIONS,
+        federation._FOREIGN_CATALOGS,
         sqlpack._FUNCS,
         metasql._NAMESPACES,
         systables._LAYER_TAGS,

@@ -1,0 +1,344 @@
+"""Federation SQL DDL end-to-end (S10 SQL surface; reference
+``src/delta_sharing/lakehouse_federation.py:45-154,268-292``) against
+embedded Apache Derby: the reference notebook's statement sequence —
+CREATE CONNECTION (with ``secret()`` literals) -> CREATE FOREIGN
+CATALOG -> SHOW SCHEMAS/TABLES -> pushdown SELECT through the mounted
+3-part name -> federated-joins-local -> GRANT/REVOKE governance ->
+mirror-to-Delta — runs end-to-end through ``run_statement``."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from databricks_delta_lake_project_spark.governance import (
+    access_control as acl,
+    federation,
+)
+from databricks_delta_lake_project_spark.queries.sqlpack import run_statement
+from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
+
+DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_dir(spark, tmp_path_factory):
+    """Embedded Derby DB seeded with customers + order_headers tables
+    (the notebook's CRM and e-commerce sources, in one DB)."""
+    db = tmp_path_factory.mktemp("derby_fed") / "crmdb"
+    url = f"jdbc:derby:{db};create=true"
+    customers = spark.createDataFrame(
+        [
+            Row(
+                customer_id=i,
+                first_name=f"First{i}",
+                last_name=f"Last{i}",
+                email=f"user{i}@example.com",
+            )
+            for i in range(1, 51)
+        ]
+    )
+    orders = spark.createDataFrame(
+        [
+            Row(
+                order_id=100 + i,
+                customer_id=(i % 50) + 1,
+                total_amount=float(i * 7),
+                order_status="completed" if i % 2 == 0 else "pending",
+            )
+            for i in range(1, 41)
+        ]
+    )
+    # Spark's Derby dialect maps StringType -> CLOB, which Derby cannot
+    # compare with literals; give filterable string columns VARCHAR
+    col_types = {
+        "customers": (
+            "first_name VARCHAR(64), last_name VARCHAR(64), "
+            "email VARCHAR(128)"
+        ),
+        "order_headers": "order_status VARCHAR(20)",
+    }
+    for name, df in (("customers", customers), ("order_headers", orders)):
+        (
+            df.coalesce(1)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", name)
+            .option("driver", DRIVER)
+            .option("createTableColumnTypes", col_types[name])
+            .mode("overwrite")
+            .save()
+        )
+    return str(db)
+
+
+@pytest.fixture()
+def fed_world(spark, derby_dir):
+    """The notebook's setup statements, routed through run_statement,
+    with secret() literals resolving from session conf."""
+    spark.conf.set(
+        f"{federation.SECRET_CONF_PREFIX}federation_secrets.db_user", "app"
+    )
+    spark.conf.set(
+        f"{federation.SECRET_CONF_PREFIX}federation_secrets.db_password",
+        "s3cret",
+    )
+    run_statement(
+        spark,
+        f"""CREATE CONNECTION IF NOT EXISTS crm_derby
+        TYPE DERBY
+        OPTIONS (
+            path '{derby_dir}',
+            driver '{DRIVER}',
+            user secret('federation_secrets', 'db_user'),
+            password secret('federation_secrets', 'db_password')
+        )""",
+    )
+    run_statement(
+        spark,
+        "CREATE FOREIGN CATALOG IF NOT EXISTS crm_postgres "
+        "USING CONNECTION crm_derby",
+    )
+    yield
+    for key in (
+        f"{federation.SECRET_CONF_PREFIX}federation_secrets.db_user",
+        f"{federation.SECRET_CONF_PREFIX}federation_secrets.db_password",
+    ):
+        spark.conf.unset(key)
+
+
+def test_show_schemas_and_tables_in_foreign_catalog(spark, fed_world):
+    schemas = {
+        r["namespace"]
+        for r in run_statement(spark, "SHOW SCHEMAS IN crm_postgres").collect()
+    }
+    assert "app" in schemas and not any(s.startswith("sys") for s in schemas)
+    rows = run_statement(spark, "SHOW TABLES IN crm_postgres.app").collect()
+    names = {r["tableName"] for r in rows}
+    assert {"customers", "order_headers"} <= names
+    assert all(r["namespace"] == "app" and not r["isTemporary"] for r in rows)
+
+
+def test_select_through_foreign_name_pushes_down(spark, fed_world):
+    """The notebook's federated SELECT: the WHERE clause must reach the
+    remote engine (PushedFilters in the JDBC scan), and only projected
+    columns cross the wire."""
+    df = run_statement(
+        spark,
+        "SELECT customer_id, email FROM crm_postgres.app.customers "
+        "WHERE customer_id > 40",
+    )
+    assert df.count() == 10
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan" in plan, plan
+    assert "first_name" not in plan.split("PushedFilters")[0].lower(), plan
+
+
+def test_join_federated_with_local_lake_table(spark, fed_world, tmp_path):
+    """Section 4 of the notebook: federated JDBC rows join a local
+    Delta table in one statement."""
+    local = spark.createDataFrame(
+        [Row(customer_id=i, lifetime_value=float(i * 100)) for i in (1, 2, 3)]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "c360"), df=local)
+    sqldml.register_table(spark, "gold.customer_360", t)
+    out = run_statement(
+        spark,
+        """SELECT c360.customer_id, crm.email, c360.lifetime_value
+        FROM customer_360 c360
+        INNER JOIN crm_postgres.app.customers crm
+            ON c360.customer_id = crm.customer_id
+        ORDER BY c360.customer_id""",
+    ).collect()
+    assert [r["customer_id"] for r in out] == [1, 2, 3]
+    assert out[0]["email"] == "user1@example.com"
+
+
+def test_aggregate_over_foreign_table(spark, fed_world):
+    """The notebook's MySQL-style filtered aggregate through the
+    mounted name."""
+    row = run_statement(
+        spark,
+        "SELECT COUNT(*) AS n, SUM(total_amount) AS rev "
+        "FROM crm_postgres.app.order_headers "
+        "WHERE order_status = 'completed'",
+    ).collect()[0]
+    assert row["n"] == 20 and row["rev"] > 0
+
+
+def test_show_connections_redacts_secrets(spark, fed_world):
+    rows = {
+        r["name"]: r
+        for r in run_statement(spark, "SHOW CONNECTIONS").collect()
+    }
+    conn = rows["crm_derby"]
+    assert conn["connection_type"] == "derby"
+    assert "secret('federation_secrets','db_user')" in conn["options"]
+    assert "s3cret" not in conn["options"]
+
+
+def test_secret_missing_refuses_loudly_at_use(spark, derby_dir):
+    run_statement(
+        spark,
+        f"""CREATE CONNECTION bad_conn TYPE DERBY OPTIONS (
+            path '{derby_dir}', driver '{DRIVER}',
+            user secret('nope', 'missing'))""",
+    )
+    run_statement(
+        spark,
+        "CREATE FOREIGN CATALOG bad_cat USING CONNECTION bad_conn",
+    )
+    with pytest.raises(ValueError, match="spark.engine.secrets.nope.missing"):
+        run_statement(
+            spark, "SELECT * FROM bad_cat.app.customers"
+        )
+
+
+def test_create_without_ine_refuses_duplicates(spark, fed_world, derby_dir):
+    with pytest.raises(ValueError, match="already exists"):
+        run_statement(
+            spark,
+            f"CREATE CONNECTION crm_derby TYPE DERBY OPTIONS (path '{derby_dir}')",
+        )
+    with pytest.raises(ValueError, match="already exists"):
+        run_statement(
+            spark,
+            "CREATE FOREIGN CATALOG crm_postgres USING CONNECTION crm_derby",
+        )
+    # IF NOT EXISTS is the idempotent re-run path
+    out = run_statement(
+        spark,
+        "CREATE FOREIGN CATALOG IF NOT EXISTS crm_postgres "
+        "USING CONNECTION crm_derby",
+    ).collect()[0]
+    assert out["already_exists"]
+
+
+def test_foreign_catalog_needs_existing_connection(spark):
+    with pytest.raises(ValueError, match="no such connection"):
+        run_statement(
+            spark,
+            "CREATE FOREIGN CATALOG orphan USING CONNECTION ghost_conn",
+        )
+
+
+def test_foreign_catalog_listed_in_show_catalogs(spark, fed_world):
+    cats = {
+        r["catalog"] for r in run_statement(spark, "SHOW CATALOGS").collect()
+    }
+    assert "crm_postgres" in cats
+
+
+def test_drop_connection_and_catalog_symmetry(spark, derby_dir):
+    run_statement(
+        spark,
+        f"CREATE CONNECTION tmp_conn TYPE DERBY OPTIONS (path '{derby_dir}', driver '{DRIVER}')",
+    )
+    run_statement(
+        spark, "CREATE FOREIGN CATALOG tmp_cat USING CONNECTION tmp_conn"
+    )
+    # dropping a connection still referenced by a catalog refuses
+    with pytest.raises(ValueError, match="used by foreign catalog"):
+        run_statement(spark, "DROP CONNECTION tmp_conn")
+    out = run_statement(spark, "DROP FOREIGN CATALOG tmp_cat").collect()[0]
+    assert out["dropped"]
+    out = run_statement(spark, "DROP CONNECTION tmp_conn").collect()[0]
+    assert out["dropped"]
+    # IF EXISTS makes the re-drop idempotent; without it, loud refusal
+    assert not run_statement(
+        spark, "DROP CONNECTION IF EXISTS tmp_conn"
+    ).collect()[0]["dropped"]
+    with pytest.raises(ValueError, match="no such connection"):
+        run_statement(spark, "DROP CONNECTION tmp_conn")
+
+
+def test_federated_access_is_acl_governed(spark, fed_world):
+    """Notebook section 5: GRANT USAGE ON CATALOG + SELECT ON SCHEMA
+    open federated reads; REVOKE closes them; denials audit."""
+    from databricks_delta_lake_project_spark.governance import systables
+
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "analytics_team")
+    try:
+        with pytest.raises(PermissionError, match="SELECT"):
+            run_statement(
+                spark,
+                "SELECT * FROM crm_postgres.app.customers WHERE customer_id = 1",
+            )
+        acl.grant(spark, "USAGE", "CATALOG", "crm_postgres", "analytics_team")
+        acl.grant(
+            spark, "SELECT", "SCHEMA", "crm_postgres.app", "analytics_team"
+        )
+        n = run_statement(
+            spark,
+            "SELECT * FROM crm_postgres.app.customers WHERE customer_id <= 5",
+        ).count()
+        assert n == 5
+        acl.revoke(
+            spark, "SELECT", "SCHEMA", "crm_postgres.app", "analytics_team"
+        )
+        with pytest.raises(PermissionError, match="SELECT"):
+            run_statement(
+                spark, "SELECT * FROM crm_postgres.app.customers"
+            )
+        # the denial + allowed reads landed in the audit trail
+        audited = {
+            (e[4][0], e[5][0])
+            for buf in systables._AUDIT.values()
+            for e in buf
+        }
+        assert ("crm_postgres.app.customers", 403) in audited
+        assert ("crm_postgres.app.customers", 200) in audited
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+
+
+def test_federation_ddl_requires_admin_under_enforcement(spark, derby_dir):
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "intern")
+    try:
+        with pytest.raises(PermissionError, match="CREATE CONNECTION"):
+            run_statement(
+                spark,
+                f"CREATE CONNECTION sneaky TYPE DERBY OPTIONS (path '{derby_dir}')",
+            )
+        spark.conf.set(acl.ADMINS_CONF, "intern")
+        run_statement(
+            spark,
+            f"CREATE CONNECTION sneaky TYPE DERBY OPTIONS (path '{derby_dir}', driver '{DRIVER}')",
+        )
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+        spark.conf.unset(acl.ADMINS_CONF)
+
+
+def test_mirror_table_stamps_timestamp(spark, fed_world, tmp_path):
+    """create_mirror_table parity (lakehouse_federation.py:268-292):
+    full mirror with _mirror_timestamp, then keyed MERGE refresh."""
+    path = str(tmp_path / "mirror")
+    t = federation.mirror_table(
+        spark, "crm_postgres.app.customers", path
+    )
+    df = t.to_df()
+    assert df.count() == 50 and "_mirror_timestamp" in df.columns
+    t2 = federation.mirror_table(
+        spark, "crm_postgres.app.customers", path, key="customer_id"
+    )
+    assert t2.to_df().count() == 50
+
+
+def test_unparseable_federation_statement_refuses(spark):
+    with pytest.raises(ValueError, match="cannot parse"):
+        run_statement(spark, "CREATE CONNECTION broken WITHOUT OPTIONS")
+
+
+def test_string_literal_foreign_name_not_rewritten(spark, fed_world):
+    """A 3-part foreign name inside a string literal is data, not a
+    table reference — the quote-aware rewrite must leave it alone."""
+    row = run_statement(
+        spark,
+        "SELECT 'crm_postgres.app.customers' AS s",
+    ).collect()[0]
+    assert row["s"] == "crm_postgres.app.customers"
