@@ -529,10 +529,12 @@ def _require_manage(
     securable: str,
     securable_type: str,
     action: str = "grantPermission",
+    verb: str = "GRANT/REVOKE on",
 ) -> None:
-    """SQL-surface GRANT/REVOKE gate: with enforcement ON, the issuing
-    principal must be an admin (ADMINS_CONF) or hold ALL PRIVILEGES on
-    the securable — otherwise any session could escalate itself with
+    """SQL-surface manage gate (GRANT/REVOKE, and — via ``verb`` —
+    every DROP): with enforcement ON, the issuing principal must be an
+    admin (ADMINS_CONF) or hold ALL PRIVILEGES on the securable —
+    otherwise any session could escalate itself with
     ``GRANT ALL PRIVILEGES ... TO <self>`` through the very boundary
     the ACL guards. No-op when enforcement is off (the registry is
     then advisory metadata, like the reference's notebook setup)."""
@@ -554,10 +556,54 @@ def _require_manage(
         )
         who = sorted(current_principals(spark)) or ["<anonymous>"]
         raise PermissionError(
-            f"principal {who} may not GRANT/REVOKE on "
+            f"principal {who} may not {verb} "
             f"{securable.strip('`').lower()!r}: requires membership in "
             f"{ADMINS_CONF} or ALL PRIVILEGES on the securable"
         )
+
+
+def purge_grants(
+    spark: SparkSession, securable: str, *, prefix: bool = False
+) -> int:
+    """DROP-securable grant cleanup: remove every grant ON the dropped
+    securable (and, with ``prefix=True``, on securables under
+    ``<securable>.`` — the namespace-CASCADE shape) from session
+    memory AND, via journal tombstones, the durable registry. Without
+    this, re-creating the same name would resurrect old privileges —
+    UC deletes grants with the securable, and the share registry's
+    ``delete_share``/``delete_recipient`` purge theirs the same way.
+    Returns the number of grant rows removed."""
+    sec = securable.strip("`").lower()
+
+    def doomed(name: str) -> bool:
+        return name == sec or (prefix and name.startswith(sec + "."))
+
+    g = _session_grants(spark)
+    sid = session_key(spark)
+    victims = [e for e in g if doomed(e["securable"])]
+    path = _registry_path(spark)
+    if path:
+        # tombstone disk rows too: a rival session may hold grants on
+        # the dropped name that this session's memory never loaded
+        from ..tables import LakeTable
+
+        if LakeTable.is_table(path):
+            for r in LakeTable.for_path(spark, path).to_df().collect():
+                entry = {c: r[c] for c in _GRANT_COLS}
+                if doomed(entry["securable"]) and entry not in victims:
+                    victims.append(entry)
+    if not victims:
+        return 0
+    adds = _LOCAL_ADDS.setdefault(sid, [])
+    adds[:] = [e for e in adds if not doomed(e["securable"])]
+    dels = _LOCAL_DELS.setdefault(sid, [])
+    for e in victims:
+        if e not in dels:
+            dels.append(e)
+    g[:] = [e for e in g if not doomed(e["securable"])]
+    if path:
+        _persist_grants(spark)
+    return len(victims)
 
 
 def _raise_if_ambiguous(spark: SparkSession, name: str) -> None:

@@ -91,6 +91,15 @@ _REVOKE_SHARE_RE = re.compile(
     rf"RECIPIENT\s+(?P<who>{_NAME})\s*;?\s*$",
     re.IGNORECASE,
 )
+_DROP_SHARE_RE = re.compile(
+    rf"^\s*DROP\s+SHARE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>{_NAME})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_RECIPIENT_RE = re.compile(
+    rf"^\s*DROP\s+RECIPIENT\s+(?P<ie>IF\s+EXISTS\s+)?"
+    rf"(?P<name>{_NAME})\s*;?\s*$",
+    re.IGNORECASE,
+)
 _SHOW_SHARES_RE = re.compile(r"^\s*SHOW\s+SHARES\s*;?\s*$", re.IGNORECASE)
 _SHOW_RECIPIENTS_RE = re.compile(
     r"^\s*SHOW\s+RECIPIENTS\s*;?\s*$", re.IGNORECASE
@@ -102,6 +111,7 @@ _SHOW_IN_SHARE_RE = re.compile(
 
 _SHARE_VERB_RE = re.compile(
     r"^\s*(?:CREATE\s+SHARE|ALTER\s+SHARE|CREATE\s+RECIPIENT"
+    r"|DROP\s+SHARE|DROP\s+RECIPIENT"
     r"|GRANT\s+SELECT\s+ON\s+SHARE|REVOKE\s+SELECT\s+ON\s+SHARE"
     r"|SHOW\s+SHARES|SHOW\s+RECIPIENTS|SHOW\s+ALL\s+IN\s+SHARE"
     r"|CREATE\s+CATALOG\b)\b",
@@ -378,6 +388,40 @@ def run_share_sql(spark: SparkSession, sql: str) -> DataFrame | None:
             [("CREATE RECIPIENT", name, profile, False)],
             "operation string, recipient string, "
             "profile string, already_exists boolean",
+        )
+
+    m = _DROP_SHARE_RE.match(sql)
+    if m:
+        name = _clean(m.group("name"))
+        _require_share_admin(spark, name)
+        provider = _provider(spark)
+        exists = name in _load_registry(provider.root)["shares"]
+        if not exists and not m.group("ie"):
+            raise ValueError(
+                f"no such share: {name} (use DROP SHARE IF EXISTS)"
+            )
+        if exists:
+            provider.delete_share(name)
+        return spark.createDataFrame(
+            [("DROP SHARE", name, exists)],
+            "operation string, share string, dropped boolean",
+        )
+
+    m = _DROP_RECIPIENT_RE.match(sql)
+    if m:
+        name = _clean(m.group("name"))
+        _require_share_admin(spark, name)
+        provider = _provider(spark)
+        exists = name in _load_registry(provider.root)["recipients"]
+        if not exists and not m.group("ie"):
+            raise ValueError(
+                f"no such recipient: {name} (use DROP RECIPIENT IF EXISTS)"
+            )
+        if exists:
+            provider.delete_recipient(name)
+        return spark.createDataFrame(
+            [("DROP RECIPIENT", name, exists)],
+            "operation string, recipient string, dropped boolean",
         )
 
     m = _GRANT_SHARE_RE.match(sql)

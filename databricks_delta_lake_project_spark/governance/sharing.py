@@ -107,6 +107,34 @@ class ShareProvider:
         reg["shares"].get(share, {}).get("tables", {}).pop(alias, None)
         self._save(reg)
 
+    def delete_share(self, name: str) -> None:
+        """DROP SHARE: removes the share and every grant on it (the
+        shared tables' data is untouched — a share is metadata)."""
+        reg = _load_registry(self.root)
+        if name not in reg["shares"]:
+            raise ValueError(f"no such share: {name}")
+        del reg["shares"][name]
+        reg["grants"] = [g for g in reg["grants"] if g["share"] != name]
+        self._save(reg)
+
+    def delete_recipient(self, name: str) -> None:
+        """DROP RECIPIENT: removes the recipient, its grants, and its
+        credential profile file — the issued bearer token stops
+        resolving immediately."""
+        reg = _load_registry(self.root)
+        if name not in reg["recipients"]:
+            raise ValueError(f"no such recipient: {name}")
+        del reg["recipients"][name]
+        reg["grants"] = [
+            g for g in reg["grants"] if g["recipient"] != name
+        ]
+        self._save(reg)
+        profile = Path(self.root) / "recipients" / f"{name}.share"
+        try:
+            profile.unlink(missing_ok=True)
+        except OSError:
+            pass  # registry row is authoritative; a stale file is inert
+
     # -- recipients + grants ----------------------------------------------
 
     def create_recipient(self, name: str, profile_path: str, comment: str = "") -> str:

@@ -172,13 +172,16 @@ def _rewrite_functions(spark: SparkSession, sql: str) -> str:
         if not re.fullmatch(r"\w+", base):
             raise ValueError(f"CREATE FUNCTION: bad name {full!r}")
         fmap = _FUNCS.setdefault(sid, {})
-        created_before = fmap.get(full.lower()) == base
+        created_before = full.lower() in fmap
         if not created_before:
             # the temp-function namespace is session-global by
-            # BASENAME: refuse (loudly) a second full name that would
+            # BASENAME (case-insensitive, like every Spark function
+            # name): refuse (loudly) a second full name that would
             # silently capture an existing binding (cat1.gold.fn then
             # cat2.gold.fn would both resolve to one body)
-            clash = [f for f, b in fmap.items() if b == base]
+            clash = [
+                f for f, b in fmap.items() if b.lower() == base.lower()
+            ]
             if clash:
                 raise ValueError(
                     f"CREATE FUNCTION: basename {base!r} is already "
@@ -387,6 +390,62 @@ def _run_statement_impl(
     meta = metasql.run_metadata(spark, sql)
     if meta is not None:
         return meta
+    # DROP FUNCTION symmetry for engine-created SQL UDFs (3-part
+    # CREATE FUNCTION binds a TEMPORARY function under the basename;
+    # the drop accepts the full name or the basename). 1-part names
+    # the engine never bound keep native DROP FUNCTION behavior.
+    mfn = re.match(
+        r"\s*DROP\s+(?:TEMPORARY\s+)?FUNCTION\s+(?P<ie>IF\s+EXISTS\s+)?"
+        r"(?P<name>`[^`]+`|[\w.]+)\s*;?\s*$",
+        sql,
+        re.IGNORECASE,
+    )
+    if mfn:
+        fname = mfn.group("name").strip("`").lower()
+        fmap = _FUNCS.get(session_key(spark), {})
+        target = None
+        if fname in fmap:
+            target = fname
+        else:
+            # basenames are stored in their declared case; the lookup
+            # is case-insensitive like every Spark function name
+            hits = [f for f, b in fmap.items() if b.lower() == fname]
+            if hits:
+                target = hits[0]
+        parts = fname.split(".")
+        engine_style = target is not None or (
+            len(parts) == 3
+            and parts[0] not in metasql._native_catalogs(spark)
+        )
+        if engine_style:
+            # same manage gate as every other engine DROP — and it
+            # fires BEFORE the existence answer, so exists-vs-missing
+            # is not an oracle for unprivileged principals
+            from ..governance import access_control as acl
+
+            acl._require_manage(
+                spark,
+                target or fname,
+                "FUNCTION",
+                action="drop",
+                verb="DROP FUNCTION",
+            )
+            if target is None:
+                if mfn.group("ie"):
+                    return spark.createDataFrame(
+                        [("DROP FUNCTION", fname, False)],
+                        "operation string, name string, dropped boolean",
+                    )
+                raise ValueError(f"no such function: {fname}")
+            base = fmap.pop(target)
+            spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {base}")
+            return spark.createDataFrame(
+                [("DROP FUNCTION", fname, True)],
+                "operation string, name string, dropped boolean",
+            )
+        # 1-/2-part names the engine never bound (and 3-part names
+        # under a REAL catalog) keep native DROP FUNCTION behavior —
+        # OSS Spark supports persistent db.fn functions
     # statements that can evaluate group membership — masked views
     # (SET MASK flags the session; sync_views then re-analyzes those
     # views against the refreshed UDF), SQL UDFs created this session,

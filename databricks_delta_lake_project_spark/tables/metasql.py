@@ -281,11 +281,10 @@ def declared_namespaces(spark: SparkSession, kind: str) -> dict[str, dict]:
 VOLUMES_ROOT_CONF = "spark.engine.volumes.root"
 
 
-def _backing_path(spark: SparkSession, clean: str, meta: dict) -> str:
-    """Directory backing a declared volume (created on demand for
-    local paths; URI-style EXTERNAL locations pass through untouched).
-    No ACL check — callers gate (volume_path for use, CREATE VOLUME
-    after its own creation check)."""
+def _volume_location(spark: SparkSession, clean: str, meta: dict) -> str:
+    """Path a declared volume resolves to — PURE (no filesystem
+    writes: DROP VOLUME must not fabricate the directory tree it is
+    about to remove)."""
     import os
     import tempfile
 
@@ -299,6 +298,17 @@ def _backing_path(spark: SparkSession, clean: str, meta: dict) -> str:
             tempfile.gettempdir(), "engine_volumes"
         )
         loc = os.path.join(root, *clean.split("."))
+    return loc
+
+
+def _backing_path(spark: SparkSession, clean: str, meta: dict) -> str:
+    """Directory backing a declared volume (created on demand for
+    local paths; URI-style EXTERNAL locations pass through untouched).
+    No ACL check — callers gate (volume_path for use, CREATE VOLUME
+    after its own creation check)."""
+    import os
+
+    loc = _volume_location(spark, clean, meta)
     if "://" not in loc:
         # a URI location (s3://...) belongs to a remote filesystem —
         # os.makedirs would fabricate a bogus local 's3:' directory
@@ -498,11 +508,7 @@ def _run_create_namespace(spark: SparkSession, text: str) -> DataFrame | None:
         # a multi-part name under a REAL Spark catalog (spark_catalog
         # or a configured plugin) is also native territory — the engine
         # registry only backstops catalogs Spark doesn't know
-        try:
-            native = {c.name for c in spark.catalog.listCatalogs()}
-        except Exception:  # noqa: BLE001
-            native = {"spark_catalog"}
-        if name.split(".")[0] in native:
+        if name.split(".")[0] in _native_catalogs(spark):
             return None
     from ..governance import access_control as acl
 
@@ -538,6 +544,337 @@ def _run_create_namespace(spark: SparkSession, text: str) -> DataFrame | None:
     )
 
 
+def _native_catalogs(spark: SparkSession) -> set[str]:
+    """Catalog names REAL Spark knows — anything else in a multi-part
+    name is engine territory (declared namespaces, share mounts,
+    foreign catalogs)."""
+    try:
+        return {c.name for c in spark.catalog.listCatalogs()}
+    except Exception:  # noqa: BLE001
+        return {"spark_catalog"}
+
+
+def _require_drop(spark: SparkSession, securable: str, verb: str) -> None:
+    """DROP gate (enforcement on only): UC drops require ownership /
+    MANAGE — the engine's equivalent is the shared manage gate
+    (admin membership or ALL PRIVILEGES), with the refusal recorded
+    in the access audit like every other denied manage action."""
+    from ..governance import access_control as acl
+
+    acl._require_manage(
+        spark, securable, verb.split()[-1], action="drop", verb=verb
+    )
+
+
+def _rm_volume_storage(spark: SparkSession, name: str, meta: dict) -> None:
+    """DROP VOLUME storage semantics: a MANAGED volume's backing
+    directory is engine-owned and is deleted with the volume (UC
+    deletes managed-volume files); an EXTERNAL volume's LOCATION
+    belongs to the caller and is left untouched."""
+    import shutil
+
+    if meta.get("location"):
+        return  # external: metadata-only drop
+    path = _volume_location(spark, name, meta)
+    if "://" not in path:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _drop_registered_tables(
+    spark: SparkSession, prefix: str, *, exact_only: bool = False
+) -> int:
+    """Unregister every engine table under ``prefix.`` (the namespace
+    CASCADE path) or — with ``exact_only`` — ONLY the table registered
+    AS ``prefix`` (the DROP TABLE path: a registration that happens to
+    extend the dropped name with more dots is a different table and
+    must survive). Drops the engine-owned synced views too. Data files
+    stay — engine tables are path-backed external locations (storage
+    removal is an explicit VACUUM / filesystem concern, not namespace
+    DDL)."""
+    sid = session_key(spark)
+    doomed = [
+        (s, n)
+        for (s, n) in sqldml._REGISTRY
+        if s == sid
+        and (n == prefix if exact_only else n.startswith(prefix + "."))
+    ]
+    for key in doomed:
+        sqldml._REGISTRY.pop(key, None)
+        view = key[1].split(".")[-1]
+        if (sid, view) in sqldml._OWNED_VIEWS:
+            sqldml._OWNED_VIEWS.pop((sid, view), None)
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:  # noqa: BLE001
+                pass
+    return len(doomed)
+
+
+def _run_drop_volume(spark: SparkSession, text: str) -> DataFrame:
+    m = re.match(
+        rf"DROP\s+VOLUME\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>{_NSNAME})\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(f"cannot parse DROP VOLUME: {text[:80]!r}")
+    name = _clean_ns_name(m.group("name"))
+    # gate BEFORE the existence check: distinguishable responses on
+    # exists-vs-missing would hand unprivileged principals an
+    # existence oracle for the very inventory _listable hides
+    _require_drop(spark, name, "DROP VOLUME")
+    reg = _NAMESPACES.get(session_key(spark), {})
+    meta = reg.get(("volume", name))
+    if meta is None:
+        if m.group("ie"):
+            return spark.createDataFrame(
+                [("DROP VOLUME", name, False)],
+                "operation string, name string, dropped boolean",
+            )
+        raise ValueError(
+            f"no such volume: {name} (use DROP VOLUME IF EXISTS)"
+        )
+    _rm_volume_storage(spark, name, meta)
+    del reg[("volume", name)]
+    from ..governance import access_control as acl
+
+    acl.purge_grants(spark, name)
+    return spark.createDataFrame(
+        [("DROP VOLUME", name, True)],
+        "operation string, name string, dropped boolean",
+    )
+
+
+def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
+    """``DROP CATALOG|SCHEMA [IF EXISTS] <name> [CASCADE|RESTRICT]``
+    over ENGINE-declared namespaces (reference test fixtures run
+    ``DROP SCHEMA IF EXISTS {schema} CASCADE``,
+    ``local_testing.py:49``). RESTRICT (the default) refuses when the
+    namespace still holds schemas/volumes/tables; CASCADE drops the
+    subtree: child schemas, managed volumes (with their storage),
+    table registrations (data files stay — external locations), and
+    share-mounted views under a mounted catalog. Native 1-part
+    schemas and real Spark catalogs fall through to spark.sql."""
+    m = re.match(
+        rf"DROP\s+(?P<kind>CATALOG|SCHEMA|DATABASE)\s+"
+        rf"(?P<ie>IF\s+EXISTS\s+)?(?P<name>{_NSNAME})"
+        r"(?:\s+(?P<mode>CASCADE|RESTRICT))?\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if not m:
+        return None
+    kind = "catalog" if m.group("kind").upper() == "CATALOG" else "schema"
+    name = _clean_ns_name(m.group("name"))
+    sid = session_key(spark)
+    reg = _NAMESPACES.get(sid, {})
+    verb = f"DROP {m.group('kind').upper()}"
+
+    def _implicit_children() -> bool:
+        # table registrations / volumes / SQL functions under a
+        # namespace that was never formally declared still make it
+        # droppable (STRICT prefix only: a table registered AS this
+        # very name is a table, not evidence of a schema — DROP
+        # SCHEMA must not unregister it and bypass RESTRICT)
+        from ..queries import sqlpack
+
+        return (
+            any(
+                n.startswith(name + ".")
+                for (s, n) in sqldml._REGISTRY
+                if s == sid
+            )
+            or any(
+                k == "volume" and n.startswith(name + ".")
+                for (k, n) in reg
+            )
+            or any(
+                f.startswith(name + ".")
+                for f in sqlpack._FUNCS.get(sid, {})
+            )
+        )
+
+    def _missing() -> DataFrame:
+        if m.group("ie"):
+            return spark.createDataFrame(
+                [(verb, name, False)],
+                "operation string, name string, dropped boolean",
+            )
+        raise ValueError(
+            f"no such {kind}: {name} (use {verb} IF EXISTS)"
+        )
+
+    if kind == "schema":
+        if "." not in name:
+            return None  # native 1-part schema — Spark owns it
+        # a multi-part name under a REAL Spark catalog is native
+        # territory (mirrors _run_create_namespace's routing)
+        if name.split(".")[0] in _native_catalogs(spark):
+            return None
+        # engine territory from here on: gate BEFORE the existence
+        # check (exists-vs-missing must not be an oracle for
+        # unprivileged principals)
+        _require_drop(spark, name, verb)
+        if ("schema", name) not in reg and not _implicit_children():
+            return _missing()
+    else:
+        from ..governance import federation, share_sql
+
+        if name in _native_catalogs(spark):
+            return None  # a real Spark catalog — native territory
+        # gate before the foreign-catalog redirect too: which foreign
+        # catalogs exist is inventory an unprivileged principal must
+        # not be able to probe
+        _require_drop(spark, name, verb)
+        if name in federation._FOREIGN_CATALOGS.get(sid, {}):
+            raise ValueError(
+                f"{name!r} is a foreign catalog: use DROP FOREIGN "
+                f"CATALOG {name}"
+            )
+        if (
+            ("catalog", name) not in reg
+            and not any(
+                f.startswith(name + ".")
+                for f in share_sql._MOUNTS.get(sid, {})
+            )
+            and not _implicit_children()
+        ):
+            return _missing()
+    prefix = name + "."
+    child_schemas = [
+        n for (k, n) in reg if k == "schema" and n.startswith(prefix)
+    ]
+    child_volumes = [
+        n for (k, n) in reg if k == "volume" and n.startswith(prefix)
+    ]
+    child_tables = [
+        n
+        for (s, n) in sqldml._REGISTRY
+        if s == sid and n.startswith(prefix)
+    ]
+    from ..governance import share_sql
+    from ..queries import sqlpack
+
+    mounts = share_sql._MOUNTS.get(sid, {})
+    child_mounts = [f for f in mounts if f.startswith(prefix)]
+    fmap = sqlpack._FUNCS.get(sid, {})
+    child_funcs = [f for f in fmap if f.startswith(prefix)]
+    cascade = (m.group("mode") or "").upper() == "CASCADE"
+    children = (
+        child_schemas
+        + child_volumes
+        + child_tables
+        + child_mounts
+        + child_funcs
+    )
+    if children and not cascade:
+        raise ValueError(
+            f"{kind} {name!r} is not empty ({sorted(set(children))[:5]}"
+            f"{'...' if len(set(children)) > 5 else ''}): "
+            "use DROP ... CASCADE"
+        )
+    for vol in child_volumes:
+        _rm_volume_storage(spark, vol, reg[("volume", vol)])
+        del reg[("volume", vol)]
+    for sch in child_schemas:
+        del reg[("schema", sch)]
+    _drop_registered_tables(spark, name)
+    for full in child_mounts:
+        try:
+            spark.catalog.dropTempView(mounts.pop(full))
+        except Exception:  # noqa: BLE001
+            pass
+    for full in child_funcs:
+        # contained SQL functions go with the namespace (UC CASCADE):
+        # unbind the temp function AND the 3-part mapping, or the
+        # basename-clash guard would block re-creation forever
+        base = fmap.pop(full)
+        try:
+            spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {base}")
+        except Exception:  # noqa: BLE001
+            pass
+    reg.pop((kind, name), None)
+    from ..governance import access_control as acl
+
+    acl.purge_grants(spark, name, prefix=True)
+    return spark.createDataFrame(
+        [(verb, name, True)],
+        "operation string, name string, dropped boolean",
+    )
+
+
+def _run_drop_table(spark: SparkSession, text: str) -> DataFrame | None:
+    m = re.match(
+        rf"DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>{_TREF})\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if not m:
+        return None
+    ref = m.group("name").strip("`").lower()
+    from ..governance import access_control as acl, federation, share_sql
+
+    sid = session_key(spark)
+    # mounted / foreign names resolve by FULL name, never the suffix
+    # rule — checked before canonicalization, or DROP TABLE on a
+    # mounted alias would silently drop the SOURCE table the suffix
+    # rule resolves to. Gate first: the redirect is for admins
+    if ref in share_sql._MOUNTS.get(sid, {}):
+        _require_drop(spark, ref, "DROP TABLE")
+        raise ValueError(
+            f"{ref!r} is a share-mounted table: drop the mount with "
+            f"DROP CATALOG {ref.split('.')[0]} CASCADE"
+        )
+    if (
+        "." in ref
+        and ref.split(".")[0] in federation._FOREIGN_CATALOGS.get(sid, {})
+    ):
+        _require_drop(spark, ref, "DROP TABLE")
+        raise ValueError(
+            f"{ref!r} is a foreign table: use DROP FOREIGN CATALOG "
+            f"{ref.split('.')[0]}"
+        )
+    # same refusal every other verb gives — a basename matching two
+    # registered tables must not fall through to native Spark and act
+    # on the engine-owned synced temp view. An ambiguous basename is
+    # proof of engine territory, so the manage gate fires FIRST: the
+    # helpful matches-list is for admins, not an inventory oracle
+    try:
+        acl._raise_if_ambiguous(spark, ref)
+    except ValueError:
+        _require_drop(spark, ref, "DROP TABLE")
+        raise
+    canonical = acl.canonical_name(spark, ref)
+    if (sid, canonical) not in sqldml._REGISTRY:
+        parts = canonical.split(".")
+        if len(parts) == 3 and parts[0] not in _native_catalogs(spark):
+            # engine-style 3-part name that was never (or is no
+            # longer) registered: native Spark raises
+            # CATALOG_NOT_FOUND even under IF EXISTS, so teardown
+            # scripts (DROP SCHEMA CASCADE then per-table drops)
+            # would stop being idempotent
+            _require_drop(spark, canonical, "DROP TABLE")
+            if m.group("ie"):
+                return spark.createDataFrame(
+                    [("DROP TABLE", canonical, False)],
+                    "operation string, name string, dropped boolean",
+                )
+            raise ValueError(
+                f"no such table: {canonical} "
+                "(use DROP TABLE IF EXISTS)"
+            )
+        # not an engine registration: native catalog tables / temp
+        # views keep Spark's own DROP TABLE behavior
+        return None
+    _require_drop(spark, canonical, "DROP TABLE")
+    _drop_registered_tables(spark, canonical, exact_only=True)
+    acl.purge_grants(spark, canonical)
+    return spark.createDataFrame(
+        [("DROP TABLE", canonical, True)],
+        "operation string, name string, dropped boolean",
+    )
+
+
 def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
     """Execute one metadata statement against the session's registered
     LakeTables; None when the statement isn't a metadata verb or its
@@ -548,6 +885,21 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
     ns = _run_create_namespace(spark, text)
     if ns is not None:
         return ns
+
+    if re.match(r"DROP\s+VOLUME\b", text, re.IGNORECASE):
+        return _run_drop_volume(spark, text)
+
+    if re.match(
+        r"DROP\s+(?:CATALOG|SCHEMA|DATABASE)\b", text, re.IGNORECASE
+    ):
+        dropped = _run_drop_namespace(spark, text)
+        if dropped is not None:
+            return dropped
+
+    if re.match(r"DROP\s+TABLE\b", text, re.IGNORECASE):
+        dropped = _run_drop_table(spark, text)
+        if dropped is not None:
+            return dropped
 
     if re.match(r"CREATE\s+(?:EXTERNAL\s+)?VOLUME\b", text, re.IGNORECASE):
         vol = _run_create_volume(spark, text)
