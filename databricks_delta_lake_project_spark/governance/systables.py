@@ -81,22 +81,44 @@ def set_layer_tags(
     """``ALTER CATALOG|SCHEMA <name> SET/UNSET TAGS (...)`` (reference
     ``data_classification.py:39-48``). Session-scoped, like the ACL
     grants registry."""
+    from . import catalog_registry
+
     level = level.lower()
     if level not in ("catalog", "schema"):
         raise ValueError(f"unknown tag level {level!r}")
+    catalog_registry.ensure_loaded(spark)
+    clean = name.strip("`").lower()
     reg = _LAYER_TAGS.setdefault(session_key(spark), {})
-    cur = reg.setdefault((level, name.strip("`").lower()), {})
+    cur = reg.setdefault((level, clean), {})
+    # durable write-through, ONE ROW PER TAG (rival sessions tagging
+    # the same catalog compose instead of clobbering each other —
+    # the row-per-grant granularity of the grants registry)
     if unset:
         for k in tags:
             cur.pop(k, None)
+            catalog_registry.erase(
+                spark, "layer_tag", f"{level}|{clean}|{k}", flush_now=False
+            )
     else:
-        cur.update({k: str(v) for k, v in tags.items()})
+        for k, v in tags.items():
+            cur[k] = str(v)
+            catalog_registry.record(
+                spark,
+                "layer_tag",
+                f"{level}|{clean}|{k}",
+                {"value": str(v)},
+                flush_now=False,
+            )
+    catalog_registry.flush(spark)
 
 
 def layer_tags(
     spark: SparkSession, level: str
 ) -> dict[str, dict[str, str]]:
     """``{name: {tag: value}}`` for one level ('catalog'|'schema')."""
+    from . import catalog_registry
+
+    catalog_registry.ensure_loaded(spark)
     reg = _LAYER_TAGS.get(session_key(spark), {})
     return {
         name: dict(tags)

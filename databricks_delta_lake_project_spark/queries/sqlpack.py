@@ -340,8 +340,12 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
 def _run_statement_impl(
     spark: SparkSession, sql: str, _qctx: dict | None = None
 ) -> DataFrame:
-    from ..governance import access_control as acl
+    from ..governance import access_control as acl, catalog_registry
     from ..tables import sqldml
+
+    # durable catalog tree (opt-in): namespaces / volumes / tags /
+    # SQL functions declared by an earlier session resolve here too
+    catalog_registry.ensure_loaded(spark)
 
     # GRANT / REVOKE / SHOW GRANTS (X10 SQL surface)
     acl_out = acl.run_acl(spark, sql)
@@ -439,6 +443,7 @@ def _run_statement_impl(
                 raise ValueError(f"no such function: {fname}")
             base = fmap.pop(target)
             spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {base}")
+            catalog_registry.erase(spark, "function", target)
             return spark.createDataFrame(
                 [("DROP FUNCTION", fname, True)],
                 "operation string, name string, dropped boolean",
@@ -544,7 +549,37 @@ def _run_statement_impl(
         # SQL scalar functions: 3-part CREATE FUNCTION DDL -> a temp
         # function under the basename; later full-name calls re-point
         text = _rewrite_functions(spark, text)
-        return spark.sql(normalize_sql(rewrite_time_travel(spark, text)))
+        final = normalize_sql(rewrite_time_travel(spark, text))
+        out = spark.sql(final)
+        mcf = _CREATE_FN_RE.match(sql)
+        if (
+            mcf
+            and "." in mcf.group("name").strip("`")
+            # IF NOT EXISTS on an existing binding rewrites to a
+            # SELECT no-op — only an executed CREATE lands durably
+            and _CREATE_FN_RE.match(final)
+            # an EXPLICIT TEMPORARY function dies with the session
+            # by definition — never persist it
+            and not re.search(
+                r"\bTEMPORARY\s+FUNCTION\b", mcf.group("head"), re.IGNORECASE
+            )
+        ):
+            # record durably only AFTER the body executed — a broken
+            # body must not poison every later session's registry
+            # load. The ORIGINAL statement is stored (the rewritten
+            # form can embed per-statement system-view names that
+            # won't exist at replay); load replays it through
+            # _rewrite_functions again
+            full = mcf.group("name").strip("`").lower()
+            fmap = _FUNCS.get(sid, {})
+            if full in fmap:
+                catalog_registry.record(
+                    spark,
+                    "function",
+                    full,
+                    {"base": fmap[full], "sql": sql},
+                )
+        return out
     finally:
         systables.drop_views(spark, sys_views)
 

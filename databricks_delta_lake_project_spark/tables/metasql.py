@@ -272,6 +272,9 @@ _NAMESPACES: dict[str, dict[tuple[str, str], dict[str, str | None]]] = {}
 
 
 def declared_namespaces(spark: SparkSession, kind: str) -> dict[str, dict]:
+    from ..governance import catalog_registry
+
+    catalog_registry.ensure_loaded(spark)
     reg = _NAMESPACES.get(session_key(spark), {})
     return {n: dict(m) for (k, n), m in reg.items() if k == kind}
 
@@ -326,11 +329,12 @@ def volume_path(spark: SparkSession, name: str, intent: str = "read") -> str:
     not open the write path, and a write-only grant must not quietly
     read back volume contents (checkpoint dirs and schema registries
     are read-modify-write)."""
-    from ..governance import access_control as acl
+    from ..governance import access_control as acl, catalog_registry
 
     if intent not in ("read", "write"):
         raise ValueError(f"volume intent must be read|write, got {intent!r}")
     clean = name.strip("`").lower()
+    catalog_registry.ensure_loaded(spark)
     reg = _NAMESPACES.get(session_key(spark), {})
     meta = reg.get(("volume", clean))
     if meta is None:
@@ -418,6 +422,9 @@ def _upsert_namespace(
     if location:
         meta["location"] = location
     reg[key] = meta
+    from ..governance import catalog_registry
+
+    catalog_registry.record(spark, kind, name, meta)
     return True
 
 
@@ -636,9 +643,10 @@ def _run_drop_volume(spark: SparkSession, text: str) -> DataFrame:
         )
     _rm_volume_storage(spark, name, meta)
     del reg[("volume", name)]
-    from ..governance import access_control as acl
+    from ..governance import access_control as acl, catalog_registry
 
     acl.purge_grants(spark, name)
+    catalog_registry.erase(spark, "volume", name)
     return spark.createDataFrame(
         [("DROP VOLUME", name, True)],
         "operation string, name string, dropped boolean",
@@ -794,9 +802,18 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
         except Exception:  # noqa: BLE001
             pass
     reg.pop((kind, name), None)
-    from ..governance import access_control as acl
+    from ..governance import access_control as acl, catalog_registry, systables
 
+    # layer tags die with the namespace (in memory AND durably)
+    tags = systables._LAYER_TAGS.get(sid, {})
+    for tkey in [
+        k
+        for k in tags
+        if k[1] == name or k[1].startswith(prefix)
+    ]:
+        tags.pop(tkey, None)
     acl.purge_grants(spark, name, prefix=True)
+    catalog_registry.erase(spark, None, name, prefix=True)
     return spark.createDataFrame(
         [(verb, name, True)],
         "operation string, name string, dropped boolean",
@@ -880,6 +897,11 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
     LakeTables; None when the statement isn't a metadata verb or its
     target isn't a registered/path table (callers fall through to
     ``spark.sql``)."""
+    from ..governance import catalog_registry
+
+    # durable catalog tree (opt-in): declared-elsewhere namespaces /
+    # volumes / tags / functions resolve before any verb routes
+    catalog_registry.ensure_loaded(spark)
     text = sql.strip().rstrip(";").strip()
 
     ns = _run_create_namespace(spark, text)

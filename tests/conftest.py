@@ -39,6 +39,7 @@ def _engine_registry_isolation():
 
     from databricks_delta_lake_project_spark.governance import (
         access_control as acl,
+        catalog_registry,
         federation,
         share_sql,
         systables,
@@ -68,6 +69,10 @@ def _engine_registry_isolation():
         systables._AUDIT,
         systables._QUERY_HISTORY,
         systables._LINEAGE,
+        catalog_registry._LOADED,
+        catalog_registry._ADDS,
+        catalog_registry._DELS,
+        catalog_registry._PDELS,
     ]
     gov_snaps = [copy.deepcopy(r) for r in gov_regs]
     yield
