@@ -425,6 +425,45 @@ def table_lineage_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, _LINEAGE_SCHEMA)
 
 
+# session -> {(source_table, source_column, target_table,
+# target_column)} — edges derived ONLY from plain projections
+# (CTAS / INSERT-SELECT with bare or aliased column references);
+# expression-derived columns are deliberately NOT attributed, so the
+# view under-reports rather than fabricates (UC's plan-derived
+# lineage has the same attributable-only property)
+_COL_LINEAGE: dict[str, set[tuple[str, str, str, str]]] = {}
+
+_COL_LINEAGE_SCHEMA = (
+    "source_table_full_name string, source_column_name string, "
+    "target_table_full_name string, target_column_name string"
+)
+
+
+def record_column_lineage(
+    spark: SparkSession,
+    source_table: str,
+    source_column: str,
+    target_table: str,
+    target_column: str,
+) -> None:
+    _COL_LINEAGE.setdefault(session_key(spark), set()).add(
+        (
+            source_table.lower(),
+            source_column.lower(),
+            target_table.lower(),
+            target_column.lower(),
+        )
+    )
+
+
+def column_lineage_df(spark: SparkSession) -> DataFrame:
+    """Admin-gated like table_lineage_df (column names reveal schema
+    the principal may not be able to describe)."""
+    _require_system_admin(spark, "system.lineage.column_lineage")
+    rows = sorted(_COL_LINEAGE.get(session_key(spark), set()))
+    return spark.createDataFrame(rows, _COL_LINEAGE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # system.storage.tables
 # ---------------------------------------------------------------------------
@@ -511,20 +550,14 @@ _SYS_TABLES: list[tuple[str, str, Callable[[SparkSession], DataFrame]]] = [
         "engine_sys_storage_tables",
         storage_tables_df,
     ),
-    # loud refusals: these UC system tables describe managed-workspace
-    # infrastructure (cost meters, cluster registry) or plan-derived
-    # column lineage the engine does not collect — an empty view would
-    # read as "nothing happened", which is worse than an error
     (
         r"\bsystem\s*\.\s*lineage\s*\.\s*column_lineage\b",
         "engine_sys_column_lineage",
-        _unsupported(
-            "system.lineage.column_lineage",
-            "the engine records table-level lineage "
-            "(system.lineage.table_lineage); column-level plan "
-            "derivation is not implemented",
-        ),
+        column_lineage_df,
     ),
+    # loud refusals: these UC system tables describe managed-workspace
+    # infrastructure (cost meters, cluster registry) — an empty view
+    # would read as "nothing happened", which is worse than an error
     (
         r"\bsystem\s*\.\s*billing\s*\.\s*usage\b",
         "engine_sys_billing_usage",

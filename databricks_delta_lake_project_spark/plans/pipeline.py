@@ -159,6 +159,7 @@ class Pipeline:
     def _materialize(
         self, spark: SparkSession, node: _Node, df: DataFrame
     ) -> dict[str, Any]:
+        results: list = []
         if node.expectations:
             df, results = self.quality.apply(df, node.expectations, node.name)
             rule_metrics = {
@@ -184,6 +185,13 @@ class Pipeline:
             LakeTable.for_path(spark, path).overwrite(df)
             action = "overwrite"
         n_rows = LakeTable.for_path(spark, path).to_df().count()
+        # one DLT-shaped flow_progress event per materialized table —
+        # the event_log(TABLE(t)) TVF queries these
+        from ..quality import event_log
+
+        event_log.record_flow_progress(
+            spark, node.name, action=action, rows=n_rows, results=results
+        )
         return {"action": action, "rows": n_rows, "expectations": rule_metrics}
 
 

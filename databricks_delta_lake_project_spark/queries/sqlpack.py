@@ -41,12 +41,39 @@ _RULES: list[tuple[str, str]] = [
     (r"FROM\s*\(\s*DESCRIBE\s+HISTORY\s+(\w+)\s*\)", r"FROM \1__history"),
 ]
 
+# Databricks JSON-path extraction on the event-log details column
+# ([alias.]details:flow_progress.data_quality.expectations,
+# quality_monitoring.py:142) -> OSS get_json_object. Scoped to the
+# 'details' column — a bare (\w+):(path) rule would rewrite time
+# literals like '12:30' — and applied QUOTE-AWARE below, so a string
+# literal containing 'details:...' is untouched
+_DETAILS_PATH_RE = re.compile(
+    r"(?:(\w+)\s*\.\s*)?\bdetails\s*:\s*([A-Za-z_][\w.]*)",
+    re.IGNORECASE,
+)
+
 
 def normalize_sql(sql: str) -> str:
     """Databricks dialect -> OSS Spark SQL."""
     out = sql
     for pat, repl in _RULES:
         out = re.sub(pat, repl, out, flags=re.IGNORECASE)
+    if _DETAILS_PATH_RE.search(out):
+        from ..tables.sqldml import _mask
+
+        mask = _mask(out)
+        parts, pos = [], 0
+        for m in _DETAILS_PATH_RE.finditer(out):
+            if mask[m.start()][1]:
+                continue
+            qual = f"{m.group(1)}." if m.group(1) else ""
+            parts.append(out[pos : m.start()])
+            parts.append(
+                f"get_json_object({qual}details, '$.{m.group(2)}')"
+            )
+            pos = m.end()
+        parts.append(out[pos:])
+        out = "".join(parts)
     return out
 
 
@@ -292,6 +319,140 @@ _NON_TABLE_FROM_PRECEDERS = frozenset(
 )
 
 
+_SELECT_TAIL_RE = re.compile(
+    r"\b(SELECT)\b", re.IGNORECASE
+)
+_PLAIN_ITEM_RE = re.compile(
+    r"^\s*(?:(?P<qual>\w+)\s*\.\s*)?(?P<col>\w+)"
+    r"(?:\s+(?:AS\s+)?(?P<alias>\w+))?\s*$",
+    re.IGNORECASE,
+)
+_PLAIN_FROM_RE = re.compile(
+    r"^\s*(?P<src>`[^`]+`|[\w.]+)(?:\s+(?:AS\s+)?(?P<a>\w+))?"
+    r"\s*(?P<rest>$|WHERE\b.*|GROUP\b.*|HAVING\b.*|ORDER\b.*|LIMIT\b.*)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_depth0(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren depth 0 outside quotes."""
+    from ..tables import sqldml
+
+    mask = sqldml._mask(s)
+    parts, start = [], 0
+    for i, ch in enumerate(s):
+        if ch == sep and mask[i] == (0, False):
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _column_lineage_edges(
+    spark: SparkSession, sql: str, target: str
+) -> list[tuple[str, str, str]]:
+    """``(source_table, source_column, target_column)`` edges for the
+    SIMPLE projection shapes UC-style column lineage can attribute
+    without a plan walk: ``CREATE TABLE t AS SELECT ...`` and
+    ``INSERT INTO t [(cols)] SELECT ...`` whose select list is bare /
+    aliased column references (or a lone ``*``) over ONE source table
+    (no joins, no subqueries). Anything else derives NOTHING — a
+    fabricated edge is worse than a missing one. INSERT targets map by
+    POSITION against the target schema (the engine's ``_run_insert``
+    renames via ``df.toDF(*target_cols)``); CTAS targets by
+    alias/name. Best-effort and wholly off the query path
+    (driver-side string scan per DML)."""
+    from ..governance import access_control as acl
+    from ..tables import sqldml
+
+    sql = sql.strip().rstrip(";")
+    mask = sqldml._mask(sql)
+    # the first depth-0 SELECT starts the projection; everything
+    # before is the CTAS/INSERT head (a depth-0 set operation like
+    # UNION afterwards bails below)
+    sel = None
+    for m in _SELECT_TAIL_RE.finditer(sql):
+        if mask[m.start()] == (0, False):
+            sel = m
+            break
+    if sel is None:
+        return []
+    head, body = sql[: sel.start()], sql[sel.end():]
+    if re.search(r"\b(UNION|INTERSECT|EXCEPT)\b", sql, re.IGNORECASE):
+        return []
+    is_insert = bool(re.match(r"\s*INSERT\b", head, re.IGNORECASE))
+    # positional target columns: the explicit INSERT list when given,
+    # else the target table's schema order
+    insert_cols: list[str] | None = None
+    if is_insert:
+        mi = re.search(r"\(([^()]*)\)\s*$", head)
+        if mi:
+            insert_cols = [
+                c.strip().strip("`") for c in mi.group(1).split(",")
+            ]
+            if not all(re.fullmatch(r"\w+", c) for c in insert_cols):
+                return []
+        else:
+            try:
+                insert_cols = (
+                    sqldml.resolve_table(spark, target).to_df().columns
+                )
+            except Exception:  # noqa: BLE001
+                return []
+    # split projection from FROM at depth 0
+    mask_b = sqldml._mask(body)
+    mfrom = None
+    for m in re.finditer(r"\bFROM\b", body, re.IGNORECASE):
+        if mask_b[m.start()] == (0, False):
+            mfrom = m
+            break
+    if mfrom is None:
+        return []
+    items_s, tail = body[: mfrom.start()], body[mfrom.end():]
+    mf = _PLAIN_FROM_RE.match(tail)
+    if mf is None or re.search(r"\bJOIN\b", tail, re.IGNORECASE):
+        return []
+    src = acl.canonical_name(spark, mf.group("src").strip("`").lower())
+    sid = session_key(spark)
+    registered = {n for (s, n) in sqldml._REGISTRY if s == sid}
+    if src == target or src not in registered:
+        # same registered-sources-only rule table lineage applies
+        return []
+    items = _split_depth0(items_s)
+    if len(items) == 1 and items[0].strip() == "*":
+        # SELECT *: expand from the SOURCE schema (the columns that
+        # actually flow); positional against the INSERT targets,
+        # same-named for CTAS
+        try:
+            src_cols = sqldml.resolve_table(spark, src).to_df().columns
+        except Exception:  # noqa: BLE001
+            return []
+        if is_insert:
+            return [
+                (src, s, t) for s, t in zip(src_cols, insert_cols)
+            ]
+        return [(src, c, c) for c in src_cols]
+    edges: list[tuple[str, str, str]] = []
+    for i, item in enumerate(items):
+        pm = _PLAIN_ITEM_RE.match(item)
+        if (
+            pm is None
+            or pm.group("col").isdigit()
+            or pm.group("col").upper()
+            in ("DISTINCT", "ALL", "NULL", "TRUE", "FALSE")
+        ):
+            continue  # expression / literal / modifier: not attributable
+        s_col = pm.group("col")
+        if is_insert:
+            if i >= len(insert_cols):
+                continue
+            t_col = insert_cols[i]
+        else:
+            t_col = pm.group("alias") or s_col
+        edges.append((src, s_col, t_col))
+    return edges
+
+
 def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
     """Registered tables in FROM/USING/JOIN positions (quote-aware,
     comma joins included) — the precise-read-set scan lineage needs, as
@@ -518,7 +679,12 @@ def _run_statement_impl(
         metrics = sqldml.run_dml(spark, normalize_sql(sql))
         if _qctx is not None:
             _qctx["rows"] = _affected_rows(metrics)
-        if kind in ("merge", "insert"):
+        if kind in ("merge", "insert", "create") and not (
+            # CREATE TABLE IF NOT EXISTS that no-oped moved no data:
+            # recording edges for it would fabricate lineage facts
+            kind == "create"
+            and metrics.get("created") == 0
+        ):
             # table-level lineage edges (system.lineage.table_lineage):
             # registered read sources feeding the written target. NOT
             # acl.referenced_tables — its fail-closed identifier scan
@@ -529,11 +695,34 @@ def _run_statement_impl(
             from ..governance import systables
 
             tgt = sqldml.statement_target(sql)
+            if tgt is None and kind == "create":
+                # statement_target covers mutation verbs only (the
+                # MODIFY gate's scope); CTAS targets parse here
+                mt = re.match(
+                    r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+                    r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)",
+                    sql,
+                    re.IGNORECASE,
+                )
+                if mt and not mt.group(1).startswith("`"):
+                    tgt = mt.group(1)
             if tgt is not None:
                 tgt_c = acl.canonical_name(spark, tgt)
                 for src in _lineage_sources(spark, sql):
                     if src != tgt_c:
                         systables.record_lineage(spark, src, tgt_c)
+                if kind in ("insert", "create"):
+                    # column edges for PLAIN projections only (bare /
+                    # aliased column refs over one source) — an
+                    # expression column is never attributed, so
+                    # column_lineage under-reports instead of
+                    # fabricating
+                    for s_t, s_c, t_c in _column_lineage_edges(
+                        spark, sql, tgt_c
+                    ):
+                        systables.record_column_lineage(
+                            spark, s_t, s_c, tgt_c, t_c
+                        )
         return sqldml.metrics_df(spark, metrics)
     if enforcing:
         for name in acl.referenced_tables(spark, sql):
@@ -545,6 +734,12 @@ def _run_statement_impl(
     from ..governance import systables
 
     text, sys_views = systables.repoint(spark, sql)
+    # event_log(TABLE(t)) TVF -> statement-scoped view over the
+    # pipeline runner's flow_progress events (same pattern)
+    from ..quality import event_log as _event_log
+
+    text, ev_views = _event_log.repoint(spark, text)
+    sys_views = list(sys_views) + ev_views
     try:
         # SQL scalar functions: 3-part CREATE FUNCTION DDL -> a temp
         # function under the basename; later full-name calls re-point

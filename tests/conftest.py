@@ -44,6 +44,7 @@ def _engine_registry_isolation():
         share_sql,
         systables,
     )
+    from databricks_delta_lake_project_spark.quality import event_log
     from databricks_delta_lake_project_spark.queries import sqlpack
     from databricks_delta_lake_project_spark.tables import metasql, sqldml
 
@@ -69,10 +70,12 @@ def _engine_registry_isolation():
         systables._AUDIT,
         systables._QUERY_HISTORY,
         systables._LINEAGE,
+        systables._COL_LINEAGE,
         catalog_registry._LOADED,
         catalog_registry._ADDS,
         catalog_registry._DELS,
         catalog_registry._PDELS,
+        event_log._EVENTS,
     ]
     gov_snaps = [copy.deepcopy(r) for r in gov_regs]
     yield

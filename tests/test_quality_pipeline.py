@@ -193,3 +193,100 @@ def test_pipeline_cycle_detection(spark, tmp_path):
 
     with pytest.raises(ValueError, match="cycle"):
         p.run(spark)
+
+
+def test_event_log_tvf(spark, tmp_path):
+    """The reference's documented event-log queries run verbatim
+    (``dlt_bronze_to_silver.py:234``, ``quality_monitoring.py:142``):
+    event_log(TABLE(t)) filtered to flow_progress returns the run's
+    pass/drop counts, and the Databricks details:<path> extraction
+    resolves through the dialect layer."""
+    import json
+
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        run_statement,
+    )
+
+    p = Pipeline(str(tmp_path / "lake"))
+
+    @p.table(name="clean_customers", expectations=[
+        QualityRule("valid_id", "id IS NOT NULL", Action.DROP),
+        QualityRule("has_x", "x > 0", Action.WARN),
+    ])
+    def clean_customers(ctx):
+        return ctx.spark.createDataFrame(
+            [(1, 10.0), (2, -1.0), (None, 30.0)], "id long, x double"
+        )
+
+    p.run(spark)
+    rows = run_statement(
+        spark,
+        "SELECT * FROM "
+        "event_log(TABLE(customer_360_catalog.silver.clean_customers)) "
+        "WHERE event_type = 'flow_progress'",
+    ).collect()
+    assert len(rows) == 1
+    ev = rows[0]
+    assert ev["level"] == "INFO" and "COMPLETED" in ev["message"]
+    details = json.loads(ev["details"])
+    dq = details["flow_progress"]["data_quality"]
+    assert dq["dropped_records"] == 1  # the null id
+    by_name = {e["name"]: e for e in dq["expectations"]}
+    assert by_name["valid_id"]["failed_records"] == 1
+    assert by_name["has_x"]["failed_records"] == 1  # warn counts too
+    assert by_name["valid_id"]["passed_records"] == 2
+
+    # the expectation-metrics form with the details:<path> operator
+    out = run_statement(
+        spark,
+        "SELECT details:flow_progress.data_quality.expectations "
+        "AS expectations, timestamp "
+        "FROM event_log(TABLE(customer_360_catalog.silver.clean_customers)) "
+        "WHERE event_type = 'flow_progress' ORDER BY timestamp DESC",
+    ).collect()
+    assert len(out) == 1
+    exps = json.loads(out[0]["expectations"])
+    assert {e["name"] for e in exps} == {"valid_id", "has_x"}
+
+    # an unrun table has an EMPTY event log, not an error
+    assert (
+        run_statement(
+            spark, "SELECT * FROM event_log(TABLE(never_ran))"
+        ).count()
+        == 0
+    )
+
+    # a second run appends a second event (sequence increments)
+    p.run(spark)
+    seqs = [
+        r["sequence"]
+        for r in run_statement(
+            spark,
+            "SELECT sequence FROM event_log(TABLE(clean_customers)) "
+            "ORDER BY sequence",
+        ).collect()
+    ]
+    assert seqs == [0, 1]
+
+
+def test_event_log_and_details_quote_safety(spark):
+    """String literals containing event_log(...) or details:<path>
+    must pass through untouched (both rewrites are quote-aware)."""
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        run_statement,
+    )
+
+    row = run_statement(
+        spark,
+        "SELECT 'see event_log(TABLE(x)) docs' AS tip, "
+        "'details:abc at 12:30' AS note",
+    ).collect()[0]
+    assert row["tip"] == "see event_log(TABLE(x)) docs"
+    assert row["note"] == "details:abc at 12:30"
+    # qualified extraction works outside quotes
+    out = run_statement(
+        spark,
+        "SELECT e.details:a.b AS v FROM "
+        "(SELECT '{\"a\": {\"b\": 7}}' AS details) e",
+    ).collect()[0]
+    assert out["v"] == "7"

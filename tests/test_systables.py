@@ -379,14 +379,99 @@ def test_table_lineage_from_dml_and_pipeline(spark, tag_world, tmp_path):
 
 
 def test_unsupported_system_tables_refuse_loudly(spark, tag_world):
-    with pytest.raises(NotImplementedError, match="column_lineage"):
-        run_statement(
-            spark, "SELECT * FROM system.lineage.column_lineage"
-        )
     with pytest.raises(NotImplementedError, match="billing"):
         run_statement(spark, "SELECT * FROM system.billing.usage")
     with pytest.raises(NotImplementedError, match="compute"):
         run_statement(spark, "SELECT * FROM system.compute.clusters")
+
+
+def test_column_lineage_simple_projections(spark, tmp_path):
+    """system.lineage.column_lineage holds edges for PLAIN projection
+    shapes (CTAS / INSERT-SELECT with bare or aliased columns over one
+    source); expression columns and multi-source shapes derive
+    nothing — under-report, never fabricate."""
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "src_t"),
+        df=spark.createDataFrame(
+            [(1, "a", 2.0)], "id long, nm string, amt double"
+        ),
+    )
+    sqldml.register_table(spark, "lcat.bronze.src_t", t)
+    try:
+        # CTAS with bare + aliased columns + one expression
+        run_statement(
+            spark,
+            f"CREATE TABLE lcat.silver.tgt_t USING delta LOCATION "
+            f"'{tmp_path / 'tgt_t'}' AS "
+            "SELECT id, nm AS name, amt * 2 AS doubled FROM src_t",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_column_name, target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'lcat.silver.tgt_t'
+            ORDER BY target_column_name
+            """,
+        ).collect()
+        # id->id and nm->name attributed; the expression column is NOT
+        assert [tuple(r) for r in rows] == [
+            ("id", "id"),
+            ("nm", "name"),
+        ]
+        # INSERT ... SELECT with explicit target columns (positional)
+        run_statement(
+            spark,
+            "INSERT INTO lcat.silver.tgt_t (id, name, doubled) "
+            "SELECT id, nm, amt FROM src_t",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT DISTINCT source_column_name, target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'lcat.silver.tgt_t'
+              AND source_column_name = 'amt'
+            """,
+        ).collect()
+        assert [tuple(r) for r in rows] == [("amt", "doubled")]
+        # INSERT without a column list maps by POSITION against the
+        # target schema (the engine renames via df.toDF(*target_cols))
+        run_statement(
+            spark,
+            "INSERT INTO lcat.silver.tgt_t SELECT id, nm, amt FROM src_t",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT DISTINCT source_column_name, target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'lcat.silver.tgt_t'
+              AND source_column_name = 'nm'
+            ORDER BY target_column_name
+            """,
+        ).collect()
+        # nm flows to 'name' (position 2) — never to a fabricated 'nm'
+        assert [tuple(r) for r in rows] == [("nm", "name")]
+        # a join derives NO column edges (not attributable here)
+        run_statement(
+            spark,
+            f"CREATE TABLE lcat.silver.j_t USING delta LOCATION "
+            f"'{tmp_path / 'j_t'}' AS "
+            "SELECT a.id, a.nm FROM src_t a JOIN src_t b ON a.id = b.id",
+        )
+        n = run_statement(
+            spark,
+            "SELECT count(*) AS n FROM system.lineage.column_lineage "
+            "WHERE target_table_full_name = 'lcat.silver.j_t'",
+        ).collect()[0]["n"]
+        assert n == 0
+    finally:
+        for nm in ("lcat.bronze.src_t", "lcat.silver.tgt_t", "lcat.silver.j_t"):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)
 
 
 def test_repointed_views_dropped_after_statement(spark, audit_world):
