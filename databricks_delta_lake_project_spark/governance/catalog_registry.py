@@ -36,6 +36,14 @@ Rows are ``(kind, name, payload)`` with a JSON payload:
   SKIPPED with a loud warning instead of failing the load: one broken
   function must not brick every statement of every later session.
 
+- ``connection`` / ``foreign_catalog`` — the federation registries
+  (UC connections are durable metastore objects). Secret references
+  (``secret('scope','key')``) are stored UNRESOLVED and resolved at
+  use, like the session registry; plaintext option values land
+  verbatim — the registry table is the same credential trust
+  boundary as the spark-defaults file that would otherwise carry
+  them, and SHOW CONNECTIONS redacts either way.
+
 Share MOUNTS and table registrations are deliberately NOT persisted:
 a mount binds a recipient credential profile and session temp views,
 and a table registration wraps a live LakeTable handle — both are
@@ -87,6 +95,15 @@ def _disk_rows(spark: SparkSession, path: str) -> list[dict[str, str]]:
     ]
 
 
+# kinds that live in the dotted catalog TREE — the only ones a
+# namespace-CASCADE prefix tombstone may reach. Connections are a
+# separate UC namespace: DROP CATALOG analytics CASCADE must never
+# delete an unrelated connection that happens to share the name
+_TREE_KINDS = frozenset(
+    {"catalog", "schema", "volume", "layer_tag", "function"}
+)
+
+
 def _plain_name(kind: str, name: str) -> str:
     """The namespace-tree name a row hangs under (layer-tag rows key
     by ``<level>|<name>|<tag>``)."""
@@ -96,6 +113,8 @@ def _plain_name(kind: str, name: str) -> str:
 def _tombstoned(sid: str, kind: str, name: str) -> bool:
     if (kind, name) in _DELS.get(sid, set()):
         return True
+    if kind not in _TREE_KINDS:
+        return False
     plain = _plain_name(kind, name)
     return any(
         plain == p or plain.startswith(p + ".")
@@ -137,6 +156,33 @@ def _apply_row(
         sqlpack._ensure_group_udf(spark)
         stmt = sqlpack._rewrite_functions(spark, payload["sql"])
         spark.sql(sqlpack.normalize_sql(stmt))
+    elif kind == "connection":
+        from . import federation
+
+        opts = {
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in payload["options"].items()
+        }
+        federation._CONNECTIONS.setdefault(sid, {}).setdefault(
+            name, {"type": payload["type"], "options": opts}
+        )
+    elif kind == "foreign_catalog":
+        from ..tables import metasql
+        from . import federation
+
+        federation._FOREIGN_CATALOGS.setdefault(sid, {}).setdefault(
+            name, dict(payload)
+        )
+        # the mounted catalog is part of the namespace surface (SHOW
+        # CATALOGS), mirroring the CREATE FOREIGN CATALOG path —
+        # setdefault on the comment too: a session-declared catalog's
+        # metadata must never be clobbered by the disk snapshot
+        metasql._NAMESPACES.setdefault(sid, {}).setdefault(
+            ("catalog", name), {}
+        ).setdefault(
+            "comment",
+            f"foreign catalog using connection {payload['connection']}",
+        )
     # unknown kinds from a NEWER engine version: ignored, preserved
     # on persist (the journal never tombstones keys it didn't touch)
 
@@ -260,8 +306,11 @@ def erase(
         for key in [
             k
             for k in adds
-            if _plain_name(*k) == name
-            or _plain_name(*k).startswith(name + ".")
+            if k[0] in _TREE_KINDS
+            and (
+                _plain_name(*k) == name
+                or _plain_name(*k).startswith(name + ".")
+            )
         ]:
             adds.pop(key)
         _PDELS.setdefault(sid, set()).add(name)

@@ -178,6 +178,9 @@ def foreign_table(spark: SparkSession, full_name: str) -> DataFrame:
     """Lazy DataFrame over ``<foreign-cat>.<schema>.<table>`` — a
     pushdown-enabled JDBC scan (``sources/jdbc.read_federated``); the
     remote engine sees ``schema.table``."""
+    from . import catalog_registry
+
+    catalog_registry.ensure_loaded(spark)
     bits = full_name.strip("`").split(".")
     if len(bits) != 3:
         raise ValueError(
@@ -358,6 +361,9 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
     statement names no foreign catalog. With enforcement on, each
     referenced foreign table needs SELECT (+ USAGE chain) — and the
     check lands in system.access.audit like any table read."""
+    from . import catalog_registry
+
+    catalog_registry.ensure_loaded(spark)
     fcats = _FOREIGN_CATALOGS.get(session_key(spark))
     if not fcats:
         return sql
@@ -404,6 +410,9 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     """Execute one federation DDL/metadata statement; None when ``sql``
     is not one (the caller falls through). Unparseable statements that
     still start with a federation verb refuse loudly."""
+    from . import catalog_registry
+
+    catalog_registry.ensure_loaded(spark)
     sid = session_key(spark)
 
     m = _SHOW_SCHEMAS_RE.match(sql)
@@ -458,6 +467,14 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
             "type": ctype,
             "options": _parse_options(m.group("opts")),
         }
+        catalog_registry.record(
+            spark,
+            "connection",
+            name,
+            # json.dumps serializes the secret tuples as arrays;
+            # _apply_row restores them to tuples on load
+            {"type": ctype, "options": conns[name]["options"]},
+        )
         return spark.createDataFrame(
             [("CREATE CONNECTION", name, False)],
             "operation string, name string, already_exists boolean",
@@ -494,6 +511,9 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         reg = metasql._NAMESPACES.setdefault(sid, {})
         reg.setdefault(("catalog", name), {})["comment"] = (
             f"foreign catalog using connection {conn_name}"
+        )
+        catalog_registry.record(
+            spark, "foreign_catalog", name, dict(fcats[name])
         )
         return spark.createDataFrame(
             [("CREATE FOREIGN CATALOG", name, False)],
@@ -541,6 +561,7 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
                 f"{users}: DROP FOREIGN CATALOG first"
             )
         del conns[name]
+        catalog_registry.erase(spark, "connection", name)
         return spark.createDataFrame(
             [("DROP CONNECTION", name, True)],
             "operation string, name string, dropped boolean",
@@ -562,6 +583,13 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         from ..tables import metasql
 
         metasql._NAMESPACES.get(sid, {}).pop(("catalog", name), None)
+        # grants on the foreign catalog (and mounted names under it)
+        # die with it — a recreate against a DIFFERENT remote must not
+        # inherit the old catalog's privileges, durably or otherwise
+        from . import access_control as _acl
+
+        _acl.purge_grants(spark, name, prefix=True)
+        catalog_registry.erase(spark, "foreign_catalog", name)
         return spark.createDataFrame(
             [("DROP FOREIGN CATALOG", name, True)],
             "operation string, name string, dropped boolean",

@@ -268,3 +268,35 @@ def test_bad_function_row_warns_instead_of_bricking(spark, tmp_path):
     finally:
         spark.conf.unset(creg.PATH_CONF)
         _fresh_session(spark)
+
+
+def test_drop_catalog_cascade_spares_same_named_connection(
+    spark, tmp_path
+):
+    """Connections are a separate namespace: DROP CATALOG analytics
+    CASCADE must not durably delete connection 'analytics'."""
+    from databricks_delta_lake_project_spark.governance import federation
+
+    spark.conf.set(creg.PATH_CONF, str(tmp_path / "catreg"))
+    try:
+        run_statement(
+            spark,
+            "CREATE CONNECTION analytics TYPE DERBY "
+            "OPTIONS (path '/tmp/none')",
+        )
+        run_statement(spark, "CREATE CATALOG analytics")
+        run_statement(spark, "DROP CATALOG analytics CASCADE")
+        sid = session_key(spark)
+        # in-memory connection survives ...
+        assert "analytics" in federation._CONNECTIONS.get(sid, {})
+        # ... and so does the DURABLE row after a restart
+        federation._CONNECTIONS.pop(sid, None)
+        _fresh_session(spark)
+        rows = run_statement(spark, "SHOW CONNECTIONS").collect()
+        assert [r["name"] for r in rows] == ["analytics"]
+        assert "analytics" not in metasql.declared_namespaces(
+            spark, "catalog"
+        )
+        run_statement(spark, "DROP CONNECTION analytics")
+    finally:
+        spark.conf.unset(creg.PATH_CONF)

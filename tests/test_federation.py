@@ -342,3 +342,65 @@ def test_string_literal_foreign_name_not_rewritten(spark, fed_world):
         "SELECT 'crm_postgres.app.customers' AS s",
     ).collect()[0]
     assert row["s"] == "crm_postgres.app.customers"
+
+
+def test_connection_and_foreign_catalog_persist(spark, derby_dir, tmp_path):
+    """Durable registry: a connection (secret refs stored UNRESOLVED)
+    and its foreign catalog declared in one session resolve — and
+    query — in a fresh session under the registry conf."""
+    from databricks_delta_lake_project_spark.governance import (
+        catalog_registry as creg,
+    )
+    from databricks_delta_lake_project_spark.session import session_key
+    from databricks_delta_lake_project_spark.tables import metasql
+
+    sid = session_key(spark)
+    spark.conf.set(creg.PATH_CONF, str(tmp_path / "catreg"))
+    spark.conf.set(
+        f"{federation.SECRET_CONF_PREFIX}dur_scope.pw", "p4ss"
+    )
+    try:
+        run_statement(
+            spark,
+            f"""CREATE CONNECTION dur_derby TYPE DERBY OPTIONS (
+                path '{derby_dir}', driver '{DRIVER}',
+                password secret('dur_scope', 'pw')
+            )""",
+        )
+        run_statement(
+            spark,
+            "CREATE FOREIGN CATALOG dur_crm USING CONNECTION dur_derby",
+        )
+        # --- fresh session: federation registries gone, conf kept
+        federation._CONNECTIONS.pop(sid, None)
+        federation._FOREIGN_CATALOGS.pop(sid, None)
+        metasql._NAMESPACES.pop(sid, None)
+        creg._LOADED.clear()
+        creg._ADDS.clear()
+        creg._DELS.clear()
+        # the mounted name queries through the reloaded connection,
+        # with the secret ref resolved at USE time (still a tuple)
+        n = run_statement(
+            spark,
+            "SELECT COUNT(*) AS n FROM dur_crm.app.customers",
+        ).collect()[0]["n"]
+        assert n == 50
+        conn = federation._CONNECTIONS[sid]["dur_derby"]
+        assert conn["options"]["password"] == ("secret", "dur_scope", "pw")
+        # SHOW CATALOGS lists the reloaded foreign catalog
+        cats = {
+            r["catalog"]
+            for r in run_statement(spark, "SHOW CATALOGS").collect()
+        }
+        assert "dur_crm" in cats
+        # drops tombstone durably
+        run_statement(spark, "DROP FOREIGN CATALOG dur_crm")
+        run_statement(spark, "DROP CONNECTION dur_derby")
+        federation._CONNECTIONS.pop(sid, None)
+        federation._FOREIGN_CATALOGS.pop(sid, None)
+        creg._LOADED.clear()
+        with pytest.raises(ValueError, match="no such connection"):
+            run_statement(spark, "DROP CONNECTION dur_derby")
+    finally:
+        spark.conf.unset(creg.PATH_CONF)
+        spark.conf.unset(f"{federation.SECRET_CONF_PREFIX}dur_scope.pw")
