@@ -75,6 +75,10 @@ _LOADED: dict[str, str] = {}
 _ADDS: dict[str, dict[tuple[str, str], str]] = {}
 _DELS: dict[str, set[tuple[str, str]]] = {}
 _PDELS: dict[str, set[str]] = {}
+# sessions whose load is in flight: function replay runs engine code
+# (federation rewrite, group UDF) that itself calls ensure_loaded —
+# the guard makes the re-entry a no-op instead of infinite recursion
+_LOADING: set[str] = set()
 
 
 def _path(spark: SparkSession) -> str | None:
@@ -155,6 +159,12 @@ def _apply_row(
         # CREATE FUNCTION took (binds the temp function + fmap entry)
         sqlpack._ensure_group_udf(spark)
         stmt = sqlpack._rewrite_functions(spark, payload["sql"])
+        # a body reading a foreign table re-points through the
+        # durable foreign catalogs applied earlier in this load (the
+        # _LOADING guard makes the nested ensure_loaded a no-op)
+        from . import federation
+
+        stmt = federation.rewrite_foreign_tables(spark, stmt)
         spark.sql(sqlpack.normalize_sql(stmt))
     elif kind == "connection":
         from . import federation
@@ -198,18 +208,22 @@ def ensure_loaded(spark: SparkSession) -> None:
     if not path:
         return
     sid = session_key(spark)
-    if _LOADED.get(sid) == path:
+    if _LOADED.get(sid) == path or sid in _LOADING:
         return
-    for row in _disk_rows(spark, path):
-        payload = json.loads(row["payload"])
-        try:
-            _apply_row(spark, row["kind"], row["name"], payload)
-        except Exception as e:  # noqa: BLE001
-            warnings.warn(
-                f"catalog registry: skipped {row['kind']} "
-                f"{row['name']!r} (replay failed: {e})",
-                stacklevel=2,
-            )
+    _LOADING.add(sid)
+    try:
+        for row in _disk_rows(spark, path):
+            payload = json.loads(row["payload"])
+            try:
+                _apply_row(spark, row["kind"], row["name"], payload)
+            except Exception as e:  # noqa: BLE001
+                warnings.warn(
+                    f"catalog registry: skipped {row['kind']} "
+                    f"{row['name']!r} (replay failed: {e})",
+                    stacklevel=2,
+                )
+    finally:
+        _LOADING.discard(sid)
     # mark loaded only AFTER the load succeeded (a transient read
     # failure must retry, not let a later persist clobber the
     # registry with partial state)

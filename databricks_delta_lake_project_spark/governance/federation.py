@@ -372,16 +372,26 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
 
     low = sql.lower()
     for cat in fcats:
-        if cat + "." not in low:
+        if cat not in low:
             continue
+        # spaced dots and backticked parts are legal identifier syntax
+        # (`crm . public . customers`, crm.`public`.customers) — the
+        # collection pattern must accept what the replacement pattern
+        # below already does, or the reference silently falls through
+        # to spark.sql and fails with table-not-found
         pat = re.compile(
-            r"(?<![\w.`])" + re.escape(cat) + r"\.(\w+)\.(\w+)\b",
+            r"(?<![\w.`])"
+            + re.escape(cat)
+            + r"\s*\.\s*(`[^`]+`|\w+)\s*\.\s*(`[^`]+`|\w+)(?![\w`])",
             re.IGNORECASE,
         )
         mask = sqldml._mask(sql)
         # collect matches outside string literals first; then replace
         refs = {
-            (m.group(1).lower(), m.group(2).lower())
+            (
+                m.group(1).strip("`").lower(),
+                m.group(2).strip("`").lower(),
+            )
             for m in pat.finditer(sql)
             if not mask[m.start()][1]
         }
@@ -395,11 +405,11 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
                 sql,
                 r"(?<![\w.`])"
                 + re.escape(cat)
-                + r"\s*\.\s*"
+                + r"\s*\.\s*`?"
                 + re.escape(schema)
-                + r"\s*\.\s*"
+                + r"`?\s*\.\s*`?"
                 + re.escape(table)
-                + r"\b",
+                + r"`?(?![\w`])",
                 view,
             )
         low = sql.lower()
@@ -420,6 +430,11 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         cat = m.group("cat").strip("`").lower()
         if cat not in _FOREIGN_CATALOGS.get(sid, {}):
             return None  # not ours: metasql / native handles it
+        from . import access_control as acl
+
+        # listing remote inventory spends the stored credentials: gate
+        # like every native SHOW verb (UC: USE CATALOG), audited
+        acl.enforce(spark, "USAGE", cat)
         ctype, url, opts = _jdbc_target(spark, cat)
         q = _SCHEMAS_QUERY.get(ctype, _SCHEMAS_QUERY["default"])
         df = _meta_df(spark, ctype, url, opts, q)
@@ -433,6 +448,9 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         cat, _, schema = ns.partition(".")
         if not schema or cat not in _FOREIGN_CATALOGS.get(sid, {}):
             return None
+        from . import access_control as acl
+
+        acl.enforce(spark, "USAGE", cat)
         ctype, url, opts = _jdbc_target(spark, cat)
         q = _TABLES_QUERY.get(ctype, _TABLES_QUERY["default"]).format(
             schema=schema.upper().replace("'", "''")
@@ -521,8 +539,15 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         )
 
     if _SHOW_CONNS_RE.match(sql):
+        from . import access_control as acl
+
         rows = []
         for name, conn in sorted(_CONNECTIONS.get(sid, {}).items()):
+            # with enforcement on, a connection is listed only for
+            # principals holding some privilege on it (or admins) —
+            # the same listing filter every native SHOW verb applies
+            if acl.enabled(spark) and not acl.can_list(spark, name):
+                continue
             shown = []
             for k, v in sorted(conn["options"].items()):
                 if isinstance(v, tuple) and v and v[0] == "secret":

@@ -48,7 +48,11 @@ _RULES: list[tuple[str, str]] = [
 # literals like '12:30' — and applied QUOTE-AWARE below, so a string
 # literal containing 'details:...' is untouched
 _DETAILS_PATH_RE = re.compile(
-    r"(?:(\w+)\s*\.\s*)?\bdetails\s*:\s*([A-Za-z_][\w.]*)",
+    # the full (possibly multi-part, possibly backticked) qualifier
+    # chain is captured so db.tbl.details:p rewrites as one unit —
+    # capturing only one \w+ part would emit db.get_json_object(...)
+    r"(?:(?P<qual>(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*)\s*\.\s*)?"
+    r"\b(?P<kw>details)\s*:\s*(?P<path>[A-Za-z_][\w.]*)",
     re.IGNORECASE,
 )
 
@@ -64,12 +68,16 @@ def normalize_sql(sql: str) -> str:
         mask = _mask(out)
         parts, pos = [], 0
         for m in _DETAILS_PATH_RE.finditer(out):
-            if mask[m.start()][1]:
+            # masked at the KEYWORD, not the match start: a backtick
+            # qualifier (`e`.details:x) begins inside a quoted
+            # identifier span, but the extraction itself is code; a
+            # 'details:abc' string literal stays untouched either way
+            if mask[m.start("kw")][1]:
                 continue
-            qual = f"{m.group(1)}." if m.group(1) else ""
+            qual = f"{m.group('qual')}." if m.group("qual") else ""
             parts.append(out[pos : m.start()])
             parts.append(
-                f"get_json_object({qual}details, '$.{m.group(2)}')"
+                f"get_json_object({qual}details, '$.{m.group('path')}')"
             )
             pos = m.end()
         parts.append(out[pos:])
@@ -334,20 +342,6 @@ _PLAIN_FROM_RE = re.compile(
 )
 
 
-def _split_depth0(s: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` at paren depth 0 outside quotes."""
-    from ..tables import sqldml
-
-    mask = sqldml._mask(s)
-    parts, start = [], 0
-    for i, ch in enumerate(s):
-        if ch == sep and mask[i] == (0, False):
-            parts.append(s[start:i])
-            start = i + 1
-    parts.append(s[start:])
-    return parts
-
-
 def _column_lineage_edges(
     spark: SparkSession, sql: str, target: str
 ) -> list[tuple[str, str, str]]:
@@ -418,7 +412,7 @@ def _column_lineage_edges(
     if src == target or src not in registered:
         # same registered-sources-only rule table lineage applies
         return []
-    items = _split_depth0(items_s)
+    items = sqldml._split_commas(items_s)
     if len(items) == 1 and items[0].strip() == "*":
         # SELECT *: expand from the SOURCE schema (the columns that
         # actually flow); positional against the INSERT targets,
@@ -636,6 +630,10 @@ def _run_statement_impl(
     # reading a mounted table resolves like a plain SELECT does
     from ..governance import share_sql as _share_sql
 
+    # keep the PRE-rewrite statement: the durable function registry
+    # stores it verbatim (mount/federation rewrites bake in
+    # session-scoped temp-view names that will not exist at replay)
+    orig_sql = sql
     sql = _share_sql.rewrite_mounts(spark, sql)
     # federated 3-part names (crm_postgres.public.customers) re-point
     # to lazy pushdown-enabled JDBC views the same way — SELECTs, DML
@@ -746,7 +744,7 @@ def _run_statement_impl(
         text = _rewrite_functions(spark, text)
         final = normalize_sql(rewrite_time_travel(spark, text))
         out = spark.sql(final)
-        mcf = _CREATE_FN_RE.match(sql)
+        mcf = _CREATE_FN_RE.match(orig_sql)
         if (
             mcf
             and "." in mcf.group("name").strip("`")
@@ -761,10 +759,10 @@ def _run_statement_impl(
         ):
             # record durably only AFTER the body executed — a broken
             # body must not poison every later session's registry
-            # load. The ORIGINAL statement is stored (the rewritten
-            # form can embed per-statement system-view names that
-            # won't exist at replay); load replays it through
-            # _rewrite_functions again
+            # load. The ORIGINAL statement is stored (mount /
+            # federation / system-view rewrites embed per-statement
+            # temp-view names that won't exist at replay); load
+            # replays it through the rewrite path again
             full = mcf.group("name").strip("`").lower()
             fmap = _FUNCS.get(sid, {})
             if full in fmap:
@@ -772,7 +770,7 @@ def _run_statement_impl(
                     spark,
                     "function",
                     full,
-                    {"base": fmap[full], "sql": sql},
+                    {"base": fmap[full], "sql": orig_sql},
                 )
         return out
     finally:

@@ -679,11 +679,15 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
     verb = f"DROP {m.group('kind').upper()}"
 
     def _implicit_children() -> bool:
-        # table registrations / volumes / SQL functions under a
-        # namespace that was never formally declared still make it
-        # droppable (STRICT prefix only: a table registered AS this
-        # very name is a table, not evidence of a schema — DROP
-        # SCHEMA must not unregister it and bypass RESTRICT)
+        # table registrations / declared schemas / volumes / SQL
+        # functions / layer tags under (or ON) a namespace that was
+        # never formally declared still make it droppable — CREATE
+        # SCHEMA c.s never required CREATE CATALOG c first, so DROP
+        # CATALOG c CASCADE must find that subtree. (STRICT prefix
+        # for registrations: a table registered AS this very name is
+        # a table, not evidence of a schema — DROP SCHEMA must not
+        # unregister it and bypass RESTRICT.)
+        from ..governance import systables
         from ..queries import sqlpack
 
         return (
@@ -693,12 +697,16 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
                 if s == sid
             )
             or any(
-                k == "volume" and n.startswith(name + ".")
+                k in ("schema", "volume") and n.startswith(name + ".")
                 for (k, n) in reg
             )
             or any(
                 f.startswith(name + ".")
                 for f in sqlpack._FUNCS.get(sid, {})
+            )
+            or any(
+                tn == name or tn.startswith(name + ".")
+                for (_lvl, tn) in systables._LAYER_TAGS.get(sid, {})
             )
         )
 

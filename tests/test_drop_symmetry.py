@@ -610,3 +610,25 @@ def test_drop_table_share_mounted_redirect(spark, tmp_path):
     finally:
         spark.conf.unset(share_sql.ROOT_CONF)
         spark.conf.unset(share_sql.PROFILE_CONF)
+
+
+def test_drop_catalog_existing_only_via_schema(spark):
+    """CREATE SCHEMA c.s never required CREATE CATALOG c, so DROP
+    CATALOG c CASCADE must still find and drop that subtree."""
+    run_statement(spark, "CREATE SCHEMA implied_cat.sales")
+    with pytest.raises(ValueError, match="not empty"):
+        run_statement(spark, "DROP CATALOG implied_cat")
+    assert run_statement(
+        spark, "DROP CATALOG implied_cat CASCADE"
+    ).collect()[0]["dropped"]
+    assert "implied_cat.sales" not in metasql.declared_namespaces(
+        spark, "schema"
+    )
+    # a catalog existing only via a layer tag is droppable too
+    run_statement(spark, "ALTER CATALOG tag_only SET TAGS ('l' = 'x')")
+    assert run_statement(
+        spark, "DROP CATALOG tag_only CASCADE"
+    ).collect()[0]["dropped"]
+    from databricks_delta_lake_project_spark.governance import systables
+
+    assert "tag_only" not in systables.layer_tags(spark, "catalog")

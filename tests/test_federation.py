@@ -404,3 +404,43 @@ def test_connection_and_foreign_catalog_persist(spark, derby_dir, tmp_path):
     finally:
         spark.conf.unset(creg.PATH_CONF)
         spark.conf.unset(f"{federation.SECRET_CONF_PREFIX}dur_scope.pw")
+
+
+def test_federation_show_verbs_gated_under_enforcement(spark, fed_world):
+    """Remote-inventory listing spends stored credentials: SHOW
+    SCHEMAS/TABLES need USAGE on the foreign catalog, and SHOW
+    CONNECTIONS filters to listable connections, like native SHOWs."""
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "intern")
+    try:
+        with pytest.raises(PermissionError, match="USAGE"):
+            run_statement(spark, "SHOW SCHEMAS IN crm_postgres")
+        with pytest.raises(PermissionError, match="USAGE"):
+            run_statement(spark, "SHOW TABLES IN crm_postgres.app")
+        assert run_statement(spark, "SHOW CONNECTIONS").collect() == []
+        # a USAGE grant opens the listing (and reveals the connection
+        # is NOT needed — connections list on their own privilege)
+        acl.grant(spark, "USAGE", "CATALOG", "crm_postgres", "intern")
+        schemas = {
+            r["namespace"]
+            for r in run_statement(
+                spark, "SHOW SCHEMAS IN crm_postgres"
+            ).collect()
+        }
+        assert "app" in schemas
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+
+
+def test_foreign_ref_spaced_and_backticked_dots(spark, fed_world):
+    n = run_statement(
+        spark,
+        "SELECT COUNT(*) AS n FROM crm_postgres . app . customers",
+    ).collect()[0]["n"]
+    assert n == 50
+    n2 = run_statement(
+        spark,
+        "SELECT COUNT(*) AS n FROM crm_postgres.`app`.`customers`",
+    ).collect()[0]["n"]
+    assert n2 == 50

@@ -290,3 +290,16 @@ def test_event_log_and_details_quote_safety(spark):
         "(SELECT '{\"a\": {\"b\": 7}}' AS details) e",
     ).collect()[0]
     assert out["v"] == "7"
+
+
+def test_details_path_multipart_qualifiers(spark):
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        normalize_sql,
+    )
+
+    assert normalize_sql("SELECT db.tbl.details:a.b FROM db.tbl") == (
+        "SELECT get_json_object(db.tbl.details, '$.a.b') FROM db.tbl"
+    )
+    assert normalize_sql("SELECT `e`.details:x FROM t e") == (
+        "SELECT get_json_object(`e`.details, '$.x') FROM t e"
+    )
