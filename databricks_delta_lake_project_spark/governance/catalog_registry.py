@@ -54,6 +54,7 @@ session constructions over durable storage that already exists
 from __future__ import annotations
 
 import json
+import threading
 import warnings
 
 from pyspark.sql import SparkSession
@@ -75,10 +76,27 @@ _LOADED: dict[str, str] = {}
 _ADDS: dict[str, dict[tuple[str, str], str]] = {}
 _DELS: dict[str, set[tuple[str, str]]] = {}
 _PDELS: dict[str, set[str]] = {}
-# sessions whose load is in flight: function replay runs engine code
-# (federation rewrite, group UDF) that itself calls ensure_loaded —
-# the guard makes the re-entry a no-op instead of infinite recursion
+# sessions whose load is in flight (same-thread re-entry guard: row
+# replay runs engine code that may call ensure_loaded again), plus a
+# process lock so a SECOND thread blocks until the load completes
+# instead of proceeding against a half-populated registry
 _LOADING: set[str] = set()
+_LOAD_LOCK = threading.RLock()
+
+# replay order: rows apply dependency-first regardless of the table's
+# physical row order (a function body may reference a foreign catalog;
+# a foreign catalog references its connection; a drop+recreate cycle
+# re-appends rows at the END of the table, so scan order proves
+# nothing about creation order)
+_KIND_ORDER = {
+    "connection": 0,
+    "foreign_catalog": 1,
+    "catalog": 2,
+    "schema": 3,
+    "volume": 4,
+    "layer_tag": 5,
+    "function": 9,
+}
 
 
 def _path(spark: SparkSession) -> str | None:
@@ -159,12 +177,11 @@ def _apply_row(
         # CREATE FUNCTION took (binds the temp function + fmap entry)
         sqlpack._ensure_group_udf(spark)
         stmt = sqlpack._rewrite_functions(spark, payload["sql"])
-        # a body reading a foreign table re-points through the
-        # durable foreign catalogs applied earlier in this load (the
-        # _LOADING guard makes the nested ensure_loaded a no-op)
-        from . import federation
-
-        stmt = federation.rewrite_foreign_tables(spark, stmt)
+        # NO mount/federation rewriting here: that would run ACL
+        # enforcement and eager remote JDBC round-trips inside a
+        # registry load (phantom audit rows, a down remote silently
+        # dropping the function). A body whose references resolve
+        # only through those rewrites warn-skips instead
         spark.sql(sqlpack.normalize_sql(stmt))
     elif kind == "connection":
         from . import federation
@@ -208,26 +225,35 @@ def ensure_loaded(spark: SparkSession) -> None:
     if not path:
         return
     sid = session_key(spark)
-    if _LOADED.get(sid) == path or sid in _LOADING:
+    if _LOADED.get(sid) == path:
         return
-    _LOADING.add(sid)
-    try:
-        for row in _disk_rows(spark, path):
-            payload = json.loads(row["payload"])
-            try:
-                _apply_row(spark, row["kind"], row["name"], payload)
-            except Exception as e:  # noqa: BLE001
-                warnings.warn(
-                    f"catalog registry: skipped {row['kind']} "
-                    f"{row['name']!r} (replay failed: {e})",
-                    stacklevel=2,
-                )
-    finally:
-        _LOADING.discard(sid)
-    # mark loaded only AFTER the load succeeded (a transient read
-    # failure must retry, not let a later persist clobber the
-    # registry with partial state)
-    _LOADED[sid] = path
+    with _LOAD_LOCK:
+        if _LOADED.get(sid) == path or sid in _LOADING:
+            # loaded by the thread we just waited on, or a same-thread
+            # re-entry from inside row replay
+            return
+        _LOADING.add(sid)
+        try:
+            rows = sorted(
+                _disk_rows(spark, path),
+                key=lambda r: _KIND_ORDER.get(r["kind"], 6),
+            )
+            for row in rows:
+                payload = json.loads(row["payload"])
+                try:
+                    _apply_row(spark, row["kind"], row["name"], payload)
+                except Exception as e:  # noqa: BLE001
+                    warnings.warn(
+                        f"catalog registry: skipped {row['kind']} "
+                        f"{row['name']!r} (replay failed: {e})",
+                        stacklevel=2,
+                    )
+        finally:
+            _LOADING.discard(sid)
+        # mark loaded only AFTER the load succeeded (a transient read
+        # failure must retry, not let a later persist clobber the
+        # registry with partial state)
+        _LOADED[sid] = path
 
 
 def _persist(spark: SparkSession) -> None:

@@ -370,49 +370,50 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
     from ..tables import sqldml
     from . import access_control as acl
 
-    low = sql.lower()
     for cat in fcats:
-        if cat not in low:
+        if cat not in sql.lower():
             continue
         # spaced dots and backticked parts are legal identifier syntax
-        # (`crm . public . customers`, crm.`public`.customers) — the
-        # collection pattern must accept what the replacement pattern
-        # below already does, or the reference silently falls through
-        # to spark.sql and fails with table-not-found
+        # (`crm` . public . customers, crm.`public`.customers) — the
+        # pattern accepts them, and the string-literal check anchors
+        # on the SEPARATOR DOT: the quote mask marks backtick
+        # identifier spans as quoted (a fully-backticked catalog part
+        # would otherwise be skipped like a string), but the dot
+        # between parts is never inside backticks, and a whole ref
+        # inside a '...' literal puts the dot in-quote as it should
         pat = re.compile(
-            r"(?<![\w.`])"
+            r"(?:`" + re.escape(cat) + r"`|(?<![\w.`])"
             + re.escape(cat)
-            + r"\s*\.\s*(`[^`]+`|\w+)\s*\.\s*(`[^`]+`|\w+)(?![\w`])",
+            + r")\s*(?P<d1>\.)\s*(`[^`]+`|\w+)\s*\.\s*"
+            r"(`[^`]+`|\w+)(?![\w`])",
             re.IGNORECASE,
         )
         mask = sqldml._mask(sql)
-        # collect matches outside string literals first; then replace
-        refs = {
-            (
-                m.group(1).strip("`").lower(),
-                m.group(2).strip("`").lower(),
-            )
-            for m in pat.finditer(sql)
-            if not mask[m.start()][1]
-        }
-        for schema, table in refs:
+        parts: list[str] = []
+        pos = 0
+        for m in pat.finditer(sql):
+            if mask[m.start("d1")][1]:
+                continue
+            schema = m.group(2).strip("`").lower()
+            table = m.group(3).strip("`").lower()
+            # parts that NEED backticks (spaces, dots) are left alone —
+            # a splice of such a name into a temp-view identifier
+            # would be invalid SQL; they fall through natively
+            if not (
+                re.fullmatch(r"\w+", schema)
+                and re.fullmatch(r"\w+", table)
+            ):
+                continue
             full = f"{cat}.{schema}.{table}"
             if acl.enabled(spark):
                 acl.enforce(spark, "SELECT", full)
             view = f"fed__{cat}__{schema}__{table}"
             foreign_table(spark, full).createOrReplaceTempView(view)
-            sql = sqldml._replace_outside_quotes(
-                sql,
-                r"(?<![\w.`])"
-                + re.escape(cat)
-                + r"\s*\.\s*`?"
-                + re.escape(schema)
-                + r"`?\s*\.\s*`?"
-                + re.escape(table)
-                + r"`?(?![\w`])",
-                view,
-            )
-        low = sql.lower()
+            parts.append(sql[pos : m.start()])
+            parts.append(view)
+            pos = m.end()
+        parts.append(sql[pos:])
+        sql = "".join(parts)
     return sql
 
 
@@ -433,8 +434,11 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         from . import access_control as acl
 
         # listing remote inventory spends the stored credentials: gate
-        # like every native SHOW verb (UC: USE CATALOG), audited
-        acl.enforce(spark, "USAGE", cat)
+        # like every native SHOW verb (UC: USE CATALOG) — admins pass
+        # like they do through can_list, everyone else needs USAGE,
+        # and the denied check lands in the audit
+        if acl.enabled(spark) and not acl._is_admin(spark):
+            acl.enforce(spark, "USAGE", cat)
         ctype, url, opts = _jdbc_target(spark, cat)
         q = _SCHEMAS_QUERY.get(ctype, _SCHEMAS_QUERY["default"])
         df = _meta_df(spark, ctype, url, opts, q)
@@ -450,7 +454,8 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
             return None
         from . import access_control as acl
 
-        acl.enforce(spark, "USAGE", cat)
+        if acl.enabled(spark) and not acl._is_admin(spark):
+            acl.enforce(spark, "USAGE", cat)
         ctype, url, opts = _jdbc_target(spark, cat)
         q = _TABLES_QUERY.get(ctype, _TABLES_QUERY["default"]).format(
             schema=schema.upper().replace("'", "''")
@@ -541,13 +546,17 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     if _SHOW_CONNS_RE.match(sql):
         from . import access_control as acl
 
+        # admin-only under enforcement: connections are a separate
+        # securable namespace with no GRANT grammar of their own, and
+        # keying on the flat catalog/table grant space would reveal a
+        # connection to a SAME-NAMED catalog's grantees (UC gates
+        # connection listing on connection-level privileges)
         rows = []
-        for name, conn in sorted(_CONNECTIONS.get(sid, {}).items()):
-            # with enforcement on, a connection is listed only for
-            # principals holding some privilege on it (or admins) —
-            # the same listing filter every native SHOW verb applies
-            if acl.enabled(spark) and not acl.can_list(spark, name):
-                continue
+        if not acl.enabled(spark) or acl._is_admin(spark):
+            rows_src = sorted(_CONNECTIONS.get(sid, {}).items())
+        else:
+            rows_src = []
+        for name, conn in rows_src:
             shown = []
             for k, v in sorted(conn["options"].items()):
                 if isinstance(v, tuple) and v and v[0] == "secret":

@@ -705,8 +705,10 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
                 for f in sqlpack._FUNCS.get(sid, {})
             )
             or any(
-                tn == name or tn.startswith(name + ".")
-                for (_lvl, tn) in systables._LAYER_TAGS.get(sid, {})
+                (tn == name or tn.startswith(name + ".")) and tags
+                for (_lvl, tn), tags in systables._LAYER_TAGS.get(
+                    sid, {}
+                ).items()
             )
         )
 
@@ -775,6 +777,17 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
     child_mounts = [f for f in mounts if f.startswith(prefix)]
     fmap = sqlpack._FUNCS.get(sid, {})
     child_funcs = [f for f in fmap if f.startswith(prefix)]
+    from ..governance import systables as _systables
+
+    # tags on CHILD namespaces are governed metadata worth a RESTRICT
+    # refusal (tags on the dropped namespace itself die with it)
+    child_tagged = [
+        tn
+        for (_lvl, tn), tags in _systables._LAYER_TAGS.get(
+            sid, {}
+        ).items()
+        if tn.startswith(prefix) and tags
+    ]
     cascade = (m.group("mode") or "").upper() == "CASCADE"
     children = (
         child_schemas
@@ -782,6 +795,7 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
         + child_tables
         + child_mounts
         + child_funcs
+        + child_tagged
     )
     if children and not cascade:
         raise ValueError(

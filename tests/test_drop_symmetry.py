@@ -632,3 +632,25 @@ def test_drop_catalog_existing_only_via_schema(spark):
     from databricks_delta_lake_project_spark.governance import systables
 
     assert "tag_only" not in systables.layer_tags(spark, "catalog")
+
+
+def test_drop_catalog_tagged_child_restricts(spark):
+    """A tag on a child namespace is governed metadata: plain DROP
+    refuses; CASCADE removes it; an UNSET-emptied tag dict is NOT
+    existence evidence."""
+    run_statement(
+        spark, "ALTER SCHEMA tcat2.sales SET TAGS ('pii' = 'true')"
+    )
+    with pytest.raises(ValueError, match="not empty"):
+        run_statement(spark, "DROP CATALOG tcat2")
+    assert run_statement(
+        spark, "DROP CATALOG tcat2 CASCADE"
+    ).collect()[0]["dropped"]
+    from databricks_delta_lake_project_spark.governance import systables
+
+    assert "tcat2.sales" not in systables.layer_tags(spark, "schema")
+    # unset-to-empty leaves no ghost catalog behind
+    run_statement(spark, "ALTER CATALOG ghost SET TAGS ('a' = '1')")
+    run_statement(spark, "ALTER CATALOG ghost UNSET TAGS ('a')")
+    with pytest.raises(ValueError, match="no such catalog"):
+        run_statement(spark, "DROP CATALOG ghost")

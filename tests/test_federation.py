@@ -444,3 +444,29 @@ def test_foreign_ref_spaced_and_backticked_dots(spark, fed_world):
         "SELECT COUNT(*) AS n FROM crm_postgres.`app`.`customers`",
     ).collect()[0]["n"]
     assert n2 == 50
+
+
+def test_show_verbs_admin_bypass_and_backticked_catalog(spark, fed_world):
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "root_admin")
+    spark.conf.set(acl.ADMINS_CONF, "root_admin")
+    try:
+        # admins list like they do through every native SHOW verb
+        schemas = {
+            r["namespace"]
+            for r in run_statement(
+                spark, "SHOW SCHEMAS IN crm_postgres"
+            ).collect()
+        }
+        assert "app" in schemas
+        assert run_statement(spark, "SHOW CONNECTIONS").count() >= 1
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+        spark.conf.unset(acl.ADMINS_CONF)
+    # backticked catalog part resolves too
+    n = run_statement(
+        spark,
+        "SELECT COUNT(*) AS n FROM `crm_postgres`.app.customers",
+    ).collect()[0]["n"]
+    assert n == 50
