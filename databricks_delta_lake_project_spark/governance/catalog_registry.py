@@ -78,10 +78,19 @@ _DELS: dict[str, set[tuple[str, str]]] = {}
 _PDELS: dict[str, set[str]] = {}
 # sessions whose load is in flight (same-thread re-entry guard: row
 # replay runs engine code that may call ensure_loaded again), plus a
-# process lock so a SECOND thread blocks until the load completes
-# instead of proceeding against a half-populated registry
+# PER-SESSION lock so a second thread of the same session blocks
+# until the load completes instead of proceeding against a
+# half-populated registry — unrelated sessions load in parallel
 _LOADING: set[str] = set()
-_LOAD_LOCK = threading.RLock()
+_LOCKS: dict[str, threading.RLock] = {}
+_LOCKS_GUARD = threading.Lock()
+
+
+def _lock_for(sid: str) -> threading.RLock:
+    with _LOCKS_GUARD:
+        if sid not in _LOCKS:
+            _LOCKS[sid] = threading.RLock()
+        return _LOCKS[sid]
 
 # replay order: rows apply dependency-first regardless of the table's
 # physical row order (a function body may reference a foreign catalog;
@@ -182,7 +191,16 @@ def _apply_row(
         # registry load (phantom audit rows, a down remote silently
         # dropping the function). A body whose references resolve
         # only through those rewrites warn-skips instead
-        spark.sql(sqlpack.normalize_sql(stmt))
+        try:
+            spark.sql(sqlpack.normalize_sql(stmt))
+        except Exception:
+            # _rewrite_functions registered the fmap binding before
+            # the body ran: roll it back, or the phantom entry turns
+            # CREATE FUNCTION IF NOT EXISTS into a silent no-op and
+            # every call resolves to a temp function that was never
+            # created
+            fmap.pop(name, None)
+            raise
     elif kind == "connection":
         from . import federation
 
@@ -227,7 +245,7 @@ def ensure_loaded(spark: SparkSession) -> None:
     sid = session_key(spark)
     if _LOADED.get(sid) == path:
         return
-    with _LOAD_LOCK:
+    with _lock_for(sid):
         if _LOADED.get(sid) == path or sid in _LOADING:
             # loaded by the thread we just waited on, or a same-thread
             # re-entry from inside row replay

@@ -303,16 +303,28 @@ def _parse_options(raw: str | None) -> dict:
 
 
 def _require_fed_admin(spark: SparkSession, securable: str, verb: str) -> None:
+    """CONNECTION verbs are ADMIN-ONLY: connections live in their own
+    securable namespace with no GRANT grammar, so keying on the flat
+    catalog/table grant space would let ALL PRIVILEGES on a SAME-NAMED
+    catalog create or drop an unrelated connection. Foreign-CATALOG
+    verbs stay in the catalog namespace, where can_manage is the
+    right check."""
     from . import access_control as acl
 
     if not acl.enabled(spark):
         return
-    if not acl.can_manage(spark, securable.lower()):
+    conn_verb = "CONNECTION" in verb.upper()
+    if conn_verb:
+        allowed = acl._is_admin(spark)
+    else:
+        allowed = acl.can_manage(spark, securable.lower())
+    if not allowed:
         who = sorted(acl.current_principals(spark)) or ["<anonymous>"]
         raise PermissionError(
             f"principal {who} may not {verb} {securable!r}: requires "
-            f"{acl.ADMINS_CONF} membership or ALL PRIVILEGES "
-            "(UC gates federation DDL on metastore privileges)"
+            f"{acl.ADMINS_CONF} membership"
+            + ("" if conn_verb else " or ALL PRIVILEGES")
+            + " (UC gates federation DDL on metastore privileges)"
         )
 
 
@@ -382,7 +394,9 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
         # between parts is never inside backticks, and a whole ref
         # inside a '...' literal puts the dot in-quote as it should
         pat = re.compile(
-            r"(?:`" + re.escape(cat) + r"`|(?<![\w.`])"
+            # the boundary lookbehind guards BOTH spellings: without
+            # it a qualified `c1.`cat`.x.y` would be hijacked
+            r"(?<![\w.`])(?:`" + re.escape(cat) + r"`|"
             + re.escape(cat)
             + r")\s*(?P<d1>\.)\s*(`[^`]+`|\w+)\s*\.\s*"
             r"(`[^`]+`|\w+)(?![\w`])",
@@ -391,6 +405,7 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
         mask = sqldml._mask(sql)
         parts: list[str] = []
         pos = 0
+        seen: dict[tuple[str, str], str] = {}
         for m in pat.finditer(sql):
             if mask[m.start("d1")][1]:
                 continue
@@ -404,11 +419,16 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
                 and re.fullmatch(r"\w+", table)
             ):
                 continue
-            full = f"{cat}.{schema}.{table}"
-            if acl.enabled(spark):
-                acl.enforce(spark, "SELECT", full)
-            view = f"fed__{cat}__{schema}__{table}"
-            foreign_table(spark, full).createOrReplaceTempView(view)
+            view = seen.get((schema, table))
+            if view is None:
+                # first occurrence pays the check + eager remote
+                # schema fetch ONCE; a self-join reuses the view
+                full = f"{cat}.{schema}.{table}"
+                if acl.enabled(spark):
+                    acl.enforce(spark, "SELECT", full)
+                view = f"fed__{cat}__{schema}__{table}"
+                foreign_table(spark, full).createOrReplaceTempView(view)
+                seen[(schema, table)] = view
             parts.append(sql[pos : m.start()])
             parts.append(view)
             pos = m.end()
@@ -435,10 +455,16 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
 
         # listing remote inventory spends the stored credentials: gate
         # like every native SHOW verb (UC: USE CATALOG) — admins pass
-        # like they do through can_list, everyone else needs USAGE,
-        # and the denied check lands in the audit
-        if acl.enabled(spark) and not acl._is_admin(spark):
-            acl.enforce(spark, "USAGE", cat)
+        # like they do through can_list but still leave an audit row
+        # (a credential-spending read with no trail would be worse
+        # for the MOST privileged principal, not better)
+        if acl.enabled(spark):
+            if acl._is_admin(spark):
+                from . import systables
+
+                systables.record_access(spark, "USAGE", cat, 200)
+            else:
+                acl.enforce(spark, "USAGE", cat)
         ctype, url, opts = _jdbc_target(spark, cat)
         q = _SCHEMAS_QUERY.get(ctype, _SCHEMAS_QUERY["default"])
         df = _meta_df(spark, ctype, url, opts, q)
@@ -454,8 +480,13 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
             return None
         from . import access_control as acl
 
-        if acl.enabled(spark) and not acl._is_admin(spark):
-            acl.enforce(spark, "USAGE", cat)
+        if acl.enabled(spark):
+            if acl._is_admin(spark):
+                from . import systables
+
+                systables.record_access(spark, "USAGE", cat, 200)
+            else:
+                acl.enforce(spark, "USAGE", cat)
         ctype, url, opts = _jdbc_target(spark, cat)
         q = _TABLES_QUERY.get(ctype, _TABLES_QUERY["default"]).format(
             schema=schema.upper().replace("'", "''")

@@ -561,6 +561,20 @@ def _native_catalogs(spark: SparkSession) -> set[str]:
         return {"spark_catalog"}
 
 
+def _tagged_under(sid: str, name: str, *, include_self: bool) -> list[str]:
+    """Names with NON-EMPTY layer tags at or under ``name`` (UNSET can
+    leave empty dicts behind — those are not governed metadata and
+    must not count as existence evidence)."""
+    from ..governance import systables
+
+    return [
+        tn
+        for (_lvl, tn), tags in systables._LAYER_TAGS.get(sid, {}).items()
+        if tags
+        and (tn.startswith(name + ".") or (include_self and tn == name))
+    ]
+
+
 def _require_drop(spark: SparkSession, securable: str, verb: str) -> None:
     """DROP gate (enforcement on only): UC drops require ownership /
     MANAGE — the engine's equivalent is the shared manage gate
@@ -687,7 +701,6 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
         # for registrations: a table registered AS this very name is
         # a table, not evidence of a schema — DROP SCHEMA must not
         # unregister it and bypass RESTRICT.)
-        from ..governance import systables
         from ..queries import sqlpack
 
         return (
@@ -704,12 +717,7 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
                 f.startswith(name + ".")
                 for f in sqlpack._FUNCS.get(sid, {})
             )
-            or any(
-                (tn == name or tn.startswith(name + ".")) and tags
-                for (_lvl, tn), tags in systables._LAYER_TAGS.get(
-                    sid, {}
-                ).items()
-            )
+            or bool(_tagged_under(sid, name, include_self=True))
         )
 
     def _missing() -> DataFrame:
@@ -777,17 +785,9 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
     child_mounts = [f for f in mounts if f.startswith(prefix)]
     fmap = sqlpack._FUNCS.get(sid, {})
     child_funcs = [f for f in fmap if f.startswith(prefix)]
-    from ..governance import systables as _systables
-
     # tags on CHILD namespaces are governed metadata worth a RESTRICT
     # refusal (tags on the dropped namespace itself die with it)
-    child_tagged = [
-        tn
-        for (_lvl, tn), tags in _systables._LAYER_TAGS.get(
-            sid, {}
-        ).items()
-        if tn.startswith(prefix) and tags
-    ]
+    child_tagged = _tagged_under(sid, name, include_self=False)
     cascade = (m.group("mode") or "").upper() == "CASCADE"
     children = (
         child_schemas
