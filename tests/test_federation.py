@@ -470,3 +470,28 @@ def test_show_verbs_admin_bypass_and_backticked_catalog(spark, fed_world):
         "SELECT COUNT(*) AS n FROM `crm_postgres`.app.customers",
     ).collect()[0]["n"]
     assert n == 50
+
+
+def test_admin_show_inventory_still_audited(spark, fed_world):
+    """Credential-spending remote listings by admins leave an audit
+    trail (the bypass skips the denial, never the record)."""
+    from databricks_delta_lake_project_spark.governance import systables
+    from databricks_delta_lake_project_spark.session import session_key
+
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "root_admin")
+    spark.conf.set(acl.ADMINS_CONF, "root_admin")
+    try:
+        before = len(systables._AUDIT.get(session_key(spark), []))
+        run_statement(spark, "SHOW SCHEMAS IN crm_postgres").collect()
+        events = systables._AUDIT.get(session_key(spark), [])
+        assert len(events) > before
+        # audit rows are tuples (ts, ts, (email,), action,
+        # (securable,), (status_code,)) — see systables.record_access
+        last = events[-1]
+        assert last[4] == ("crm_postgres",)
+        assert last[5] == (200,)
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+        spark.conf.unset(acl.ADMINS_CONF)
