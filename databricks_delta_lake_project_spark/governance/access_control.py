@@ -126,6 +126,27 @@ def _session_grants(spark: SparkSession) -> list[dict[str, str]]:
     return g
 
 
+def _disk_grant_rows(
+    spark: SparkSession, path: str
+) -> tuple[list[dict[str, str]], int | None]:
+    """Durable grant rows PLUS the registry version they were read at
+    (None when the registry table does not exist yet). The persist
+    loop threads the version into ``overwrite(expected_version=)`` so
+    a rival commit landing between this read and the write raises
+    ``ConcurrentModificationError`` and retries — closing the
+    read→pin lost-update window."""
+    from ..tables import LakeTable
+
+    if not LakeTable.is_table(path):
+        return [], None
+    tbl = LakeTable.for_path(spark, path)
+    ver = tbl.version()
+    return [
+        {c: r[c] for c in _GRANT_COLS}
+        for r in tbl.to_df(version=ver).collect()
+    ], ver
+
+
 def _persist_grants(spark: SparkSession) -> list[dict[str, str]]:
     """Write-through to the durable registry (no-op without
     PATH_CONF): RE-READ the on-disk rows, drop the ones this session
@@ -152,10 +173,7 @@ def _persist_grants(spark: SparkSession) -> list[dict[str, str]]:
     dels = _LOCAL_DELS.get(sid, [])
     last_err: Exception | None = None
     for _ in range(5):
-        disk: list[dict[str, str]] = []
-        if LakeTable.is_table(path):
-            for r in LakeTable.for_path(spark, path).to_df().collect():
-                disk.append({c: r[c] for c in _GRANT_COLS})
+        disk, ver = _disk_grant_rows(spark, path)
         dropped = [e for e in disk if e in dels]
         merged = [e for e in disk if e not in dels]
         merged += [e for e in adds if e not in merged]
@@ -164,8 +182,20 @@ def _persist_grants(spark: SparkSession) -> list[dict[str, str]]:
             _GRANT_SCHEMA,
         )
         try:
-            if LakeTable.is_table(path):
-                LakeTable.for_path(spark, path).overwrite(df)
+            if ver is not None:
+                # pin OCC to the version the merge-read saw: a rival
+                # commit between that read and this write loses us the
+                # race (→ retry) instead of being silently overwritten
+                LakeTable.for_path(spark, path).overwrite(
+                    df, expected_version=ver
+                )
+            elif LakeTable.is_table(path):
+                # a rival CREATED the registry since our read — a lost
+                # race too: re-read and merge onto its rows
+                last_err = ConcurrentModificationError(
+                    f"grant registry created at {path} since merge-read"
+                )
+                continue
             else:
                 LakeTable.create(spark, path, df=df)
         except ConcurrentModificationError as e:

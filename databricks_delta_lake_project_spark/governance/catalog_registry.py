@@ -116,14 +116,28 @@ def _path(spark: SparkSession) -> str | None:
 
 
 def _disk_rows(spark: SparkSession, path: str) -> list[dict[str, str]]:
+    return _disk_rows_versioned(spark, path)[0]
+
+
+def _disk_rows_versioned(
+    spark: SparkSession, path: str
+) -> tuple[list[dict[str, str]], int | None]:
+    """Registry rows PLUS the table version they were read at. The
+    persist loop threads that version into ``overwrite(expected_version=)``
+    so a rival commit landing anywhere after this read — including the
+    window between the read and the overwrite's own snapshot capture —
+    raises ``ConcurrentModificationError`` and retries instead of being
+    silently overwritten."""
     from ..tables import LakeTable
 
     if not LakeTable.is_table(path):
-        return []
+        return [], None
+    tbl = LakeTable.for_path(spark, path)
+    ver = tbl.version()
     return [
         {c: r[c] for c in _COLS}
-        for r in LakeTable.for_path(spark, path).to_df().collect()
-    ]
+        for r in tbl.to_df(version=ver).collect()
+    ], ver
 
 
 # kinds that live in the dotted catalog TREE — the only ones a
@@ -287,7 +301,7 @@ def _persist(spark: SparkSession) -> None:
     adds = _ADDS.get(sid, {})
     last_err: Exception | None = None
     for _ in range(5):
-        disk = _disk_rows(spark, path)
+        disk, ver = _disk_rows_versioned(spark, path)
         merged = [
             r
             for r in disk
@@ -302,8 +316,20 @@ def _persist(spark: SparkSession) -> None:
             [tuple(r[c] for c in _COLS) for r in merged], _SCHEMA
         )
         try:
-            if LakeTable.is_table(path):
-                LakeTable.for_path(spark, path).overwrite(df)
+            if ver is not None:
+                # pin OCC to the version the merge-read saw: a rival
+                # commit between that read and this write must lose us
+                # the race (→ retry), never be silently overwritten
+                LakeTable.for_path(spark, path).overwrite(
+                    df, expected_version=ver
+                )
+            elif LakeTable.is_table(path):
+                # a rival CREATED the registry since our read — that
+                # is a lost race too: re-read and merge onto its rows
+                last_err = ConcurrentModificationError(
+                    f"registry created at {path} since merge-read"
+                )
+                continue
             else:
                 LakeTable.create(spark, path, df=df)
         except ConcurrentModificationError as e:

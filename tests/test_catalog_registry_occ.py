@@ -63,6 +63,105 @@ def test_occ_loser_retries_and_composes(spark, tmp_path, monkeypatch):
         spark.conf.unset(creg.PATH_CONF)
 
 
+def test_rival_commit_between_read_and_write_retries(
+    spark, tmp_path, monkeypatch
+):
+    """The read→pin window: a rival commit landing AFTER the persist
+    loop's merge-read but BEFORE the overwrite must force the OCC
+    retry (the overwrite is pinned to the merge-read's version), not
+    be silently overwritten — the rival's rows survive."""
+    path = str(tmp_path / "catreg")
+    spark.conf.set(creg.PATH_CONF, path)
+    try:
+        run_statement(spark, "CREATE CATALOG win_base")
+
+        real_read = creg._disk_rows_versioned
+        state = {"raced": False}
+
+        def racing_read(s, p):
+            rows, ver = real_read(s, p)
+            if not state["raced"] and ver is not None:
+                state["raced"] = True
+                # the rival lands AFTER our merge-read: a real,
+                # unpinned commit appending its own catalog row
+                rival = s.createDataFrame(
+                    [tuple(r[c] for c in creg._COLS) for r in rows]
+                    + [("catalog", "win_rival", "{}")],
+                    creg._SCHEMA,
+                )
+                LakeTable.for_path(s, p).overwrite(rival)
+            return rows, ver
+
+        monkeypatch.setattr(creg, "_disk_rows_versioned", racing_read)
+        run_statement(spark, "CREATE CATALOG win_mine")
+        monkeypatch.undo()
+
+        assert state["raced"]
+        # fresh session sees base + rival + mine: the rival's commit
+        # inside the window was NOT lost
+        sid = session_key(spark)
+        metasql._NAMESPACES.pop(sid, None)
+        creg._LOADED.clear()
+        cats = metasql.declared_namespaces(spark, "catalog")
+        assert {"win_base", "win_rival", "win_mine"} <= set(cats)
+    finally:
+        spark.conf.unset(creg.PATH_CONF)
+
+
+def test_grants_rival_commit_between_read_and_write_retries(
+    spark, tmp_path, monkeypatch
+):
+    """Same read→pin window for the durable GRANTS registry: a rival
+    grant committed between _persist_grants' merge-read and its
+    overwrite survives via the pinned-version retry."""
+    from databricks_delta_lake_project_spark.governance import (
+        access_control as acl,
+    )
+
+    path = str(tmp_path / "acl_registry")
+    spark.conf.set(acl.PATH_CONF, path)
+    try:
+        acl.grant(spark, "USAGE", "CATALOG", "wcat", "team")
+
+        real_read = acl._disk_grant_rows
+        state = {"raced": False}
+
+        def racing_read(s, p):
+            rows, ver = real_read(s, p)
+            if not state["raced"] and ver is not None:
+                state["raced"] = True
+                rival = s.createDataFrame(
+                    [tuple(e[c] for c in acl._GRANT_COLS) for e in rows]
+                    + [("SELECT", "SCHEMA", "wcat.rival", "rteam")],
+                    acl._GRANT_SCHEMA,
+                )
+                LakeTable.for_path(s, p).overwrite(rival)
+            return rows, ver
+
+        monkeypatch.setattr(acl, "_disk_grant_rows", racing_read)
+        acl.grant(spark, "SELECT", "SCHEMA", "wcat.mine", "team")
+        monkeypatch.undo()
+
+        assert state["raced"]
+        # fresh session: all three grants present — the rival's row
+        # committed inside the window was not lost
+        acl._GRANTS.clear()
+        acl._LOADED.clear()
+        rows = {
+            (r["securable"], r["principal"])
+            for r in acl.show_grants(spark).collect()
+        }
+        assert {
+            ("wcat", "team"),
+            ("wcat.rival", "rteam"),
+            ("wcat.mine", "team"),
+        } <= rows
+    finally:
+        spark.conf.unset(acl.PATH_CONF)
+        acl._GRANTS.clear()
+        acl._LOADED.clear()
+
+
 def test_five_straight_losses_surface(spark, tmp_path, monkeypatch):
     """A persist that loses five times raises instead of silently
     dropping the mutation; the journal survives for the next flush."""
