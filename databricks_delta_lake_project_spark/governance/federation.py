@@ -70,6 +70,14 @@ _CONNECTIONS: dict[str, dict[str, dict]] = {}
 # session -> {catalog_name: {"connection": str, "database": str|None,
 #             "comment": str|None}}
 _FOREIGN_CATALOGS: dict[str, dict[str, dict]] = {}
+# session -> {temp_view_name: full_3part_name} for the views
+# rewrite_foreign_tables materializes. The views are ordinary session
+# temp views, so a principal who knows the internal naming scheme can
+# name one DIRECTLY after a privileged principal materialized it —
+# enforce_internal_view_refs closes that hole by applying the same
+# SELECT check + audit row the 3-part name gets, and DROP FOREIGN
+# CATALOG drops the views so a dropped catalog stops serving data
+_FED_VIEWS: dict[str, dict[str, str]] = {}
 
 # option keys consumed by URL construction; everything else (user,
 # password, driver, ssl...) passes through as JDBC reader options
@@ -181,6 +189,15 @@ def foreign_table(spark: SparkSession, full_name: str) -> DataFrame:
     from . import catalog_registry
 
     catalog_registry.ensure_loaded(spark)
+    if "`" in full_name.strip("`"):
+        # a dot-split would mis-parse `cat.`my.schema`.tbl` (the dot
+        # inside the quoted part reads as a separator) — refuse loudly
+        # instead of resolving the wrong table
+        raise ValueError(
+            "foreign_table: backtick-quoted name parts are not "
+            f"supported, got {full_name!r}; pass the plain "
+            "catalog.schema.table spelling"
+        )
     bits = full_name.strip("`").split(".")
     if len(bits) != 3:
         raise ValueError(
@@ -319,6 +336,14 @@ def _require_fed_admin(spark: SparkSession, securable: str, verb: str) -> None:
     else:
         allowed = acl.can_manage(spark, securable.lower())
     if not allowed:
+        # denied federation DDL leaves an audit row like every other
+        # manage-gated refusal — a credential-touching verb with no
+        # trail would be the worst place to go dark
+        from . import systables
+
+        systables.record_access(
+            spark, "ALL PRIVILEGES", securable.lower(), 403, action=verb
+        )
         who = sorted(acl.current_principals(spark)) or ["<anonymous>"]
         raise PermissionError(
             f"principal {who} may not {verb} {securable!r}: requires "
@@ -376,11 +401,25 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
     from . import catalog_registry
 
     catalog_registry.ensure_loaded(spark)
-    fcats = _FOREIGN_CATALOGS.get(session_key(spark))
+    sid = session_key(spark)
+    fcats = _FOREIGN_CATALOGS.get(sid)
     if not fcats:
         return sql
     from ..tables import sqldml
     from . import access_control as acl
+
+    # a DML statement whose TARGET resolves into a foreign catalog
+    # must refuse up front: splicing in the read-only temp view would
+    # fail downstream with a confusing "no such table fed__..." —
+    # federated tables are read-only through this engine (mirror +
+    # write back via the remote's own tooling instead)
+    target = sqldml.statement_target(sql)
+    if target is not None and target.split(".")[0].lower() in fcats:
+        raise ValueError(
+            f"foreign tables are read-only: {target!r} resolves into "
+            f"foreign catalog {target.split('.')[0].lower()!r}; "
+            "mirror_table() copies it into a writable lake table"
+        )
 
     for cat in fcats:
         if cat not in sql.lower():
@@ -428,6 +467,7 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
                     acl.enforce(spark, "SELECT", full)
                 view = f"fed__{cat}__{schema}__{table}"
                 foreign_table(spark, full).createOrReplaceTempView(view)
+                _FED_VIEWS.setdefault(sid, {})[view] = full
                 seen[(schema, table)] = view
             parts.append(sql[pos : m.start()])
             parts.append(view)
@@ -435,6 +475,36 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
         parts.append(sql[pos:])
         sql = "".join(parts)
     return sql
+
+
+def enforce_internal_view_refs(spark: SparkSession, sql: str) -> None:
+    """SELECT-check + audit a statement that names an engine-internal
+    ``fed__<cat>__<schema>__<table>`` view DIRECTLY. The views
+    rewrite_foreign_tables materializes are ordinary session temp
+    views; once a privileged principal materializes one, a later
+    statement can resolve it natively, bypassing the rewrite-time
+    check — which would break the "every foreign read lands in
+    system.access.audit" contract. Callers pass the PRE-rewrite
+    statement so legitimately spliced view names (already enforced at
+    splice time) are not double-audited. Same fail-closed token scan
+    as ``acl.referenced_tables``: identifier tokens outside string
+    literals plus backtick-quoted identifiers."""
+    views = _FED_VIEWS.get(session_key(spark))
+    if not views:
+        return
+    from ..tables import sqldml
+    from . import access_control as acl
+
+    mask = sqldml._mask(sql)
+    refs: set[str] = set()
+    for m in re.finditer(r"[A-Za-z_][\w.]*", sql):
+        if not mask[m.start()][1]:
+            refs.add(m.group(0).lower())
+    for m in re.finditer(r"`([^`]+)`", sql):
+        refs.add(m.group(1).lower())
+    for view, full in views.items():
+        if view in refs:
+            acl.enforce(spark, "SELECT", full)
 
 
 def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
@@ -537,6 +607,15 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
     m = _CREATE_FCAT_RE.match(sql)
     if m:
         name = m.group("name").strip("`").lower()
+        # the name becomes both a rewrite key and a temp-view name
+        # segment (fed__<cat>__...): spaces/dots allowed by the
+        # backtick grammar would build an invalid view identifier and
+        # fail obscurely at first query — refuse at DDL time instead
+        if not re.fullmatch(r"\w+", name):
+            raise ValueError(
+                f"CREATE FOREIGN CATALOG: invalid catalog name {name!r} "
+                "(letters, digits and underscores only)"
+            )
         _require_fed_admin(spark, name, "CREATE FOREIGN CATALOG")
         conn_name = m.group("conn").strip("`").lower()
         _connection(spark, conn_name)  # loud refusal before registering
@@ -645,6 +724,16 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
                 )
             raise ValueError(f"no such foreign catalog: {name}")
         del fcats[name]
+        # drop the materialized fed__ views for this catalog: they
+        # wrap live JDBC relations and would keep serving remote data
+        # (with the dropped catalog's credentials) after the drop
+        fviews = _FED_VIEWS.get(sid, {})
+        for view in [v for v in fviews if v.startswith(f"fed__{name}__")]:
+            fviews.pop(view, None)
+            try:
+                spark.catalog.dropTempView(view)
+            except Exception:  # noqa: BLE001
+                pass
         from ..tables import metasql
 
         metasql._NAMESPACES.get(sid, {}).pop(("catalog", name), None)

@@ -190,7 +190,12 @@ class Pipeline:
         from ..quality import event_log
 
         event_log.record_flow_progress(
-            spark, node.name, action=action, rows=n_rows, results=results
+            spark,
+            node.name,
+            action=action,
+            rows=n_rows,
+            results=results,
+            path=path,
         )
         return {"action": action, "rows": n_rows, "expectations": rule_metrics}
 

@@ -29,18 +29,29 @@ from __future__ import annotations
 import json
 import re
 import uuid
+import warnings
 from datetime import datetime, timezone
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..session import session_key
 
-# sid -> ordered flow_progress event rows (dicts matching _SCHEMA);
-# FIFO-trimmed at the cap like the audit buffer (systables._AUDIT) so
-# a long-lived session running pipelines on a schedule cannot grow
-# driver memory without bound
+# sid -> ordered flow_progress event rows (dicts matching _SCHEMA,
+# plus a hidden "path" key holding the materialized table's path for
+# exact-flow matching); FIFO-trimmed at the cap like the audit buffer
+# (systables._AUDIT) so a long-lived session running pipelines on a
+# schedule cannot grow driver memory without bound
 _EVENTS: dict[str, list[dict]] = {}
 _EVENT_CAP = 50_000
+
+# opt-in durability (DLT's event log survives restarts): with this
+# conf set to a LakeTable path, every flow_progress event is ALSO
+# appended to that table, and event_log() serves buffer ∪ table — a
+# fresh session can query a prior session's pipeline history. Appends
+# are conflict-free commits, so concurrent pipeline runs never race
+# the way the overwrite-based registries do.
+PATH_CONF = "spark.engine.eventLog.path"
 
 _SCHEMA = (
     "id string, sequence bigint, flow_name string, timestamp timestamp, "
@@ -56,6 +67,18 @@ _COLS = (
     "level",
     "details",
 )
+# the durable table carries the materialized path as a real column
+# (the buffer keeps it as a hidden key so the TVF schema stays the
+# documented 8 columns)
+_DUR_SCHEMA = _SCHEMA + ", path string"
+_DUR_COLS = _COLS + ("path",)
+
+
+def _durable_path(spark: SparkSession) -> str | None:
+    try:
+        return spark.conf.get(PATH_CONF) or None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def record_flow_progress(
@@ -65,11 +88,14 @@ def record_flow_progress(
     action: str,
     rows: int,
     results: list,
+    path: str | None = None,
 ) -> None:
     """One ``flow_progress`` event per materialized pipeline table
     (called by the runner after each node commits). ``results`` are
     the node's ExpectationResult records (empty when the table has no
-    rules)."""
+    rules). ``path`` is the materialized table's storage path — the
+    disambiguator ``events_df`` prefers over the basename when the
+    TVF's table reference resolves to a registered table."""
     from .expectations import Action
 
     sid = session_key(spark)
@@ -97,38 +123,116 @@ def record_flow_progress(
             },
         }
     }
-    buf.append(
-        {
-            "id": str(uuid.uuid4()),
-            # monotonic even across FIFO trims (len(buf) would reuse
-            # sequence numbers after a trim)
-            "sequence": (buf[-1]["sequence"] + 1) if buf else 0,
-            "flow_name": flow_name.lower(),
-            "timestamp": datetime.now(timezone.utc),
-            "event_type": "flow_progress",
-            "message": (
-                f"Flow '{flow_name}' has COMPLETED ({action}, "
-                f"{rows} rows)"
-            ),
-            "level": "INFO",
-            "details": json.dumps(details, sort_keys=True),
-        }
-    )
+    ev = {
+        "id": str(uuid.uuid4()),
+        # monotonic even across FIFO trims (len(buf) would reuse
+        # sequence numbers after a trim)
+        "sequence": (buf[-1]["sequence"] + 1) if buf else 0,
+        "flow_name": flow_name.lower(),
+        # naive UTC (systables.record_access convention): the durable
+        # round-trip hands back naive timestamps, and the merge sort
+        # in events_df must never compare aware against naive
+        "timestamp": datetime.now(timezone.utc).replace(tzinfo=None),
+        "event_type": "flow_progress",
+        "message": (
+            f"Flow '{flow_name}' has COMPLETED ({action}, "
+            f"{rows} rows)"
+        ),
+        "level": "INFO",
+        "details": json.dumps(details, sort_keys=True),
+        "path": str(Path(path)) if path else None,
+    }
+    buf.append(ev)
     if len(buf) > _EVENT_CAP:
         del buf[: len(buf) - _EVENT_CAP]
+    dur = _durable_path(spark)
+    if dur:
+        # observability write-through must never fail the pipeline run
+        # it describes — warn and keep the session buffer as source
+        try:
+            _persist_event(spark, dur, ev)
+        except Exception as e:  # noqa: BLE001
+            warnings.warn(
+                f"event log: could not persist flow_progress for "
+                f"{flow_name!r} to {dur} ({e})",
+                stacklevel=2,
+            )
+
+
+def _persist_event(spark: SparkSession, path: str, ev: dict) -> None:
+    from ..tables import LakeTable
+
+    df = spark.createDataFrame(
+        [tuple(ev.get(c) for c in _DUR_COLS)], _DUR_SCHEMA
+    )
+    if LakeTable.is_table(path):
+        LakeTable.for_path(spark, path).append(df)
+    else:
+        try:
+            LakeTable.create(spark, path, df=df)
+        except Exception:
+            if LakeTable.is_table(path):  # lost the creation race
+                LakeTable.for_path(spark, path).append(df)
+            else:
+                raise
+
+
+def _durable_events(spark: SparkSession) -> list[dict]:
+    """Rows from the durable event table (empty without the conf). An
+    unreadable table fails LOUDLY here — the read path is a user
+    query, and silently serving partial history would misreport a
+    pipeline's quality record."""
+    path = _durable_path(spark)
+    if not path:
+        return []
+    from ..tables import LakeTable
+
+    if not LakeTable.is_table(path):
+        return []
+    return [
+        {c: r[c] for c in _DUR_COLS}
+        for r in LakeTable.for_path(spark, path).to_df().collect()
+    ]
 
 
 def events_df(spark: SparkSession, table_ref: str) -> DataFrame:
-    """Event rows for one flow. The TVF takes a TABLE reference
-    (``cat.schema.tbl``); pipeline flows are named by basename, so the
-    match is on the last component — the same resolution the engine's
-    suffix rule applies to table names."""
-    base = table_ref.strip("`").lower().split(".")[-1]
-    rows = [
-        tuple(e[c] for c in _COLS)
-        for e in _EVENTS.get(session_key(spark), [])
-        if e["flow_name"].split(".")[-1] == base
-    ]
+    """Event rows for one flow: session buffer ∪ durable table (when
+    ``PATH_CONF`` is set), deduplicated by event id.
+
+    Matching prefers EXACT identity: when the TVF's table reference
+    resolves to a registered table, events recorded for that table's
+    storage path win — two pipelines whose nodes share a basename in
+    different schemas keep separate histories. Only when the
+    reference doesn't resolve (or no event carries its path) does the
+    match fall back to the basename, the same suffix rule the
+    engine's table-name resolution applies."""
+    buf = list(_EVENTS.get(session_key(spark), []))
+    have = {e["id"] for e in buf}
+    evs = buf + [e for e in _durable_events(spark) if e["id"] not in have]
+
+    root: str | None = None
+    try:
+        from ..tables import sqldml
+
+        root = str(Path(sqldml.resolve_table(spark, table_ref).root))
+    except Exception:  # noqa: BLE001
+        root = None
+    matched: list[dict] = []
+    if root is not None:
+        matched = [
+            e
+            for e in evs
+            if e.get("path") and str(Path(e["path"])) == root
+        ]
+    if not matched:
+        base = table_ref.strip("`").lower().split(".")[-1]
+        matched = [
+            e for e in evs if e["flow_name"].split(".")[-1] == base
+        ]
+    # cross-session sequences collide; timestamp-then-sequence gives a
+    # stable, meaningful order for ORDER BY-less consumers
+    matched.sort(key=lambda e: (e["timestamp"], e["sequence"]))
+    rows = [tuple(e[c] for c in _COLS) for e in matched]
     return spark.createDataFrame(rows, _SCHEMA)
 
 

@@ -639,6 +639,12 @@ def _run_statement_impl(
     # to lazy pushdown-enabled JDBC views the same way — SELECTs, DML
     # sources and CTAS over foreign tables all resolve
     sql = federation.rewrite_foreign_tables(spark, sql)
+    if enforcing:
+        # a statement naming an engine-internal fed__ view DIRECTLY
+        # (instead of the 3-part foreign name) gets the same SELECT
+        # check + audit row; scanned on the PRE-rewrite text so names
+        # the rewrite just spliced in are not double-audited
+        federation.enforce_internal_view_refs(spark, orig_sql)
     kind = sqldml.statement_kind(sql)
     if kind is not None:
         # opt-in enforcement (spark.engine.accessControl.enabled):

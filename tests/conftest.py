@@ -64,6 +64,7 @@ def _engine_registry_isolation():
         share_sql._MOUNTS,
         federation._CONNECTIONS,
         federation._FOREIGN_CATALOGS,
+        federation._FED_VIEWS,
         sqlpack._FUNCS,
         metasql._NAMESPACES,
         systables._LAYER_TAGS,

@@ -495,3 +495,128 @@ def test_admin_show_inventory_still_audited(spark, fed_world):
         spark.conf.set(acl.ENABLED_CONF, "false")
         spark.conf.unset(acl.PRINCIPAL_CONF)
         spark.conf.unset(acl.ADMINS_CONF)
+
+
+def test_internal_fed_view_direct_reference_enforced(spark, fed_world):
+    """Naming the engine-internal fed__ view DIRECTLY gets the same
+    SELECT check + audit as the 3-part name: materialization by a
+    privileged principal must not open the remote table to every
+    later statement in the session."""
+    from databricks_delta_lake_project_spark.governance import systables
+
+    # privileged phase (enforcement off): materialize the view
+    run_statement(
+        spark, "SELECT * FROM crm_postgres.app.customers LIMIT 1"
+    ).collect()
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "intern")
+    try:
+        with pytest.raises(PermissionError, match="SELECT"):
+            run_statement(
+                spark, "SELECT * FROM fed__crm_postgres__app__customers"
+            )
+        # backtick-quoted spelling resolves to the same view: caught too
+        with pytest.raises(PermissionError, match="SELECT"):
+            run_statement(
+                spark, "SELECT * FROM `fed__crm_postgres__app__customers`"
+            )
+        audited = {
+            (e[4][0], e[5][0])
+            for buf in systables._AUDIT.values()
+            for e in buf
+        }
+        assert ("crm_postgres.app.customers", 403) in audited
+        # a granted principal reads through the internal name too
+        acl.grant(spark, "USAGE", "CATALOG", "crm_postgres", "intern")
+        acl.grant(spark, "SELECT", "SCHEMA", "crm_postgres.app", "intern")
+        n = run_statement(
+            spark, "SELECT * FROM fed__crm_postgres__app__customers"
+        ).count()
+        assert n == 50
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+
+
+def test_drop_foreign_catalog_drops_fed_views(spark, fed_world):
+    """DROP FOREIGN CATALOG drops the materialized fed__ views — a
+    dropped catalog must stop serving remote data under its
+    credentials."""
+    from databricks_delta_lake_project_spark.session import session_key
+
+    run_statement(
+        spark, "SELECT * FROM crm_postgres.app.customers LIMIT 1"
+    ).collect()
+    view = "fed__crm_postgres__app__customers"
+    assert spark.catalog.tableExists(view)
+    run_statement(spark, "DROP FOREIGN CATALOG crm_postgres")
+    assert not spark.catalog.tableExists(view)
+    assert view not in federation._FED_VIEWS.get(session_key(spark), {})
+
+
+def test_foreign_dml_target_refuses_read_only(spark, fed_world):
+    """A DML statement targeting a foreign table refuses up front with
+    a clear read-only error, not a downstream missing-view failure."""
+    with pytest.raises(ValueError, match="read-only"):
+        run_statement(
+            spark,
+            "INSERT INTO crm_postgres.app.customers "
+            "SELECT 99, 'X', 'Y', 'x@y.z'",
+        )
+    with pytest.raises(ValueError, match="read-only"):
+        run_statement(
+            spark,
+            "DELETE FROM crm_postgres.app.customers WHERE customer_id = 1",
+        )
+
+
+def test_create_foreign_catalog_invalid_name_refuses(spark, derby_dir):
+    """Non-word catalog names would build invalid fed__ temp-view
+    identifiers — refused at DDL time, not at first query."""
+    run_statement(
+        spark,
+        f"CREATE CONNECTION IF NOT EXISTS namecheck_conn TYPE DERBY "
+        f"OPTIONS (path '{derby_dir}', driver '{DRIVER}')",
+    )
+    with pytest.raises(ValueError, match="invalid catalog name"):
+        run_statement(
+            spark,
+            "CREATE FOREIGN CATALOG `my cat` USING CONNECTION namecheck_conn",
+        )
+    with pytest.raises(ValueError, match="invalid catalog name"):
+        run_statement(
+            spark,
+            "CREATE FOREIGN CATALOG `a.b` USING CONNECTION namecheck_conn",
+        )
+
+
+def test_foreign_table_backtick_parts_refuse(spark, fed_world):
+    """foreign_table() refuses embedded backticks instead of
+    mis-splitting `cat.`my.schema`.tbl` on the quoted dot."""
+    with pytest.raises(ValueError, match="backtick"):
+        federation.foreign_table(spark, "crm_postgres.`app.x`.customers")
+
+
+def test_denied_federation_ddl_audits(spark, derby_dir):
+    """A denied CREATE/DROP CONNECTION leaves a 403 audit row like
+    every other manage-gated refusal."""
+    from databricks_delta_lake_project_spark.governance import systables
+
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "intern")
+    try:
+        with pytest.raises(PermissionError, match="CREATE CONNECTION"):
+            run_statement(
+                spark,
+                f"CREATE CONNECTION audit_denied TYPE DERBY "
+                f"OPTIONS (path '{derby_dir}')",
+            )
+        audited = {
+            (e[3], e[4][0], e[5][0])
+            for buf in systables._AUDIT.values()
+            for e in buf
+        }
+        assert ("CREATE CONNECTION", "audit_denied", 403) in audited
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)

@@ -303,3 +303,109 @@ def test_details_path_multipart_qualifiers(spark):
     assert normalize_sql("SELECT `e`.details:x FROM t e") == (
         "SELECT get_json_object(`e`.details, '$.x') FROM t e"
     )
+
+
+def test_event_log_durable_across_sessions(spark, tmp_path):
+    """spark.engine.eventLog.path makes flow_progress events survive
+    the session: a fresh session (cleared buffer) still serves the
+    prior run's history from the Delta-backed event table."""
+    from databricks_delta_lake_project_spark.quality import event_log
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        run_statement,
+    )
+    from databricks_delta_lake_project_spark.session import session_key
+
+    log_path = str(tmp_path / "event_log_table")
+    spark.conf.set(event_log.PATH_CONF, log_path)
+    try:
+        p = Pipeline(str(tmp_path / "lake"))
+
+        @p.table(name="durable_flow", expectations=[
+            QualityRule("pos", "x > 0", Action.DROP),
+        ])
+        def durable_flow(ctx):
+            return ctx.spark.createDataFrame(
+                [(1.0,), (-2.0,), (3.0,)], "x double"
+            )
+
+        p.run(spark)
+        # simulate a fresh session: the in-memory buffer is gone
+        event_log._EVENTS.pop(session_key(spark), None)
+        rows = run_statement(
+            spark,
+            "SELECT flow_name, event_type, details FROM "
+            "event_log(TABLE(durable_flow)) "
+            "WHERE event_type = 'flow_progress'",
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["flow_name"] == "durable_flow"
+        import json as _json
+
+        dq = _json.loads(rows[0]["details"])["flow_progress"]["data_quality"]
+        assert dq["dropped_records"] == 1
+        # a SECOND run in the "new" session composes: buffer + table
+        p.run(spark)
+        rows = run_statement(
+            spark,
+            "SELECT sequence FROM event_log(TABLE(durable_flow)) "
+            "WHERE event_type = 'flow_progress'",
+        ).collect()
+        assert len(rows) == 2
+    finally:
+        spark.conf.unset(event_log.PATH_CONF)
+
+
+def test_event_log_same_basename_distinct_pipelines(spark, tmp_path):
+    """Two pipelines whose nodes share a basename keep SEPARATE event
+    histories when the TVF reference resolves to a registered table:
+    the match anchors on the materialized path, not the basename."""
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        run_statement,
+    )
+    from databricks_delta_lake_project_spark.tables import sqldml
+
+    made = {}
+    for tag, n in (("alpha", 2), ("beta", 5)):
+        p = Pipeline(str(tmp_path / tag))
+
+        @p.table(name="events_clean")
+        def events_clean(ctx, _n=n):
+            return ctx.spark.range(_n).withColumnRenamed("id", "v")
+
+        p.run(spark)
+        made[tag] = str(tmp_path / tag / "events_clean")
+
+    sqldml.register_table(
+        spark, "alpha.gold.events_clean",
+        LakeTable.for_path(spark, made["alpha"]),
+    )
+    sqldml.register_table(
+        spark, "beta.gold.events_clean",
+        LakeTable.for_path(spark, made["beta"]),
+    )
+    try:
+        for tag, n in (("alpha", 2), ("beta", 5)):
+            rows = run_statement(
+                spark,
+                "SELECT details FROM "
+                f"event_log(TABLE({tag}.gold.events_clean)) "
+                "WHERE event_type = 'flow_progress'",
+            ).collect()
+            assert len(rows) == 1, f"{tag}: conflated histories"
+            import json as _json
+
+            m = _json.loads(rows[0]["details"])["flow_progress"]["metrics"]
+            assert m["num_output_rows"] == n
+        # an UNRESOLVABLE reference still falls back to the basename
+        # rule (both pipelines' events, like before)
+        rows = run_statement(
+            spark,
+            "SELECT id FROM event_log(TABLE(events_clean)) "
+            "WHERE event_type = 'flow_progress'",
+        ).collect()
+        assert len(rows) in (1, 2)
+    finally:
+        from databricks_delta_lake_project_spark.tables.sqldml import _skey
+
+        sqldml._REGISTRY.pop(_skey(spark, "alpha.gold.events_clean"), None)
+        sqldml._REGISTRY.pop(_skey(spark, "beta.gold.events_clean"), None)
