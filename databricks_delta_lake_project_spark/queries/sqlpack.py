@@ -341,6 +341,70 @@ _PLAIN_FROM_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# tokens never attributed as source columns inside an expression item
+# even when a source column shares the name: SQL keywords and the
+# EXTRACT/TRIM datepart vocabulary would otherwise fabricate edges
+# (extract(day FROM ts) must not attribute a column named `day`).
+# A column with one of these names still attributes through the
+# PLAIN-item path, which runs first.
+_EXPR_STOPWORDS = frozenset(
+    {
+        "case", "when", "then", "else", "end", "and", "or", "not",
+        "in", "is", "null", "like", "ilike", "rlike", "between",
+        "as", "from", "distinct", "all", "true", "false", "interval",
+        "over", "partition", "by", "order", "rows", "range",
+        "preceding", "following", "unbounded", "current", "row",
+        "escape", "div", "asc", "desc", "nulls", "first", "last",
+        # cast-target type names
+        "int", "integer", "bigint", "smallint", "tinyint", "long",
+        "float", "double", "decimal", "numeric", "string", "varchar",
+        "char", "boolean", "date", "timestamp", "timestamp_ntz",
+        "binary", "array", "map", "struct", "void",
+        # EXTRACT / TRIM keyword vocabulary
+        "year", "yearofweek", "quarter", "month", "week", "day",
+        "dayofweek", "dayofweek_iso", "dow", "doy", "hour", "minute",
+        "second", "millisecond", "microsecond", "epoch",
+        "leading", "trailing", "both",
+    }
+)
+
+
+def _expr_source_cols(
+    item: str, schema: dict[str, str]
+) -> list[str] | None:
+    """Source columns referenced by ONE select-list expression whose
+    statement has already been proven single-source: every identifier
+    token outside string literals that names a source column (schema
+    spelling returned), excluding function names (token followed by
+    ``(``), qualifier tokens (followed by ``.``) and SQL keywords.
+    Returns None when the item is not attributable at all — an
+    embedded subquery reads OTHER tables, and a ``t.*`` star needs
+    schema expansion, not token attribution. Backtick-quoted refs are
+    skipped (under-report, never fabricate)."""
+    from ..tables import sqldml
+
+    if re.search(r"\bSELECT\b", item, re.IGNORECASE):
+        return None
+    if re.search(r"\.\s*\*", item) or item.strip() == "*":
+        return None
+    mask = sqldml._mask(item)
+    out: list[str] = []
+    n = len(item)
+    for m in re.finditer(r"[A-Za-z_]\w*", item):
+        if mask[m.start()][1]:
+            continue  # inside a string literal / backticked name
+        tok = m.group(0).lower()
+        if tok in _EXPR_STOPWORDS or tok not in schema:
+            continue
+        j = m.end()
+        while j < n and item[j].isspace():
+            j += 1
+        if j < n and item[j] in "(.":
+            continue  # function call or qualifier token
+        if schema[tok] not in out:
+            out.append(schema[tok])
+    return out
+
 
 def _column_lineage_edges(
     spark: SparkSession, sql: str, target: str
@@ -348,10 +412,14 @@ def _column_lineage_edges(
     """``(source_table, source_column, target_column)`` edges for the
     SIMPLE projection shapes UC-style column lineage can attribute
     without a plan walk: ``CREATE TABLE t AS SELECT ...`` and
-    ``INSERT INTO t [(cols)] SELECT ...`` whose select list is bare /
-    aliased column references (or a lone ``*``) over ONE source table
-    (no joins, no subqueries). Anything else derives NOTHING — a
-    fabricated edge is worse than a missing one. INSERT targets map by
+    ``INSERT INTO t [(cols)] SELECT ...`` over ONE source table (no
+    joins, no set ops). Bare / aliased column references (or a lone
+    ``*``) attribute directly; an EXPRESSION item attributes every
+    source column it references (``round(amount, 2) AS amt`` =>
+    ``amount -> amt``) — unambiguous because the statement is
+    single-source. Multi-source shapes, subquery items and unaliased
+    CTAS expressions derive NOTHING — a fabricated edge is worse than
+    a missing one. INSERT targets map by
     POSITION against the target schema (the engine's ``_run_insert``
     renames via ``df.toDF(*target_cols)``); CTAS targets by
     alias/name. Best-effort and wholly off the query path
@@ -426,24 +494,70 @@ def _column_lineage_edges(
                 (src, s, t) for s, t in zip(src_cols, insert_cols)
             ]
         return [(src, c, c) for c in src_cols]
+    # source schema (lower -> actual spelling), loaded lazily for
+    # expression attribution: with the statement proven single-source,
+    # an expression column's references are unambiguously attributable
+    # to that source (round(amount, 2) AS amt => amount -> amt)
+    src_schema: dict[str, str] | None = None
+
+    def _schema() -> dict[str, str]:
+        nonlocal src_schema
+        if src_schema is None:
+            try:
+                src_schema = {
+                    c.lower(): c
+                    for c in sqldml.resolve_table(spark, src)
+                    .to_df()
+                    .columns
+                }
+            except Exception:  # noqa: BLE001
+                src_schema = {}
+        return src_schema
+
     edges: list[tuple[str, str, str]] = []
     for i, item in enumerate(items):
         pm = _PLAIN_ITEM_RE.match(item)
-        if (
-            pm is None
-            or pm.group("col").isdigit()
+        if pm is not None and (
+            pm.group("col").isdigit()
             or pm.group("col").upper()
             in ("DISTINCT", "ALL", "NULL", "TRUE", "FALSE")
         ):
-            continue  # expression / literal / modifier: not attributable
-        s_col = pm.group("col")
+            continue  # literal / modifier: not attributable
+        if pm is not None:
+            s_cols = [pm.group("col")]
+            alias = pm.group("alias")
+        else:
+            # expression item: strip the alias (explicit AS, or a
+            # trailing bare identifier preceded by a word char /
+            # closing paren — never by an operator) before scanning
+            expr, alias = item, None
+            am = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+            if am:
+                alias = am.group(1)
+                expr = item[: am.start()]
+            else:
+                bm = re.search(r"(\S)\s+(\w+)\s*$", item)
+                if bm and (
+                    bm.group(1).isalnum() or bm.group(1) in ")`'\""
+                ):
+                    alias = bm.group(2)
+                    expr = item[: bm.start(2)]
+            if not is_insert and alias is None:
+                # CTAS expression without an alias materializes under
+                # Spark's auto-generated column name: skip it
+                continue
+            found = _expr_source_cols(expr, _schema())
+            if not found:
+                continue  # subquery / star / no attributable refs
+            s_cols = found
         if is_insert:
             if i >= len(insert_cols):
                 continue
             t_col = insert_cols[i]
         else:
-            t_col = pm.group("alias") or s_col
-        edges.append((src, s_col, t_col))
+            t_col = alias or s_cols[0]
+        for s_col in s_cols:
+            edges.append((src, s_col, t_col))
     return edges
 
 

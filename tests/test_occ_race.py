@@ -31,6 +31,36 @@ def _mk_table(spark, tmp_path, n=1000):
     )
 
 
+# Spark-internal block-manager noise under two-thread commits in one
+# local JVM: a rival thread's identical cached plan can be reused via
+# the CacheManager and its blocks dropped mid-job by the owner's
+# unpersist — surfacing as "Block rdd_N_M does not exist". The engine
+# behavior is correct (a plain rerun passes); a race harness retries
+# THIS error class a bounded number of times and fails immediately on
+# anything else.
+_SPARK_NOISE_RE = "Block rdd_"
+
+
+def _is_spark_cache_noise(exc: object) -> bool:
+    return isinstance(exc, Exception) and _SPARK_NOISE_RE in str(exc)
+
+
+def _run_race_scenario(scenario, attempts=3):
+    """Run ``scenario(attempt) -> dict[name, result|Exception]``;
+    retry the WHOLE scenario (fresh table) only when every failure in
+    the result set is Spark cache noise."""
+    for attempt in range(attempts):
+        results = scenario(attempt)
+        errs = [v for v in results.values() if isinstance(v, Exception)]
+        if not errs:
+            return results
+        if not all(_is_spark_cache_noise(e) for e in errs):
+            raise AssertionError(f"race scenario failed: {results}")
+    raise AssertionError(
+        f"Spark cache noise on {attempts} straight attempts: {results}"
+    )
+
+
 def _merge_range(spark, t, lo, hi, delta, barrier=None, retries=10):
     src = spark.range(lo, hi).select(
         F.col("id").alias("k"), F.lit(delta).cast("long").alias("dv")
@@ -46,27 +76,33 @@ def _merge_range(spark, t, lo, hi, delta, barrier=None, retries=10):
 
 
 def test_concurrent_disjoint_merges_both_land(spark, tmp_path):
-    t = _mk_table(spark, tmp_path)
-    barrier = threading.Barrier(2)
-    results: dict[str, object] = {}
+    t = None
 
-    def run(name, lo, hi, delta):
-        try:
-            results[name] = _merge_range(
-                spark, t, lo, hi, delta, barrier=barrier
-            )
-        except Exception as e:  # surfaced below
-            results[name] = e
+    def scenario(attempt):
+        nonlocal t
+        t = _mk_table(spark, tmp_path / f"a{attempt}")
+        barrier = threading.Barrier(2)
+        results: dict[str, object] = {}
 
-    threads = [
-        threading.Thread(target=run, args=("a", 0, 500, 1)),
-        threading.Thread(target=run, args=("b", 500, 1200, 1000)),
-    ]
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join(timeout=300)
-    assert not any(isinstance(v, Exception) for v in results.values()), results
+        def run(name, lo, hi, delta):
+            try:
+                results[name] = _merge_range(
+                    spark, t, lo, hi, delta, barrier=barrier
+                )
+            except Exception as e:  # surfaced below
+                results[name] = e
+
+        threads = [
+            threading.Thread(target=run, args=("a", 0, 500, 1)),
+            threading.Thread(target=run, args=("b", 500, 1200, 1000)),
+        ]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=300)
+        return results
+
+    _run_race_scenario(scenario)
 
     # both MERGEs landed: the log gained exactly two MERGE commits
     ops = [
@@ -137,30 +173,41 @@ def test_concurrent_disjoint_deletes_and_updates_retry(spark, tmp_path):
     """DELETE/UPDATE get the same OCC recompute-and-retry as MERGE:
     two threads mutate disjoint key ranges in one single-file table;
     both land."""
-    t = _mk_table(spark, tmp_path, n=400)
-    barrier = threading.Barrier(2)
-    results: dict[str, object] = {}
+    t = None
 
-    def do_delete():
-        try:
-            barrier.wait(timeout=60)
-            results["del"] = t.delete("k < 100", retries=10)
-        except Exception as e:
-            results["del"] = e
+    def scenario(attempt):
+        nonlocal t
+        t = _mk_table(spark, tmp_path / f"a{attempt}", n=400)
+        barrier = threading.Barrier(2)
+        results: dict[str, object] = {}
 
-    def do_update():
-        try:
-            barrier.wait(timeout=60)
-            results["upd"] = t.update("k >= 300", {"v": "7"}, retries=10)
-        except Exception as e:
-            results["upd"] = e
+        def do_delete():
+            try:
+                barrier.wait(timeout=60)
+                results["del"] = t.delete("k < 100", retries=10)
+            except Exception as e:
+                results["del"] = e
 
-    ts = [threading.Thread(target=do_delete), threading.Thread(target=do_update)]
-    for th in ts:
-        th.start()
-    for th in ts:
-        th.join(timeout=300)
-    assert not any(isinstance(v, Exception) for v in results.values()), results
+        def do_update():
+            try:
+                barrier.wait(timeout=60)
+                results["upd"] = t.update(
+                    "k >= 300", {"v": "7"}, retries=10
+                )
+            except Exception as e:
+                results["upd"] = e
+
+        ts = [
+            threading.Thread(target=do_delete),
+            threading.Thread(target=do_update),
+        ]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=300)
+        return results
+
+    _run_race_scenario(scenario)
     rows = {r["k"]: r["v"] for r in t.to_df().collect()}
     assert set(rows) == set(range(100, 400))
     assert all(rows[k] == 7 for k in range(300, 400))

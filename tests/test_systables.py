@@ -386,9 +386,10 @@ def test_unsupported_system_tables_refuse_loudly(spark, tag_world):
 
 
 def test_column_lineage_simple_projections(spark, tmp_path):
-    """system.lineage.column_lineage holds edges for PLAIN projection
-    shapes (CTAS / INSERT-SELECT with bare or aliased columns over one
-    source); expression columns and multi-source shapes derive
+    """system.lineage.column_lineage holds edges for single-source
+    projection shapes (CTAS / INSERT-SELECT over one source): bare and
+    aliased columns attribute directly, expression columns attribute
+    every source column they reference; multi-source shapes derive
     nothing — under-report, never fabricate."""
     from databricks_delta_lake_project_spark.tables import LakeTable
 
@@ -417,8 +418,10 @@ def test_column_lineage_simple_projections(spark, tmp_path):
             ORDER BY target_column_name
             """,
         ).collect()
-        # id->id and nm->name attributed; the expression column is NOT
+        # id->id and nm->name attributed directly; the expression
+        # column attributes its single source ref (amt -> doubled)
         assert [tuple(r) for r in rows] == [
+            ("amt", "doubled"),
             ("id", "id"),
             ("nm", "name"),
         ]
@@ -471,6 +474,57 @@ def test_column_lineage_simple_projections(spark, tmp_path):
         assert n == 0
     finally:
         for nm in ("lcat.bronze.src_t", "lcat.silver.tgt_t", "lcat.silver.j_t"):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)
+
+
+def test_column_lineage_expression_columns(spark, tmp_path):
+    """Single-source EXPRESSION columns attribute every source column
+    they reference (round(amt,2) AS r => amt->r; a CASE referencing
+    two columns emits both edges); literals, casts of NULL and
+    unaliased CTAS expressions still derive nothing."""
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "esrc"),
+        df=spark.createDataFrame(
+            [(1, "a", 2.0)], "id long, nm string, amt double"
+        ),
+    )
+    sqldml.register_table(spark, "ecat.bronze.esrc", t)
+    try:
+        run_statement(
+            spark,
+            f"CREATE TABLE ecat.silver.etgt USING delta LOCATION "
+            f"'{tmp_path / 'etgt'}' AS SELECT "
+            "round(amt, 2) AS amt_r, "
+            "CASE WHEN amt > 0 THEN nm ELSE 'none' END AS label, "
+            "upper(nm) nm_u, "
+            "1 AS one, "
+            "'lit' AS s, "
+            "CAST(NULL AS string) AS empty_nm, "
+            "amt * id AS mix "
+            "FROM esrc",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_column_name, target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'ecat.silver.etgt'
+            ORDER BY target_column_name, source_column_name
+            """,
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("amt", "amt_r"),
+            ("amt", "label"),
+            ("nm", "label"),
+            ("amt", "mix"),
+            ("id", "mix"),
+            ("nm", "nm_u"),
+        ]
+    finally:
+        for nm in ("ecat.bronze.esrc", "ecat.silver.etgt"):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
 
 
