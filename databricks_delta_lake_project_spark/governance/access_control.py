@@ -680,13 +680,7 @@ def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
     from ..tables import sqldml
 
     sid = session_key(spark)
-    mask = sqldml._mask(sql)
-    refs: set[str] = set()
-    for m in re.finditer(r"[A-Za-z_][\w.]*", sql):
-        if not mask[m.start()][1]:
-            refs.add(m.group(0).lower())
-    for m in re.finditer(r"`([^`]+)`", sql):
-        refs.add(m.group(1).lower())
+    refs = sqldml.identifier_tokens(sql)
     lasts = {r.split(".")[-1] for r in refs}
     out: set[str] = set()
     for (s, n) in sqldml._REGISTRY:

@@ -408,13 +408,32 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
     from ..tables import sqldml
     from . import access_control as acl
 
-    # a DML statement whose TARGET resolves into a foreign catalog
-    # must refuse up front: splicing in the read-only temp view would
-    # fail downstream with a confusing "no such table fed__..." —
-    # federated tables are read-only through this engine (mirror +
-    # write back via the remote's own tooling instead)
+    # a mutation/CTAS statement whose TARGET resolves into a foreign
+    # catalog must refuse up front: splicing in (or resolving against)
+    # the read-only temp view would fail downstream with a confusing
+    # "no such table fed__..." — or, worse for CTAS, silently create a
+    # LOCAL table under the spliced view name. Federated tables are
+    # read-only through this engine (mirror + write back via the
+    # remote's own tooling instead). Only a 3-part name can denote a
+    # catalog: 1-/2-part targets resolve locally (a local table whose
+    # first component merely collides with a foreign-catalog name must
+    # keep working).
     target = sqldml.statement_target(sql)
-    if target is not None and target.split(".")[0].lower() in fcats:
+    if target is None:
+        mt = re.match(
+            r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)",
+            sql,
+            re.IGNORECASE,
+        )
+        if mt and not mt.group(1).startswith("`"):
+            target = mt.group(1)
+    if (
+        target is not None
+        and not target.startswith("`")
+        and len(target.split(".")) == 3
+        and target.split(".")[0].lower() in fcats
+    ):
         raise ValueError(
             f"foreign tables are read-only: {target!r} resolves into "
             f"foreign catalog {target.split('.')[0].lower()!r}; "
@@ -452,10 +471,15 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
             table = m.group(3).strip("`").lower()
             # parts that NEED backticks (spaces, dots) are left alone —
             # a splice of such a name into a temp-view identifier
-            # would be invalid SQL; they fall through natively
+            # would be invalid SQL; they fall through natively. Parts
+            # containing '__' (the view-name separator) are skipped
+            # too: (s__x, t) and (s, x__t) would build the SAME view
+            # name and silently swap tables
             if not (
                 re.fullmatch(r"\w+", schema)
                 and re.fullmatch(r"\w+", table)
+                and "__" not in schema
+                and "__" not in table
             ):
                 continue
             view = seen.get((schema, table))
@@ -486,22 +510,16 @@ def enforce_internal_view_refs(spark: SparkSession, sql: str) -> None:
     check — which would break the "every foreign read lands in
     system.access.audit" contract. Callers pass the PRE-rewrite
     statement so legitimately spliced view names (already enforced at
-    splice time) are not double-audited. Same fail-closed token scan
-    as ``acl.referenced_tables``: identifier tokens outside string
-    literals plus backtick-quoted identifiers."""
+    splice time) are not double-audited. Shares the fail-closed token
+    scan with ``acl.referenced_tables``
+    (``sqldml.identifier_tokens``)."""
     views = _FED_VIEWS.get(session_key(spark))
     if not views:
         return
     from ..tables import sqldml
     from . import access_control as acl
 
-    mask = sqldml._mask(sql)
-    refs: set[str] = set()
-    for m in re.finditer(r"[A-Za-z_][\w.]*", sql):
-        if not mask[m.start()][1]:
-            refs.add(m.group(0).lower())
-    for m in re.finditer(r"`([^`]+)`", sql):
-        refs.add(m.group(1).lower())
+    refs = sqldml.identifier_tokens(sql)
     for view, full in views.items():
         if view in refs:
             acl.enforce(spark, "SELECT", full)
@@ -610,11 +628,15 @@ def run_federation_sql(spark: SparkSession, sql: str) -> DataFrame | None:
         # the name becomes both a rewrite key and a temp-view name
         # segment (fed__<cat>__...): spaces/dots allowed by the
         # backtick grammar would build an invalid view identifier and
-        # fail obscurely at first query — refuse at DDL time instead
-        if not re.fullmatch(r"\w+", name):
+        # fail obscurely at first query — refuse at DDL time instead.
+        # Double underscores are refused too: '__' is the view-name
+        # SEPARATOR, so catalogs 'a' and 'a__b' would collide view
+        # names (swapping data) and DROP's fed__<cat>__ prefix sweep
+        # would cross catalog boundaries
+        if not re.fullmatch(r"\w+", name) or "__" in name:
             raise ValueError(
                 f"CREATE FOREIGN CATALOG: invalid catalog name {name!r} "
-                "(letters, digits and underscores only)"
+                "(letters, digits and single underscores only)"
             )
         _require_fed_admin(spark, name, "CREATE FOREIGN CATALOG")
         conn_name = m.group("conn").strip("`").lower()

@@ -177,11 +177,17 @@ def _persist_event(spark: SparkSession, path: str, ev: dict) -> None:
                 raise
 
 
-def _durable_events(spark: SparkSession) -> list[dict]:
-    """Rows from the durable event table (empty without the conf). An
-    unreadable table fails LOUDLY here — the read path is a user
-    query, and silently serving partial history would misreport a
-    pipeline's quality record."""
+def _durable_events(
+    spark: SparkSession, *, base: str, root: str | None
+) -> list[dict]:
+    """Rows from the durable event table that COULD match one flow
+    (empty without the conf): the flow-name/path probe is pushed into
+    a stats-pruned ``read_where`` so a years-old event table never
+    collects whole into the driver — only the superset of candidate
+    rows does (``events_df`` applies the exact match after the
+    merge). An unreadable table fails LOUDLY here — the read path is
+    a user query, and silently serving partial history would
+    misreport a pipeline's quality record."""
     path = _durable_path(spark)
     if not path:
         return []
@@ -189,9 +195,20 @@ def _durable_events(spark: SparkSession) -> list[dict]:
 
     if not LakeTable.is_table(path):
         return []
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    # LIKE's _ wildcard over-matches on underscored names: harmless,
+    # the caller re-applies the exact rule on the merged rows
+    cond = (
+        f"flow_name = '{esc(base)}' OR flow_name LIKE '%.{esc(base)}'"
+    )
+    if root is not None:
+        cond += f" OR path = '{esc(root)}'"
     return [
         {c: r[c] for c in _DUR_COLS}
-        for r in LakeTable.for_path(spark, path).to_df().collect()
+        for r in LakeTable.for_path(spark, path).read_where(cond).collect()
     ]
 
 
@@ -206,10 +223,6 @@ def events_df(spark: SparkSession, table_ref: str) -> DataFrame:
     reference doesn't resolve (or no event carries its path) does the
     match fall back to the basename, the same suffix rule the
     engine's table-name resolution applies."""
-    buf = list(_EVENTS.get(session_key(spark), []))
-    have = {e["id"] for e in buf}
-    evs = buf + [e for e in _durable_events(spark) if e["id"] not in have]
-
     root: str | None = None
     try:
         from ..tables import sqldml
@@ -217,6 +230,14 @@ def events_df(spark: SparkSession, table_ref: str) -> DataFrame:
         root = str(Path(sqldml.resolve_table(spark, table_ref).root))
     except Exception:  # noqa: BLE001
         root = None
+    base = table_ref.strip("`").lower().split(".")[-1]
+    buf = list(_EVENTS.get(session_key(spark), []))
+    have = {e["id"] for e in buf}
+    evs = buf + [
+        e
+        for e in _durable_events(spark, base=base, root=root)
+        if e["id"] not in have
+    ]
     matched: list[dict] = []
     if root is not None:
         matched = [
@@ -225,7 +246,6 @@ def events_df(spark: SparkSession, table_ref: str) -> DataFrame:
             if e.get("path") and str(Path(e["path"])) == root
         ]
     if not matched:
-        base = table_ref.strip("`").lower().split(".")[-1]
         matched = [
             e for e in evs if e["flow_name"].split(".")[-1] == base
         ]

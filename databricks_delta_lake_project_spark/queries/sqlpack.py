@@ -342,11 +342,14 @@ _PLAIN_FROM_RE = re.compile(
 )
 
 # tokens never attributed as source columns inside an expression item
-# even when a source column shares the name: SQL keywords and the
-# EXTRACT/TRIM datepart vocabulary would otherwise fabricate edges
-# (extract(day FROM ts) must not attribute a column named `day`).
-# A column with one of these names still attributes through the
-# PLAIN-item path, which runs first.
+# even when a source column shares the name: SQL keywords, cast-target
+# types and the EXTRACT/TRIM datepart vocabulary (shared with the
+# FROM-clause scan via _NON_TABLE_FROM_PRECEDERS) would otherwise
+# fabricate edges — extract(day FROM ts) must not attribute a column
+# named `day`. A column with one of these names still attributes
+# through the PLAIN-item path, which runs first. The same set also
+# bars trailing-token ALIAS detection ("... ELSE 'x' END" must not
+# read END as an alias).
 _EXPR_STOPWORDS = frozenset(
     {
         "case", "when", "then", "else", "end", "and", "or", "not",
@@ -360,27 +363,27 @@ _EXPR_STOPWORDS = frozenset(
         "float", "double", "decimal", "numeric", "string", "varchar",
         "char", "boolean", "date", "timestamp", "timestamp_ntz",
         "binary", "array", "map", "struct", "void",
-        # EXTRACT / TRIM keyword vocabulary
-        "year", "yearofweek", "quarter", "month", "week", "day",
-        "dayofweek", "dayofweek_iso", "dow", "doy", "hour", "minute",
-        "second", "millisecond", "microsecond", "epoch",
-        "leading", "trailing", "both",
     }
-)
+) | _NON_TABLE_FROM_PRECEDERS
 
 
 def _expr_source_cols(
-    item: str, schema: dict[str, str]
+    item: str, schema: dict[str, str], quals: set[str]
 ) -> list[str] | None:
     """Source columns referenced by ONE select-list expression whose
     statement has already been proven single-source: every identifier
     token outside string literals that names a source column (schema
     spelling returned), excluding function names (token followed by
-    ``(``), qualifier tokens (followed by ``.``) and SQL keywords.
-    Returns None when the item is not attributable at all — an
-    embedded subquery reads OTHER tables, and a ``t.*`` star needs
-    schema expansion, not token attribution. Backtick-quoted refs are
-    skipped (under-report, never fabricate)."""
+    ``(``) and SQL keywords. A dotted token attributes only through a
+    KNOWN table qualifier (``quals`` holds the FROM alias and table
+    spellings): ``o.amount`` attributes ``amount``, while
+    ``addr.city`` (struct-field access) attributes ``addr`` — the
+    column the data actually flows from — and never ``city``, even if
+    a top-level column shares that name. Returns None when the item
+    is not attributable at all — an embedded subquery reads OTHER
+    tables, and a ``t.*`` star needs schema expansion, not token
+    attribution. Backtick-quoted refs are skipped (under-report,
+    never fabricate)."""
     from ..tables import sqldml
 
     if re.search(r"\bSELECT\b", item, re.IGNORECASE):
@@ -394,13 +397,32 @@ def _expr_source_cols(
         if mask[m.start()][1]:
             continue  # inside a string literal / backticked name
         tok = m.group(0).lower()
+        # dotted-ref handling by POSITION, not name: a token preceded
+        # by '.' is a field/column under some qualifier — attributable
+        # only when that qualifier is the source table/alias itself
+        k = m.start() - 1
+        while k >= 0 and item[k].isspace():
+            k -= 1
+        if k >= 0 and item[k] == ".":
+            qe = k - 1
+            while qe >= 0 and item[qe].isspace():
+                qe -= 1
+            qm = re.match(r".*?([A-Za-z_]\w*)$", item[: qe + 1], re.DOTALL)
+            if qm is None or qm.group(1).lower() not in quals:
+                continue  # struct field / unknown qualifier: skip
         if tok in _EXPR_STOPWORDS or tok not in schema:
             continue
         j = m.end()
         while j < n and item[j].isspace():
             j += 1
-        if j < n and item[j] in "(.":
-            continue  # function call or qualifier token
+        if j < n and item[j] == "(":
+            continue  # function call
+        if j < n and item[j] == ".":
+            # qualifier position: the source alias itself is never a
+            # column; a STRUCT column used as `addr.city` attributes
+            # here (the data flows from the struct column)
+            if tok in quals:
+                continue
         if schema[tok] not in out:
             out.append(schema[tok])
     return out
@@ -514,6 +536,18 @@ def _column_lineage_edges(
                 src_schema = {}
         return src_schema
 
+    # table qualifiers the statement may legitimately prefix columns
+    # with: the source's registered spellings and its FROM alias. Any
+    # OTHER qualifier is a struct-column access — the data flows from
+    # the struct column, never from a same-named top-level column
+    quals = {
+        src,
+        src.split(".")[-1],
+        mf.group("src").strip("`").lower(),
+    }
+    if mf.group("a"):
+        quals.add(mf.group("a").lower())
+
     edges: list[tuple[str, str, str]] = []
     for i, item in enumerate(items):
         pm = _PLAIN_ITEM_RE.match(item)
@@ -524,8 +558,17 @@ def _column_lineage_edges(
         ):
             continue  # literal / modifier: not attributable
         if pm is not None:
-            s_cols = [pm.group("col")]
             alias = pm.group("alias")
+            qual = pm.group("qual")
+            if qual is None or qual.lower() in quals:
+                s_cols = [pm.group("col")]
+            elif qual.lower() in _schema():
+                # struct-field access (addr.city): attribute the
+                # struct column; the output auto-name stays the FIELD
+                # name, so the alias default below still holds
+                s_cols = [_schema()[qual.lower()]]
+            else:
+                continue  # unknown qualifier: not attributable
         else:
             # expression item: strip the alias (explicit AS, or a
             # trailing bare identifier preceded by a word char /
@@ -537,8 +580,12 @@ def _column_lineage_edges(
                 expr = item[: am.start()]
             else:
                 bm = re.search(r"(\S)\s+(\w+)\s*$", item)
-                if bm and (
-                    bm.group(1).isalnum() or bm.group(1) in ")`'\""
+                if (
+                    bm
+                    and (bm.group(1).isalnum() or bm.group(1) in ")`'\"")
+                    # a trailing SQL keyword is expression tail, not an
+                    # alias: "... ELSE 'x' END" / "ts + interval 1 day"
+                    and bm.group(2).lower() not in _EXPR_STOPWORDS
                 ):
                     alias = bm.group(2)
                     expr = item[: bm.start(2)]
@@ -546,7 +593,7 @@ def _column_lineage_edges(
                 # CTAS expression without an alias materializes under
                 # Spark's auto-generated column name: skip it
                 continue
-            found = _expr_source_cols(expr, _schema())
+            found = _expr_source_cols(expr, _schema(), quals)
             if not found:
                 continue  # subquery / star / no attributable refs
             s_cols = found
@@ -555,7 +602,10 @@ def _column_lineage_edges(
                 continue
             t_col = insert_cols[i]
         else:
-            t_col = alias or s_cols[0]
+            # the unaliased plain default is Spark's output name: the
+            # final name part (col group), which for a struct access
+            # is the FIELD name, not the attributed struct column
+            t_col = alias or (pm.group("col") if pm else s_cols[0])
         for s_col in s_cols:
             edges.append((src, s_col, t_col))
     return edges

@@ -192,6 +192,26 @@ def resolve_table(spark: SparkSession, name: str) -> "LakeTable":
 # ---------------------------------------------------------------------------
 
 
+def identifier_tokens(sql: str) -> set[str]:
+    """Every lowered identifier token a statement COULD reference:
+    dotted-word tokens outside string literals plus all backtick-
+    quoted identifiers. This is the shared fail-closed scan behind
+    SELECT enforcement (``access_control.referenced_tables``) and the
+    internal-view guard (``federation.enforce_internal_view_refs``) —
+    one implementation so a quote/comment-handling fix reaches every
+    security check at once."""
+    import re as _re
+
+    mask = _mask(sql)
+    refs: set[str] = set()
+    for m in _re.finditer(r"[A-Za-z_][\w.]*", sql):
+        if not mask[m.start()][1]:
+            refs.add(m.group(0).lower())
+    for m in _re.finditer(r"`([^`]+)`", sql):
+        refs.add(m.group(1).lower())
+    return refs
+
+
 def _mask(sql: str) -> list[tuple[int, bool]]:
     """Per-character (paren_depth, in_quote). Quotes: '...' (with ''
     escape), "...", and `...` identifiers."""

@@ -620,3 +620,54 @@ def test_denied_federation_ddl_audits(spark, derby_dir):
     finally:
         spark.conf.set(acl.ENABLED_CONF, "false")
         spark.conf.unset(acl.PRINCIPAL_CONF)
+
+
+def test_local_table_colliding_with_catalog_name_still_writable(
+    spark, fed_world, tmp_path
+):
+    """Only a 3-part target denotes a catalog: a LOCAL 1-/2-part
+    table whose first component collides with a foreign-catalog name
+    keeps working through DML."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "collide"),
+        df=spark.createDataFrame([(1, 0)], "k int, v int"),
+    )
+    sqldml.register_table(spark, "crm_postgres.users", t)
+    try:
+        run_statement(
+            spark, "UPDATE crm_postgres.users SET v = 9 WHERE k = 1"
+        )
+        assert t.to_df().collect()[0]["v"] == 9
+    finally:
+        from databricks_delta_lake_project_spark.tables.sqldml import _skey
+
+        sqldml._REGISTRY.pop(_skey(spark, "crm_postgres.users"), None)
+
+
+def test_ctas_into_foreign_catalog_refuses_read_only(spark, fed_world):
+    """CTAS targeting a foreign catalog gets the same up-front
+    read-only refusal as INSERT/UPDATE/DELETE — never a silent local
+    table under the spliced view name."""
+    with pytest.raises(ValueError, match="read-only"):
+        run_statement(
+            spark,
+            "CREATE TABLE crm_postgres.app.newtbl AS "
+            "SELECT * FROM crm_postgres.app.customers",
+        )
+
+
+def test_double_underscore_catalog_name_refused(spark, derby_dir):
+    """'__' is the fed__ view-name separator: catalogs containing it
+    would collide view names across catalogs and break the DROP
+    prefix sweep — refused at DDL time."""
+    run_statement(
+        spark,
+        f"CREATE CONNECTION IF NOT EXISTS dd_conn TYPE DERBY "
+        f"OPTIONS (path '{derby_dir}', driver '{DRIVER}')",
+    )
+    with pytest.raises(ValueError, match="invalid catalog name"):
+        run_statement(
+            spark,
+            "CREATE FOREIGN CATALOG a__b USING CONNECTION dd_conn",
+        )

@@ -528,6 +528,71 @@ def test_column_lineage_expression_columns(spark, tmp_path):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
 
 
+def test_column_lineage_expression_edge_cases(spark, tmp_path):
+    """Fabrication guards: a trailing SQL keyword is never read as an
+    alias (unaliased CASE...END derives nothing), a struct-field
+    access attributes the STRUCT column (never a same-named top-level
+    column), and a FROM-alias-qualified ref attributes normally."""
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "xsrc"),
+        df=spark.sql(
+            "SELECT 1L AS id, 'metro' AS city, "
+            "named_struct('city', 'sub') AS addr, 2.0D AS amt"
+        ),
+    )
+    sqldml.register_table(spark, "xcat.bronze.xsrc", t)
+    try:
+        run_statement(
+            spark,
+            f"CREATE TABLE xcat.silver.xtgt USING delta LOCATION "
+            f"'{tmp_path / 'xtgt'}' AS SELECT "
+            # struct-field access: attributes addr, never city
+            "addr.city AS sub_city, "
+            # alias-qualified ref attributes through the FROM alias
+            "x.amt * 2 AS amt2 "
+            "FROM xsrc x",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_column_name, target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'xcat.silver.xtgt'
+            ORDER BY target_column_name, source_column_name
+            """,
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("amt", "amt2"),
+            ("addr", "sub_city"),
+        ]
+        # trailing SQL keywords are never read as aliases: unaliased
+        # CASE...END / interval tails derive NOTHING (checked at the
+        # scanner level — the auto-generated CTAS column name contains
+        # characters parquet refuses, so end-to-end never gets there)
+        from databricks_delta_lake_project_spark.queries import sqlpack
+
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE xcat.silver.k1 AS SELECT "
+            "CASE WHEN amt > 0 THEN city ELSE 'x' END FROM xsrc",
+            "xcat.silver.k1",
+        )
+        assert edges == []
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE xcat.silver.k2 AS SELECT "
+            "ts + interval 1 day FROM xsrc",
+            "xcat.silver.k2",
+        )
+        assert edges == []
+    finally:
+        for nm in ("xcat.bronze.xsrc", "xcat.silver.xtgt"):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)
+
+
 def test_repointed_views_dropped_after_statement(spark, audit_world):
     run_statement(
         spark, "GRANT ALL PRIVILEGES ON CATALOG audcat TO auditor@corp.com"
