@@ -45,6 +45,7 @@ narrow; metadata SHOW queries read a handful of system-catalog rows.
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -414,31 +415,34 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
     # "no such table fed__..." — or, worse for CTAS, silently create a
     # LOCAL table under the spliced view name. Federated tables are
     # read-only through this engine (mirror + write back via the
-    # remote's own tooling instead). Only a 3-part name can denote a
-    # catalog: 1-/2-part targets resolve locally (a local table whose
-    # first component merely collides with a foreign-catalog name must
-    # keep working).
-    target = sqldml.statement_target(sql)
-    if target is None:
-        mt = re.match(
-            r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
-            r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)",
-            sql,
-            re.IGNORECASE,
-        )
-        if mt and not mt.group(1).startswith("`"):
-            target = mt.group(1)
-    if (
-        target is not None
-        and not target.startswith("`")
-        and len(target.split(".")) == 3
-        and target.split(".")[0].lower() in fcats
-    ):
-        raise ValueError(
-            f"foreign tables are read-only: {target!r} resolves into "
-            f"foreign catalog {target.split('.')[0].lower()!r}; "
-            "mirror_table() copies it into a writable lake table"
-        )
+    # remote's own tooling instead). The check matches a 3-PART name
+    # in TARGET POSITION with the SAME spelling latitude as the
+    # rewrite pattern below (backticked parts, spaced dots, leading
+    # comments) — anything the rewriter would splice, the guard must
+    # refuse first; 1-/2-part targets resolve locally (a local table
+    # whose first component merely collides with a foreign-catalog
+    # name keeps working).
+    mt = re.match(
+        r"\s*(?:INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+        r"|UPDATE\s+|DELETE\s+FROM\s+|MERGE\s+INTO\s+"
+        r"|CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?|REPLACE\s+TABLE\s+)"
+        r"(`[^`]+`|\w+)\s*\.\s*(`[^`]+`|\w+)\s*\.\s*(`[^`]+`|\w+)"
+        r"(?![\w`.])",
+        sqldml._strip_comments(sql),
+        re.IGNORECASE,
+    )
+    if mt:
+        tcat = mt.group(1).strip("`").lower()
+        if tcat in fcats:
+            tgt = ".".join(
+                mt.group(i).strip("`") for i in (1, 2, 3)
+            ).lower()
+            raise ValueError(
+                f"foreign tables are read-only: {tgt!r} resolves into "
+                f"foreign catalog {tcat!r}; mirror_table() copies it "
+                "into a writable lake table"
+            )
 
     for cat in fcats:
         if cat not in sql.lower():
@@ -471,15 +475,10 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
             table = m.group(3).strip("`").lower()
             # parts that NEED backticks (spaces, dots) are left alone —
             # a splice of such a name into a temp-view identifier
-            # would be invalid SQL; they fall through natively. Parts
-            # containing '__' (the view-name separator) are skipped
-            # too: (s__x, t) and (s, x__t) would build the SAME view
-            # name and silently swap tables
+            # would be invalid SQL; they fall through natively
             if not (
                 re.fullmatch(r"\w+", schema)
                 and re.fullmatch(r"\w+", table)
-                and "__" not in schema
-                and "__" not in table
             ):
                 continue
             view = seen.get((schema, table))
@@ -489,7 +488,17 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
                 full = f"{cat}.{schema}.{table}"
                 if acl.enabled(spark):
                     acl.enforce(spark, "SELECT", full)
-                view = f"fed__{cat}__{schema}__{table}"
+                if "__" in schema or "__" in table:
+                    # '__' is the view-name separator: (s__x, t) and
+                    # (s, x__t) would build the SAME readable name and
+                    # silently swap tables — such parts get a
+                    # deterministic digest name instead (boundaries
+                    # hashed, so no collision; still fed__<cat>__
+                    # prefixed for the DROP sweep and the view guard)
+                    digest = hashlib.md5(full.encode()).hexdigest()[:12]
+                    view = f"fed__{cat}__h{digest}"
+                else:
+                    view = f"fed__{cat}__{schema}__{table}"
                 foreign_table(spark, full).createOrReplaceTempView(view)
                 _FED_VIEWS.setdefault(sid, {})[view] = full
                 seen[(schema, table)] = view

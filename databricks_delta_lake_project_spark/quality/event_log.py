@@ -197,7 +197,10 @@ def _durable_events(
         return []
 
     def esc(s: str) -> str:
-        return s.replace("'", "''")
+        # Spark string literals treat backslash as an escape char
+        # (escapedStringLiterals defaults false): double it too, or a
+        # path containing one silently under-matches durable rows
+        return s.replace("\\", "\\\\").replace("'", "''")
 
     # LIKE's _ wildcard over-matches on underscored names: harmless,
     # the caller re-applies the exact rule on the merged rows

@@ -604,8 +604,10 @@ def _column_lineage_edges(
         else:
             # the unaliased plain default is Spark's output name: the
             # final name part (col group), which for a struct access
-            # is the FIELD name, not the attributed struct column
-            t_col = alias or (pm.group("col") if pm else s_cols[0])
+            # is the FIELD name, not the attributed struct column.
+            # (pm None implies alias non-None here — unaliased CTAS
+            # expressions already hit `continue` above.)
+            t_col = alias or pm.group("col")
         for s_col in s_cols:
             edges.append((src, s_col, t_col))
     return edges
@@ -865,15 +867,9 @@ def _run_statement_impl(
             tgt = sqldml.statement_target(sql)
             if tgt is None and kind == "create":
                 # statement_target covers mutation verbs only (the
-                # MODIFY gate's scope); CTAS targets parse here
-                mt = re.match(
-                    r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
-                    r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)",
-                    sql,
-                    re.IGNORECASE,
-                )
-                if mt and not mt.group(1).startswith("`"):
-                    tgt = mt.group(1)
+                # MODIFY gate's scope); CTAS targets parse via the
+                # shared sqldml.ctas_target
+                tgt = sqldml.ctas_target(sql)
             if tgt is not None:
                 tgt_c = acl.canonical_name(spark, tgt)
                 for src in _lineage_sources(spark, sql):

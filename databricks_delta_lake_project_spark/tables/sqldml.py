@@ -248,17 +248,47 @@ def _mask(sql: str) -> list[tuple[int, bool]]:
 
 
 def _strip_comments(sql: str) -> str:
-    """Remove ``-- ...`` line comments (outside quotes)."""
-    mask = _mask(sql)
-    out = []
-    i = 0
-    n = len(sql)
+    """Remove ``-- ...`` line comments and ``/* ... */`` block
+    comments (outside quotes; block comments nest, like Spark's
+    lexer). Quotes are tracked inline rather than via ``_mask`` —
+    a quote character INSIDE a comment (``/* don't */``) must not
+    open a quoted span."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    q: str | None = None
     while i < n:
-        if sql[i : i + 2] == "--" and not mask[i][1]:
+        ch = sql[i]
+        if q:
+            out.append(ch)
+            if ch == q:
+                if q in "'\"" and i + 1 < n and sql[i + 1] == q:
+                    out.append(sql[i + 1])  # '' / "" escape pair
+                    i += 2
+                    continue
+                q = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            q = ch
+            out.append(ch)
+            i += 1
+            continue
+        if sql[i : i + 2] == "--":
             while i < n and sql[i] != "\n":
                 i += 1
             continue
-        out.append(sql[i])
+        if sql[i : i + 2] == "/*":
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if sql[i : i + 2] == "/*":
+                    depth, i = depth + 1, i + 2
+                elif sql[i : i + 2] == "*/":
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
+            out.append(" ")  # keep a token separator
+            continue
+        out.append(ch)
         i += 1
     return "".join(out)
 
@@ -489,6 +519,24 @@ def statement_target(sql: str) -> str | None:
         re.IGNORECASE,
     )
     return m.group(1).strip("`") if m else None
+
+
+def ctas_target(sql: str) -> str | None:
+    """The NAMED target of a CREATE [OR REPLACE] TABLE statement
+    (None otherwise, including backtick-PATH targets) —
+    ``statement_target``'s sibling for the creation verbs it
+    deliberately excludes from the MODIFY gate. Comment-stripped like
+    statement_target so a leading ``/* .. */`` never hides the
+    target."""
+    m = re.match(
+        r"\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?|REPLACE\s+)TABLE\s+"
+        r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)",
+        _strip_comments(sql),
+        re.IGNORECASE,
+    )
+    if m is None or m.group(1).startswith("`"):
+        return None
+    return m.group(1)
 
 
 def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:

@@ -671,3 +671,57 @@ def test_double_underscore_catalog_name_refused(spark, derby_dir):
             spark,
             "CREATE FOREIGN CATALOG a__b USING CONNECTION dd_conn",
         )
+
+
+def test_foreign_target_guard_matches_rewriter_spellings(
+    spark, fed_world
+):
+    """The read-only refusal accepts every spelling the rewriter
+    would splice: backticked catalog part, spaced dots, and a leading
+    comment on a CTAS."""
+    for stmt in (
+        "INSERT INTO `crm_postgres`.app.customers SELECT 1, 'a', 'b', 'c'",
+        "UPDATE crm_postgres . app . customers SET email = 'x'",
+        "/* note */ CREATE TABLE crm_postgres.app.newt AS "
+        "SELECT * FROM crm_postgres.app.customers",
+        "CREATE OR REPLACE TABLE crm_postgres.`app`.customers AS "
+        "SELECT 1 AS x",
+    ):
+        with pytest.raises(ValueError, match="read-only"):
+            run_statement(spark, stmt)
+
+
+def test_double_underscore_remote_table_reads_via_digest_view(
+    spark, fed_world, derby_dir
+):
+    """Remote schema/table parts containing '__' stay readable: the
+    rewrite uses a deterministic digest view name (no collisions with
+    the readable fed__cat__schema__table scheme), still tracked for
+    enforcement and dropped with the catalog."""
+    from databricks_delta_lake_project_spark.session import session_key
+    from pyspark.sql import Row
+
+    url = f"jdbc:derby:{derby_dir}"
+    df = spark.createDataFrame([Row(eid=1), Row(eid=2), Row(eid=3)])
+    (
+        df.coalesce(1)
+        .write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "user__events")
+        .option("driver", DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    n = run_statement(
+        spark,
+        "SELECT COUNT(*) AS n FROM crm_postgres.app.user__events",
+    ).collect()[0]["n"]
+    assert n == 3
+    fviews = federation._FED_VIEWS.get(session_key(spark), {})
+    digest_views = [
+        v
+        for v, full in fviews.items()
+        if full == "crm_postgres.app.user__events"
+    ]
+    assert len(digest_views) == 1
+    assert digest_views[0].startswith("fed__crm_postgres__h")
