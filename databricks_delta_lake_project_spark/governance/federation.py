@@ -423,10 +423,10 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
     # whose first component merely collides with a foreign-catalog
     # name keeps working).
     mt = re.match(
-        r"\s*(?:INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
-        r"|UPDATE\s+|DELETE\s+FROM\s+|MERGE\s+INTO\s+"
-        r"|CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
-        r"(?:IF\s+NOT\s+EXISTS\s+)?|REPLACE\s+TABLE\s+)"
+        # the verb inventory is SHARED with statement_target (plus
+        # the creation verbs it deliberately excludes): TRUNCATE /
+        # ALTER / OPTIMIZE / VACUUM / RESTORE refuse here too
+        rf"\s*(?:{sqldml.TARGET_VERBS}|{sqldml.CREATE_VERBS})\s*"
         r"(`[^`]+`|\w+)\s*\.\s*(`[^`]+`|\w+)\s*\.\s*(`[^`]+`|\w+)"
         r"(?![\w`.])",
         sqldml._strip_comments(sql),
@@ -495,7 +495,11 @@ def rewrite_foreign_tables(spark: SparkSession, sql: str) -> str:
                     # deterministic digest name instead (boundaries
                     # hashed, so no collision; still fed__<cat>__
                     # prefixed for the DROP sweep and the view guard)
-                    digest = hashlib.md5(full.encode()).hexdigest()[:12]
+                    # sha256, not md5: md5() raises on FIPS-enforcing
+                    # builds even for non-cryptographic name-mangling
+                    digest = hashlib.sha256(
+                        full.encode()
+                    ).hexdigest()[:12]
                     view = f"fed__{cat}__h{digest}"
                 else:
                     view = f"fed__{cat}__{schema}__{table}"

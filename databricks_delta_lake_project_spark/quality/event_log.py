@@ -197,10 +197,11 @@ def _durable_events(
         return []
 
     def esc(s: str) -> str:
-        # Spark string literals treat backslash as an escape char
-        # (escapedStringLiterals defaults false): double it too, or a
-        # path containing one silently under-matches durable rows
-        return s.replace("\\", "\\\\").replace("'", "''")
+        # Spark's default lexer escapes with BACKSLASH ('' is two
+        # adjacent literals that concatenate, silently eating the
+        # quote): double backslashes, then backslash-escape quotes —
+        # either wrong and rows with such paths under-match silently
+        return s.replace("\\", "\\\\").replace("'", "\\'")
 
     # LIKE's _ wildcard over-matches on underscored names: harmless,
     # the caller re-applies the exact rule on the merged rows

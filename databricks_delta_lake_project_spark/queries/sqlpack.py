@@ -800,6 +800,13 @@ def _run_statement_impl(
     # stores it verbatim (mount/federation rewrites bake in
     # session-scoped temp-view names that will not exist at replay)
     orig_sql = sql
+    # comments are semantically void — strip them ONCE so every scan
+    # from here down (mount/federation rewrites, enforcement token
+    # scans, repoints) sees the same comment-free text the DML router
+    # does: a foreign/mounted name inside a comment must never be
+    # spliced, enforced or audited
+    sql = sqldml._strip_comments(sql)
+    bare_sql = sql  # comment-free AND pre-rewrite, for the view guard
     sql = _share_sql.rewrite_mounts(spark, sql)
     # federated 3-part names (crm_postgres.public.customers) re-point
     # to lazy pushdown-enabled JDBC views the same way — SELECTs, DML
@@ -808,9 +815,10 @@ def _run_statement_impl(
     if enforcing:
         # a statement naming an engine-internal fed__ view DIRECTLY
         # (instead of the 3-part foreign name) gets the same SELECT
-        # check + audit row; scanned on the PRE-rewrite text so names
-        # the rewrite just spliced in are not double-audited
-        federation.enforce_internal_view_refs(spark, orig_sql)
+        # check + audit row; scanned on the comment-free PRE-rewrite
+        # text so names the rewrite just spliced in are not
+        # double-audited and commented-out names are not enforced
+        federation.enforce_internal_view_refs(spark, bare_sql)
     kind = sqldml.statement_kind(sql)
     if kind is not None:
         # opt-in enforcement (spark.engine.accessControl.enabled):

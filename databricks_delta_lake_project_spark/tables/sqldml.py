@@ -214,7 +214,8 @@ def identifier_tokens(sql: str) -> set[str]:
 
 def _mask(sql: str) -> list[tuple[int, bool]]:
     """Per-character (paren_depth, in_quote). Quotes: '...' (with ''
-    escape), "...", and `...` identifiers."""
+    and backslash escapes — Spark's default lexer semantics), "...",
+    and `...` identifiers."""
     out: list[tuple[int, bool]] = []
     depth = 0
     q: str | None = None
@@ -224,6 +225,11 @@ def _mask(sql: str) -> list[tuple[int, bool]]:
         ch = sql[i]
         if q is not None:
             out.append((depth, True))
+            if ch == "\\" and q in "'\"" and i + 1 < n:
+                # \' inside a literal must not close the quote
+                out.append((depth, True))
+                i += 2
+                continue
             if ch == q:
                 if q == "'" and i + 1 < n and sql[i + 1] == "'":
                     out.append((depth, True))
@@ -260,6 +266,10 @@ def _strip_comments(sql: str) -> str:
         ch = sql[i]
         if q:
             out.append(ch)
+            if ch == "\\" and q in "'\"" and i + 1 < n:
+                out.append(sql[i + 1])  # \' must not close the quote
+                i += 2
+                continue
             if ch == q:
                 if q in "'\"" and i + 1 < n and sql[i + 1] == q:
                     out.append(sql[i + 1])  # '' / "" escape pair
@@ -504,6 +514,23 @@ def statement_kind(sql: str) -> str | None:
     return None
 
 
+# ONE inventory of target-mutating verb prefixes: statement_target's
+# MODIFY gate and federation's read-only guard must never drift apart
+# (a verb in one list but not the other silently loses a check)
+TARGET_VERBS = (
+    r"MERGE\s+INTO|UPDATE|DELETE\s+FROM"
+    r"|INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    r"|TRUNCATE\s+(?:TABLE\s+)?|ALTER\s+TABLE|OPTIMIZE"
+    r"|VACUUM|RESTORE\s+(?:TABLE\s+)?"
+)
+# creation verbs, kept separate: statement_target deliberately
+# excludes them (CREATE is namespace-gated, not MODIFY-gated)
+CREATE_VERBS = (
+    r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+    r"|REPLACE\s+TABLE\s+"
+)
+
+
 def statement_target(sql: str) -> str | None:
     """The mutated table name of a DML/DDL statement (None when not
     parseable) — the securable the access-control layer checks MODIFY
@@ -511,10 +538,7 @@ def statement_target(sql: str) -> str | None:
     separately."""
     text = _strip_comments(sql).strip()
     m = re.match(
-        r"(?:MERGE\s+INTO|UPDATE|DELETE\s+FROM"
-        r"|INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
-        r"|TRUNCATE\s+(?:TABLE\s+)?|ALTER\s+TABLE|OPTIMIZE"
-        r"|VACUUM|RESTORE\s+(?:TABLE\s+)?)\s*(`[^`]+`|[\w.]+)",
+        rf"(?:{TARGET_VERBS})\s*(`[^`]+`|[\w.]+)",
         text,
         re.IGNORECASE,
     )
@@ -529,8 +553,7 @@ def ctas_target(sql: str) -> str | None:
     statement_target so a leading ``/* .. */`` never hides the
     target."""
     m = re.match(
-        r"\s*(?:CREATE\s+(?:OR\s+REPLACE\s+)?|REPLACE\s+)TABLE\s+"
-        r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)",
+        rf"\s*(?:{CREATE_VERBS})(`[^`]+`|[\w.]+)",
         _strip_comments(sql),
         re.IGNORECASE,
     )

@@ -725,3 +725,38 @@ def test_double_underscore_remote_table_reads_via_digest_view(
     ]
     assert len(digest_views) == 1
     assert digest_views[0].startswith("fed__crm_postgres__h")
+
+
+def test_maintenance_verbs_on_foreign_table_refuse(spark, fed_world):
+    """TRUNCATE/OPTIMIZE/VACUUM/ALTER/RESTORE share the read-only
+    refusal with the DML verbs (one verb inventory with
+    statement_target — no drift)."""
+    for stmt in (
+        "TRUNCATE TABLE crm_postgres.app.customers",
+        "OPTIMIZE crm_postgres.app.customers",
+        "VACUUM crm_postgres.app.customers",
+        "ALTER TABLE crm_postgres.app.customers ADD COLUMNS (x INT)",
+        "RESTORE TABLE crm_postgres.app.customers TO VERSION AS OF 0",
+    ):
+        with pytest.raises(ValueError, match="read-only"):
+            run_statement(spark, stmt)
+
+
+def test_commented_out_foreign_name_not_spliced_or_enforced(
+    spark, fed_world
+):
+    """A foreign 3-part name inside a comment is dead text: never
+    rewritten, never SELECT-enforced — a harmless statement must not
+    403 for a principal without the grant."""
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "intern")
+    try:
+        row = run_statement(
+            spark,
+            "SELECT 1 AS x -- was: crm_postgres.app.customers\n"
+            "/* and crm_postgres.app.order_headers */",
+        ).collect()[0]
+        assert row["x"] == 1
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)

@@ -106,3 +106,21 @@ def test_requalify_word_boundary_no_partial_match():
     # `retarget.` must not be rewritten just because it ends in `target.`
     out = _requalify("retarget.id = source.id", None, "target", None, "source")
     assert out == "retarget.id = s.id"
+
+
+def test_strip_comments_backslash_escape_and_blocks():
+    """Spark-lexer semantics: \\' inside a literal does not close the
+    quote (so a -- inside it is data, not a comment); nested block
+    comments strip; '' doubling still survives."""
+    from databricks_delta_lake_project_spark.tables.sqldml import (
+        _strip_comments,
+    )
+
+    s = "UPDATE t SET note = 'don\\'t -- keep' WHERE id = 1"
+    assert _strip_comments(s) == s
+    assert (
+        _strip_comments("/* a /* nested */ b */ DELETE FROM t").strip()
+        == "DELETE FROM t"
+    )
+    s2 = "SELECT 'it''s -- fine' AS v -- tail"
+    assert _strip_comments(s2) == "SELECT 'it''s -- fine' AS v "
