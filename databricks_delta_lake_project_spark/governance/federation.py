@@ -119,7 +119,16 @@ def _build_url(
     ctype: str, opts: dict[str, str], database: str | None
 ) -> str:
     """JDBC URL for a connection type; an explicit ``url`` option wins
-    (the escape hatch that makes ANY JDBC engine reachable)."""
+    (the escape hatch that makes ANY JDBC engine reachable).
+
+    TEST-COVERAGE NOTE: only the ``derby`` dialect runs end-to-end in
+    this repo's test environment (embedded engine, driver ships inside
+    Spark). The postgresql / mysql / sqlserver / snowflake branches
+    are URL-construction-tested only — their URL shapes follow each
+    vendor's published JDBC documentation, and the metadata queries
+    below assume an ANSI ``information_schema`` (true for all four);
+    validate against a live engine before relying on them in
+    production."""
     if opts.get("url"):
         return opts["url"]
     host = opts.get("host")
@@ -356,7 +365,11 @@ def _require_fed_admin(spark: SparkSession, securable: str, verb: str) -> None:
 
 # remote system-catalog queries per connection type; {schema} is the
 # literal schema-name filter (pre-escaped). information_schema is the
-# ANSI default; Derby exposes SYS.* instead.
+# ANSI default; Derby exposes SYS.* instead. TEST-COVERAGE NOTE: the
+# 'default' (information_schema) branch is exercised only against the
+# documented ANSI shape, not a live postgres/mysql/sqlserver/snowflake
+# engine (none runs in this sandbox) — Derby is the end-to-end-tested
+# path.
 _SCHEMAS_QUERY = {
     "derby": (
         "SELECT schemaname AS ns FROM sys.sysschemas "
