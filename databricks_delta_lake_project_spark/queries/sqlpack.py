@@ -828,8 +828,7 @@ def _run_statement_impl(
         if enforcing:
             if kind in ("create", "convert"):
                 m = re.search(
-                    r"(?:CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
-                    r"(?:IF\s+NOT\s+EXISTS\s+)?|CONVERT\s+TO\s+DELTA\s+)"
+                    rf"(?:{sqldml.CREATE_VERBS}|CONVERT\s+TO\s+DELTA\s+)"
                     r"(?:(?:parquet|delta)\s*\.\s*`|(`[^`]+`|[\w.]+))",
                     sql,
                     re.IGNORECASE,
@@ -918,7 +917,12 @@ def _run_statement_impl(
         text = _rewrite_functions(spark, text)
         final = normalize_sql(rewrite_time_travel(spark, text))
         out = spark.sql(final)
-        mcf = _CREATE_FN_RE.match(orig_sql)
+        # detect on the COMMENT-FREE text (a leading /* .. */ hides
+        # the verb from the anchored match, and the session binding
+        # above succeeded on stripped text — the durable record must
+        # not silently diverge); the stored statement is bare_sql for
+        # the same reason: replay re-parses it with this same regex
+        mcf = _CREATE_FN_RE.match(bare_sql)
         if (
             mcf
             and "." in mcf.group("name").strip("`")
@@ -944,7 +948,7 @@ def _run_statement_impl(
                     spark,
                     "function",
                     full,
-                    {"base": fmap[full], "sql": orig_sql},
+                    {"base": fmap[full], "sql": bare_sql},
                 )
         return out
     finally:

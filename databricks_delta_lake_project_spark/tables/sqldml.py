@@ -199,23 +199,36 @@ def identifier_tokens(sql: str) -> set[str]:
     SELECT enforcement (``access_control.referenced_tables``) and the
     internal-view guard (``federation.enforce_internal_view_refs``) —
     one implementation so a quote/comment-handling fix reaches every
-    security check at once."""
+    security check at once.
+
+    Fail-closed under EITHER lexer mode: Spark's default treats
+    backslash as an escape inside literals, but the legacy conf
+    ``spark.sql.parser.escapedStringLiterals=true`` does not — a scan
+    masked under only one interpretation goes fail-OPEN under the
+    other (a ``'\\'`` literal flips where the string ends). Tokens
+    are collected under BOTH maskings and unioned: a data value can
+    at worst trigger a spurious check, never hide one."""
     import re as _re
 
-    mask = _mask(sql)
     refs: set[str] = set()
-    for m in _re.finditer(r"[A-Za-z_][\w.]*", sql):
-        if not mask[m.start()][1]:
-            refs.add(m.group(0).lower())
+    for backslash in (True, False):
+        mask = _mask(sql, backslash_escapes=backslash)
+        for m in _re.finditer(r"[A-Za-z_][\w.]*", sql):
+            if not mask[m.start()][1]:
+                refs.add(m.group(0).lower())
     for m in _re.finditer(r"`([^`]+)`", sql):
         refs.add(m.group(1).lower())
     return refs
 
 
-def _mask(sql: str) -> list[tuple[int, bool]]:
+def _mask(
+    sql: str, backslash_escapes: bool = True
+) -> list[tuple[int, bool]]:
     """Per-character (paren_depth, in_quote). Quotes: '...' (with ''
     and backslash escapes — Spark's default lexer semantics), "...",
-    and `...` identifiers."""
+    and `...` identifiers. ``backslash_escapes=False`` models the
+    legacy ``spark.sql.parser.escapedStringLiterals=true`` lexer;
+    security scans union both (see ``identifier_tokens``)."""
     out: list[tuple[int, bool]] = []
     depth = 0
     q: str | None = None
@@ -225,7 +238,12 @@ def _mask(sql: str) -> list[tuple[int, bool]]:
         ch = sql[i]
         if q is not None:
             out.append((depth, True))
-            if ch == "\\" and q in "'\"" and i + 1 < n:
+            if (
+                backslash_escapes
+                and ch == "\\"
+                and q in "'\""
+                and i + 1 < n
+            ):
                 # \' inside a literal must not close the quote
                 out.append((depth, True))
                 i += 2
@@ -288,7 +306,7 @@ def _strip_comments(sql: str) -> str:
                 i += 1
             continue
         if sql[i : i + 2] == "/*":
-            depth, i = 1, i + 2
+            start, depth, i = i, 1, i + 2
             while i < n and depth:
                 if sql[i : i + 2] == "/*":
                     depth, i = depth + 1, i + 2
@@ -296,7 +314,13 @@ def _strip_comments(sql: str) -> str:
                     depth, i = depth - 1, i + 2
                 else:
                     i += 1
-            out.append(" ")  # keep a token separator
+            if sql[start : start + 3] == "/*+":
+                # optimizer HINT, not commentary: Spark's lexer keeps
+                # /*+ BROADCAST(d) */ and planning depends on it —
+                # stripping it would silently change join strategies
+                out.append(sql[start:i])
+            else:
+                out.append(" ")  # keep a token separator
             continue
         out.append(ch)
         i += 1
@@ -526,8 +550,8 @@ TARGET_VERBS = (
 # creation verbs, kept separate: statement_target deliberately
 # excludes them (CREATE is namespace-gated, not MODIFY-gated)
 CREATE_VERBS = (
-    r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-    r"|REPLACE\s+TABLE\s+"
+    r"(?:CREATE\s+(?:OR\s+REPLACE\s+)?|REPLACE\s+)TABLE\s+"
+    r"(?:IF\s+NOT\s+EXISTS\s+)?"
 )
 
 
@@ -1153,6 +1177,9 @@ def _run_create(spark: SparkSession, sql: str) -> dict[str, Any]:
 
     from .table import LakeTable
 
+    # needs its own named groups (replace/ine drive behavior), but the
+    # verb spellings must stay a subset of CREATE_VERBS above — the
+    # router (statement_kind) only sends CREATE TABLE forms here
     m = re.match(
         r"CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
         r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?",

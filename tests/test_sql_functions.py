@@ -260,3 +260,43 @@ def test_full_name_repoint_is_quote_aware_and_boundary_guarded(
         spark, "SELECT fncat.gold.mask_email('john.doe@x.io') AS m"
     ).collect()[0]["m"]
     assert got == "jo***@x.io"
+
+
+def test_comment_prefixed_create_function_persists(spark, tmp_path):
+    """A leading comment must not hide CREATE FUNCTION from the
+    durable registry: the session binding and the durable record
+    succeed or fail TOGETHER."""
+    from databricks_delta_lake_project_spark.governance import (
+        catalog_registry as creg,
+    )
+    from databricks_delta_lake_project_spark.session import session_key
+
+    path = str(tmp_path / "fnreg")
+    spark.conf.set(creg.PATH_CONF, path)
+    try:
+        run_statement(
+            spark,
+            "/* owner: data-eng */ CREATE FUNCTION main.util.add_two("
+            "x INT) RETURNS INT RETURN x + 2",
+        )
+        assert (
+            run_statement(
+                spark, "SELECT main.util.add_two(40) AS v"
+            ).collect()[0]["v"]
+            == 42
+        )
+        # fresh session: the durable row replays the binding
+        sid = session_key(spark)
+        from databricks_delta_lake_project_spark.queries import sqlpack
+
+        base = sqlpack._FUNCS.get(sid, {}).pop("main.util.add_two")
+        spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {base}")
+        creg._LOADED.clear()
+        assert (
+            run_statement(
+                spark, "SELECT main.util.add_two(5) AS v"
+            ).collect()[0]["v"]
+            == 7
+        )
+    finally:
+        spark.conf.unset(creg.PATH_CONF)

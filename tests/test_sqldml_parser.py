@@ -124,3 +124,38 @@ def test_strip_comments_backslash_escape_and_blocks():
     )
     s2 = "SELECT 'it''s -- fine' AS v -- tail"
     assert _strip_comments(s2) == "SELECT 'it''s -- fine' AS v "
+
+
+def test_strip_comments_preserves_optimizer_hints():
+    """/*+ ... */ is a HINT, not commentary: Spark's lexer keeps it
+    and join planning depends on it — stripping must too."""
+    from databricks_delta_lake_project_spark.tables.sqldml import (
+        _strip_comments,
+    )
+
+    s = "SELECT /*+ BROADCAST(d) */ * FROM f JOIN d ON f.k = d.k"
+    assert _strip_comments(s) == s
+    # plain comments around a hint still strip
+    assert (
+        _strip_comments("/* note */ SELECT /*+ REPARTITION(4) */ 1")
+        == "  SELECT /*+ REPARTITION(4) */ 1"
+    )
+
+
+def test_identifier_tokens_fail_closed_both_lexer_modes():
+    """A '\\' literal flips where the string ends depending on
+    spark.sql.parser.escapedStringLiterals — the security token scan
+    unions both interpretations so neither mode can hide a table."""
+    from databricks_delta_lake_project_spark.tables.sqldml import (
+        identifier_tokens,
+    )
+
+    # default lexer: '\\' is one literal backslash; legacy lexer: the
+    # literal closes at the second quote. restricted_t must surface
+    # under BOTH readings of each statement.
+    assert "restricted_t" in identifier_tokens(
+        "SELECT '\\\\', c FROM restricted_t"
+    )
+    assert "restricted_t" in identifier_tokens(
+        "SELECT '\\', c FROM restricted_t"
+    )
