@@ -796,17 +796,17 @@ def _run_statement_impl(
     # reading a mounted table resolves like a plain SELECT does
     from ..governance import share_sql as _share_sql
 
-    # keep the PRE-rewrite statement: the durable function registry
-    # stores it verbatim (mount/federation rewrites bake in
-    # session-scoped temp-view names that will not exist at replay)
-    orig_sql = sql
     # comments are semantically void — strip them ONCE so every scan
     # from here down (mount/federation rewrites, enforcement token
     # scans, repoints) sees the same comment-free text the DML router
     # does: a foreign/mounted name inside a comment must never be
-    # spliced, enforced or audited
+    # spliced, enforced or audited. bare_sql keeps the PRE-rewrite
+    # text: the durable function registry stores it (mount/federation
+    # rewrites bake in session-scoped temp-view names that will not
+    # exist at replay), and the internal-view guard scans it (names
+    # the rewrites splice in are already enforced at splice time)
     sql = sqldml._strip_comments(sql)
-    bare_sql = sql  # comment-free AND pre-rewrite, for the view guard
+    bare_sql = sql
     sql = _share_sql.rewrite_mounts(spark, sql)
     # federated 3-part names (crm_postgres.public.customers) re-point
     # to lazy pushdown-enabled JDBC views the same way — SELECTs, DML
