@@ -335,11 +335,168 @@ _PLAIN_ITEM_RE = re.compile(
     r"(?:\s+(?:AS\s+)?(?P<alias>\w+))?\s*$",
     re.IGNORECASE,
 )
-_PLAIN_FROM_RE = re.compile(
-    r"^\s*(?P<src>`[^`]+`|[\w.]+)(?:\s+(?:AS\s+)?(?P<a>\w+))?"
-    r"\s*(?P<rest>$|WHERE\b.*|GROUP\b.*|HAVING\b.*|ORDER\b.*|LIMIT\b.*)",
-    re.IGNORECASE | re.DOTALL,
+_STAR_ITEM_RE = re.compile(r"^\s*(?:(?P<q>\w+)\s*\.\s*)?\*\s*$")
+# FROM-clause grammar for column lineage: plain table refs combined
+# by explicit JOINs only. These keyword sets drive the conservative
+# parser below — any shape outside the grammar (subquery sources,
+# comma joins, NATURAL, LATERAL, VALUES, TABLESAMPLE, PIVOT) makes
+# the whole statement derive nothing rather than risk mis-reading a
+# source list (a missing source would silently flip an "unambiguous"
+# unqualified-column attribution into a fabricated edge).
+_FROM_TERMINATORS = frozenset(
+    {
+        "where", "group", "having", "order", "limit",
+        "qualify", "distribute", "cluster", "sort",
+        "union", "intersect", "except", "minus",
+    }
 )
+# keywords that make the whole FROM clause unattributable wherever
+# they appear: NATURAL/LATERAL change the source list implicitly,
+# TABLESAMPLE/PIVOT/UNPIVOT reshape rows or columns, and a WINDOW
+# clause defines a NAME that select items reference bare (``OVER w``)
+# — a source column sharing that name would be fabricated as an edge
+_FROM_BAILERS = frozenset(
+    {"natural", "lateral", "tablesample", "pivot", "unpivot", "window"}
+)
+_JOIN_INTRO = frozenset(
+    {"inner", "left", "right", "full", "cross", "semi", "anti",
+     "outer", "join"}
+)
+# words that can never be a source's bare alias (they end or continue
+# the FROM clause instead)
+_SEG_STOP = (
+    _FROM_TERMINATORS | _JOIN_INTRO | _FROM_BAILERS | {"on", "using", "values"}
+)
+_SEG_SRC_RE = re.compile(r"\s*(?P<src>`[^`]+`|[\w.]+)")
+_SEG_WORD_RE = re.compile(r"\s*(?P<w>[A-Za-z_]\w*)")
+
+
+def _parse_from_sources(
+    tail: str,
+) -> tuple[list[tuple[str, str | None]], bool] | None:
+    """``([(spelling, alias_or_None), ...], saw_using)`` for a FROM
+    clause made of plain table refs joined by explicit JOINs; None for
+    ANY shape outside that grammar. ``tail`` starts right after the
+    depth-0 FROM keyword. ON/USING conditions are skipped by scanning
+    for the next depth-0 join/terminator/bail keyword outside quotes —
+    qualified refs (``a.left``) and function calls (``right(s, 1)``)
+    named like keywords are stepped over, a depth-0 comma inside the
+    skipped region is a comma join continuing the source list (refused
+    outright), and every misparse collapses to None (derive nothing),
+    never to a wrong source list."""
+    from ..tables import sqldml
+
+    mask = sqldml._mask(tail)
+    n = len(tail)
+    segs: list[tuple[str, str | None]] = []
+    saw_using = False
+    pos = 0
+    expect_source = True
+    while True:
+        if expect_source:
+            m = _SEG_SRC_RE.match(tail, pos)
+            if m is None:
+                return None  # subquery / VALUES / comma / nothing
+            src = m.group("src")
+            if not src.startswith("`"):
+                if src.lower() in _SEG_STOP:
+                    return None  # keyword where a source was expected
+                if (
+                    src.startswith(".")
+                    or src.endswith(".")
+                    or ".." in src
+                ):
+                    return None
+            pos = m.end()
+            alias = None
+            wm = _SEG_WORD_RE.match(tail, pos)
+            if wm is not None and wm.group("w").lower() == "as":
+                wm2 = _SEG_WORD_RE.match(tail, wm.end())
+                if wm2 is None:
+                    return None
+                alias = wm2.group("w")
+                pos = wm2.end()
+            elif wm is not None and wm.group("w").lower() not in _SEG_STOP:
+                alias = wm.group("w")
+                pos = wm.end()
+            segs.append((src, alias))
+            expect_source = False
+            continue
+        wm = _SEG_WORD_RE.match(tail, pos)
+        if wm is None:
+            # end of statement is fine; a comma / paren / anything
+            # else is outside the grammar
+            return (segs, saw_using) if tail[pos:].strip() == "" else None
+        w = wm.group("w").lower()
+        if w in _FROM_TERMINATORS:
+            return segs, saw_using
+        if w in _FROM_BAILERS:
+            return None
+        if w in _JOIN_INTRO:
+            # consume the introducer chain through the JOIN keyword
+            while w != "join":
+                pos = wm.end()
+                wm = _SEG_WORD_RE.match(tail, pos)
+                if wm is None or wm.group("w").lower() not in _JOIN_INTRO:
+                    return None
+                w = wm.group("w").lower()
+            pos = wm.end()
+            if re.match(r"\s*\(", tail[pos:]):
+                return None  # subquery join source
+            expect_source = True
+            continue
+        if w in ("on", "using"):
+            saw_using = saw_using or w == "using"
+            pos = wm.end()
+            # skip the condition: next depth-0 unquoted join/terminator
+            # /bail keyword that is neither a dotted ref's tail
+            # (a.left) nor a function call (right(s,1)); JOIN followed
+            # by '(' must still land so the subquery-join check above
+            # refuses it, and the bail keywords (PIVOT/UNPIVOT/
+            # TABLESAMPLE/WINDOW/...) land even before '(' — their
+            # legitimate spelling takes a paren group
+            nxt = None
+            for tm in re.finditer(r"[A-Za-z_]\w*", tail[pos:]):
+                a = pos + tm.start()
+                if mask[a] != (0, False):
+                    continue
+                lw = tm.group(0).lower()
+                if (
+                    lw not in _JOIN_INTRO
+                    and lw not in _FROM_TERMINATORS
+                    and lw not in _FROM_BAILERS
+                ):
+                    continue
+                k = a - 1
+                while k >= 0 and tail[k].isspace():
+                    k -= 1
+                if k >= 0 and tail[k] == ".":
+                    continue  # qualified ref named like a keyword
+                j = a + len(tm.group(0))
+                while j < n and tail[j].isspace():
+                    j += 1
+                if (
+                    j < n
+                    and tail[j] == "("
+                    and lw in _JOIN_INTRO
+                    and lw != "join"
+                ):
+                    continue  # function call named like a keyword
+                nxt = a
+                break
+            # a depth-0 comma inside the condition region is a COMMA
+            # JOIN continuing the source list (valid after an ON:
+            # FROM a JOIN b ON ..., c) — out of grammar, and invisible
+            # to the keyword scan above, so check for it directly
+            end = nxt if nxt is not None else n
+            for ci in range(pos, end):
+                if tail[ci] == "," and mask[ci] == (0, False):
+                    return None
+            if nxt is None:
+                return segs, saw_using
+            pos = nxt
+            continue
+        return None  # bare word in connector position: outside grammar
 
 # tokens never attributed as source columns inside an expression item
 # even when a source column shares the name: SQL keywords, cast-target
@@ -367,23 +524,58 @@ _EXPR_STOPWORDS = frozenset(
 ) | _NON_TABLE_FROM_PRECEDERS
 
 
+def _resolve_ref(
+    tok_low: str,
+    qual_low: str | None,
+    alias_map: dict[str, str],
+    dead_quals: set[str],
+    schemas: dict[str, dict[str, str]],
+) -> tuple[str, str] | None:
+    """``(source_table, actual_column_spelling)`` for one column ref,
+    or None when it is not unambiguously attributable. A qualified ref
+    resolves through the alias map; a qualifier that is not a known
+    alias is a struct-column access and attributes the STRUCT column
+    (resolved as an unqualified ref) — the column the data actually
+    flows from. An unqualified ref attributes only when exactly ONE
+    source schema holds the column; a name two sources share (the
+    coalesced column of a USING join is the common case) derives
+    nothing. A qualifier made ambiguous by two same-named sources
+    (``dead_quals``) blocks resolution entirely."""
+    if qual_low is not None:
+        if qual_low in alias_map:
+            src = alias_map[qual_low]
+            actual = schemas[src].get(tok_low)
+            return (src, actual) if actual is not None else None
+        if qual_low in dead_quals:
+            return None
+        return _resolve_ref(qual_low, None, alias_map, dead_quals, schemas)
+    if tok_low in dead_quals:
+        return None
+    hits = [
+        (s, sch[tok_low]) for s, sch in schemas.items() if tok_low in sch
+    ]
+    return hits[0] if len(hits) == 1 else None
+
+
 def _expr_source_cols(
-    item: str, schema: dict[str, str], quals: set[str]
-) -> list[str] | None:
-    """Source columns referenced by ONE select-list expression whose
-    statement has already been proven single-source: every identifier
-    token outside string literals that names a source column (schema
-    spelling returned), excluding function names (token followed by
-    ``(``) and SQL keywords. A dotted token attributes only through a
-    KNOWN table qualifier (``quals`` holds the FROM alias and table
-    spellings): ``o.amount`` attributes ``amount``, while
-    ``addr.city`` (struct-field access) attributes ``addr`` — the
-    column the data actually flows from — and never ``city``, even if
-    a top-level column shares that name. Returns None when the item
-    is not attributable at all — an embedded subquery reads OTHER
-    tables, and a ``t.*`` star needs schema expansion, not token
-    attribution. Backtick-quoted refs are skipped (under-report,
-    never fabricate)."""
+    item: str,
+    alias_map: dict[str, str],
+    dead_quals: set[str],
+    schemas: dict[str, dict[str, str]],
+) -> list[tuple[str, str]] | None:
+    """``(source, column)`` pairs referenced by ONE select-list
+    expression: every identifier token outside string literals that
+    resolves to a source column (schema spelling returned), excluding
+    function names (token followed by ``(``) and SQL keywords. A
+    dotted token resolves through its qualifier by POSITION, not name
+    (``o.amount`` attributes ``amount`` of o's table; ``addr.city`` —
+    struct-field access — attributes ``addr``, the column the data
+    actually flows from, never a same-named top-level column; an
+    unqualified name held by two sources derives nothing). Returns
+    None when the item is not attributable at all — an embedded
+    subquery reads OTHER tables, and a ``t.*`` star needs schema
+    expansion, not token attribution. Backtick-quoted refs are
+    skipped (under-report, never fabricate)."""
     from ..tables import sqldml
 
     if re.search(r"\bSELECT\b", item, re.IGNORECASE):
@@ -391,15 +583,13 @@ def _expr_source_cols(
     if re.search(r"\.\s*\*", item) or item.strip() == "*":
         return None
     mask = sqldml._mask(item)
-    out: list[str] = []
+    out: list[tuple[str, str]] = []
     n = len(item)
     for m in re.finditer(r"[A-Za-z_]\w*", item):
         if mask[m.start()][1]:
             continue  # inside a string literal / backticked name
         tok = m.group(0).lower()
-        # dotted-ref handling by POSITION, not name: a token preceded
-        # by '.' is a field/column under some qualifier — attributable
-        # only when that qualifier is the source table/alias itself
+        qual_low: str | None = None
         k = m.start() - 1
         while k >= 0 and item[k].isspace():
             k -= 1
@@ -408,9 +598,16 @@ def _expr_source_cols(
             while qe >= 0 and item[qe].isspace():
                 qe -= 1
             qm = re.match(r".*?([A-Za-z_]\w*)$", item[: qe + 1], re.DOTALL)
-            if qm is None or qm.group(1).lower() not in quals:
-                continue  # struct field / unknown qualifier: skip
-        if tok in _EXPR_STOPWORDS or tok not in schema:
+            if qm is None:
+                continue
+            qual_low = qm.group(1).lower()
+            if qual_low not in alias_map:
+                # struct field under a column / unknown qualifier: the
+                # STRUCT column attributes at its own token
+                continue
+        if tok in _EXPR_STOPWORDS and qual_low is None:
+            # a keyword-named column still attributes when explicitly
+            # table-qualified (o.date IS a column ref in valid SQL)
             continue
         j = m.end()
         while j < n and item[j].isspace():
@@ -418,13 +615,14 @@ def _expr_source_cols(
         if j < n and item[j] == "(":
             continue  # function call
         if j < n and item[j] == ".":
-            # qualifier position: the source alias itself is never a
-            # column; a STRUCT column used as `addr.city` attributes
-            # here (the data flows from the struct column)
-            if tok in quals:
+            # qualifier position: a table alias is never a column; a
+            # STRUCT column used as `addr.city` attributes here (the
+            # data flows from the struct column)
+            if tok in alias_map or tok in dead_quals:
                 continue
-        if schema[tok] not in out:
-            out.append(schema[tok])
+        hit = _resolve_ref(tok, qual_low, alias_map, dead_quals, schemas)
+        if hit is not None and hit not in out:
+            out.append(hit)
     return out
 
 
@@ -432,20 +630,24 @@ def _column_lineage_edges(
     spark: SparkSession, sql: str, target: str
 ) -> list[tuple[str, str, str]]:
     """``(source_table, source_column, target_column)`` edges for the
-    SIMPLE projection shapes UC-style column lineage can attribute
-    without a plan walk: ``CREATE TABLE t AS SELECT ...`` and
-    ``INSERT INTO t [(cols)] SELECT ...`` over ONE source table (no
-    joins, no set ops). Bare / aliased column references (or a lone
-    ``*``) attribute directly; an EXPRESSION item attributes every
-    source column it references (``round(amount, 2) AS amt`` =>
-    ``amount -> amt``) — unambiguous because the statement is
-    single-source. Multi-source shapes, subquery items and unaliased
-    CTAS expressions derive NOTHING — a fabricated edge is worse than
-    a missing one. INSERT targets map by
-    POSITION against the target schema (the engine's ``_run_insert``
-    renames via ``df.toDF(*target_cols)``); CTAS targets by
-    alias/name. Best-effort and wholly off the query path
-    (driver-side string scan per DML)."""
+    projection shapes UC-style column lineage can attribute without a
+    plan walk: ``CREATE TABLE t AS SELECT ...`` and ``INSERT INTO t
+    [(cols)] SELECT ...`` over plain table sources combined by
+    explicit JOINs (``_parse_from_sources``). Bare / aliased column
+    references (or a ``*``/``t.*`` star) attribute directly; an
+    EXPRESSION item attributes every source column it references
+    (``round(amount, 2) AS amt`` => ``amount -> amt``). In a join, a
+    QUALIFIED ref resolves through its alias and an unqualified ref
+    attributes only when exactly one source schema holds the column
+    (``_resolve_ref``). Subquery sources, comma joins, NATURAL joins,
+    set ops, subquery items, ambiguous names and unaliased CTAS
+    expressions derive NOTHING — a fabricated edge is worse than a
+    missing one. INSERT targets map by POSITION against the target
+    schema (the engine's ``_run_insert`` renames via
+    ``df.toDF(*target_cols)``), so any star mixed with other items
+    makes an INSERT derive nothing (positions shift by the star's
+    width); CTAS targets map by alias/name. Best-effort and wholly
+    off the query path (driver-side string scan per DML)."""
     from ..governance import access_control as acl
     from ..tables import sqldml
 
@@ -462,7 +664,7 @@ def _column_lineage_edges(
     if sel is None:
         return []
     head, body = sql[: sel.start()], sql[sel.end():]
-    if re.search(r"\b(UNION|INTERSECT|EXCEPT)\b", sql, re.IGNORECASE):
+    if re.search(r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b", sql, re.IGNORECASE):
         return []
     is_insert = bool(re.match(r"\s*INSERT\b", head, re.IGNORECASE))
     # positional target columns: the explicit INSERT list when given,
@@ -493,82 +695,122 @@ def _column_lineage_edges(
     if mfrom is None:
         return []
     items_s, tail = body[: mfrom.start()], body[mfrom.end():]
-    mf = _PLAIN_FROM_RE.match(tail)
-    if mf is None or re.search(r"\bJOIN\b", tail, re.IGNORECASE):
+    parsed = _parse_from_sources(tail)
+    if parsed is None or not parsed[0]:
         return []
-    src = acl.canonical_name(spark, mf.group("src").strip("`").lower())
+    segs, saw_using = parsed
+    srcs = [
+        acl.canonical_name(spark, sp.strip("`").lower())
+        for sp, _a in segs
+    ]
     sid = session_key(spark)
     registered = {n for (s, n) in sqldml._REGISTRY if s == sid}
-    if src == target or src not in registered:
+    if any(s == target or s not in registered for s in srcs):
         # same registered-sources-only rule table lineage applies
         return []
-    items = sqldml._split_commas(items_s)
-    if len(items) == 1 and items[0].strip() == "*":
-        # SELECT *: expand from the SOURCE schema (the columns that
-        # actually flow); positional against the INSERT targets,
-        # same-named for CTAS
+    # per-source schema: lower -> actual spelling, insertion order =
+    # column order (star expansion relies on it). One driver-side
+    # metadata read per DISTINCT source per DML — off the query path.
+    schemas: dict[str, dict[str, str]] = {}
+    for s in dict.fromkeys(srcs):
         try:
-            src_cols = sqldml.resolve_table(spark, src).to_df().columns
+            schemas[s] = {
+                c.lower(): c
+                for c in sqldml.resolve_table(spark, s).to_df().columns
+            }
         except Exception:  # noqa: BLE001
             return []
-        if is_insert:
-            return [
-                (src, s, t) for s, t in zip(src_cols, insert_cols)
-            ]
-        return [(src, c, c) for c in src_cols]
-    # source schema (lower -> actual spelling), loaded lazily for
-    # expression attribution: with the statement proven single-source,
-    # an expression column's references are unambiguously attributable
-    # to that source (round(amount, 2) AS amt => amount -> amt)
-    src_schema: dict[str, str] | None = None
+    # qualifier -> source. An ALIASED segment registers only its alias
+    # (SQL: the alias replaces the table name as a qualifier — and a
+    # retired spelling left mapped could shadow a same-named struct
+    # column of ANOTHER source); an unaliased segment registers its
+    # written spelling and last-name part. The single-source case
+    # keeps the historical latitude of accepting the table spellings
+    # alongside the alias (nothing else exists to shadow). A qualifier
+    # claimed by two different sources resolves for neither.
+    alias_map: dict[str, str] = {}
+    dead_quals: set[str] = set()
 
-    def _schema() -> dict[str, str]:
-        nonlocal src_schema
-        if src_schema is None:
-            try:
-                src_schema = {
-                    c.lower(): c
-                    for c in sqldml.resolve_table(spark, src)
-                    .to_df()
-                    .columns
-                }
-            except Exception:  # noqa: BLE001
-                src_schema = {}
-        return src_schema
+    def _add_qual(q: str, s: str) -> None:
+        q = q.lower()
+        if not re.fullmatch(r"\w+", q) or q in dead_quals:
+            return
+        if q in alias_map and alias_map[q] != s:
+            del alias_map[q]
+            dead_quals.add(q)
+            return
+        alias_map[q] = s
 
-    # table qualifiers the statement may legitimately prefix columns
-    # with: the source's registered spellings and its FROM alias. Any
-    # OTHER qualifier is a struct-column access — the data flows from
-    # the struct column, never from a same-named top-level column
-    quals = {
-        src,
-        src.split(".")[-1],
-        mf.group("src").strip("`").lower(),
-    }
-    if mf.group("a"):
-        quals.add(mf.group("a").lower())
+    single = len(segs) == 1
+    for (sp, al), s in zip(segs, srcs):
+        if al is not None:
+            _add_qual(al, s)
+        if al is None or single:
+            bare = sp.strip("`").lower()
+            _add_qual(bare, s)
+            _add_qual(bare.split(".")[-1], s)
+            _add_qual(s.split(".")[-1], s)
 
+    items = sqldml._split_commas(items_s)
+    if items:
+        # DISTINCT / ALL prefix the first item without changing lineage
+        items[0] = re.sub(
+            r"^\s*(DISTINCT|ALL)\b", "", items[0], flags=re.IGNORECASE
+        )
     edges: list[tuple[str, str, str]] = []
     for i, item in enumerate(items):
+        sm = _STAR_ITEM_RE.match(item)
+        if sm is not None:
+            # star expansion in source-schema order; USING joins
+            # coalesce the join column out of a bare star, so those
+            # derive nothing rather than fabricate the dropped side
+            expand: list[tuple[str, str]] = []
+            if sm.group("q") is not None:
+                s = alias_map.get(sm.group("q").lower())
+                if s is None:
+                    if is_insert:
+                        return []
+                    continue
+                expand = [(s, c) for c in schemas[s].values()]
+            else:
+                if saw_using:
+                    if is_insert:
+                        return []
+                    continue
+                for s in srcs:
+                    expand += [(s, c) for c in schemas[s].values()]
+            if is_insert:
+                if len(items) != 1:
+                    # positions before/after a star shift by its
+                    # width — every positional mapping is suspect
+                    return []
+                return [
+                    (s, c, t) for (s, c), t in zip(expand, insert_cols)
+                ]
+            edges.extend((s, c, c) for s, c in expand)
+            continue
         pm = _PLAIN_ITEM_RE.match(item)
         if pm is not None and (
             pm.group("col").isdigit()
-            or pm.group("col").upper()
-            in ("DISTINCT", "ALL", "NULL", "TRUE", "FALSE")
+            or pm.group("col").upper() in ("NULL", "TRUE", "FALSE")
         ):
-            continue  # literal / modifier: not attributable
+            continue  # literal: not attributable
         if pm is not None:
             alias = pm.group("alias")
             qual = pm.group("qual")
-            if qual is None or qual.lower() in quals:
-                s_cols = [pm.group("col")]
-            elif qual.lower() in _schema():
-                # struct-field access (addr.city): attribute the
-                # struct column; the output auto-name stays the FIELD
-                # name, so the alias default below still holds
-                s_cols = [_schema()[qual.lower()]]
-            else:
-                continue  # unknown qualifier: not attributable
+            hit = _resolve_ref(
+                pm.group("col").lower(),
+                qual.lower() if qual is not None else None,
+                alias_map,
+                dead_quals,
+                schemas,
+            )
+            if hit is None:
+                continue  # unknown / ambiguous: not attributable
+            # struct-field access (addr.city) attributes the struct
+            # column; the output auto-name stays the FIELD name, so
+            # the alias default below still holds
+            s_hits = [hit]
         else:
             # expression item: strip the alias (explicit AS, or a
             # trailing bare identifier preceded by a word char /
@@ -593,10 +835,10 @@ def _column_lineage_edges(
                 # CTAS expression without an alias materializes under
                 # Spark's auto-generated column name: skip it
                 continue
-            found = _expr_source_cols(expr, _schema(), quals)
+            found = _expr_source_cols(expr, alias_map, dead_quals, schemas)
             if not found:
                 continue  # subquery / star / no attributable refs
-            s_cols = found
+            s_hits = found
         if is_insert:
             if i >= len(insert_cols):
                 continue
@@ -608,8 +850,8 @@ def _column_lineage_edges(
             # (pm None implies alias non-None here — unaliased CTAS
             # expressions already hit `continue` above.)
             t_col = alias or pm.group("col")
-        for s_col in s_cols:
-            edges.append((src, s_col, t_col))
+        for s, c in s_hits:
+            edges.append((s, c, t_col))
     return edges
 
 
@@ -883,11 +1125,11 @@ def _run_statement_impl(
                     if src != tgt_c:
                         systables.record_lineage(spark, src, tgt_c)
                 if kind in ("insert", "create"):
-                    # column edges for PLAIN projections only (bare /
-                    # aliased column refs over one source) — an
-                    # expression column is never attributed, so
-                    # column_lineage under-reports instead of
-                    # fabricating
+                    # column edges for attributable projections (bare
+                    # / aliased / expression refs over plain sources
+                    # joined explicitly) — every ambiguous shape
+                    # derives nothing, so column_lineage under-reports
+                    # instead of fabricating
                     for s_t, s_c, t_c in _column_lineage_edges(
                         spark, sql, tgt_c
                     ):

@@ -459,19 +459,27 @@ def test_column_lineage_simple_projections(spark, tmp_path):
         ).collect()
         # nm flows to 'name' (position 2) — never to a fabricated 'nm'
         assert [tuple(r) for r in rows] == [("nm", "name")]
-        # a join derives NO column edges (not attributable here)
+        # a self-join attributes alias-qualified refs to the one table
         run_statement(
             spark,
             f"CREATE TABLE lcat.silver.j_t USING delta LOCATION "
             f"'{tmp_path / 'j_t'}' AS "
             "SELECT a.id, a.nm FROM src_t a JOIN src_t b ON a.id = b.id",
         )
-        n = run_statement(
+        rows = run_statement(
             spark,
-            "SELECT count(*) AS n FROM system.lineage.column_lineage "
-            "WHERE target_table_full_name = 'lcat.silver.j_t'",
-        ).collect()[0]["n"]
-        assert n == 0
+            """
+            SELECT source_table_full_name, source_column_name,
+                   target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'lcat.silver.j_t'
+            ORDER BY target_column_name
+            """,
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("lcat.bronze.src_t", "id", "id"),
+            ("lcat.bronze.src_t", "nm", "nm"),
+        ]
     finally:
         for nm in ("lcat.bronze.src_t", "lcat.silver.tgt_t", "lcat.silver.j_t"):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
@@ -590,6 +598,183 @@ def test_column_lineage_expression_edge_cases(spark, tmp_path):
         assert edges == []
     finally:
         for nm in ("xcat.bronze.xsrc", "xcat.silver.xtgt"):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)
+
+
+def test_column_lineage_join_projections(spark, tmp_path):
+    """Join statements attribute column lineage when every source is a
+    plain registered table: qualified refs resolve through their FROM
+    alias, an expression attributes refs across BOTH sides, an
+    unqualified name attributes only when exactly one source schema
+    holds it (a name both sides share derives nothing — USING-join
+    coalescing is the common case), and stars expand in source-schema
+    order. Out-of-grammar shapes (subquery sources, comma joins,
+    NATURAL) still derive nothing."""
+    from databricks_delta_lake_project_spark.queries import sqlpack
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    o = LakeTable.create(
+        spark,
+        str(tmp_path / "jorders"),
+        df=spark.createDataFrame(
+            [(1, 10, 5.0)], "o_id long, cust_id long, amount double"
+        ),
+    )
+    c = LakeTable.create(
+        spark,
+        str(tmp_path / "jcust"),
+        df=spark.createDataFrame(
+            [(10, "alice", "US")],
+            "cust_id long, cname string, country string",
+        ),
+    )
+    r = LakeTable.create(
+        spark,
+        str(tmp_path / "jrates"),
+        df=spark.createDataFrame([("US", 1.1)], "country string, rate double"),
+    )
+    sqldml.register_table(spark, "jcat.bronze.jorders", o)
+    sqldml.register_table(spark, "jcat.bronze.jcust", c)
+    sqldml.register_table(spark, "jcat.bronze.jrates", r)
+
+    def edges(sql, tgt):
+        return sorted(sqlpack._column_lineage_edges(spark, sql, tgt))
+
+    try:
+        # three-table chain, qualified + cross-source expression +
+        # unqualified-unique (o_id) — end-to-end through the runner
+        run_statement(
+            spark,
+            f"CREATE TABLE jcat.silver.jt USING delta LOCATION "
+            f"'{tmp_path / 'jt'}' AS "
+            "SELECT o_id, cu.cname AS name, o.amount * ra.rate AS usd "
+            "FROM jorders o JOIN jcust cu ON o.cust_id = cu.cust_id "
+            "JOIN jrates ra ON cu.country = ra.country",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_table_full_name, source_column_name,
+                   target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'jcat.silver.jt'
+            ORDER BY target_column_name, source_table_full_name
+            """,
+        ).collect()
+        assert [tuple(t) for t in rows] == [
+            ("jcat.bronze.jcust", "cname", "name"),
+            ("jcat.bronze.jorders", "o_id", "o_id"),
+            ("jcat.bronze.jorders", "amount", "usd"),
+            ("jcat.bronze.jrates", "rate", "usd"),
+        ]
+        # scanner-level shapes (no execution needed):
+        # unqualified name BOTH sides hold derives nothing; unique
+        # unqualified names attribute through a USING join whose
+        # coalesced column is skipped
+        assert edges(
+            "CREATE TABLE jcat.silver.x1 AS SELECT cust_id, cname "
+            "FROM jorders o JOIN jcust c ON o.cust_id = c.cust_id",
+            "jcat.silver.x1",
+        ) == [("jcat.bronze.jcust", "cname", "cname")]
+        assert edges(
+            "CREATE TABLE jcat.silver.x2 AS "
+            "SELECT country, cname, rate FROM jcust JOIN jrates "
+            "USING (country)",
+            "jcat.silver.x2",
+        ) == [
+            ("jcat.bronze.jcust", "cname", "cname"),
+            ("jcat.bronze.jrates", "rate", "rate"),
+        ]
+        # t.* expands that side's schema; bare * expands all sources
+        # in order for an ON join, and derives nothing for a USING
+        # join (the coalesced column's side is unknowable)
+        assert edges(
+            "CREATE TABLE jcat.silver.x3 AS SELECT c.*, o.amount AS amt "
+            "FROM jorders o JOIN jcust c ON o.cust_id = c.cust_id",
+            "jcat.silver.x3",
+        ) == [
+            ("jcat.bronze.jcust", "cname", "cname"),
+            ("jcat.bronze.jcust", "country", "country"),
+            ("jcat.bronze.jcust", "cust_id", "cust_id"),
+            ("jcat.bronze.jorders", "amount", "amt"),
+        ]
+        assert edges(
+            "CREATE TABLE jcat.silver.x4 AS SELECT * FROM jcust c "
+            "JOIN jrates r ON c.country = r.country",
+            "jcat.silver.x4",
+        ) == [
+            ("jcat.bronze.jcust", "cname", "cname"),
+            ("jcat.bronze.jcust", "country", "country"),
+            ("jcat.bronze.jcust", "cust_id", "cust_id"),
+            ("jcat.bronze.jrates", "country", "country"),
+            ("jcat.bronze.jrates", "rate", "rate"),
+        ]
+        assert (
+            edges(
+                "CREATE TABLE jcat.silver.x5 AS SELECT * FROM jcust "
+                "JOIN jrates USING (country)",
+                "jcat.silver.x5",
+            )
+            == []
+        )
+        # INSERT over a join maps by position against the explicit
+        # column list; a star mixed with other items shifts every
+        # position, so the whole INSERT derives nothing
+        assert edges(
+            "INSERT INTO jcat.bronze.jorders (o_id, cust_id) "
+            "SELECT o.o_id, c.cust_id FROM jorders o "
+            "JOIN jcust c ON o.cust_id = c.cust_id",
+            "jcat.silver.other",
+        ) == [
+            ("jcat.bronze.jcust", "cust_id", "cust_id"),
+            ("jcat.bronze.jorders", "o_id", "o_id"),
+        ]
+        assert (
+            edges(
+                "INSERT INTO jcat.silver.z (a, b, c) SELECT *, 1 "
+                "FROM jcust JOIN jrates ON true",
+                "jcat.silver.z",
+            )
+            == []
+        )
+        # out-of-grammar FROM shapes derive nothing — including a
+        # comma join hidden AFTER an ON condition (valid SQL that
+        # continues the source list where the keyword scan can't see
+        # it), PIVOT/UNPIVOT/TABLESAMPLE/WINDOW after the join, and
+        # MINUS as the EXCEPT synonym the set-op bail must also catch
+        for frm in (
+            "(SELECT 1 AS x) q JOIN jcust ON true",
+            "jorders, jcust",
+            "jorders NATURAL JOIN jcust",
+            "jorders a JOIN (SELECT * FROM jcust) b ON a.cust_id = b.cust_id",
+            "jorders o JOIN jcust c ON o.cust_id = c.cust_id, jrates",
+            "jorders o JOIN jcust c ON o.cust_id = c.cust_id "
+            "PIVOT (sum(amount) FOR country IN ('US'))",
+            "jcust TABLESAMPLE (10 PERCENT)",
+            "jcust WINDOW w AS (PARTITION BY country)",
+            "jcust MINUS SELECT cname FROM jcust",
+        ):
+            assert (
+                edges(
+                    f"CREATE TABLE jcat.silver.zz AS SELECT cname FROM {frm}",
+                    "jcat.silver.zz",
+                )
+                == []
+            )
+        # a lateral column alias is not a source column: no edge for
+        # its re-reference (fabrication guard)
+        assert edges(
+            "CREATE TABLE jcat.silver.x6 AS "
+            "SELECT amount AS b, b AS c2 FROM jorders",
+            "jcat.silver.x6",
+        ) == [("jcat.bronze.jorders", "amount", "b")]
+    finally:
+        for nm in (
+            "jcat.bronze.jorders",
+            "jcat.bronze.jcust",
+            "jcat.bronze.jrates",
+            "jcat.silver.jt",
+        ):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
 
 
