@@ -352,11 +352,14 @@ _FROM_TERMINATORS = frozenset(
 )
 # keywords that make the whole FROM clause unattributable wherever
 # they appear: NATURAL/LATERAL change the source list implicitly,
-# TABLESAMPLE/PIVOT/UNPIVOT reshape rows or columns, and a WINDOW
-# clause defines a NAME that select items reference bare (``OVER w``)
-# — a source column sharing that name would be fabricated as an edge
+# TABLESAMPLE/PIVOT/UNPIVOT reshape rows or columns. (A WINDOW clause
+# — which defines a NAME that select items reference bare (``OVER w``)
+# so a source column sharing that name would be fabricated as an edge
+# — is handled by a dedicated whole-tail pre-scan instead: its legal
+# position is AFTER WHERE/GROUP BY/HAVING, where the connector loop
+# has already returned.)
 _FROM_BAILERS = frozenset(
-    {"natural", "lateral", "tablesample", "pivot", "unpivot", "window"}
+    {"natural", "lateral", "tablesample", "pivot", "unpivot"}
 )
 _JOIN_INTRO = frozenset(
     {"inner", "left", "right", "full", "cross", "semi", "anti",
@@ -388,6 +391,27 @@ def _parse_from_sources(
 
     mask = sqldml._mask(tail)
     n = len(tail)
+    # WINDOW-clause pre-scan over the WHOLE tail: `WINDOW w AS (...)`
+    # legally appears after WHERE/GROUP BY/HAVING — past the point the
+    # connector loop returns — and defines a name select items
+    # reference bare (`OVER w`); a source column sharing that name
+    # would fabricate an edge. The `window(ts, ...)` FUNCTION (token
+    # followed by '(') and a dotted ref's tail (`a.window`) are fine.
+    for wt in re.finditer(r"\bwindow\b", tail, re.IGNORECASE):
+        a = wt.start()
+        if mask[a] != (0, False):
+            continue
+        k = a - 1
+        while k >= 0 and tail[k].isspace():
+            k -= 1
+        if k >= 0 and tail[k] == ".":
+            continue
+        j = wt.end()
+        while j < n and tail[j].isspace():
+            j += 1
+        if j < n and tail[j] == "(":
+            continue
+        return None
     segs: list[tuple[str, str | None]] = []
     saw_using = False
     pos = 0
@@ -524,6 +548,25 @@ _EXPR_STOPWORDS = frozenset(
 ) | _NON_TABLE_FROM_PRECEDERS
 
 
+def _register_qual(
+    alias_map: dict[str, str], dead_quals: set[str], q: str, s: str
+) -> None:
+    """Register qualifier ``q`` as resolving to source ``s``. A
+    qualifier claimed by two DIFFERENT sources resolves for neither —
+    it is demoted to ``dead_quals`` permanently so later registrations
+    cannot resurrect it half-bound. Non-``\\w+`` spellings (dotted or
+    quoted names the ref scanners can never produce as a qualifier
+    token) are ignored."""
+    q = q.lower()
+    if not re.fullmatch(r"\w+", q) or q in dead_quals:
+        return
+    if q in alias_map and alias_map[q] != s:
+        del alias_map[q]
+        dead_quals.add(q)
+        return
+    alias_map[q] = s
+
+
 def _resolve_ref(
     tok_low: str,
     qual_low: str | None,
@@ -600,6 +643,16 @@ def _expr_source_cols(
             qm = re.match(r".*?([A-Za-z_]\w*)$", item[: qe + 1], re.DOTALL)
             if qm is None:
                 continue
+            # a qualifier that is ITSELF dot-preceded makes this token
+            # the tail of a 3+-part chain (a.b.c): its immediate
+            # qualifier b may coincide with another table's alias while
+            # the data flows from a's struct column — never attribute
+            # through it; the chain's own root token handles the chain
+            p = qm.start(1) - 1
+            while p >= 0 and item[p].isspace():
+                p -= 1
+            if p >= 0 and item[p] == ".":
+                continue
             qual_low = qm.group(1).lower()
             if qual_low not in alias_map:
                 # struct field under a column / unknown qualifier: the
@@ -614,11 +667,21 @@ def _expr_source_cols(
             j += 1
         if j < n and item[j] == "(":
             continue  # function call
-        if j < n and item[j] == ".":
-            # qualifier position: a table alias is never a column; a
-            # STRUCT column used as `addr.city` attributes here (the
-            # data flows from the struct column)
+        if j < n and item[j] == "." and qual_low is None:
+            # UNQUALIFIED token in qualifier position: a table alias
+            # is never a column; a STRUCT column used as `addr.city`
+            # attributes here (the data flows from the struct column).
+            # A token already qualified by a known alias (`a.b.c`'s
+            # b) skips these checks — in that position it can only be
+            # a's struct column, even if it collides with another
+            # table's alias.
             if tok in alias_map or tok in dead_quals:
+                continue
+            # the root of a 3+-part chain (db.t.col / nested struct
+            # addr.geo.lat) is either a catalog/schema prefix or a
+            # nested-struct root — not distinguishable without a plan
+            # walk, so attribute neither (under-report)
+            if re.match(r"\.\s*[A-Za-z_]\w*\s*\.", item[j:]):
                 continue
         hit = _resolve_ref(tok, qual_low, alias_map, dead_quals, schemas)
         if hit is not None and hit not in out:
@@ -730,26 +793,15 @@ def _column_lineage_edges(
     # claimed by two different sources resolves for neither.
     alias_map: dict[str, str] = {}
     dead_quals: set[str] = set()
-
-    def _add_qual(q: str, s: str) -> None:
-        q = q.lower()
-        if not re.fullmatch(r"\w+", q) or q in dead_quals:
-            return
-        if q in alias_map and alias_map[q] != s:
-            del alias_map[q]
-            dead_quals.add(q)
-            return
-        alias_map[q] = s
-
     single = len(segs) == 1
     for (sp, al), s in zip(segs, srcs):
         if al is not None:
-            _add_qual(al, s)
+            _register_qual(alias_map, dead_quals, al, s)
         if al is None or single:
             bare = sp.strip("`").lower()
-            _add_qual(bare, s)
-            _add_qual(bare.split(".")[-1], s)
-            _add_qual(s.split(".")[-1], s)
+            _register_qual(alias_map, dead_quals, bare, s)
+            _register_qual(alias_map, dead_quals, bare.split(".")[-1], s)
+            _register_qual(alias_map, dead_quals, s.split(".")[-1], s)
 
     items = sqldml._split_commas(items_s)
     if items:
@@ -789,6 +841,16 @@ def _column_lineage_edges(
                 ]
             edges.extend((s, c, c) for s, c in expand)
             continue
+        if is_insert:
+            # a projection star the strict regex did NOT match
+            # (multi-part `db.t.*`, backticked `` `t`.* ``) still
+            # shifts every later position by its width — the whole
+            # INSERT derives nothing. (`2.*3` — a decimal literal
+            # times 3 — trips this too; under-report is the safe side)
+            imask = sqldml._mask(item)
+            for mm in re.finditer(r"\.\s*\*", item):
+                if not imask[mm.end() - 1][1]:
+                    return []
         pm = _PLAIN_ITEM_RE.match(item)
         if pm is not None and (
             pm.group("col").isdigit()
@@ -852,6 +914,151 @@ def _column_lineage_edges(
             t_col = alias or pm.group("col")
         for s, c in s_hits:
             edges.append((s, c, t_col))
+    return edges
+
+
+def _merge_column_lineage_edges(
+    spark: SparkSession, sql: str, target: str
+) -> list[tuple[str, str, str]]:
+    """``(source_table, source_column, target_column)`` edges for
+    ``MERGE INTO t USING s`` over a PLAIN registered source table: the
+    columns a MERGE writes are its assignment targets, and each
+    assignment/INSERT-value expression attributes its references to
+    the SOURCE table (``SET amount = s.amount * s.rate`` =>
+    ``amount -> amount`` and ``rate -> amount``). ``UPDATE SET *`` /
+    ``INSERT *`` assign every target column from the same-named source
+    column. Subquery USING sources derive nothing; references to the
+    target's own columns are value recirculation, not cross-table
+    lineage, and are not recorded (consistent with table-level lineage
+    skipping self-edges); ON / WHEN conditions only FILTER rows
+    (indirect lineage) and are likewise not recorded. Reuses the same
+    structural parse helpers the MERGE executor uses
+    (`tables/sqldml.py` ``_run_merge``), so the scan sees exactly the
+    clause boundaries that ran."""
+    from ..governance import access_control as acl
+    from ..tables import sqldml
+
+    m = re.match(r"\s*MERGE\s+INTO\s+", sql.strip().rstrip(";"), re.IGNORECASE)
+    if m is None:
+        return []
+    try:
+        rest = sql.strip().rstrip(";")[m.end():]
+        tname, rest = sqldml._read_table_ref(rest)
+        talias, rest = sqldml._read_alias(rest)
+        mu = re.match(r"USING\s+", rest, re.IGNORECASE)
+        if mu is None:
+            return []
+        rest = rest[mu.end():].lstrip()
+        if rest.startswith("("):
+            return []  # subquery source: not attributable
+        sname, rest = sqldml._read_table_ref(rest)
+        salias, rest = sqldml._read_alias(rest)
+        mo = re.match(r"ON\s+", rest, re.IGNORECASE)
+        if mo is None:
+            return []
+        rest = rest[mo.end():]
+        cuts = sqldml._merge_when_cuts(rest)
+    except ValueError:
+        return []
+    if not cuts:
+        return []
+    src = acl.canonical_name(spark, sname.strip("`").lower())
+    sid = session_key(spark)
+    registered = {n for (s, n) in sqldml._REGISTRY if s == sid}
+    if src == target or src not in registered:
+        return []
+    try:
+        src_schema = {
+            c.lower(): c
+            for c in sqldml.resolve_table(spark, src).to_df().columns
+        }
+        tgt_cols = sqldml.resolve_table(spark, target).to_df().columns
+    except Exception:  # noqa: BLE001
+        return []
+    tgt_schema = {c.lower(): c for c in tgt_cols}
+    # both sides' qualifiers go in the map — a target-qualified ref
+    # must RESOLVE (to the target, whose edges are then dropped), or
+    # the struct-access fallback could misread it as a source column.
+    # The executor's _requalify accepts name-derived qualifiers even
+    # alongside an alias, so the scan mirrors that latitude.
+    alias_map: dict[str, str] = {}
+    dead_quals: set[str] = set()
+    for name, alias, s in (
+        (sname, salias, src),
+        (tname, talias, target),
+    ):
+        if alias:
+            _register_qual(alias_map, dead_quals, alias, s)
+        bare = name.strip("`").lower()
+        _register_qual(alias_map, dead_quals, bare, s)
+        _register_qual(alias_map, dead_quals, bare.split(".")[-1], s)
+        _register_qual(alias_map, dead_quals, s.split(".")[-1], s)
+    schemas = {src: src_schema, target: tgt_schema}
+
+    edges: list[tuple[str, str, str]] = []
+
+    def _scan(expr: str, t_col_raw: str) -> None:
+        t_low = (
+            sqldml._strip_qualifiers(t_col_raw, tname, talias)
+            .strip("`")
+            .lower()
+        )
+        t_actual = tgt_schema.get(t_low)
+        if t_actual is None or not re.fullmatch(r"\w+", t_low):
+            return  # nested-field / unparsable target: under-report
+        for s_t, s_c in _expr_source_cols(
+            expr, alias_map, dead_quals, schemas
+        ) or []:
+            if s_t == src and (src, s_c, t_actual) not in edges:
+                edges.append((src, s_c, t_actual))
+
+    def _star_edges() -> None:
+        for tc in tgt_cols:
+            sc = src_schema.get(tc.lower())
+            if sc is not None and (src, sc, tc) not in edges:
+                edges.append((src, sc, tc))
+
+    chunks = [rest[a:b] for a, b in zip(cuts, cuts[1:] + [len(rest)])]
+    for chunk in chunks:
+        chunk = chunk.strip()
+        if not chunk:
+            continue
+        mt = sqldml._find_clause_then(chunk)
+        if mt is None:
+            continue
+        action = chunk[mt.end():].strip()
+        al = action.lower()
+        if al == "delete":
+            continue
+        if re.fullmatch(r"update\s+set\s+\*", al) or re.fullmatch(
+            r"insert\s+\*", al
+        ):
+            _star_edges()
+            continue
+        if al.startswith("update"):
+            ms = re.match(r"UPDATE\s+SET\s+", action, re.IGNORECASE)
+            if ms is None:
+                continue
+            try:
+                assigns = sqldml._parse_assignments(action[ms.end():])
+            except ValueError:
+                continue
+            for c, e in assigns.items():
+                _scan(e, c)
+        elif al.startswith("insert"):
+            mi = re.match(
+                r"INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
+                action,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mi is None:
+                continue
+            cols = sqldml._split_commas(mi.group("cols"))
+            vals = sqldml._split_commas(mi.group("vals"))
+            if len(cols) != len(vals):
+                continue
+            for c, v in zip(cols, vals):
+                _scan(v, c)
     return edges
 
 
@@ -1131,6 +1338,15 @@ def _run_statement_impl(
                     # derives nothing, so column_lineage under-reports
                     # instead of fabricating
                     for s_t, s_c, t_c in _column_lineage_edges(
+                        spark, sql, tgt_c
+                    ):
+                        systables.record_column_lineage(
+                            spark, s_t, s_c, tgt_c, t_c
+                        )
+                elif kind == "merge":
+                    # MERGE assignment targets attribute their source-
+                    # table references (same under-report discipline)
+                    for s_t, s_c, t_c in _merge_column_lineage_edges(
                         spark, sql, tgt_c
                     ):
                         systables.record_column_lineage(

@@ -752,6 +752,10 @@ def test_column_lineage_join_projections(spark, tmp_path):
             "PIVOT (sum(amount) FOR country IN ('US'))",
             "jcust TABLESAMPLE (10 PERCENT)",
             "jcust WINDOW w AS (PARTITION BY country)",
+            # WINDOW's LEGAL position is after WHERE/GROUP BY — the
+            # pre-scan must catch it there too (a source column named
+            # like the window name would otherwise fabricate an edge)
+            "jcust WHERE cust_id > 0 WINDOW w AS (ORDER BY cust_id)",
             "jcust MINUS SELECT cname FROM jcust",
         ):
             assert (
@@ -768,6 +772,33 @@ def test_column_lineage_join_projections(spark, tmp_path):
             "SELECT amount AS b, b AS c2 FROM jorders",
             "jcat.silver.x6",
         ) == [("jcat.bronze.jorders", "amount", "b")]
+        # the GROUP-BY window() FUNCTION is not a WINDOW clause: the
+        # statement still attributes
+        assert edges(
+            "CREATE TABLE jcat.silver.x7 AS SELECT cname FROM jcust "
+            "WHERE cust_id > 0 GROUP BY window(cname, '1 hour'), cname",
+            "jcat.silver.x7",
+        ) == [("jcat.bronze.jcust", "cname", "cname")]
+        # a 3+-part dotted chain's tail must never attribute through a
+        # coincidental alias, and its root (catalog prefix or nested
+        # struct) attributes nothing; a star the strict regex does not
+        # match still voids the whole INSERT (positions shift)
+        assert (
+            edges(
+                "CREATE TABLE jcat.silver.x8 AS "
+                "SELECT jcat.bronze.jcust.cname AS n FROM jcust",
+                "jcat.silver.x8",
+            )
+            == []
+        )
+        assert (
+            edges(
+                "INSERT INTO jcat.bronze.jorders (o_id, cust_id, amount) "
+                "SELECT `jcust`.*, 1 FROM jcust",
+                "jcat.silver.other",
+            )
+            == []
+        )
     finally:
         for nm in (
             "jcat.bronze.jorders",
@@ -775,6 +806,105 @@ def test_column_lineage_join_projections(spark, tmp_path):
             "jcat.bronze.jrates",
             "jcat.silver.jt",
         ):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)
+
+
+def test_column_lineage_merge(spark, tmp_path):
+    """MERGE INTO records column lineage for its assignment targets:
+    each UPDATE SET / INSERT VALUES expression attributes its
+    references to the SOURCE table; UPDATE SET * / INSERT * map every
+    target column from the same-named source column; references to the
+    target's own columns (value recirculation), literals, subquery
+    USING sources and ON/WHEN filter conditions derive nothing."""
+    from databricks_delta_lake_project_spark.queries import sqlpack
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    tgt = LakeTable.create(
+        spark,
+        str(tmp_path / "mtgt"),
+        df=spark.createDataFrame(
+            [(1, 5.0, "x")], "id long, amount double, tag string"
+        ),
+    )
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "msrc"),
+        df=spark.createDataFrame(
+            [(1, 7.0, 1.1), (2, 3.0, 1.2)],
+            "id long, amt double, rate double",
+        ),
+    )
+    sqldml.register_table(spark, "mcat.s.mtgt", tgt)
+    sqldml.register_table(spark, "mcat.s.mlsrc", src)
+
+    def edges(sql):
+        return sorted(
+            sqlpack._merge_column_lineage_edges(spark, sql, "mcat.s.mtgt")
+        )
+
+    try:
+        # end-to-end: conditional update with a cross-column
+        # expression, plus a positional INSERT branch
+        run_statement(
+            spark,
+            "MERGE INTO mcat.s.mtgt t USING mlsrc s ON t.id = s.id "
+            "WHEN MATCHED AND s.rate > 1 THEN "
+            "UPDATE SET amount = s.amt * s.rate, tag = 'hi' "
+            "WHEN NOT MATCHED THEN INSERT (id, amount) VALUES (s.id, s.amt)",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_column_name, target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'mcat.s.mtgt'
+            ORDER BY target_column_name, source_column_name
+            """,
+        ).collect()
+        # 'hi' is a literal (no edge to tag); ON/WHEN conditions are
+        # filters, not value flow
+        assert [tuple(r) for r in rows] == [
+            ("amt", "amount"),
+            ("rate", "amount"),
+            ("id", "id"),
+        ]
+        # scanner-level shapes
+        # target self-reference is recirculation, not cross-table flow
+        assert edges(
+            "MERGE INTO mcat.s.mtgt t USING mlsrc s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET amount = t.amount + s.amt"
+        ) == [("mcat.s.mlsrc", "amt", "amount")]
+        # unqualified: amt is unique to the source and attributes; id
+        # exists on BOTH sides and derives nothing
+        assert edges(
+            "MERGE INTO mcat.s.mtgt t USING mlsrc s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET amount = amt + id"
+        ) == [("mcat.s.mlsrc", "amt", "amount")]
+        # UPDATE SET * / INSERT * map same-named columns (id only —
+        # amount/tag don't exist on the source) — scanner level: the
+        # engine's executor would refuse the column mismatch
+        assert edges(
+            "MERGE INTO mcat.s.mtgt t USING mlsrc s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        ) == [("mcat.s.mlsrc", "id", "id")]
+        # subquery USING source derives nothing
+        assert (
+            edges(
+                "MERGE INTO mcat.s.mtgt t USING (SELECT * FROM mlsrc) s "
+                "ON t.id = s.id WHEN MATCHED THEN UPDATE SET amount = s.amt"
+            )
+            == []
+        )
+        # NOT MATCHED BY SOURCE touches only target columns: no edges
+        assert (
+            edges(
+                "MERGE INTO mcat.s.mtgt t USING mlsrc s ON t.id = s.id "
+                "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'"
+            )
+            == []
+        )
+    finally:
+        for nm in ("mcat.s.mtgt", "mcat.s.mlsrc"):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
 
 
