@@ -548,6 +548,161 @@ _EXPR_STOPWORDS = frozenset(
 ) | _NON_TABLE_FROM_PRECEDERS
 
 
+_SETOP_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b", re.IGNORECASE)
+
+
+def _split_set_branches(body: str) -> list[tuple[str | None, str]] | None:
+    """Split a statement body (text after the first depth-0 SELECT) at
+    depth-0 unquoted set-operation keywords. Returns ``[(op, text),
+    ...]`` where each ``text`` is a branch's select-list + FROM tail
+    (its leading SELECT consumed) and ``op`` is the operator that
+    introduced it (None for the first). A set-op keyword NOT followed
+    by ``[ALL|DISTINCT] SELECT`` (Databricks' ``SELECT * EXCEPT(col)``
+    projection form, a parenthesized branch) returns None — derive
+    nothing rather than misread branch boundaries."""
+    from ..tables import sqldml
+
+    mask = sqldml._mask(body)
+    hits = [
+        m
+        for m in _SETOP_RE.finditer(body)
+        if mask[m.start()] == (0, False)
+    ]
+    if not hits:
+        return [(None, body)]
+    parts: list[tuple[str | None, str]] = []
+    prev_end, prev_op = 0, None
+    for m in hits:
+        mm = re.match(
+            r"\s*(?:(?:ALL|DISTINCT)\s+)?SELECT\b", body[m.end():],
+            re.IGNORECASE,
+        )
+        if mm is None:
+            return None
+        parts.append((prev_op, body[prev_end: m.start()]))
+        prev_op = m.group(1).upper()
+        prev_end = m.end() + mm.end()
+    parts.append((prev_op, body[prev_end:]))
+    return parts
+
+
+def _ctas_out_names(branch: str) -> list[str | None] | None:
+    """Positional output column names of a set-op's FIRST branch (the
+    names every later branch's values land under): alias or bare name
+    for plain items, the trailing alias for expressions, None for a
+    position whose name is not derivable (those positions attribute
+    nothing in ANY branch). A star returns None for the whole list —
+    its width needs schema expansion the positional mapper should not
+    guess."""
+    from ..tables import sqldml
+
+    mfrom = sqldml._find_top(branch, r"\bFROM\b")
+    if mfrom is None:
+        return None
+    items = sqldml._split_commas(branch[: mfrom.start()])
+    if items:
+        items[0] = re.sub(
+            r"^\s*(DISTINCT|ALL)\b", "", items[0], flags=re.IGNORECASE
+        )
+    out: list[str | None] = []
+    for item in items:
+        if _STAR_ITEM_RE.match(item) or re.search(r"\.\s*\*", item):
+            return None
+        pm = _PLAIN_ITEM_RE.match(item)
+        if pm is not None:
+            col, qual = pm.group("col"), pm.group("qual")
+            if pm.group("alias") is None and (
+                col[0].isdigit()
+                or (qual is not None and qual[0].isdigit())
+                or col.upper() in ("NULL", "TRUE", "FALSE")
+            ):
+                # unaliased literal: Spark's auto-name ('true', '1.5')
+                # is not what the ref regex read — drop the position
+                out.append(None)
+            else:
+                out.append(pm.group("alias") or col)
+        else:
+            out.append(_split_item_alias(item)[1])
+    return out
+
+
+def _setop_edges(
+    spark: SparkSession,
+    parts: list[tuple[str | None, str]],
+    target: str,
+    is_insert: bool,
+    insert_cols: list[str] | None,
+) -> list[tuple[str, str, str]]:
+    """Per-branch positional attribution for set-operation statements:
+    every branch's item i lands under output name i (the INSERT column
+    list, or the first branch's names for CTAS). A branch contributes
+    VALUES to the result iff it is the first branch or introduced by
+    UNION — the right side of INTERSECT/EXCEPT/MINUS only filters rows
+    (its equal values are already attributed through the left side),
+    so it derives nothing. Each contributing branch is re-scanned as a
+    synthesized positional INSERT through the single-branch scanner,
+    so every conservatism there (out-of-grammar FROM shapes, ambiguous
+    names, star guards) applies per branch unchanged."""
+    if is_insert:
+        names: list[str | None] = list(insert_cols or [])
+    else:
+        got = _ctas_out_names(parts[0][1])
+        if got is None:
+            return []
+        names = got
+    if not names:
+        return []
+    # placeholder names keep positions aligned for items whose output
+    # name is not derivable; their edges are dropped after the scan.
+    # The base is grown until it collides with no REAL name, so a
+    # genuine column that happens to be called __drop_0 keeps its
+    # lineage (filtering is by exact placeholder membership, never by
+    # prefix).
+    real = {nm for nm in names if nm is not None}
+    base = "__drop"
+    while any(f"{base}_{i}" in real for i in range(len(names))):
+        base += "x"
+    placeholders: set[str] = set()
+    synth_names: list[str] = []
+    for i, nm in enumerate(names):
+        if nm is None:
+            nm = f"{base}_{i}"
+            placeholders.add(nm)
+        synth_names.append(nm)
+    edges: list[tuple[str, str, str]] = []
+    cache: dict[str, dict[str, str]] = {}
+    for op, text in parts:
+        if op is not None and op != "UNION":
+            continue
+        synth = (
+            f"INSERT INTO {target} ({', '.join(synth_names)}) "
+            f"SELECT {text}"
+        )
+        for e in _column_lineage_edges(spark, synth, target, cache):
+            if e[2] not in placeholders and e not in edges:
+                edges.append(e)
+    return edges
+
+
+def _split_item_alias(item: str) -> tuple[str, str | None]:
+    """``(expression_text, alias_or_None)`` for one select-list item:
+    an explicit ``AS alias``, or a trailing bare identifier preceded
+    by a word char / closing paren / quote — never by an operator, and
+    never a trailing SQL keyword (``... ELSE 'x' END`` / ``ts +
+    interval 1 day`` are expression tails, not aliases)."""
+    am = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
+    if am:
+        return item[: am.start()], am.group(1)
+    bm = re.search(r"(\S)\s+(\w+)\s*$", item)
+    if (
+        bm
+        and (bm.group(1).isalnum() or bm.group(1) in ")`'\"")
+        and bm.group(2).lower() not in _EXPR_STOPWORDS
+    ):
+        return item[: bm.start(2)], bm.group(2)
+    return item, None
+
+
 def _register_qual(
     alias_map: dict[str, str], dead_quals: set[str], q: str, s: str
 ) -> None:
@@ -690,7 +845,10 @@ def _expr_source_cols(
 
 
 def _column_lineage_edges(
-    spark: SparkSession, sql: str, target: str
+    spark: SparkSession,
+    sql: str,
+    target: str,
+    _schema_cache: dict[str, dict[str, str]] | None = None,
 ) -> list[tuple[str, str, str]]:
     """``(source_table, source_column, target_column)`` edges for the
     projection shapes UC-style column lineage can attribute without a
@@ -702,8 +860,11 @@ def _column_lineage_edges(
     (``round(amount, 2) AS amt`` => ``amount -> amt``). In a join, a
     QUALIFIED ref resolves through its alias and an unqualified ref
     attributes only when exactly one source schema holds the column
-    (``_resolve_ref``). Subquery sources, comma joins, NATURAL joins,
-    set ops, subquery items, ambiguous names and unaliased CTAS
+    (``_resolve_ref``). Depth-0 set operations attribute per branch,
+    positionally (``_setop_edges``): UNION branches contribute values;
+    the right side of INTERSECT/EXCEPT/MINUS only filters rows and
+    derives nothing. Subquery sources, comma joins, NATURAL joins,
+    subquery items, ambiguous names and unaliased CTAS
     expressions derive NOTHING — a fabricated edge is worse than a
     missing one. INSERT targets map by POSITION against the target
     schema (the engine's ``_run_insert`` renames via
@@ -727,8 +888,6 @@ def _column_lineage_edges(
     if sel is None:
         return []
     head, body = sql[: sel.start()], sql[sel.end():]
-    if re.search(r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b", sql, re.IGNORECASE):
-        return []
     is_insert = bool(re.match(r"\s*INSERT\b", head, re.IGNORECASE))
     # positional target columns: the explicit INSERT list when given,
     # else the target table's schema order
@@ -748,6 +907,18 @@ def _column_lineage_edges(
                 )
             except Exception:  # noqa: BLE001
                 return []
+    # depth-0 set operations attribute per branch (positional); a
+    # masked occurrence (inside a subquery or string literal) is not
+    # a set op of THIS statement and falls through to the single-
+    # branch path
+    if _SETOP_RE.search(body):
+        split = _split_set_branches(body)
+        if split is None:
+            return []
+        if len(split) > 1:
+            return _setop_edges(
+                spark, split, target, is_insert, insert_cols
+            )
     # split projection from FROM at depth 0
     mask_b = sqldml._mask(body)
     mfrom = None
@@ -773,9 +944,13 @@ def _column_lineage_edges(
         return []
     # per-source schema: lower -> actual spelling, insertion order =
     # column order (star expansion relies on it). One driver-side
-    # metadata read per DISTINCT source per DML — off the query path.
+    # metadata read per DISTINCT source per DML — off the query path;
+    # a set-op statement shares one cache across its branch re-scans
     schemas: dict[str, dict[str, str]] = {}
     for s in dict.fromkeys(srcs):
+        if _schema_cache is not None and s in _schema_cache:
+            schemas[s] = _schema_cache[s]
+            continue
         try:
             schemas[s] = {
                 c.lower(): c
@@ -783,6 +958,8 @@ def _column_lineage_edges(
             }
         except Exception:  # noqa: BLE001
             return []
+        if _schema_cache is not None:
+            _schema_cache[s] = schemas[s]
     # qualifier -> source. An ALIASED segment registers only its alias
     # (SQL: the alias replaces the table name as a qualifier — and a
     # retired spelling left mapped could shadow a same-named struct
@@ -874,25 +1051,8 @@ def _column_lineage_edges(
             # the alias default below still holds
             s_hits = [hit]
         else:
-            # expression item: strip the alias (explicit AS, or a
-            # trailing bare identifier preceded by a word char /
-            # closing paren — never by an operator) before scanning
-            expr, alias = item, None
-            am = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
-            if am:
-                alias = am.group(1)
-                expr = item[: am.start()]
-            else:
-                bm = re.search(r"(\S)\s+(\w+)\s*$", item)
-                if (
-                    bm
-                    and (bm.group(1).isalnum() or bm.group(1) in ")`'\"")
-                    # a trailing SQL keyword is expression tail, not an
-                    # alias: "... ELSE 'x' END" / "ts + interval 1 day"
-                    and bm.group(2).lower() not in _EXPR_STOPWORDS
-                ):
-                    alias = bm.group(2)
-                    expr = item[: bm.start(2)]
+            # expression item: strip the alias before scanning
+            expr, alias = _split_item_alias(item)
             if not is_insert and alias is None:
                 # CTAS expression without an alias materializes under
                 # Spark's auto-generated column name: skip it

@@ -756,7 +756,6 @@ def test_column_lineage_join_projections(spark, tmp_path):
             # pre-scan must catch it there too (a source column named
             # like the window name would otherwise fabricate an edge)
             "jcust WHERE cust_id > 0 WINDOW w AS (ORDER BY cust_id)",
-            "jcust MINUS SELECT cname FROM jcust",
         ):
             assert (
                 edges(
@@ -806,6 +805,151 @@ def test_column_lineage_join_projections(spark, tmp_path):
             "jcat.bronze.jrates",
             "jcat.silver.jt",
         ):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)
+
+
+def test_column_lineage_set_operations(spark, tmp_path):
+    """Set-operation statements attribute per branch, positionally:
+    every UNION branch's item i lands under output name i (the INSERT
+    column list, or the first branch's names for CTAS); the right side
+    of INTERSECT/EXCEPT/MINUS only filters rows and derives nothing.
+    Underivable first-branch names (unaliased expressions / literals)
+    drop that position in all branches; a FIRST-branch star derives
+    nothing (its width would have to be guessed) while a later
+    branch's SOLE star expands positionally; a set-op keyword inside a
+    string literal is not a set op."""
+    from databricks_delta_lake_project_spark.queries import sqlpack
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    x = LakeTable.create(
+        spark,
+        str(tmp_path / "ux"),
+        df=spark.createDataFrame(
+            [(1, "a", 2.0)], "id long, nm string, amt double"
+        ),
+    )
+    y = LakeTable.create(
+        spark,
+        str(tmp_path / "uy"),
+        df=spark.createDataFrame(
+            [(9, "z", 3.0)], "yid long, ynm string, yamt double"
+        ),
+    )
+    sqldml.register_table(spark, "ucat.s.ux", x)
+    sqldml.register_table(spark, "ucat.s.uy", y)
+
+    def edges(sql):
+        return sorted(
+            sqlpack._column_lineage_edges(spark, sql, "ucat.s.tgt")
+        )
+
+    try:
+        # end-to-end: CTAS over UNION ALL records both branches
+        run_statement(
+            spark,
+            f"CREATE TABLE ucat.s.tgt USING delta LOCATION "
+            f"'{tmp_path / 'utgt'}' AS "
+            "SELECT id, nm AS name FROM ux "
+            "UNION ALL SELECT yid, ynm FROM uy",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_table_full_name, source_column_name,
+                   target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'ucat.s.tgt'
+            ORDER BY target_column_name, source_table_full_name
+            """,
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("ucat.s.ux", "id", "id"),
+            ("ucat.s.uy", "yid", "id"),
+            ("ucat.s.ux", "nm", "name"),
+            ("ucat.s.uy", "ynm", "name"),
+        ]
+        # EXCEPT / MINUS: the right branch filters rows, it
+        # contributes no values — only the left side attributes
+        assert edges(
+            "CREATE TABLE ucat.s.tgt2 AS "
+            "SELECT id FROM ux EXCEPT SELECT yid FROM uy"
+        ) == [("ucat.s.ux", "id", "id")]
+        assert edges(
+            "CREATE TABLE ucat.s.tgt2 AS "
+            "SELECT id FROM ux MINUS SELECT yid FROM uy"
+        ) == [("ucat.s.ux", "id", "id")]
+        # mixed ops: a UNION b EXCEPT c — a and b contribute, c filters
+        assert edges(
+            "CREATE TABLE ucat.s.tgt2 AS SELECT id FROM ux "
+            "UNION SELECT yid FROM uy EXCEPT SELECT id FROM ux WHERE id > 5"
+        ) == [
+            ("ucat.s.ux", "id", "id"),
+            ("ucat.s.uy", "yid", "id"),
+        ]
+        # INSERT over UNION maps positionally to the explicit list
+        assert edges(
+            "INSERT INTO ucat.s.zz (c1, c2) SELECT id, amt FROM ux "
+            "UNION SELECT yid, yamt FROM uy"
+        ) == [
+            ("ucat.s.ux", "amt", "c2"),
+            ("ucat.s.ux", "id", "c1"),
+            ("ucat.s.uy", "yamt", "c2"),
+            ("ucat.s.uy", "yid", "c1"),
+        ]
+        # an underivable first-branch name (unaliased expression)
+        # drops that position in EVERY branch
+        assert edges(
+            "CREATE TABLE ucat.s.tgt2 AS "
+            "SELECT round(amt,2) AS r, id+1 FROM ux "
+            "UNION ALL SELECT yamt, yid FROM uy"
+        ) == [
+            ("ucat.s.ux", "amt", "r"),
+            ("ucat.s.uy", "yamt", "r"),
+        ]
+        # a join inside a branch attributes through the branch scanner
+        assert edges(
+            "CREATE TABLE ucat.s.tgt2 AS "
+            "SELECT a.id FROM ux a JOIN uy b ON a.id = b.yid "
+            "UNION ALL SELECT yid FROM uy"
+        ) == [
+            ("ucat.s.ux", "id", "id"),
+            ("ucat.s.uy", "yid", "id"),
+        ]
+        # a FIRST-branch star derives nothing (its width would have to
+        # be guessed) — a LATER branch's sole star expands positionally
+        # under the first branch's names; a literal leading the first
+        # branch drops that position everywhere (Spark auto-names it
+        # 'true', not the token the regex read)
+        assert (
+            edges(
+                "CREATE TABLE ucat.s.tgt2 AS SELECT * FROM ux "
+                "UNION ALL SELECT yid, ynm, yamt FROM uy"
+            )
+            == []
+        )
+        assert edges(
+            "CREATE TABLE ucat.s.tgt2 AS SELECT id, nm, amt FROM ux "
+            "UNION ALL SELECT * FROM uy"
+        ) == [
+            ("ucat.s.ux", "amt", "amt"),
+            ("ucat.s.ux", "id", "id"),
+            ("ucat.s.ux", "nm", "nm"),
+            ("ucat.s.uy", "yamt", "amt"),
+            ("ucat.s.uy", "yid", "id"),
+            ("ucat.s.uy", "ynm", "nm"),
+        ]
+        assert edges(
+            "CREATE TABLE ucat.s.tgt2 AS SELECT TRUE, id FROM ux "
+            "UNION ALL SELECT ynm, yid FROM uy"
+        ) == [
+            ("ucat.s.ux", "id", "id"),
+            ("ucat.s.uy", "yid", "id"),
+        ]
+        assert edges(
+            "CREATE TABLE ucat.s.tgt2 AS SELECT id, 'UNION' AS k FROM ux"
+        ) == [("ucat.s.ux", "id", "id")]
+    finally:
+        for nm in ("ucat.s.ux", "ucat.s.uy", "ucat.s.tgt"):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
 
 
