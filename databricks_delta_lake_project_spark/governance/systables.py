@@ -400,6 +400,129 @@ _LINEAGE_SCHEMA = (
     "source_type string, target_type string"
 )
 
+# opt-in durability (UC's system.access lineage tables are durable
+# account state; the engine's buffers are session dicts): with this
+# conf set to a LakeTable path, both lineage system tables serve
+# buffer ∪ table, and the session's not-yet-persisted edges are
+# flushed to the table when a lineage table is READ — never on the
+# DML hot path (a Delta commit per mutating statement would be real
+# latency; lineage reads are rare and the flush piggybacks on them).
+# Flushes append only edges missing from the table (edges are facts —
+# a set, not a log), so scheduled re-runs of the same job do not grow
+# it; a concurrent-flush race can duplicate a row, which the DISTINCT
+# merge at read absorbs and later flushes do not repeat.
+LINEAGE_PATH_CONF = "spark.engine.lineage.path"
+
+_DUR_LINEAGE_SCHEMA = (
+    "kind string, source_table_full_name string, "
+    "source_column_name string, target_table_full_name string, "
+    "target_column_name string, source_type string, target_type string"
+)
+
+# (session, durable path) -> edges already flushed to THAT table
+# (pending = in-memory set minus these). Keyed by path too: a session
+# repointed at a different registry must re-flush everything there,
+# or the new table would permanently lack this session's edges.
+_LIN_PERSISTED: dict[tuple[str, str], set[tuple[str, str, str, str]]] = {}
+_COL_PERSISTED: dict[tuple[str, str], set[tuple[str, str, str, str]]] = {}
+
+
+def _lineage_path(spark: SparkSession) -> str | None:
+    try:
+        return spark.conf.get(LINEAGE_PATH_CONF) or None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _durable_lineage_rows(
+    spark: SparkSession, path: str
+) -> tuple[set, set]:
+    """``(table_edges, column_edges)`` from the durable lineage table.
+    A whole-table read: lineage is a fact set over table/column NAMES
+    (bounded by schema size, not data), and the diff-append flush
+    keeps it duplicate-free, so this stays O(edges). Unreadable table
+    fails loudly — silently serving partial lineage would misreport
+    data provenance."""
+    from ..tables import LakeTable
+
+    if not LakeTable.is_table(path):
+        return set(), set()
+    t_edges: set = set()
+    c_edges: set = set()
+    for r in LakeTable.for_path(spark, path).to_df().collect():
+        if r["kind"] == "table":
+            t_edges.add(
+                (
+                    r["source_table_full_name"],
+                    r["target_table_full_name"],
+                    r["source_type"],
+                    r["target_type"],
+                )
+            )
+        else:
+            c_edges.add(
+                (
+                    r["source_table_full_name"],
+                    r["source_column_name"],
+                    r["target_table_full_name"],
+                    r["target_column_name"],
+                )
+            )
+    return t_edges, c_edges
+
+
+def _merged_lineage(spark: SparkSession) -> tuple[set, set] | None:
+    """Flush this session's pending edges to the durable table and
+    return its full ``(table_edges, column_edges)``; None when the
+    conf is unset. Flush failures WARN and leave the edges pending
+    (the read still serves buffer ∪ whatever the table holds); read
+    failures raise."""
+    import warnings
+
+    path = _lineage_path(spark)
+    if not path:
+        return None
+    from ..tables import LakeTable
+
+    sid = session_key(spark)
+    pkey = (sid, path)
+    disk_t, disk_c = _durable_lineage_rows(spark, path)
+    pend_t = _LINEAGE.get(sid, set()) - _LIN_PERSISTED.get(pkey, set())
+    pend_c = _COL_LINEAGE.get(sid, set()) - _COL_PERSISTED.get(
+        pkey, set()
+    )
+    new_t = sorted(pend_t - disk_t)
+    new_c = sorted(pend_c - disk_c)
+    if new_t or new_c:
+        rows = [
+            ("table", s, None, t, None, st, tt) for s, t, st, tt in new_t
+        ] + [
+            ("column", st_, sc, tt_, tc, None, None)
+            for st_, sc, tt_, tc in new_c
+        ]
+        df = spark.createDataFrame(rows, _DUR_LINEAGE_SCHEMA)
+        try:
+            if LakeTable.is_table(path):
+                LakeTable.for_path(spark, path).append(df)
+            else:
+                try:
+                    LakeTable.create(spark, path, df=df)
+                except Exception:
+                    if LakeTable.is_table(path):  # lost creation race
+                        LakeTable.for_path(spark, path).append(df)
+                    else:
+                        raise
+        except Exception as e:  # noqa: BLE001
+            warnings.warn(
+                f"lineage: could not persist {len(rows)} edge(s) to "
+                f"{path} ({e}); they remain session-buffered",
+                stacklevel=2,
+            )
+            return disk_t, disk_c
+    _LIN_PERSISTED.setdefault(pkey, set()).update(pend_t)
+    _COL_PERSISTED.setdefault(pkey, set()).update(pend_c)
+    return disk_t | pend_t, disk_c | pend_c
+
 
 def record_lineage(
     spark: SparkSession,
@@ -419,10 +542,15 @@ def record_lineage(
 
 def table_lineage_df(spark: SparkSession) -> DataFrame:
     """Admin-gated: edges reveal the names of tables a principal may
-    not be able to list."""
+    not be able to list. With ``LINEAGE_PATH_CONF`` set, serves the
+    session buffer merged with the durable table (flushing this
+    session's pending edges first)."""
     _require_system_admin(spark, "system.lineage.table_lineage")
-    rows = sorted(_LINEAGE.get(session_key(spark), set()))
-    return spark.createDataFrame(rows, _LINEAGE_SCHEMA)
+    edges = set(_LINEAGE.get(session_key(spark), set()))
+    merged = _merged_lineage(spark)
+    if merged is not None:
+        edges |= merged[0]
+    return spark.createDataFrame(sorted(edges), _LINEAGE_SCHEMA)
 
 
 # session -> {(source_table, source_column, target_table,
@@ -458,10 +586,14 @@ def record_column_lineage(
 
 def column_lineage_df(spark: SparkSession) -> DataFrame:
     """Admin-gated like table_lineage_df (column names reveal schema
-    the principal may not be able to describe)."""
+    the principal may not be able to describe); durable-merged the
+    same way."""
     _require_system_admin(spark, "system.lineage.column_lineage")
-    rows = sorted(_COL_LINEAGE.get(session_key(spark), set()))
-    return spark.createDataFrame(rows, _COL_LINEAGE_SCHEMA)
+    edges = set(_COL_LINEAGE.get(session_key(spark), set()))
+    merged = _merged_lineage(spark)
+    if merged is not None:
+        edges |= merged[1]
+    return spark.createDataFrame(sorted(edges), _COL_LINEAGE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

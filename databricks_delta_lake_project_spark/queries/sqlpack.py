@@ -453,6 +453,22 @@ def _parse_from_sources(
             return (segs, saw_using) if tail[pos:].strip() == "" else None
         w = wm.group("w").lower()
         if w in _FROM_TERMINATORS:
+            # a bare column NAMED like a terminator inside an ON
+            # condition (ON ... AND cluster = 1 JOIN c ...) would end
+            # the scan early and silently DROP table c from the source
+            # list — the one misparse shape that yields a wrong list
+            # instead of None. Only a later JOIN can extend the list,
+            # so refuse whenever one exists beyond this point.
+            for jm in re.finditer(r"\bjoin\b", tail[wm.end():], re.IGNORECASE):
+                a = wm.end() + jm.start()
+                if mask[a] != (0, False):
+                    continue
+                k = a - 1
+                while k >= 0 and tail[k].isspace():
+                    k -= 1
+                if k >= 0 and tail[k] == ".":
+                    continue  # a.join — a dotted ref's tail
+                return None
             return segs, saw_using
         if w in _FROM_BAILERS:
             return None
@@ -531,6 +547,31 @@ def _parse_from_sources(
 # through the PLAIN-item path, which runs first. The same set also
 # bars trailing-token ALIAS detection ("... ELSE 'x' END" must not
 # read END as an alias).
+# niladic functions Spark accepts as BARE tokens: their auto-name is
+# the function form ('current_date()'), never the scanned token, and
+# they read no column — both the ref scanners and the set-op name
+# deriver must treat them as opaque. A source column that genuinely
+# shares one of these names still attributes when table-qualified.
+_NILADIC = frozenset(
+    {
+        "current_date", "current_timestamp", "current_user",
+        "session_user", "current_catalog", "current_schema",
+        "current_database", "current_timezone", "localtimestamp",
+        "user",
+    }
+)
+
+# keyword OPERATORS that demand a following operand: a trailing bare
+# identifier right after one ('flag1 AND flag2', 'x BETWEEN lo AND
+# hi') is that operand, never an alias
+_OPERATOR_TAILS = frozenset(
+    {
+        "and", "or", "not", "in", "is", "like", "ilike", "rlike",
+        "between", "div", "escape", "then", "when", "else", "by",
+        "distinct", "all", "over",
+    }
+)
+
 _EXPR_STOPWORDS = frozenset(
     {
         "case", "when", "then", "else", "end", "and", "or", "not",
@@ -545,7 +586,7 @@ _EXPR_STOPWORDS = frozenset(
         "char", "boolean", "date", "timestamp", "timestamp_ntz",
         "binary", "array", "map", "struct", "void",
     }
-) | _NON_TABLE_FROM_PRECEDERS
+) | _NON_TABLE_FROM_PRECEDERS | _NILADIC
 
 
 _SETOP_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b", re.IGNORECASE)
@@ -615,9 +656,11 @@ def _ctas_out_names(branch: str) -> list[str | None] | None:
                 col[0].isdigit()
                 or (qual is not None and qual[0].isdigit())
                 or col.upper() in ("NULL", "TRUE", "FALSE")
+                or (qual is None and col.lower() in _NILADIC)
             ):
-                # unaliased literal: Spark's auto-name ('true', '1.5')
-                # is not what the ref regex read — drop the position
+                # unaliased literal / niladic function: Spark's
+                # auto-name ('true', '1.5', 'current_date()') is not
+                # what the ref regex read — drop the position
                 out.append(None)
             else:
                 out.append(pm.group("alias") or col)
@@ -693,11 +736,12 @@ def _split_item_alias(item: str) -> tuple[str, str | None]:
     am = re.search(r"\s+AS\s+(\w+)\s*$", item, re.IGNORECASE)
     if am:
         return item[: am.start()], am.group(1)
-    bm = re.search(r"(\S)\s+(\w+)\s*$", item)
+    bm = re.search(r"([A-Za-z_]\w*|\S)\s+(\w+)\s*$", item)
     if (
         bm
-        and (bm.group(1).isalnum() or bm.group(1) in ")`'\"")
+        and (bm.group(1)[-1].isalnum() or bm.group(1) in ")`'\"")
         and bm.group(2).lower() not in _EXPR_STOPWORDS
+        and bm.group(1).lower() not in _OPERATOR_TAILS
     ):
         return item[: bm.start(2)], bm.group(2)
     return item, None
@@ -835,8 +879,10 @@ def _expr_source_cols(
             # the root of a 3+-part chain (db.t.col / nested struct
             # addr.geo.lat) is either a catalog/schema prefix or a
             # nested-struct root — not distinguishable without a plan
-            # walk, so attribute neither (under-report)
-            if re.match(r"\.\s*[A-Za-z_]\w*\s*\.", item[j:]):
+            # walk, so attribute neither (under-report); likewise the
+            # namespace root of a dotted FUNCTION call (util.fmt(x))
+            # qualifies code, not data
+            if re.match(r"\.\s*[A-Za-z_]\w*\s*[.(]", item[j:]):
                 continue
         hit = _resolve_ref(tok, qual_low, alias_map, dead_quals, schemas)
         if hit is not None and hit not in out:
@@ -1032,8 +1078,12 @@ def _column_lineage_edges(
         if pm is not None and (
             pm.group("col").isdigit()
             or pm.group("col").upper() in ("NULL", "TRUE", "FALSE")
+            or (
+                pm.group("qual") is None
+                and pm.group("col").lower() in _NILADIC
+            )
         ):
-            continue  # literal: not attributable
+            continue  # literal / niladic function: not attributable
         if pm is not None:
             alias = pm.group("alias")
             qual = pm.group("qual")

@@ -764,6 +764,42 @@ def test_column_lineage_join_projections(spark, tmp_path):
                 )
                 == []
             )
+        # a bare column named like a FROM terminator inside an ON
+        # condition must not truncate the source list when a later
+        # JOIN exists (table jrates would be dropped and a ref to it
+        # mis-resolved); with no later JOIN the sources are complete
+        # and the statement still attributes
+        assert (
+            edges(
+                "CREATE TABLE jcat.silver.zz AS SELECT cname FROM "
+                "jorders o JOIN jcust c ON o.cust_id = c.cust_id "
+                "AND cluster = 1 JOIN jrates r ON c.country = r.country",
+                "jcat.silver.zz",
+            )
+            == []
+        )
+        assert edges(
+            "CREATE TABLE jcat.silver.zz AS SELECT cname FROM "
+            "jorders o JOIN jcust c ON o.cust_id = c.cust_id "
+            "AND cluster = 1",
+            "jcat.silver.zz",
+        ) == [("jcat.bronze.jcust", "cname", "cname")]
+        # a dotted FUNCTION call's namespace root is code, not data —
+        # even when a source column shares its name; and a keyword
+        # operator's trailing operand is never read as an alias
+        assert edges(
+            "CREATE TABLE jcat.silver.zz AS "
+            "SELECT amount.fmt(cust_id) AS x FROM jorders",
+            "jcat.silver.zz",
+        ) == [("jcat.bronze.jorders", "cust_id", "x")]
+        assert (
+            edges(
+                "CREATE TABLE jcat.silver.zz AS "
+                "SELECT amount AND cust_id FROM jorders",
+                "jcat.silver.zz",
+            )
+            == []
+        )
         # a lateral column alias is not a source column: no edge for
         # its re-reference (fabrication guard)
         assert edges(
@@ -806,6 +842,86 @@ def test_column_lineage_join_projections(spark, tmp_path):
             "jcat.silver.jt",
         ):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
+
+
+def test_lineage_durable_across_sessions(spark, tmp_path):
+    """spark.engine.lineage.path makes both lineage system tables
+    survive the session: a fresh session (cleared buffers) still
+    serves the prior session's edges from the Delta-backed table,
+    flushes are diff-appends (re-reading or re-recording the same
+    edges never grows the table), and new edges compose."""
+    from databricks_delta_lake_project_spark.governance import systables
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "dl_src"),
+        df=spark.createDataFrame([(1, "a")], "id long, nm string"),
+    )
+    sqldml.register_table(spark, "dcat.b.dl_src", t)
+    lin_path = str(tmp_path / "lineage_table")
+    spark.conf.set(systables.LINEAGE_PATH_CONF, lin_path)
+    sid = session_key(spark)
+    try:
+        run_statement(
+            spark,
+            f"CREATE TABLE dcat.s.dl_tgt USING delta LOCATION "
+            f"'{tmp_path / 'dl_tgt'}' AS SELECT id, nm AS name FROM dl_src",
+        )
+        # first read flushes the pending edges to the durable table
+        rows = run_statement(
+            spark,
+            "SELECT source_table_full_name, target_table_full_name "
+            "FROM system.lineage.table_lineage",
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("dcat.b.dl_src", "dcat.s.dl_tgt")
+        ]
+        n_disk = LakeTable.for_path(spark, lin_path).to_df().count()
+        assert n_disk == 3  # 1 table edge + 2 column edges
+        # a second read is a no-op flush: the table must not grow
+        run_statement(
+            spark,
+            "SELECT count(*) AS n FROM system.lineage.column_lineage",
+        ).collect()
+        assert LakeTable.for_path(spark, lin_path).to_df().count() == 3
+        # simulate a fresh session: in-memory buffers gone
+        systables._LINEAGE.pop(sid, None)
+        systables._COL_LINEAGE.pop(sid, None)
+        systables._LIN_PERSISTED.pop((sid, lin_path), None)
+        systables._COL_PERSISTED.pop((sid, lin_path), None)
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_column_name, target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'dcat.s.dl_tgt'
+            ORDER BY target_column_name
+            """,
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("id", "id"),
+            ("nm", "name"),
+        ]
+        # the "new" session re-running the same DML re-records the
+        # same facts — the diff-append must not duplicate them
+        run_statement(
+            spark,
+            "INSERT INTO dcat.s.dl_tgt SELECT id, nm FROM dl_src",
+        )
+        run_statement(
+            spark,
+            "SELECT count(*) AS n FROM system.lineage.table_lineage",
+        ).collect()
+        assert LakeTable.for_path(spark, lin_path).to_df().count() == 3
+    finally:
+        spark.conf.unset(systables.LINEAGE_PATH_CONF)
+        for nm in ("dcat.b.dl_src", "dcat.s.dl_tgt"):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)
+        systables._LINEAGE.pop(sid, None)
+        systables._COL_LINEAGE.pop(sid, None)
+        systables._LIN_PERSISTED.pop((sid, lin_path), None)
+        systables._COL_PERSISTED.pop((sid, lin_path), None)
 
 
 def test_column_lineage_set_operations(spark, tmp_path):
