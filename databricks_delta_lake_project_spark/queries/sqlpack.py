@@ -591,6 +591,32 @@ _EXPR_STOPWORDS = frozenset(
 
 _SETOP_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b", re.IGNORECASE)
 
+_CTE_DEF_RE = re.compile(
+    r"(?:`(?P<bt>[^`]+)`|\b(?P<w>[A-Za-z_]\w*))"
+    r"\s*(?:\([^()]*\))?\s+(?P<kw>AS)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _cte_names(sql: str) -> set[str]:
+    """Names bound by ``name [(cols)] AS (`` anywhere in the statement
+    — WITH-clause CTEs at any nesting depth, backtick-quoted included
+    (also catches named windows; over-excluding only under-reports).
+    A FROM reference to one of these is NOT a read of a same-named
+    registered table: the CTE shadows it, and attributing the table
+    would fabricate both table- and column-level edges. The quote scan
+    anchors on the AS keyword (a backticked name's own span is inside
+    an identifier quote, but a definition inside a string literal has
+    its AS masked too)."""
+    from ..tables import sqldml
+
+    mask = sqldml._mask(sql)
+    return {
+        (m.group("bt") or m.group("w")).lower()
+        for m in _CTE_DEF_RE.finditer(sql)
+        if not mask[m.start("kw")][1]
+    }
+
 
 def _split_set_branches(body: str) -> list[tuple[str | None, str]] | None:
     """Split a statement body (text after the first depth-0 SELECT) at
@@ -669,12 +695,81 @@ def _ctas_out_names(branch: str) -> list[str | None] | None:
     return out
 
 
+def _parse_cte_defs(
+    s: str,
+) -> list[tuple[str, list[str] | None, str]] | None:
+    """``[(name, explicit_cols_or_None, parenthesized_body)]`` for the
+    text after a depth-0 WITH keyword: ``name [(cols)] AS ( body )``
+    separated by commas, ending exactly where the outer SELECT begins
+    (the caller's head ends there). Anything outside that grammar —
+    including WITH RECURSIVE, whose name position reads RECURSIVE and
+    fails the AS match — returns None (derive nothing)."""
+    from ..tables import sqldml
+
+    mask = sqldml._mask(s)
+    out: list[tuple[str, list[str] | None, str]] = []
+    pos = 0
+    while True:
+        m = re.match(
+            r"\s*([A-Za-z_]\w*)\s*(?:\(([^()]*)\))?\s+AS\s*\(",
+            s[pos:],
+            re.IGNORECASE,
+        )
+        if m is None:
+            return None
+        name = m.group(1).lower()
+        cols: list[str] | None = None
+        if m.group(2) is not None:
+            cols = [c.strip().strip("`") for c in m.group(2).split(",")]
+            if not all(re.fullmatch(r"\w+", c) for c in cols):
+                return None
+        open_i = pos + m.end() - 1
+        d = mask[open_i][0]  # depth AT the '(' (post-increment)
+        close_i = None
+        for i in range(open_i + 1, len(s)):
+            if s[i] == ")" and mask[i] == (d, False):
+                close_i = i
+                break
+        if close_i is None:
+            return None
+        out.append((name, cols, s[open_i + 1: close_i]))
+        mm = re.match(r"\s*,", s[close_i + 1:])
+        if mm is not None:
+            pos = close_i + 1 + mm.end()
+            continue
+        return out if s[close_i + 1:].strip() == "" else None
+
+
+def _placeholder_names(
+    names: list[str | None],
+) -> tuple[list[str], set[str]]:
+    """``(synth_names, placeholders)``: positions whose output name is
+    not derivable get placeholder names so positional alignment holds;
+    their edges are dropped after the scan. The base grows until no
+    REAL name collides, so a genuine column called __drop_0 keeps its
+    lineage (filtering is exact-membership, never by prefix)."""
+    real = {nm for nm in names if nm is not None}
+    base = "__drop"
+    while any(f"{base}_{i}" in real for i in range(len(names))):
+        base += "x"
+    placeholders: set[str] = set()
+    synth_names: list[str] = []
+    for i, nm in enumerate(names):
+        if nm is None:
+            nm = f"{base}_{i}"
+            placeholders.add(nm)
+        synth_names.append(nm)
+    return synth_names, placeholders
+
+
 def _setop_edges(
     spark: SparkSession,
     parts: list[tuple[str | None, str]],
     target: str,
     is_insert: bool,
     insert_cols: list[str] | None,
+    cache: dict[str, dict[str, str]],
+    virtual: dict[str, dict[str, str]],
 ) -> list[tuple[str, str, str]]:
     """Per-branch positional attribution for set-operation statements:
     every branch's item i lands under output name i (the INSERT column
@@ -695,25 +790,8 @@ def _setop_edges(
         names = got
     if not names:
         return []
-    # placeholder names keep positions aligned for items whose output
-    # name is not derivable; their edges are dropped after the scan.
-    # The base is grown until it collides with no REAL name, so a
-    # genuine column that happens to be called __drop_0 keeps its
-    # lineage (filtering is by exact placeholder membership, never by
-    # prefix).
-    real = {nm for nm in names if nm is not None}
-    base = "__drop"
-    while any(f"{base}_{i}" in real for i in range(len(names))):
-        base += "x"
-    placeholders: set[str] = set()
-    synth_names: list[str] = []
-    for i, nm in enumerate(names):
-        if nm is None:
-            nm = f"{base}_{i}"
-            placeholders.add(nm)
-        synth_names.append(nm)
+    synth_names, placeholders = _placeholder_names(names)
     edges: list[tuple[str, str, str]] = []
-    cache: dict[str, dict[str, str]] = {}
     for op, text in parts:
         if op is not None and op != "UNION":
             continue
@@ -721,7 +799,11 @@ def _setop_edges(
             f"INSERT INTO {target} ({', '.join(synth_names)}) "
             f"SELECT {text}"
         )
-        for e in _column_lineage_edges(spark, synth, target, cache):
+        # the synthesized branch no longer carries the original WITH
+        # clause, so the outer statement's virtual CTEs thread through
+        for e in _column_lineage_edges(
+            spark, synth, target, cache, virtual
+        ):
             if e[2] not in placeholders and e not in edges:
                 edges.append(e)
     return edges
@@ -895,6 +977,7 @@ def _column_lineage_edges(
     sql: str,
     target: str,
     _schema_cache: dict[str, dict[str, str]] | None = None,
+    _virtual: dict[str, dict[str, str]] | None = None,
 ) -> list[tuple[str, str, str]]:
     """``(source_table, source_column, target_column)`` edges for the
     projection shapes UC-style column lineage can attribute without a
@@ -909,23 +992,26 @@ def _column_lineage_edges(
     (``_resolve_ref``). Depth-0 set operations attribute per branch,
     positionally (``_setop_edges``): UNION branches contribute values;
     the right side of INTERSECT/EXCEPT/MINUS only filters rows and
-    derives nothing. Subquery sources, comma joins, NATURAL joins,
-    subquery items, ambiguous names and unaliased CTAS
-    expressions derive NOTHING — a fabricated edge is worse than a
-    missing one. INSERT targets map by POSITION against the target
-    schema (the engine's ``_run_insert`` renames via
-    ``df.toDF(*target_cols)``), so any star mixed with other items
-    makes an INSERT derive nothing (positions shift by the star's
-    width); CTAS targets map by alias/name. Best-effort and wholly
-    off the query path (driver-side string scan per DML)."""
-    from ..governance import access_control as acl
+    derives nothing. A WITH clause's CTEs become VIRTUAL sources: each
+    body is scanned like a set-op branch and a reference through a CTE
+    column expands to the real table columns it derives from
+    (transitively through CTE chains); a CTE whose body is not
+    attributable still SHADOWS any same-named registered table.
+    Subquery sources, comma joins, NATURAL joins, subquery items,
+    ambiguous names and unaliased CTAS expressions derive NOTHING — a
+    fabricated edge is worse than a missing one. INSERT targets map by
+    POSITION against the target schema (the engine's ``_run_insert``
+    renames via ``df.toDF(*target_cols)``), so any star mixed with
+    other items makes an INSERT derive nothing (positions shift by the
+    star's width); CTAS targets map by alias/name. Best-effort and
+    wholly off the query path (driver-side string scan per DML)."""
     from ..tables import sqldml
 
     sql = sql.strip().rstrip(";")
     mask = sqldml._mask(sql)
     # the first depth-0 SELECT starts the projection; everything
-    # before is the CTAS/INSERT head (a depth-0 set operation like
-    # UNION afterwards bails below)
+    # before is the CTAS/INSERT head (CTE bodies sit inside parens,
+    # so a WITH clause stays in the head)
     sel = None
     for m in _SELECT_TAIL_RE.finditer(sql):
         if mask[m.start()] == (0, False):
@@ -934,6 +1020,103 @@ def _column_lineage_edges(
     if sel is None:
         return []
     head, body = sql[: sel.start()], sql[sel.end():]
+    cache = _schema_cache if _schema_cache is not None else {}
+    if _virtual is not None:
+        # sub-scan (set-op branch / CTE body): cte:-prefixed edges
+        # bubble up to the top-level caller, who owns the ancestry
+        return _edges_impl(spark, head, body, target, cache, _virtual)
+    virtual: dict[str, dict[str, str]] = {}
+    ancestry: dict[str, dict[str, set]] = {}
+    mw = None
+    head_mask = sqldml._mask(head)
+    for m in re.finditer(r"\bWITH\b", head, re.IGNORECASE):
+        if head_mask[m.start()] == (0, False):
+            mw = m
+            break
+    if mw is not None:
+        defs = _parse_cte_defs(head[mw.end():])
+        if defs is None:
+            return []
+        head = head[: mw.start()]
+        for name, cols, cbody in defs:
+            # shadow FIRST: a self-referencing (recursive) body bails
+            # through the empty schema instead of mis-resolving
+            virtual[name] = {}
+            ancestry[name] = {}
+            ms = re.match(r"\s*SELECT\b", cbody, re.IGNORECASE)
+            if ms is None:
+                continue  # VALUES / nested-WITH body: shadow-only
+            inner = cbody[ms.end():]
+            names_n = (
+                list(cols) if cols is not None else _ctas_out_names(inner)
+            )
+            if names_n is None:
+                continue  # underivable names: shadow-only
+            # the virtual schema must be FULL-WIDTH and collision-free
+            # or star expansion over the CTE would mis-zip positional
+            # INSERT targets: underivable positions AND duplicated
+            # names (unreferenceable unambiguously) become placeholder
+            # columns that keep their position but expand to nothing
+            lows = [n.lower() if n else None for n in names_n]
+            dups = {x for x in lows if x is not None and lows.count(x) > 1}
+            masked_n = [
+                (n if n and n.lower() not in dups else None)
+                for n in names_n
+            ]
+            snames, ph = _placeholder_names(masked_n)
+            synth = (
+                f"INSERT INTO {target} ({', '.join(snames)}) "
+                f"SELECT {inner}"
+            )
+            anc: dict[str, set] = {}
+            for s_t, s_c, t_c in _column_lineage_edges(
+                spark, synth, target, cache, virtual
+            ):
+                if t_c in ph:
+                    continue
+                dst = anc.setdefault(t_c.lower(), set())
+                if s_t.startswith("cte:"):
+                    # chain: expand through the earlier CTE now, so
+                    # ancestry always holds REAL (table, column) pairs
+                    dst |= ancestry.get(s_t[4:], {}).get(
+                        s_c.lower(), set()
+                    )
+                else:
+                    dst.add((s_t, s_c))
+            ancestry[name] = anc
+            virtual[name] = {sn.lower(): sn for sn in snames}
+    edges = _edges_impl(spark, head, body, target, cache, virtual)
+    out: list[tuple[str, str, str]] = []
+    for s_t, s_c, t_c in edges:
+        if s_t.startswith("cte:"):
+            for rt, rc in sorted(
+                ancestry.get(s_t[4:], {}).get(s_c.lower(), set())
+            ):
+                if (rt, rc, t_c) not in out:
+                    out.append((rt, rc, t_c))
+        elif (s_t, s_c, t_c) not in out:
+            out.append((s_t, s_c, t_c))
+    return out
+
+
+def _edges_impl(
+    spark: SparkSession,
+    head: str,
+    body: str,
+    target: str,
+    cache: dict[str, dict[str, str]],
+    virtual: dict[str, dict[str, str]],
+) -> list[tuple[str, str, str]]:
+    """One statement scan over an already-split head/body (any WITH
+    clause removed by the orchestrator). ``virtual`` maps CTE names to
+    their derived schemas: a single-part source matching one becomes a
+    ``cte:``-prefixed source whose edges the top-level caller expands
+    through the CTE's ancestry; an EMPTY virtual schema is a
+    shadow-only CTE (present, not attributable) and the statement
+    derives nothing."""
+    from ..governance import access_control as acl
+    from ..tables import sqldml
+
     is_insert = bool(re.match(r"\s*INSERT\b", head, re.IGNORECASE))
     # positional target columns: the explicit INSERT list when given,
     # else the target table's schema order
@@ -963,7 +1146,8 @@ def _column_lineage_edges(
             return []
         if len(split) > 1:
             return _setop_edges(
-                spark, split, target, is_insert, insert_cols
+                spark, split, target, is_insert, insert_cols,
+                cache, virtual,
             )
     # split projection from FROM at depth 0
     mask_b = sqldml._mask(body)
@@ -979,23 +1163,39 @@ def _column_lineage_edges(
     if parsed is None or not parsed[0]:
         return []
     segs, saw_using = parsed
-    srcs = [
-        acl.canonical_name(spark, sp.strip("`").lower())
-        for sp, _a in segs
-    ]
+    # a single-part source matching a CTE name reads the CTE, never a
+    # same-named registered table: attributable CTEs become virtual
+    # cte: sources; a shadow-only CTE (empty schema) makes the whole
+    # statement derive nothing — without its schema, unqualified-ref
+    # ambiguity cannot be decided for the OTHER sources either
+    srcs: list[str] = []
+    for sp, _a in segs:
+        bare = sp.strip("`").lower()
+        if "." not in bare and bare in virtual:
+            if not virtual[bare]:
+                return []
+            srcs.append("cte:" + bare)
+        else:
+            srcs.append(acl.canonical_name(spark, bare))
     sid = session_key(spark)
     registered = {n for (s, n) in sqldml._REGISTRY if s == sid}
-    if any(s == target or s not in registered for s in srcs):
+    if any(
+        s == target or (not s.startswith("cte:") and s not in registered)
+        for s in srcs
+    ):
         # same registered-sources-only rule table lineage applies
         return []
     # per-source schema: lower -> actual spelling, insertion order =
     # column order (star expansion relies on it). One driver-side
     # metadata read per DISTINCT source per DML — off the query path;
-    # a set-op statement shares one cache across its branch re-scans
+    # set-op branch and CTE-body re-scans share one cache
     schemas: dict[str, dict[str, str]] = {}
     for s in dict.fromkeys(srcs):
-        if _schema_cache is not None and s in _schema_cache:
-            schemas[s] = _schema_cache[s]
+        if s.startswith("cte:"):
+            schemas[s] = virtual[s[4:]]
+            continue
+        if s in cache:
+            schemas[s] = cache[s]
             continue
         try:
             schemas[s] = {
@@ -1004,8 +1204,7 @@ def _column_lineage_edges(
             }
         except Exception:  # noqa: BLE001
             return []
-        if _schema_cache is not None:
-            _schema_cache[s] = schemas[s]
+        cache[s] = schemas[s]
     # qualifier -> source. An ALIASED segment registers only its alias
     # (SQL: the alias replaces the table name as a qualifier — and a
     # retired spelling left mapped could shadow a same-named struct
@@ -1285,6 +1484,7 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
     sid = session_key(spark)
     registered = {n for (s, n) in sqldml._REGISTRY if s == sid}
     mask = sqldml._mask(sql)
+    ctes = _cte_names(sql)
     out: set[str] = set()
     for m in re.finditer(
         r"\b(?P<kw>FROM|USING|JOIN)\s+(`[^`]+`|[\w.]+)", sql, re.IGNORECASE
@@ -1311,7 +1511,12 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
                 names.append(cm.group(1))
                 pos += cm.end()
         for ref in names:
-            name = acl.canonical_name(spark, ref.strip("`").lower())
+            bare = ref.strip("`").lower()
+            if "." not in bare and bare in ctes:
+                # a single-part ref bound by the statement's own WITH
+                # clause reads the CTE, never a same-named table
+                continue
+            name = acl.canonical_name(spark, bare)
             if name in registered:
                 out.add(name)
     return out

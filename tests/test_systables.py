@@ -844,10 +844,209 @@ def test_column_lineage_join_projections(spark, tmp_path):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
 
 
+def test_lineage_cte_shadowing(spark, tmp_path):
+    """A WITH-clause CTE shadows a same-named registered table: both
+    table- and column-level lineage must NOT attribute the table when
+    the statement reads the CTE — including inside set-op branches,
+    whose re-scan no longer carries the original WITH clause. A
+    non-shadowed reference to the registered name still attributes."""
+    from databricks_delta_lake_project_spark.queries import sqlpack
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "ct"),
+        df=spark.createDataFrame([(1, "x")], "id long, nm string"),
+    )
+    r = LakeTable.create(
+        spark,
+        str(tmp_path / "creal"),
+        df=spark.createDataFrame([(2,)], "id long"),
+    )
+    sqldml.register_table(spark, "ccat.s.ct", t)
+    sqldml.register_table(spark, "ccat.s.creal", r)
+    try:
+        shadowed = (
+            "CREATE TABLE ccat.s.out AS "
+            "WITH ct AS (SELECT 5 AS id, 'q' AS nm FROM range(1)) "
+            "SELECT id, nm FROM ct"
+        )
+        assert (
+            sqlpack._column_lineage_edges(spark, shadowed, "ccat.s.out")
+            == []
+        )
+        assert sqlpack._lineage_sources(spark, shadowed) == set()
+        # the CTE name threads into set-op branch re-scans
+        mixed = (
+            "CREATE TABLE ccat.s.out AS "
+            "WITH ct AS (SELECT 5 AS id FROM range(1)) "
+            "SELECT id FROM ct UNION ALL SELECT id FROM creal"
+        )
+        assert sqlpack._column_lineage_edges(
+            spark, mixed, "ccat.s.out"
+        ) == [("ccat.s.creal", "id", "id")]
+        # without a WITH clause the same name is the registered table
+        plain = "CREATE TABLE ccat.s.out AS SELECT id, nm FROM ct"
+        assert sqlpack._column_lineage_edges(
+            spark, plain, "ccat.s.out"
+        ) == [
+            ("ccat.s.ct", "id", "id"),
+            ("ccat.s.ct", "nm", "nm"),
+        ]
+        assert sqlpack._lineage_sources(spark, plain) == {"ccat.s.ct"}
+    finally:
+        for nm in ("ccat.s.ct", "ccat.s.creal"):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)
+
+
+def test_column_lineage_cte_composition(spark, tmp_path):
+    """WITH-clause CTEs compose: a reference through a CTE column
+    expands to the real table columns it derives from — through
+    expression chains, multi-CTE chains, explicit CTE column lists,
+    stars, joins with real tables and set-op branches. A CTE whose
+    body is not attributable (VALUES, table functions) still shadows
+    and derives nothing."""
+    from databricks_delta_lake_project_spark.queries import sqlpack
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    o = LakeTable.create(
+        spark,
+        str(tmp_path / "worders"),
+        df=spark.createDataFrame(
+            [(1, 10, 5.0)], "o_id long, cust_id long, amount double"
+        ),
+    )
+    c = LakeTable.create(
+        spark,
+        str(tmp_path / "wcust"),
+        df=spark.createDataFrame(
+            [(10, "alice")], "cust_id long, cname string"
+        ),
+    )
+    sqldml.register_table(spark, "wcat.s.worders", o)
+    sqldml.register_table(spark, "wcat.s.wcust", c)
+
+    def edges(sql):
+        return sorted(
+            sqlpack._column_lineage_edges(spark, sql, "wcat.s.t")
+        )
+
+    try:
+        # end-to-end through the runner: expression chain composes
+        # (amount -> dbl inside the CTE, dbl -> r outside)
+        run_statement(
+            spark,
+            f"CREATE TABLE wcat.s.t USING delta LOCATION "
+            f"'{tmp_path / 'wt'}' AS "
+            "WITH x AS (SELECT o_id, amount * 2 AS dbl FROM worders) "
+            "SELECT o_id, round(dbl, 1) AS r FROM x",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_table_full_name, source_column_name,
+                   target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'wcat.s.t'
+            ORDER BY target_column_name
+            """,
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("wcat.s.worders", "o_id", "o_id"),
+            ("wcat.s.worders", "amount", "r"),
+        ]
+        # chain of CTEs
+        assert edges(
+            "CREATE TABLE wcat.s.t2 AS "
+            "WITH a AS (SELECT cust_id, amount FROM worders), "
+            "b AS (SELECT cust_id, amount AS amt FROM a) "
+            "SELECT amt FROM b"
+        ) == [("wcat.s.worders", "amount", "amt")]
+        # explicit CTE column list maps positionally
+        assert edges(
+            "CREATE TABLE wcat.s.t2 AS "
+            "WITH x (k, v) AS (SELECT o_id, amount FROM worders) "
+            "SELECT k, v FROM x"
+        ) == [
+            ("wcat.s.worders", "amount", "v"),
+            ("wcat.s.worders", "o_id", "k"),
+        ]
+        # CTE joined with a real table; star over a CTE
+        assert edges(
+            "CREATE TABLE wcat.s.t2 AS "
+            "WITH x AS (SELECT cust_id, amount FROM worders) "
+            "SELECT x.amount, c.cname FROM x "
+            "JOIN wcust c ON x.cust_id = c.cust_id"
+        ) == [
+            ("wcat.s.wcust", "cname", "cname"),
+            ("wcat.s.worders", "amount", "amount"),
+        ]
+        assert edges(
+            "CREATE TABLE wcat.s.t2 AS "
+            "WITH x AS (SELECT o_id, amount FROM worders) SELECT * FROM x"
+        ) == [
+            ("wcat.s.worders", "amount", "amount"),
+            ("wcat.s.worders", "o_id", "o_id"),
+        ]
+        # a set-op branch reading a CTE composes too (dedup with the
+        # direct-read branch)
+        assert edges(
+            "CREATE TABLE wcat.s.t2 AS WITH x AS "
+            "(SELECT o.amount, c.cname FROM worders o "
+            "JOIN wcust c ON o.cust_id = c.cust_id) "
+            "SELECT amount FROM x UNION ALL SELECT amount FROM worders"
+        ) == [("wcat.s.worders", "amount", "amount")]
+        # unattributable CTE bodies (table functions) shadow only
+        assert (
+            edges(
+                "CREATE TABLE wcat.s.t2 AS "
+                "WITH wcust AS (SELECT 1 AS cust_id FROM range(1)) "
+                "SELECT cust_id FROM wcust"
+            )
+            == []
+        )
+        # the virtual schema is FULL-WIDTH: an underivable leading
+        # position (a bare literal) must not shift star-expanded
+        # positional INSERT targets — amount is position 1 and lands
+        # in the second column, never the first; duplicated output
+        # names are unreferenceable and attribute nothing
+        assert sqlpack._column_lineage_edges(
+            spark,
+            "INSERT INTO wcat.s.two (k, v) "
+            "WITH c AS (SELECT 1, amount FROM worders) SELECT * FROM c",
+            "wcat.s.two",
+        ) == [("wcat.s.worders", "amount", "v")]
+        assert (
+            sqlpack._column_lineage_edges(
+                spark,
+                "INSERT INTO wcat.s.two (k, v) WITH c AS "
+                "(SELECT amount, o_id AS amount FROM worders) "
+                "SELECT * FROM c",
+                "wcat.s.two",
+            )
+            == []
+        )
+        # a BACKTICKED CTE name still shadows a registered table in
+        # TABLE-level lineage (column lineage bails via the strict
+        # WITH parser either way)
+        assert (
+            sqlpack._lineage_sources(
+                spark,
+                "CREATE TABLE wcat.s.t2 AS WITH `worders` AS "
+                "(SELECT 5 AS amount FROM range(1)) "
+                "SELECT amount FROM `worders`",
+            )
+            == set()
+        )
+    finally:
+        for nm in ("wcat.s.worders", "wcat.s.wcust", "wcat.s.t"):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)
+
+
 def test_lineage_durable_across_sessions(spark, tmp_path):
     """spark.engine.lineage.path makes both lineage system tables
     survive the session: a fresh session (cleared buffers) still
-    serves the prior session's edges from the Delta-backed table,
+    serves the prior session's edges from the LakeTable-backed table,
     flushes are diff-appends (re-reading or re-recording the same
     edges never grows the table), and new edges compose."""
     from databricks_delta_lake_project_spark.governance import systables
