@@ -418,20 +418,33 @@ def _parse_from_sources(
     expect_source = True
     while True:
         if expect_source:
-            m = _SEG_SRC_RE.match(tail, pos)
-            if m is None:
-                return None  # subquery / VALUES / comma / nothing
-            src = m.group("src")
-            if not src.startswith("`"):
-                if src.lower() in _SEG_STOP:
-                    return None  # keyword where a source was expected
-                if (
-                    src.startswith(".")
-                    or src.endswith(".")
-                    or ".." in src
-                ):
+            pm = re.match(r"\s*\(", tail[pos:])
+            if pm is not None:
+                # parenthesized source (derived table): the seg
+                # spelling is the full "(...)" text; the caller scans
+                # its body as a virtual source
+                open_i = pos + pm.end() - 1
+                try:
+                    inner, _rest = sqldml._balanced_paren(tail[open_i:])
+                except StopIteration:
                     return None
-            pos = m.end()
+                src = tail[open_i: open_i + len(inner) + 2]
+                pos = open_i + len(inner) + 2
+            else:
+                m = _SEG_SRC_RE.match(tail, pos)
+                if m is None:
+                    return None  # VALUES / comma / nothing
+                src = m.group("src")
+                if not src.startswith("`"):
+                    if src.lower() in _SEG_STOP:
+                        return None  # keyword in source position
+                    if (
+                        src.startswith(".")
+                        or src.endswith(".")
+                        or ".." in src
+                    ):
+                        return None
+                pos = m.end()
             alias = None
             wm = _SEG_WORD_RE.match(tail, pos)
             if wm is not None and wm.group("w").lower() == "as":
@@ -481,9 +494,7 @@ def _parse_from_sources(
                     return None
                 w = wm.group("w").lower()
             pos = wm.end()
-            if re.match(r"\s*\(", tail[pos:]):
-                return None  # subquery join source
-            expect_source = True
+            expect_source = True  # plain ref or parenthesized source
             continue
         if w in ("on", "using"):
             saw_using = saw_using or w == "using"
@@ -491,10 +502,10 @@ def _parse_from_sources(
             # skip the condition: next depth-0 unquoted join/terminator
             # /bail keyword that is neither a dotted ref's tail
             # (a.left) nor a function call (right(s,1)); JOIN followed
-            # by '(' must still land so the subquery-join check above
-            # refuses it, and the bail keywords (PIVOT/UNPIVOT/
-            # TABLESAMPLE/WINDOW/...) land even before '(' — their
-            # legitimate spelling takes a paren group
+            # by '(' must still land — the source state parses the
+            # parenthesized derived table — and the bail keywords
+            # (PIVOT/UNPIVOT/TABLESAMPLE/...) land even before '(',
+            # their legitimate spelling takes a paren group
             nxt = None
             for tm in re.finditer(r"[A-Za-z_]\w*", tail[pos:]):
                 a = pos + tm.start()
@@ -593,29 +604,38 @@ _SETOP_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b", re.IGNORECASE)
 
 _CTE_DEF_RE = re.compile(
     r"(?:`(?P<bt>[^`]+)`|\b(?P<w>[A-Za-z_]\w*))"
-    r"\s*(?:\([^()]*\))?\s+(?P<kw>AS)\s*\(",
+    r"\s*(?:\([^()]*\))?\s*\b(?P<kw>AS)\s*\(",
     re.IGNORECASE,
 )
 
 
 def _cte_names(sql: str) -> set[str]:
     """Names bound by ``name [(cols)] AS (`` anywhere in the statement
-    — WITH-clause CTEs at any nesting depth, backtick-quoted included
-    (also catches named windows; over-excluding only under-reports).
-    A FROM reference to one of these is NOT a read of a same-named
-    registered table: the CTE shadows it, and attributing the table
-    would fabricate both table- and column-level edges. The quote scan
+    — WITH-clause CTEs at any nesting depth, backtick-quoted and
+    whitespace-free (``x(a,b)AS(``) spellings included (also catches
+    named windows; over-excluding only under-reports). A FROM
+    reference to one of these is NOT a read of a same-named registered
+    table: the CTE shadows it, and attributing the table would
+    fabricate both table- and column-level edges. The quote scan
     anchors on the AS keyword (a backticked name's own span is inside
     an identifier quote, but a definition inside a string literal has
-    its AS masked too)."""
+    its AS masked too). A name in QUALIFIED position (``CREATE TABLE
+    backup.orders AS (...)`` — the last part of a dotted CTAS target)
+    is not a CTE binding and must not shadow anything."""
     from ..tables import sqldml
 
     mask = sqldml._mask(sql)
-    return {
-        (m.group("bt") or m.group("w")).lower()
-        for m in _CTE_DEF_RE.finditer(sql)
-        if not mask[m.start("kw")][1]
-    }
+    out: set[str] = set()
+    for m in _CTE_DEF_RE.finditer(sql):
+        if mask[m.start("kw")][1]:
+            continue
+        k = m.start() - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        if k >= 0 and sql[k] == ".":
+            continue  # dotted target's last part, not a binding
+        out.add((m.group("bt") or m.group("w")).lower())
+    return out
 
 
 def _split_set_branches(body: str) -> list[tuple[str | None, str]] | None:
@@ -706,12 +726,11 @@ def _parse_cte_defs(
     fails the AS match — returns None (derive nothing)."""
     from ..tables import sqldml
 
-    mask = sqldml._mask(s)
     out: list[tuple[str, list[str] | None, str]] = []
     pos = 0
     while True:
         m = re.match(
-            r"\s*([A-Za-z_]\w*)\s*(?:\(([^()]*)\))?\s+AS\s*\(",
+            r"\s*([A-Za-z_]\w*)\s*(?:\(([^()]*)\))?\s*\bAS\s*\(",
             s[pos:],
             re.IGNORECASE,
         )
@@ -724,15 +743,12 @@ def _parse_cte_defs(
             if not all(re.fullmatch(r"\w+", c) for c in cols):
                 return None
         open_i = pos + m.end() - 1
-        d = mask[open_i][0]  # depth AT the '(' (post-increment)
-        close_i = None
-        for i in range(open_i + 1, len(s)):
-            if s[i] == ")" and mask[i] == (d, False):
-                close_i = i
-                break
-        if close_i is None:
+        try:
+            inner, _rest = sqldml._balanced_paren(s[open_i:])
+        except StopIteration:
             return None
-        out.append((name, cols, s[open_i + 1: close_i]))
+        close_i = open_i + len(inner) + 1
+        out.append((name, cols, inner))
         mm = re.match(r"\s*,", s[close_i + 1:])
         if mm is not None:
             pos = close_i + 1 + mm.end()
@@ -769,7 +785,7 @@ def _setop_edges(
     is_insert: bool,
     insert_cols: list[str] | None,
     cache: dict[str, dict[str, str]],
-    virtual: dict[str, dict[str, str]],
+    ctx: dict,
 ) -> list[tuple[str, str, str]]:
     """Per-branch positional attribution for set-operation statements:
     every branch's item i lands under output name i (the INSERT column
@@ -800,10 +816,9 @@ def _setop_edges(
             f"SELECT {text}"
         )
         # the synthesized branch no longer carries the original WITH
-        # clause, so the outer statement's virtual CTEs thread through
-        for e in _column_lineage_edges(
-            spark, synth, target, cache, virtual
-        ):
+        # clause, so the outer statement's virtual sources thread
+        # through via the shared ctx
+        for e in _column_lineage_edges(spark, synth, target, cache, ctx):
             if e[2] not in placeholders and e not in edges:
                 edges.append(e)
     return edges
@@ -977,7 +992,7 @@ def _column_lineage_edges(
     sql: str,
     target: str,
     _schema_cache: dict[str, dict[str, str]] | None = None,
-    _virtual: dict[str, dict[str, str]] | None = None,
+    _ctx: dict | None = None,
 ) -> list[tuple[str, str, str]]:
     """``(source_table, source_column, target_column)`` edges for the
     projection shapes UC-style column lineage can attribute without a
@@ -992,14 +1007,15 @@ def _column_lineage_edges(
     (``_resolve_ref``). Depth-0 set operations attribute per branch,
     positionally (``_setop_edges``): UNION branches contribute values;
     the right side of INTERSECT/EXCEPT/MINUS only filters rows and
-    derives nothing. A WITH clause's CTEs become VIRTUAL sources: each
-    body is scanned like a set-op branch and a reference through a CTE
+    derives nothing. A WITH clause's CTEs and parenthesized FROM
+    sources (derived tables) become VIRTUAL sources: each body is
+    scanned like a set-op branch and a reference through a virtual
     column expands to the real table columns it derives from
-    (transitively through CTE chains); a CTE whose body is not
+    (transitively through chains and nesting); a CTE whose body is not
     attributable still SHADOWS any same-named registered table.
-    Subquery sources, comma joins, NATURAL joins, subquery items,
-    ambiguous names and unaliased CTAS expressions derive NOTHING — a
-    fabricated edge is worse than a missing one. INSERT targets map by
+    Comma joins, NATURAL joins, subquery ITEMS, ambiguous names and
+    unaliased CTAS expressions derive NOTHING — a fabricated edge is
+    worse than a missing one. INSERT targets map by
     POSITION against the target schema (the engine's ``_run_insert``
     renames via ``df.toDF(*target_cols)``), so any star mixed with
     other items makes an INSERT derive nothing (positions shift by the
@@ -1021,16 +1037,16 @@ def _column_lineage_edges(
         return []
     head, body = sql[: sel.start()], sql[sel.end():]
     cache = _schema_cache if _schema_cache is not None else {}
-    if _virtual is not None:
-        # sub-scan (set-op branch / CTE body): cte:-prefixed edges
-        # bubble up to the top-level caller, who owns the ancestry
-        return _edges_impl(spark, head, body, target, cache, _virtual)
-    virtual: dict[str, dict[str, str]] = {}
-    ancestry: dict[str, dict[str, set]] = {}
+    if _ctx is not None:
+        # sub-scan (set-op branch / CTE or derived-table body):
+        # cte:-prefixed edges bubble up to the top-level caller, who
+        # owns the shared ancestry in _ctx
+        return _edges_impl(spark, head, body, target, cache, _ctx)
+    ctx: dict = {"virtual": {}, "ancestry": {}, "n": 0}
     mw = None
-    head_mask = sqldml._mask(head)
+    # head is a prefix of sql, so the already-computed mask applies
     for m in re.finditer(r"\bWITH\b", head, re.IGNORECASE):
-        if head_mask[m.start()] == (0, False):
+        if mask[m.start()] == (0, False):
             mw = m
             break
     if mw is not None:
@@ -1039,58 +1055,13 @@ def _column_lineage_edges(
             return []
         head = head[: mw.start()]
         for name, cols, cbody in defs:
-            # shadow FIRST: a self-referencing (recursive) body bails
-            # through the empty schema instead of mis-resolving
-            virtual[name] = {}
-            ancestry[name] = {}
-            ms = re.match(r"\s*SELECT\b", cbody, re.IGNORECASE)
-            if ms is None:
-                continue  # VALUES / nested-WITH body: shadow-only
-            inner = cbody[ms.end():]
-            names_n = (
-                list(cols) if cols is not None else _ctas_out_names(inner)
-            )
-            if names_n is None:
-                continue  # underivable names: shadow-only
-            # the virtual schema must be FULL-WIDTH and collision-free
-            # or star expansion over the CTE would mis-zip positional
-            # INSERT targets: underivable positions AND duplicated
-            # names (unreferenceable unambiguously) become placeholder
-            # columns that keep their position but expand to nothing
-            lows = [n.lower() if n else None for n in names_n]
-            dups = {x for x in lows if x is not None and lows.count(x) > 1}
-            masked_n = [
-                (n if n and n.lower() not in dups else None)
-                for n in names_n
-            ]
-            snames, ph = _placeholder_names(masked_n)
-            synth = (
-                f"INSERT INTO {target} ({', '.join(snames)}) "
-                f"SELECT {inner}"
-            )
-            anc: dict[str, set] = {}
-            for s_t, s_c, t_c in _column_lineage_edges(
-                spark, synth, target, cache, virtual
-            ):
-                if t_c in ph:
-                    continue
-                dst = anc.setdefault(t_c.lower(), set())
-                if s_t.startswith("cte:"):
-                    # chain: expand through the earlier CTE now, so
-                    # ancestry always holds REAL (table, column) pairs
-                    dst |= ancestry.get(s_t[4:], {}).get(
-                        s_c.lower(), set()
-                    )
-                else:
-                    dst.add((s_t, s_c))
-            ancestry[name] = anc
-            virtual[name] = {sn.lower(): sn for sn in snames}
-    edges = _edges_impl(spark, head, body, target, cache, virtual)
+            _virtual_source(spark, name, cols, cbody, target, cache, ctx)
+    edges = _edges_impl(spark, head, body, target, cache, ctx)
     out: list[tuple[str, str, str]] = []
     for s_t, s_c, t_c in edges:
         if s_t.startswith("cte:"):
             for rt, rc in sorted(
-                ancestry.get(s_t[4:], {}).get(s_c.lower(), set())
+                ctx["ancestry"].get(s_t[4:], {}).get(s_c.lower(), set())
             ):
                 if (rt, rc, t_c) not in out:
                     out.append((rt, rc, t_c))
@@ -1099,24 +1070,86 @@ def _column_lineage_edges(
     return out
 
 
+def _virtual_source(
+    spark: SparkSession,
+    name: str,
+    cols: list[str] | None,
+    cbody: str,
+    target: str,
+    cache: dict[str, dict[str, str]],
+    ctx: dict,
+) -> None:
+    """Register ``name`` in ``ctx`` as a virtual source whose body is
+    ``cbody`` (a CTE definition or a derived table's parenthesized
+    query): the body is scanned as a synthesized positional INSERT and
+    its per-column ancestry recorded. An unattributable body (VALUES,
+    table functions, nested WITH, underivable names) registers a
+    SHADOW-ONLY entry — present so it hides any same-named registered
+    table, empty so references through it derive nothing."""
+    virtual, ancestry = ctx["virtual"], ctx["ancestry"]
+    # shadow FIRST: a self-referencing (recursive) body bails through
+    # the empty schema instead of mis-resolving
+    virtual[name] = {}
+    ancestry[name] = {}
+    ms = re.match(r"\s*SELECT\b", cbody, re.IGNORECASE)
+    if ms is None:
+        return  # VALUES / nested-WITH body: shadow-only
+    inner = cbody[ms.end():]
+    names_n = list(cols) if cols is not None else _ctas_out_names(inner)
+    if names_n is None:
+        return  # underivable names: shadow-only
+    # the virtual schema must be FULL-WIDTH and collision-free or star
+    # expansion over it would mis-zip positional INSERT targets:
+    # underivable positions AND duplicated names (unreferenceable
+    # unambiguously) become placeholder columns that keep their
+    # position but expand to nothing
+    lows = [n.lower() if n else None for n in names_n]
+    dups = {x for x in lows if x is not None and lows.count(x) > 1}
+    masked_n = [
+        (n if n and n.lower() not in dups else None) for n in names_n
+    ]
+    snames, ph = _placeholder_names(masked_n)
+    synth = (
+        f"INSERT INTO {target} ({', '.join(snames)}) SELECT {inner}"
+    )
+    anc: dict[str, set] = {}
+    for s_t, s_c, t_c in _column_lineage_edges(
+        spark, synth, target, cache, ctx
+    ):
+        if t_c in ph:
+            continue
+        dst = anc.setdefault(t_c.lower(), set())
+        if s_t.startswith("cte:"):
+            # chain: expand through the earlier virtual source now, so
+            # ancestry always holds REAL (table, column) pairs
+            dst |= ancestry.get(s_t[4:], {}).get(s_c.lower(), set())
+        else:
+            dst.add((s_t, s_c))
+    ancestry[name] = anc
+    virtual[name] = {sn.lower(): sn for sn in snames}
+
+
 def _edges_impl(
     spark: SparkSession,
     head: str,
     body: str,
     target: str,
     cache: dict[str, dict[str, str]],
-    virtual: dict[str, dict[str, str]],
+    ctx: dict,
 ) -> list[tuple[str, str, str]]:
     """One statement scan over an already-split head/body (any WITH
-    clause removed by the orchestrator). ``virtual`` maps CTE names to
-    their derived schemas: a single-part source matching one becomes a
-    ``cte:``-prefixed source whose edges the top-level caller expands
-    through the CTE's ancestry; an EMPTY virtual schema is a
-    shadow-only CTE (present, not attributable) and the statement
-    derives nothing."""
+    clause removed by the orchestrator). ``ctx["virtual"]`` maps CTE /
+    derived-table names to their derived schemas: a single-part source
+    matching one becomes a ``cte:``-prefixed source whose edges the
+    top-level caller expands through ``ctx["ancestry"]``; an EMPTY
+    virtual schema is a shadow-only entry (present, not attributable)
+    and the statement derives nothing. A parenthesized FROM source is
+    registered here as a fresh virtual source (its body scanned like a
+    CTE's) before resolution."""
     from ..governance import access_control as acl
     from ..tables import sqldml
 
+    virtual = ctx["virtual"]
     is_insert = bool(re.match(r"\s*INSERT\b", head, re.IGNORECASE))
     # positional target columns: the explicit INSERT list when given,
     # else the target table's schema order
@@ -1147,7 +1180,7 @@ def _edges_impl(
         if len(split) > 1:
             return _setop_edges(
                 spark, split, target, is_insert, insert_cols,
-                cache, virtual,
+                cache, ctx,
             )
     # split projection from FROM at depth 0
     mask_b = sqldml._mask(body)
@@ -1170,6 +1203,21 @@ def _edges_impl(
     # ambiguity cannot be decided for the OTHER sources either
     srcs: list[str] = []
     for sp, _a in segs:
+        if sp.startswith("("):
+            # derived table: scan its body as a fresh virtual source
+            # (never reusing a name a user CTE already bound)
+            name = f"__dt_{ctx['n']}"
+            ctx["n"] += 1
+            while name in virtual:
+                name = f"__dt_{ctx['n']}"
+                ctx["n"] += 1
+            _virtual_source(
+                spark, name, None, sp[1:-1], target, cache, ctx
+            )
+            if not virtual[name]:
+                return []  # unattributable body: derive nothing
+            srcs.append("cte:" + name)
+            continue
         bare = sp.strip("`").lower()
         if "." not in bare and bare in virtual:
             if not virtual[bare]:

@@ -1026,6 +1026,74 @@ def test_column_lineage_cte_composition(spark, tmp_path):
             )
             == []
         )
+        # DERIVED TABLES resolve like inline CTEs: alone, joined with
+        # real tables, nested, under stars and inside set-op branches;
+        # unattributable bodies (VALUES, paren-grouped joins) derive
+        # nothing
+        assert edges(
+            "CREATE TABLE wcat.s.t2 AS SELECT q.amt, c.cname FROM "
+            "(SELECT cust_id, amount * 2 AS amt FROM worders) q "
+            "JOIN wcust c ON q.cust_id = c.cust_id"
+        ) == [
+            ("wcat.s.wcust", "cname", "cname"),
+            ("wcat.s.worders", "amount", "amt"),
+        ]
+        assert edges(
+            "CREATE TABLE wcat.s.t2 AS SELECT amt FROM "
+            "(SELECT amt FROM (SELECT amount AS amt FROM worders) i) q"
+        ) == [("wcat.s.worders", "amount", "amt")]
+        assert edges(
+            "CREATE TABLE wcat.s.t2 AS SELECT a.o_id, b.cname "
+            "FROM worders a JOIN (SELECT cust_id, cname FROM wcust) b "
+            "ON a.cust_id = b.cust_id"
+        ) == [
+            ("wcat.s.wcust", "cname", "cname"),
+            ("wcat.s.worders", "o_id", "o_id"),
+        ]
+        assert edges(
+            "CREATE TABLE wcat.s.t2 AS SELECT * FROM "
+            "(SELECT o_id, amount FROM worders) q"
+        ) == [
+            ("wcat.s.worders", "amount", "amount"),
+            ("wcat.s.worders", "o_id", "o_id"),
+        ]
+        assert (
+            edges(
+                "CREATE TABLE wcat.s.t2 AS SELECT x FROM (VALUES (1)) v(x)"
+            )
+            == []
+        )
+        assert (
+            edges(
+                "CREATE TABLE wcat.s.t2 AS SELECT o_id FROM "
+                "(worders a JOIN wcust c ON a.cust_id = c.cust_id)"
+            )
+            == []
+        )
+        # whitespace-free CTE spelling (x(a,b)AS(...)) still shadows;
+        # a parenthesized CTAS over a DOTTED target must NOT shadow a
+        # source sharing the target's last name part; a user CTE that
+        # takes a synthetic derived-table name keeps its own identity
+        assert (
+            sqlpack._lineage_sources(
+                spark,
+                "INSERT INTO wcat.s.z WITH worders(a)AS"
+                "(SELECT 1 FROM range(1)) SELECT a FROM worders",
+            )
+            == set()
+        )
+        assert sqlpack._lineage_sources(
+            spark,
+            "CREATE TABLE backup.worders AS (SELECT o_id FROM worders)",
+        ) == {"wcat.s.worders"}
+        assert sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE wcat.s.t2 AS "
+            "WITH __dt_0 AS (SELECT cname AS v FROM wcust) "
+            "SELECT __dt_0.v FROM (SELECT o_id AS v FROM worders) q "
+            "JOIN __dt_0 ON q.v = __dt_0.v",
+            "wcat.s.t2",
+        ) == [("wcat.s.wcust", "cname", "v")]
         # a BACKTICKED CTE name still shadows a registered table in
         # TABLE-level lineage (column lineage bails via the strict
         # WITH parser either way)
