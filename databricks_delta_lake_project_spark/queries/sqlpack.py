@@ -1165,7 +1165,7 @@ def _edges_impl(
         else:
             try:
                 insert_cols = (
-                    sqldml.resolve_table(spark, target).to_df().columns
+                    sqldml.resolve_table(spark, target).schema.fieldNames()
                 )
             except Exception:  # noqa: BLE001
                 return []
@@ -1248,7 +1248,7 @@ def _edges_impl(
         try:
             schemas[s] = {
                 c.lower(): c
-                for c in sqldml.resolve_table(spark, s).to_df().columns
+                for c in sqldml.resolve_table(spark, s).schema.fieldNames()
             }
         except Exception:  # noqa: BLE001
             return []
@@ -1427,9 +1427,9 @@ def _merge_column_lineage_edges(
     try:
         src_schema = {
             c.lower(): c
-            for c in sqldml.resolve_table(spark, src).to_df().columns
+            for c in sqldml.resolve_table(spark, src).schema.fieldNames()
         }
-        tgt_cols = sqldml.resolve_table(spark, target).to_df().columns
+        tgt_cols = sqldml.resolve_table(spark, target).schema.fieldNames()
     except Exception:  # noqa: BLE001
         return []
     tgt_schema = {c.lower(): c for c in tgt_cols}

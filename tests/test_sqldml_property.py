@@ -123,3 +123,43 @@ def test_sql_merge_equals_builder_merge(spark, tmp_path_factory, clauses, ta, sa
     got_sql = sorted((r["k"], r["v"]) for r in t_sql.to_df().collect())
     got_api = sorted((r["k"], r["v"]) for r in t_api.to_df().collect())
     assert got_sql == got_api, _to_sql(ta, sa, clauses)
+
+
+# ---------------------------------------------------------------------------
+# lineage scanner total-function property: the pure string scanners
+# behind column lineage must never RAISE on any token soup — a
+# statement they cannot parse derives nothing, it never breaks the DML
+# that ran (the scan happens after a successful execution)
+# ---------------------------------------------------------------------------
+
+_SCAN_TOKENS = [
+    "SELECT", "FROM", "JOIN", "ON", "USING", "WITH", "AS", "UNION",
+    "ALL", "(", ")", ",", ".", "*", "`t`", "'a''b'", '"q"', "a", "b1",
+    "_x", "left", "cluster", "window", "pivot", "natural", "lateral",
+    "--c\n", "/*x*/", "=", "AND", "BETWEEN", "1.5", "`we ird`", "\\",
+    "'", "`", "minus", "except", "values", "recursive",
+]
+
+
+@settings(
+    max_examples=200,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(st.sampled_from(_SCAN_TOKENS), min_size=1, max_size=24),
+    st.sampled_from([" ", ""]),
+)
+def test_lineage_scanners_total_on_token_soup(toks, sep):
+    from databricks_delta_lake_project_spark.queries import sqlpack
+
+    s = sep.join(toks)
+    out = sqlpack._parse_from_sources(s)
+    assert out is None or isinstance(out[0], list)
+    assert isinstance(sqlpack._cte_names(s), set)
+    sqlpack._parse_cte_defs(s)
+    sqlpack._split_set_branches(s)
+    sqlpack._ctas_out_names(s)
+    sqlpack._split_item_alias(s)
+    sqlpack._expr_source_cols(s, {"a": "T"}, set(), {"T": {"x": "x"}})
+    sqldml._mask(s)
