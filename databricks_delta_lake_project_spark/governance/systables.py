@@ -39,6 +39,8 @@ from __future__ import annotations
 
 import datetime as _dt
 import re
+import threading as _threading
+import uuid as _uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,8 +56,10 @@ __all__ = [
     "schema_tags_df",
     "record_access",
     "audit_df",
+    "flush_audit",
     "record_query",
     "query_history_df",
+    "flush_query_history",
     "record_lineage",
     "table_lineage_df",
     "storage_tables_df",
@@ -241,16 +245,112 @@ def schema_tags_df(spark: SparkSession) -> DataFrame:
 # system.access.audit
 # ---------------------------------------------------------------------------
 
-# session -> list of event tuples (see _AUDIT_SCHEMA); capped FIFO
+# session -> capped FIFO of event rows in _DUR_AUDIT_SCHEMA shape;
+# the PENDING journal holds the SAME tuple objects (two pointer lists
+# over one row set, not two copies)
 _AUDIT: dict[str, list[tuple]] = {}
 _AUDIT_CAP = 50_000
 
-_AUDIT_SCHEMA = (
-    "event_time timestamp, timestamp timestamp, "
-    "user_identity struct<email:string>, action_name string, "
-    "request_params struct<full_name_arg:string>, "
-    "response struct<status_code:int>"
+# opt-in durability (UC audit logs are durable account state; a
+# compliance trail that dies with the driver is barely a trail): with
+# this conf set to a LakeTable path, audit events are written through
+# to that table in batches — one commit per _AUDIT_FLUSH_EVERY events
+# on the record path (attempted once per batch even while the path is
+# failing, never per event), on every audit read, and via
+# flush_audit(). Rows carry a (session, seq) identity so a flush
+# retried after a partial failure deduplicates at read instead of
+# double-counting; the session id is salted with a per-process nonce
+# because the py4j fallback key is only unique within one JVM. While
+# the conf is set AND enforcement is on, system.access.audit serves
+# the DURABLE table (all sessions' history, the UC shape) after
+# flushing this session's pending tail; with enforcement OFF there is
+# no admin to gate on, so only the session's own buffer is served —
+# the durable history never leaks past the gate.
+AUDIT_PATH_CONF = "spark.engine.audit.path"
+_AUDIT_FLUSH_EVERY = 500
+_AUDIT_NONCE = _uuid.uuid4().hex[:12]
+# journaled unconditionally (like the catalog registry's journal, so
+# events recorded BEFORE the conf was set still land on the first
+# flush after it is set), drained by flush_audit
+_AUDIT_PENDING: dict[str, list[tuple]] = {}
+_AUDIT_SEQ: dict[str, int] = {}
+# seq allocation + buffer append are one atomic step: a torn
+# read-modify-write would hand two events the same (session, seq) and
+# the read-side dedup would silently drop a real audit row
+_SEQ_LOCK = _threading.Lock()
+
+_DUR_AUDIT_SCHEMA = (
+    "session_id string, seq long, event_time timestamp, ts timestamp, "
+    "email string, action_name string, full_name_arg string, "
+    "status_code int"
 )
+
+
+def _audit_path(spark: SparkSession) -> str | None:
+    try:
+        return spark.conf.get(AUDIT_PATH_CONF) or None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _append_or_create(spark: SparkSession, path: str, df: DataFrame) -> None:
+    """Append to the engine table at ``path``, creating it on first
+    use. A NON-EMPTY directory that is not an engine table (a Delta
+    table, arbitrary files) is refused loudly — planting a second
+    commit log inside a foreign table's directory would fork it."""
+    from pathlib import Path as _P
+
+    from ..tables import LakeTable
+
+    if LakeTable.is_table(path):
+        LakeTable.for_path(spark, path).append(df)
+        return
+    p = _P(path)
+    if p.exists() and any(p.iterdir()):
+        raise ValueError(
+            f"{path} exists and is not an engine table — refusing to "
+            f"create a registry over it (point the conf at an empty "
+            f"path or an existing engine table)"
+        )
+    try:
+        LakeTable.create(spark, path, df=df)
+    except Exception:
+        if LakeTable.is_table(path):  # lost the creation race
+            LakeTable.for_path(spark, path).append(df)
+        else:
+            raise
+
+
+def _flush_journal(
+    spark: SparkSession,
+    path: str | None,
+    pending: dict[str, list[tuple]],
+    schema: str,
+) -> int:
+    """Drain one session journal to its durable table; returns rows
+    written. Raises on failure — RECORD-path callers catch and warn
+    (observability must not fail the operation it describes), READ
+    paths let it propagate (silently serving a partial history is
+    worse than failing)."""
+    pend = pending.get(session_key(spark))
+    if not path or not pend:
+        return 0
+    n = len(pend)  # pin BEFORE the write: a concurrent record may
+    # append while the commit runs; those rows flush next time
+    _append_or_create(spark, path, spark.createDataFrame(pend[:n], schema))
+    # drain exactly what was written; a retry after a partial failure
+    # re-appends the same (session, seq) rows, which the read-side
+    # dedup absorbs
+    del pend[:n]
+    return n
+
+
+def flush_audit(spark: SparkSession) -> int:
+    """Append this session's pending audit events to the durable table
+    (no-op without ``AUDIT_PATH_CONF``); returns rows written."""
+    return _flush_journal(
+        spark, _audit_path(spark), _AUDIT_PENDING, _DUR_AUDIT_SCHEMA
+    )
 
 # privilege checked at the boundary -> the UC audit action name the
 # reference's queries filter on (compliance_policies.py:321-334 uses
@@ -278,19 +378,46 @@ def record_access(
     principals = sorted(acl.current_principals(spark))
     email = principals[0] if principals else "anonymous"
     now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
-    buf = _AUDIT.setdefault(session_key(spark), [])
-    buf.append(
-        (
+    sid = session_key(spark)
+    act = action or _PRIV_ACTION.get(privilege.upper(), "commandSubmit")
+    with _SEQ_LOCK:
+        seq = _AUDIT_SEQ.get(sid, 0)
+        _AUDIT_SEQ[sid] = seq + 1
+        row = (
+            f"{sid}:{_AUDIT_NONCE}",
+            seq,
             now,
             now,
-            (email,),
-            action or _PRIV_ACTION.get(privilege.upper(), "commandSubmit"),
-            (securable,),
-            (status_code,),
+            email,
+            act,
+            securable,
+            status_code,
         )
-    )
-    if len(buf) > _AUDIT_CAP:
-        del buf[: len(buf) - _AUDIT_CAP]
+        buf = _AUDIT.setdefault(sid, [])
+        buf.append(row)
+        if len(buf) > _AUDIT_CAP:
+            del buf[: len(buf) - _AUDIT_CAP]
+        # durable write-behind journal shares the SAME row objects
+        pend = _AUDIT_PENDING.setdefault(sid, [])
+        pend.append(row)
+        if len(pend) > _AUDIT_CAP:
+            del pend[: len(pend) - _AUDIT_CAP]
+    # batched flush, attempted once per batch even while the durable
+    # path is failing (a counter gate, not a buffer-size gate — the
+    # buffer stays full during an outage and must not turn every
+    # enforced operation into a doomed table commit)
+    if (seq + 1) % _AUDIT_FLUSH_EVERY == 0 and _audit_path(spark):
+        import warnings
+
+        try:
+            flush_audit(spark)
+        except Exception as e:  # noqa: BLE001
+            # observability must never fail the enforced operation
+            warnings.warn(
+                f"audit: could not flush {len(pend)} event(s) "
+                f"({e}); they remain session-buffered",
+                stacklevel=2,
+            )
 
 
 def _require_system_admin(spark: SparkSession, table: str) -> None:
@@ -311,14 +438,60 @@ def _require_system_admin(spark: SparkSession, table: str) -> None:
         )
 
 
+def _audit_view(df: DataFrame) -> DataFrame:
+    """Reconstruct the nested UC audit schema from flat rows (drops
+    the session/seq identity columns)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.col("event_time"),
+        F.col("ts").alias("timestamp"),
+        F.struct(F.col("email").alias("email")).alias("user_identity"),
+        F.col("action_name"),
+        F.struct(F.col("full_name_arg").alias("full_name_arg")).alias(
+            "request_params"
+        ),
+        F.struct(F.col("status_code").alias("status_code")).alias(
+            "response"
+        ),
+    )
+
+
 def audit_df(spark: SparkSession) -> DataFrame:
-    """The session's access events as ``system.access.audit``. Admin-
-    gated while enforcement is on; wide open otherwise — the buffer is
+    """The access events as ``system.access.audit``. Admin-gated while
+    enforcement is on; wide open otherwise — the SESSION buffer is
     then empty anyway because recording only happens under
-    enforcement."""
+    enforcement. With ``AUDIT_PATH_CONF`` set AND enforcement on, this
+    session's pending tail is flushed first (failures propagate — a
+    silently partial audit is worse than an error) and the DURABLE
+    table serves ALL sessions' history, the UC shape: a distributed
+    read of the LakeTable deduplicated on the (session, seq) row
+    identity, never a driver-side collect. With enforcement OFF the
+    durable history is NOT served — there is no admin gate to pass,
+    and the whole multi-session trail (which the gate exists to
+    protect) must not be readable just because the recording session's
+    conf is visible."""
+    from . import access_control as acl
+
     _require_system_admin(spark, "system.access.audit")
-    return spark.createDataFrame(
-        _AUDIT.get(session_key(spark), []), _AUDIT_SCHEMA
+    path = _audit_path(spark)
+    buf = _AUDIT.get(session_key(spark), [])
+
+    def _session_view() -> DataFrame:
+        return _audit_view(spark.createDataFrame(buf, _DUR_AUDIT_SCHEMA))
+
+    if not path or not acl.enabled(spark):
+        return _session_view()
+    from ..tables import LakeTable
+
+    flush_audit(spark)
+    if not LakeTable.is_table(path):
+        # conf set but nothing ever flushed (no events recorded)
+        return _session_view()
+    return _audit_view(
+        LakeTable.for_path(spark, path)
+        .to_df()
+        .dropDuplicates(["session_id", "seq"])
     )
 
 
@@ -358,31 +531,103 @@ def record_query(
         master = spark.conf.get("spark.master")
     except Exception:  # noqa: BLE001
         master = "local"
-    buf = _QUERY_HISTORY.setdefault(session_key(spark), [])
-    buf.append(
-        (
-            statement_text,
-            duration_ms,
-            rows_produced,
-            None,  # read_bytes: not tracked per-statement
-            principal or "engine",
-            master,
-            start.replace(tzinfo=None),
-            (start + _dt.timedelta(milliseconds=duration_ms)).replace(
-                tzinfo=None
-            ),
-        )
+    sid = session_key(spark)
+    row = (
+        statement_text,
+        duration_ms,
+        rows_produced,
+        None,  # read_bytes: not tracked per-statement
+        principal or "engine",
+        master,
+        start.replace(tzinfo=None),
+        (start + _dt.timedelta(milliseconds=duration_ms)).replace(
+            tzinfo=None
+        ),
     )
-    if len(buf) > _AUDIT_CAP:
-        del buf[: len(buf) - _AUDIT_CAP]
+    # durable write-behind shares the batching/identity contract of
+    # the audit log; the buffer and journal share one row object
+    with _SEQ_LOCK:
+        seq = _QH_SEQ.get(sid, 0)
+        _QH_SEQ[sid] = seq + 1
+        full = (f"{sid}:{_AUDIT_NONCE}", seq) + row
+        buf = _QUERY_HISTORY.setdefault(sid, [])
+        buf.append(full)
+        if len(buf) > _AUDIT_CAP:
+            del buf[: len(buf) - _AUDIT_CAP]
+        pend = _QH_PENDING.setdefault(sid, [])
+        pend.append(full)
+        if len(pend) > _AUDIT_CAP:
+            del pend[: len(pend) - _AUDIT_CAP]
+    if (seq + 1) % _AUDIT_FLUSH_EVERY == 0 and _qh_path(spark):
+        import warnings
+
+        try:
+            flush_query_history(spark)
+        except Exception as e:  # noqa: BLE001
+            warnings.warn(
+                f"query history: could not flush {len(pend)} row(s) "
+                f"({e}); they remain session-buffered",
+                stacklevel=2,
+            )
+
+
+# opt-in durability for system.query.history, same contract as the
+# audit log: batched write-behind, (session, seq) identity, reads
+# serve the durable table (all sessions) after flushing the tail
+QUERY_HISTORY_PATH_CONF = "spark.engine.queryHistory.path"
+_QH_PENDING: dict[str, list[tuple]] = {}
+_QH_SEQ: dict[str, int] = {}
+_DUR_QH_SCHEMA = "session_id string, seq long, " + _QUERY_HISTORY_SCHEMA
+
+
+def _qh_path(spark: SparkSession) -> str | None:
+    try:
+        return spark.conf.get(QUERY_HISTORY_PATH_CONF) or None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def flush_query_history(spark: SparkSession) -> int:
+    """Append this session's pending query-history rows to the durable
+    table (no-op without ``QUERY_HISTORY_PATH_CONF``); same failure
+    contract as ``flush_audit``."""
+    return _flush_journal(
+        spark, _qh_path(spark), _QH_PENDING, _DUR_QH_SCHEMA
+    )
 
 
 def query_history_df(spark: SparkSession) -> DataFrame:
     """Admin-gated like the audit view: statement texts carry literals
-    (predicates over PII values) every principal's queries share."""
+    (predicates over PII values) every principal's queries share. With
+    ``QUERY_HISTORY_PATH_CONF`` set AND enforcement on, serves the
+    durable table (all sessions' history) after flushing this
+    session's pending tail — a distributed LakeTable read deduplicated
+    on (session, seq). With enforcement OFF only the session's own
+    buffer is served (same no-gate-no-durable-history rule as
+    ``audit_df``)."""
+    from . import access_control as acl
+
     _require_system_admin(spark, "system.query.history")
-    return spark.createDataFrame(
-        _QUERY_HISTORY.get(session_key(spark), []), _QUERY_HISTORY_SCHEMA
+    path = _qh_path(spark)
+    buf = _QUERY_HISTORY.get(session_key(spark), [])
+
+    def _session_view() -> DataFrame:
+        return spark.createDataFrame(buf, _DUR_QH_SCHEMA).drop(
+            "session_id", "seq"
+        )
+
+    if not path or not acl.enabled(spark):
+        return _session_view()
+    from ..tables import LakeTable
+
+    flush_query_history(spark)
+    if not LakeTable.is_table(path):
+        return _session_view()
+    return (
+        LakeTable.for_path(spark, path)
+        .to_df()
+        .dropDuplicates(["session_id", "seq"])
+        .drop("session_id", "seq")
     )
 
 
@@ -502,16 +747,7 @@ def _merged_lineage(spark: SparkSession) -> tuple[set, set] | None:
         ]
         df = spark.createDataFrame(rows, _DUR_LINEAGE_SCHEMA)
         try:
-            if LakeTable.is_table(path):
-                LakeTable.for_path(spark, path).append(df)
-            else:
-                try:
-                    LakeTable.create(spark, path, df=df)
-                except Exception:
-                    if LakeTable.is_table(path):  # lost creation race
-                        LakeTable.for_path(spark, path).append(df)
-                    else:
-                        raise
+            _append_or_create(spark, path, df)
         except Exception as e:  # noqa: BLE001
             warnings.warn(
                 f"lineage: could not persist {len(rows)} edge(s) to "

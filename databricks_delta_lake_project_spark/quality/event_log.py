@@ -160,21 +160,15 @@ def record_flow_progress(
 
 
 def _persist_event(spark: SparkSession, path: str, ev: dict) -> None:
-    from ..tables import LakeTable
+    from ..governance.systables import _append_or_create
 
-    df = spark.createDataFrame(
-        [tuple(ev.get(c) for c in _DUR_COLS)], _DUR_SCHEMA
+    _append_or_create(
+        spark,
+        path,
+        spark.createDataFrame(
+            [tuple(ev.get(c) for c in _DUR_COLS)], _DUR_SCHEMA
+        ),
     )
-    if LakeTable.is_table(path):
-        LakeTable.for_path(spark, path).append(df)
-    else:
-        try:
-            LakeTable.create(spark, path, df=df)
-        except Exception:
-            if LakeTable.is_table(path):  # lost the creation race
-                LakeTable.for_path(spark, path).append(df)
-            else:
-                raise
 
 
 def _durable_events(

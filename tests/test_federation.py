@@ -283,7 +283,7 @@ def test_federated_access_is_acl_governed(spark, fed_world):
             )
         # the denial + allowed reads landed in the audit trail
         audited = {
-            (e[4][0], e[5][0])
+            (e[6], e[7])
             for buf in systables._AUDIT.values()
             for e in buf
         }
@@ -486,11 +486,12 @@ def test_admin_show_inventory_still_audited(spark, fed_world):
         run_statement(spark, "SHOW SCHEMAS IN crm_postgres").collect()
         events = systables._AUDIT.get(session_key(spark), [])
         assert len(events) > before
-        # audit rows are tuples (ts, ts, (email,), action,
-        # (securable,), (status_code,)) — see systables.record_access
+        # audit rows are flat tuples (session_id, seq, event_time,
+        # ts, email, action, securable, status_code) — see
+        # systables.record_access / _DUR_AUDIT_SCHEMA
         last = events[-1]
-        assert last[4] == ("crm_postgres",)
-        assert last[5] == (200,)
+        assert last[6] == "crm_postgres"
+        assert last[7] == 200
     finally:
         spark.conf.set(acl.ENABLED_CONF, "false")
         spark.conf.unset(acl.PRINCIPAL_CONF)
@@ -521,7 +522,7 @@ def test_internal_fed_view_direct_reference_enforced(spark, fed_world):
                 spark, "SELECT * FROM `fed__crm_postgres__app__customers`"
             )
         audited = {
-            (e[4][0], e[5][0])
+            (e[6], e[7])
             for buf in systables._AUDIT.values()
             for e in buf
         }
@@ -612,7 +613,7 @@ def test_denied_federation_ddl_audits(spark, derby_dir):
                 f"OPTIONS (path '{derby_dir}')",
             )
         audited = {
-            (e[3], e[4][0], e[5][0])
+            (e[5], e[6], e[7])
             for buf in systables._AUDIT.values()
             for e in buf
         }

@@ -248,6 +248,124 @@ def test_reference_access_audit_sql(spark, audit_world):
     assert grants >= 1
 
 
+def test_audit_durable_across_sessions(spark, audit_world, tmp_path):
+    """spark.engine.audit.path makes system.access.audit survive the
+    session: a fresh session (cleared buffers) still serves the prior
+    session's events from the LakeTable-backed audit table through
+    the same nested-struct schema, re-reading never duplicates rows
+    (the (session, seq) identity dedups flush retries), and the
+    reference's audit SQL runs unchanged over the durable view."""
+    aud_path = str(tmp_path / "audit_table")
+    spark.conf.set(systables.AUDIT_PATH_CONF, aud_path)
+    sid = session_key(spark)
+    try:
+        run_statement(
+            spark,
+            "GRANT ALL PRIVILEGES ON CATALOG audcat TO auditor@corp.com",
+        )
+        run_statement(
+            spark, "SELECT count(*) AS n FROM customers"
+        ).collect()
+        # first read flushes the pending tail and serves the table
+        n1 = run_statement(
+            spark,
+            "SELECT count(*) AS n FROM system.access.audit "
+            "WHERE request_params.full_name_arg LIKE 'audcat%'",
+        ).collect()[0]["n"]
+        assert n1 >= 2  # the grant + the table read
+        # simulate a fresh session: in-memory buffers gone AND the
+        # process nonce rotated — new events must never reuse the
+        # (session, seq) identities already on disk, or the read-side
+        # dedup would drop real rows
+        systables._AUDIT.pop(sid, None)
+        systables._AUDIT_PENDING.pop(sid, None)
+        systables._AUDIT_SEQ.pop(sid, None)
+        old_nonce = systables._AUDIT_NONCE
+        systables._AUDIT_NONCE = "testfresh" + old_nonce[:3]
+        rows = run_statement(
+            spark,
+            """
+            SELECT user_identity.email AS user_email, action_name,
+                   COUNT(*) AS access_count
+            FROM system.access.audit
+            WHERE action_name = 'grantPermission'
+            GROUP BY ALL
+            """,
+        ).collect()
+        assert rows and rows[0]["user_email"] == "auditor@corp.com"
+        assert rows[0]["access_count"] >= 1
+        # a re-read is a no-op flush: history must not grow from
+        # reading it (each read itself audits the system-table access,
+        # so compare the count of the FROZEN grant events)
+        again = run_statement(
+            spark,
+            "SELECT count(*) AS n FROM system.access.audit "
+            "WHERE action_name = 'grantPermission'",
+        ).collect()[0]["n"]
+        assert again == rows[0]["access_count"]
+        # with enforcement OFF there is no admin gate to pass: the
+        # durable multi-session history must NOT be served — only the
+        # session's own (grant-free) buffer
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        try:
+            ungated = run_statement(
+                spark,
+                "SELECT count(*) AS n FROM system.access.audit "
+                "WHERE action_name = 'grantPermission'",
+            ).collect()[0]["n"]
+            assert ungated == 0
+        finally:
+            spark.conf.set(acl.ENABLED_CONF, "true")
+    finally:
+        spark.conf.unset(systables.AUDIT_PATH_CONF)
+        systables._AUDIT_PENDING.pop(sid, None)
+        systables._AUDIT_SEQ.pop(sid, None)
+        systables._AUDIT_NONCE = old_nonce
+
+
+def test_query_history_durable_across_sessions(spark, audit_world, tmp_path):
+    """spark.engine.queryHistory.path makes system.query.history
+    survive the session with the same batched write-behind contract as
+    the durable audit log; the reference's slow-query filter runs over
+    the durable view."""
+    qh_path = str(tmp_path / "qh_table")
+    spark.conf.set(systables.QUERY_HISTORY_PATH_CONF, qh_path)
+    sid = session_key(spark)
+    try:
+        run_statement(
+            spark, "GRANT ALL PRIVILEGES ON CATALOG audcat TO auditor@corp.com"
+        )
+        run_statement(
+            spark, "SELECT count(*) AS n FROM customers"
+        ).collect()
+        n1 = run_statement(
+            spark,
+            "SELECT count(*) AS n FROM system.query.history "
+            "WHERE statement_text LIKE '%customers%'",
+        ).collect()[0]["n"]
+        assert n1 >= 1
+        # fresh session: buffers gone + nonce rotated, history
+        # survives on disk
+        systables._QUERY_HISTORY.pop(sid, None)
+        systables._QH_PENDING.pop(sid, None)
+        systables._QH_SEQ.pop(sid, None)
+        old_nonce = systables._AUDIT_NONCE
+        systables._AUDIT_NONCE = "qhfresh" + old_nonce[:3]
+        rows = run_statement(
+            spark,
+            "SELECT statement_text, executed_by, total_duration_ms "
+            "FROM system.query.history "
+            "WHERE statement_text LIKE '%count(*)%customers%'",
+        ).collect()
+        assert rows and rows[0]["executed_by"] == "auditor@corp.com"
+        assert rows[0]["total_duration_ms"] >= 0
+    finally:
+        spark.conf.unset(systables.QUERY_HISTORY_PATH_CONF)
+        systables._QH_PENDING.pop(sid, None)
+        systables._QH_SEQ.pop(sid, None)
+        systables._AUDIT_NONCE = old_nonce
+
+
 def test_denied_access_recorded_403(spark, audit_world):
     spark.conf.set(acl.PRINCIPAL_CONF, "intruder")
     with pytest.raises(PermissionError):
