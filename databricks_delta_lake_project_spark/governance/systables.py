@@ -352,6 +352,54 @@ def flush_audit(spark: SparkSession) -> int:
         spark, _audit_path(spark), _AUDIT_PENDING, _DUR_AUDIT_SCHEMA
     )
 
+
+def _journal_event(
+    spark: SparkSession,
+    row_tail: tuple,
+    buf_map: dict[str, list[tuple]],
+    pend_map: dict[str, list[tuple]],
+    seq_map: dict[str, int],
+    path_fn: Callable[[SparkSession], str | None],
+    flush_fn: Callable[[SparkSession], int],
+    label: str,
+) -> None:
+    """One write-behind journal append shared by the audit log and the
+    query history: allocate the (session, seq) identity atomically,
+    append ONE row object to both the capped session buffer and the
+    pending journal, and attempt a batched flush once per
+    ``_AUDIT_FLUSH_EVERY`` events (a counter gate, not a buffer-size
+    gate — the buffer stays full during a storage outage and must not
+    turn every recorded event into a doomed table commit). Timestamps
+    in ``row_tail`` are naive UTC — correct under the engine's
+    UTC-pinned sessions (`session.py` pins
+    ``spark.sql.session.timeZone``); a foreign non-UTC session would
+    skew the recorded instants by its offset."""
+    sid = session_key(spark)
+    with _SEQ_LOCK:
+        seq = seq_map.get(sid, 0)
+        seq_map[sid] = seq + 1
+        row = (f"{sid}:{_AUDIT_NONCE}", seq) + row_tail
+        buf = buf_map.setdefault(sid, [])
+        buf.append(row)
+        if len(buf) > _AUDIT_CAP:
+            del buf[: len(buf) - _AUDIT_CAP]
+        pend = pend_map.setdefault(sid, [])
+        pend.append(row)
+        if len(pend) > _AUDIT_CAP:
+            del pend[: len(pend) - _AUDIT_CAP]
+    if (seq + 1) % _AUDIT_FLUSH_EVERY == 0 and path_fn(spark):
+        import warnings
+
+        try:
+            flush_fn(spark)
+        except Exception as e:  # noqa: BLE001
+            # observability must never fail the operation it describes
+            warnings.warn(
+                f"{label}: could not flush pending rows ({e}); they "
+                f"remain session-buffered",
+                stacklevel=3,
+            )
+
 # privilege checked at the boundary -> the UC audit action name the
 # reference's queries filter on (compliance_policies.py:321-334 uses
 # getTable/commandSubmit)
@@ -380,44 +428,16 @@ def record_access(
     now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     sid = session_key(spark)
     act = action or _PRIV_ACTION.get(privilege.upper(), "commandSubmit")
-    with _SEQ_LOCK:
-        seq = _AUDIT_SEQ.get(sid, 0)
-        _AUDIT_SEQ[sid] = seq + 1
-        row = (
-            f"{sid}:{_AUDIT_NONCE}",
-            seq,
-            now,
-            now,
-            email,
-            act,
-            securable,
-            status_code,
-        )
-        buf = _AUDIT.setdefault(sid, [])
-        buf.append(row)
-        if len(buf) > _AUDIT_CAP:
-            del buf[: len(buf) - _AUDIT_CAP]
-        # durable write-behind journal shares the SAME row objects
-        pend = _AUDIT_PENDING.setdefault(sid, [])
-        pend.append(row)
-        if len(pend) > _AUDIT_CAP:
-            del pend[: len(pend) - _AUDIT_CAP]
-    # batched flush, attempted once per batch even while the durable
-    # path is failing (a counter gate, not a buffer-size gate — the
-    # buffer stays full during an outage and must not turn every
-    # enforced operation into a doomed table commit)
-    if (seq + 1) % _AUDIT_FLUSH_EVERY == 0 and _audit_path(spark):
-        import warnings
-
-        try:
-            flush_audit(spark)
-        except Exception as e:  # noqa: BLE001
-            # observability must never fail the enforced operation
-            warnings.warn(
-                f"audit: could not flush {len(pend)} event(s) "
-                f"({e}); they remain session-buffered",
-                stacklevel=2,
-            )
+    _journal_event(
+        spark,
+        (now, now, email, act, securable, status_code),
+        _AUDIT,
+        _AUDIT_PENDING,
+        _AUDIT_SEQ,
+        _audit_path,
+        flush_audit,
+        "audit",
+    )
 
 
 def _require_system_admin(spark: SparkSession, table: str) -> None:
@@ -544,31 +564,18 @@ def record_query(
             tzinfo=None
         ),
     )
-    # durable write-behind shares the batching/identity contract of
-    # the audit log; the buffer and journal share one row object
-    with _SEQ_LOCK:
-        seq = _QH_SEQ.get(sid, 0)
-        _QH_SEQ[sid] = seq + 1
-        full = (f"{sid}:{_AUDIT_NONCE}", seq) + row
-        buf = _QUERY_HISTORY.setdefault(sid, [])
-        buf.append(full)
-        if len(buf) > _AUDIT_CAP:
-            del buf[: len(buf) - _AUDIT_CAP]
-        pend = _QH_PENDING.setdefault(sid, [])
-        pend.append(full)
-        if len(pend) > _AUDIT_CAP:
-            del pend[: len(pend) - _AUDIT_CAP]
-    if (seq + 1) % _AUDIT_FLUSH_EVERY == 0 and _qh_path(spark):
-        import warnings
-
-        try:
-            flush_query_history(spark)
-        except Exception as e:  # noqa: BLE001
-            warnings.warn(
-                f"query history: could not flush {len(pend)} row(s) "
-                f"({e}); they remain session-buffered",
-                stacklevel=2,
-            )
+    # shares the write-behind batching/identity contract of the audit
+    # log (one row object in both the buffer and the journal)
+    _journal_event(
+        spark,
+        row,
+        _QUERY_HISTORY,
+        _QH_PENDING,
+        _QH_SEQ,
+        _qh_path,
+        flush_query_history,
+        "query history",
+    )
 
 
 # opt-in durability for system.query.history, same contract as the

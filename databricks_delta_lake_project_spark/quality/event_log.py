@@ -131,7 +131,10 @@ def record_flow_progress(
         "flow_name": flow_name.lower(),
         # naive UTC (systables.record_access convention): the durable
         # round-trip hands back naive timestamps, and the merge sort
-        # in events_df must never compare aware against naive
+        # in events_df must never compare aware against naive. The
+        # instant is correct under the engine's UTC-pinned sessions
+        # (session.py pins spark.sql.session.timeZone); a foreign
+        # non-UTC session would skew it by its offset
         "timestamp": datetime.now(timezone.utc).replace(tzinfo=None),
         "event_type": "flow_progress",
         "message": (
@@ -176,12 +179,16 @@ def _durable_events(
 ) -> list[dict]:
     """Rows from the durable event table that COULD match one flow
     (empty without the conf): the flow-name/path probe is pushed into
-    a stats-pruned ``read_where`` so a years-old event table never
-    collects whole into the driver — only the superset of candidate
-    rows does (``events_df`` applies the exact match after the
-    merge). An unreadable table fails LOUDLY here — the read path is
-    a user query, and silently serving partial history would
-    misreport a pipeline's quality record."""
+    ``read_where`` so a years-old event table never collects WHOLE
+    into the driver — only the matching candidate rows do
+    (``events_df`` applies the exact rule after the merge). The OR
+    shape of the probe defeats file-level STATS pruning (the scan
+    touches every file, filtering distributed) — acceptable because
+    the event table grows one row per pipeline node per run; a
+    deployment at a scale where that matters should give each
+    pipeline its own event-log path. An unreadable table fails LOUDLY
+    here — the read path is a user query, and silently serving
+    partial history would misreport a pipeline's quality record."""
     path = _durable_path(spark)
     if not path:
         return []

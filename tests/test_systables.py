@@ -282,6 +282,10 @@ def test_audit_durable_across_sessions(spark, audit_world, tmp_path):
         systables._AUDIT_SEQ.pop(sid, None)
         old_nonce = systables._AUDIT_NONCE
         systables._AUDIT_NONCE = "testfresh" + old_nonce[:3]
+        # filter to THIS test's principal: the journal is deliberately
+        # unconditional (conf-set-later durability), so in a full-suite
+        # session the first flush also lands earlier tests' events for
+        # other principals
         rows = run_statement(
             spark,
             """
@@ -289,6 +293,7 @@ def test_audit_durable_across_sessions(spark, audit_world, tmp_path):
                    COUNT(*) AS access_count
             FROM system.access.audit
             WHERE action_name = 'grantPermission'
+              AND user_identity.email = 'auditor@corp.com'
             GROUP BY ALL
             """,
         ).collect()
@@ -300,7 +305,8 @@ def test_audit_durable_across_sessions(spark, audit_world, tmp_path):
         again = run_statement(
             spark,
             "SELECT count(*) AS n FROM system.access.audit "
-            "WHERE action_name = 'grantPermission'",
+            "WHERE action_name = 'grantPermission' "
+            "AND user_identity.email = 'auditor@corp.com'",
         ).collect()[0]["n"]
         assert again == rows[0]["access_count"]
         # with enforcement OFF there is no admin gate to pass: the
@@ -351,14 +357,17 @@ def test_query_history_durable_across_sessions(spark, audit_world, tmp_path):
         systables._QH_SEQ.pop(sid, None)
         old_nonce = systables._AUDIT_NONCE
         systables._AUDIT_NONCE = "qhfresh" + old_nonce[:3]
+        # filter to THIS test's principal — the unconditional journal
+        # also lands earlier tests' statements on the first flush
         rows = run_statement(
             spark,
             "SELECT statement_text, executed_by, total_duration_ms "
             "FROM system.query.history "
-            "WHERE statement_text LIKE '%count(*)%customers%'",
+            "WHERE statement_text LIKE '%count(*)%customers%' "
+            "AND executed_by = 'auditor@corp.com'",
         ).collect()
-        assert rows and rows[0]["executed_by"] == "auditor@corp.com"
-        assert rows[0]["total_duration_ms"] >= 0
+        assert rows
+        assert all(r["total_duration_ms"] >= 0 for r in rows)
     finally:
         spark.conf.unset(systables.QUERY_HISTORY_PATH_CONF)
         systables._QH_PENDING.pop(sid, None)
