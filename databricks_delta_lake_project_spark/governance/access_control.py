@@ -165,56 +165,42 @@ def _persist_grants(spark: SparkSession) -> list[dict[str, str]]:
     path = _registry_path(spark)
     if not path:
         return []
-    from ..tables import LakeTable
-    from ..tables.log import ConcurrentModificationError
+    from ..tables.registry import persist_versioned
 
     sid = session_key(spark)
     adds = _LOCAL_ADDS.get(sid, [])
     dels = _LOCAL_DELS.get(sid, [])
-    last_err: Exception | None = None
-    for _ in range(5):
-        disk, ver = _disk_grant_rows(spark, path)
-        dropped = [e for e in disk if e in dels]
+    # the merge runs once per OCC attempt; `state` holds the WINNING
+    # attempt's view when persist_versioned returns
+    state: dict = {}
+
+    def _merge(disk: list[dict[str, str]]):
+        state["dropped"] = [e for e in disk if e in dels]
         merged = [e for e in disk if e not in dels]
         merged += [e for e in adds if e not in merged]
-        df = spark.createDataFrame(
+        state["merged"] = merged
+        return spark.createDataFrame(
             [tuple(e[c] for c in _GRANT_COLS) for e in merged],
             _GRANT_SCHEMA,
         )
-        try:
-            if ver is not None:
-                # pin OCC to the version the merge-read saw: a rival
-                # commit between that read and this write loses us the
-                # race (→ retry) instead of being silently overwritten
-                LakeTable.for_path(spark, path).overwrite(
-                    df, expected_version=ver
-                )
-            elif LakeTable.is_table(path):
-                # a rival CREATED the registry since our read — a lost
-                # race too: re-read and merge onto its rows
-                last_err = ConcurrentModificationError(
-                    f"grant registry created at {path} since merge-read"
-                )
-                continue
-            else:
-                LakeTable.create(spark, path, df=df)
-        except ConcurrentModificationError as e:
-            # rival writer won the commit race: re-read its registry
-            # and re-apply the journal onto THAT view
-            last_err = e
-            continue
-        # memory mirrors the registry it just wrote — rival sessions'
-        # grants that landed since our load become visible here too
-        g = _GRANTS.setdefault(sid, [])
-        g[:] = merged
-        _LOADED[sid] = path
-        # the journal is now reflected on disk: clear it, or an old add
-        # would re-resurrect a row a rival session revokes LATER (and an
-        # old tombstone would keep deleting a row a rival re-grants)
-        adds.clear()
-        dels.clear()
-        return dropped
-    raise last_err  # five straight OCC losses: surface it
+
+    persist_versioned(
+        spark,
+        path,
+        lambda: _disk_grant_rows(spark, path),
+        _merge,
+    )
+    # memory mirrors the registry it just wrote — rival sessions'
+    # grants that landed since our load become visible here too
+    g = _GRANTS.setdefault(sid, [])
+    g[:] = state["merged"]
+    _LOADED[sid] = path
+    # the journal is now reflected on disk: clear it, or an old add
+    # would re-resurrect a row a rival session revokes LATER (and an
+    # old tombstone would keep deleting a row a rival re-grants)
+    adds.clear()
+    dels.clear()
+    return state["dropped"]
 
 
 def grant(

@@ -294,14 +294,12 @@ def _persist(spark: SparkSession) -> None:
     path = _path(spark)
     if not path:
         return
-    from ..tables import LakeTable
-    from ..tables.log import ConcurrentModificationError
+    from ..tables.registry import persist_versioned
 
     sid = session_key(spark)
     adds = _ADDS.get(sid, {})
-    last_err: Exception | None = None
-    for _ in range(5):
-        disk, ver = _disk_rows_versioned(spark, path)
+
+    def _merge(disk: list[dict[str, str]]):
         merged = [
             r
             for r in disk
@@ -312,34 +310,19 @@ def _persist(spark: SparkSession) -> None:
             {"kind": k, "name": n, "payload": p}
             for (k, n), p in adds.items()
         ]
-        df = spark.createDataFrame(
+        return spark.createDataFrame(
             [tuple(r[c] for c in _COLS) for r in merged], _SCHEMA
         )
-        try:
-            if ver is not None:
-                # pin OCC to the version the merge-read saw: a rival
-                # commit between that read and this write must lose us
-                # the race (→ retry), never be silently overwritten
-                LakeTable.for_path(spark, path).overwrite(
-                    df, expected_version=ver
-                )
-            elif LakeTable.is_table(path):
-                # a rival CREATED the registry since our read — that
-                # is a lost race too: re-read and merge onto its rows
-                last_err = ConcurrentModificationError(
-                    f"registry created at {path} since merge-read"
-                )
-                continue
-            else:
-                LakeTable.create(spark, path, df=df)
-        except ConcurrentModificationError as e:
-            last_err = e
-            continue
-        adds.clear()
-        _DELS.get(sid, set()).clear()
-        _PDELS.get(sid, set()).clear()
-        return
-    raise last_err  # five straight OCC losses: surface it
+
+    persist_versioned(
+        spark,
+        path,
+        lambda: _disk_rows_versioned(spark, path),
+        _merge,
+    )
+    adds.clear()
+    _DELS.get(sid, set()).clear()
+    _PDELS.get(sid, set()).clear()
 
 
 def flush(spark: SparkSession) -> None:
