@@ -50,6 +50,8 @@ from ..session import session_key
 __all__ = [
     "set_layer_tags",
     "layer_tags",
+    "tables_df",
+    "columns_df",
     "table_tags_df",
     "column_tags_df",
     "catalog_tags_df",
@@ -179,6 +181,84 @@ _COLUMN_TAGS_SCHEMA = (
     "column_name string, tag_name string, tag_value string, "
     "catalog_name string, schema_name string"
 )
+
+
+_IS_TABLES_SCHEMA = (
+    "table_catalog string, table_schema string, table_name string, "
+    "table_type string, data_source_format string, storage_path string"
+)
+_IS_COLUMNS_SCHEMA = (
+    "table_catalog string, table_schema string, table_name string, "
+    "column_name string, ordinal_position int, data_type string, "
+    "is_nullable string"
+)
+
+
+def _table_kind(spark: SparkSession, t) -> tuple[str, str]:
+    """``(table_type, data_source_format)`` for one registered handle.
+    Read-only interop handles (foreign ``_delta_log`` the engine may
+    not write) have no ``_log`` backend and are EXTERNAL DELTA; engine
+    tables report MANAGED when they live under the warehouse dir
+    (where metasql's managed CREATE lands them), EXTERNAL otherwise."""
+    log = getattr(t, "_log", None)
+    if log is None:
+        return "EXTERNAL", "DELTA"
+    fmt = "DELTA" if type(log).__name__ == "DeltaLogBackend" else "ENGINE"
+    try:
+        wh = spark.conf.get("spark.sql.warehouse.dir") or ""
+    except Exception:  # noqa: BLE001
+        wh = ""
+    managed = bool(wh) and str(t.root).startswith(
+        wh.removeprefix("file:")
+    )
+    return ("MANAGED" if managed else "EXTERNAL"), fmt
+
+
+def tables_df(spark: SparkSession) -> DataFrame:
+    """``system.information_schema.tables`` over the session's
+    registered tables — the UC catalog-browsing shape, filtered by the
+    same listing rule as SHOW TABLES (``_visible_tables``). Everything
+    comes from registry + log metadata; no data files are touched. An
+    unreadable table is SKIPPED (the storage_tables_df convention) —
+    one broken registration must not take down the whole listing."""
+    rows = []
+    for name, t in _visible_tables(spark):
+        cat, sch, tbl = _split_name(name)
+        try:
+            kind, fmt = _table_kind(spark, t)
+            rows.append((cat, sch, tbl, kind, fmt, str(t.root)))
+        except Exception:  # noqa: BLE001
+            continue
+    return spark.createDataFrame(rows, _IS_TABLES_SCHEMA)
+
+
+def columns_df(spark: SparkSession) -> DataFrame:
+    """``system.information_schema.columns``: one row per column of
+    every visible registered table, in schema order. NOTE
+    ``ordinal_position`` is 0-based — Databricks' information_schema
+    documents this deviation from the ISO standard and the reference's
+    queries would port against it. Types are Spark ``simpleString``;
+    served from log metadata only, unreadable tables skipped."""
+    rows = []
+    for name, t in _visible_tables(spark):
+        cat, sch, tbl = _split_name(name)
+        try:
+            fields = list(t.schema.fields)
+        except Exception:  # noqa: BLE001
+            continue
+        for i, f in enumerate(fields):
+            rows.append(
+                (
+                    cat,
+                    sch,
+                    tbl,
+                    f.name,
+                    i,
+                    f.dataType.simpleString(),
+                    "YES" if f.nullable else "NO",
+                )
+            )
+    return spark.createDataFrame(rows, _IS_COLUMNS_SCHEMA)
 
 
 def table_tags_df(spark: SparkSession) -> DataFrame:
@@ -885,6 +965,16 @@ def _unsupported(name: str, why: str):
 # ---------------------------------------------------------------------------
 
 _SYS_TABLES: list[tuple[str, str, Callable[[SparkSession], DataFrame]]] = [
+    (
+        r"\bsystem\s*\.\s*information_schema\s*\.\s*tables\b",
+        "engine_sys_is_tables",
+        tables_df,
+    ),
+    (
+        r"\bsystem\s*\.\s*information_schema\s*\.\s*columns\b",
+        "engine_sys_is_columns",
+        columns_df,
+    ),
     (
         r"\bsystem\s*\.\s*information_schema\s*\.\s*table_tags\b",
         "engine_sys_table_tags",

@@ -512,6 +512,61 @@ def test_unsupported_system_tables_refuse_loudly(spark, tag_world):
         run_statement(spark, "SELECT * FROM system.compute.clusters")
 
 
+def test_information_schema_tables_and_columns(spark, tag_world):
+    """system.information_schema.tables / .columns serve the UC
+    catalog-browsing shape over registered tables (log metadata only):
+    one row per table with its format and storage path, one row per
+    column in schema order with Spark simpleString types."""
+    rows = run_statement(
+        spark,
+        "SELECT table_schema, table_name, table_type, data_source_format "
+        "FROM system.information_schema.tables "
+        "WHERE table_catalog = 'tagcat'",
+    ).collect()
+    # the fixture table lives under tmp_path, not the warehouse dir
+    assert [
+        (r.table_schema, r.table_name, r.table_type, r.data_source_format)
+        for r in rows
+    ] == [("silver", "customers", "EXTERNAL", "DELTA")]
+    cols = run_statement(
+        spark,
+        """
+        SELECT column_name, ordinal_position, data_type, is_nullable
+        FROM system.information_schema.columns
+        WHERE table_catalog = 'tagcat' AND table_name = 'customers'
+        ORDER BY ordinal_position
+        """,
+    ).collect()
+    # ordinal_position is 0-based, the documented Databricks deviation
+    assert [(c.column_name, c.ordinal_position) for c in cols] == [
+        ("customer_id", 0),
+        ("email", 1),
+        ("phone", 2),
+    ]
+    assert cols[0]["data_type"] == "bigint"
+    assert cols[1]["is_nullable"] in ("YES", "NO")
+    # composes with the tag views in one statement (the reference's
+    # classification style): the tagged column joins back to a real
+    # column row
+    run_statement(
+        spark,
+        "ALTER TABLE tagcat.silver.customers ALTER COLUMN email "
+        "SET TAGS ('pii' = 'true')",
+    )
+    joined = run_statement(
+        spark,
+        """
+        SELECT c.column_name
+        FROM system.information_schema.columns c
+        JOIN system.information_schema.column_tags t
+          ON c.table_name = t.table_name
+         AND c.column_name = t.column_name
+        WHERE t.tag_name = 'pii'
+        """,
+    ).collect()
+    assert [r.column_name for r in joined] == ["email"]
+
+
 def test_column_lineage_simple_projections(spark, tmp_path):
     """system.lineage.column_lineage holds edges for single-source
     projection shapes (CTAS / INSERT-SELECT over one source): bare and
