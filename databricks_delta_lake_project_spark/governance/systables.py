@@ -50,6 +50,8 @@ from ..session import session_key
 __all__ = [
     "set_layer_tags",
     "layer_tags",
+    "catalogs_df",
+    "schemata_df",
     "tables_df",
     "columns_df",
     "table_tags_df",
@@ -212,6 +214,50 @@ def _table_kind(spark: SparkSession, t) -> tuple[str, str]:
         wh.removeprefix("file:")
     )
     return ("MANAGED" if managed else "EXTERNAL"), fmt
+
+
+_IS_CATALOGS_SCHEMA = "catalog_name string, comment string"
+_IS_SCHEMATA_SCHEMA = (
+    "catalog_name string, schema_name string, comment string"
+)
+
+
+def catalogs_df(spark: SparkSession) -> DataFrame:
+    """``system.information_schema.catalogs``: declared catalogs
+    (namespace DDL / the durable registry) plus catalogs implied by
+    registered 3-part table names — a table's namespace is browsable
+    even when the setup notebook never ran in this session."""
+    from ..tables import metasql
+
+    declared = metasql.declared_namespaces(spark, "catalog")
+    names = {n: (m.get("comment") if m else None) for n, m in declared.items()}
+    for full, _t in _visible_tables(spark):
+        cat, _sch, _tbl = _split_name(full)
+        names.setdefault(cat, None)
+    return spark.createDataFrame(
+        sorted(names.items()), _IS_CATALOGS_SCHEMA
+    )
+
+
+def schemata_df(spark: SparkSession) -> DataFrame:
+    """``system.information_schema.schemata``: declared schemas plus
+    schemas implied by registered table names, as (catalog, schema)
+    pairs."""
+    from ..tables import metasql
+
+    declared = metasql.declared_namespaces(spark, "schema")
+    pairs: dict[tuple[str, str], str | None] = {}
+    for n, m in declared.items():
+        cat, _, sch = n.partition(".")
+        if sch:
+            pairs[(cat, sch)] = m.get("comment") if m else None
+    for full, _t in _visible_tables(spark):
+        cat, sch, _tbl = _split_name(full)
+        pairs.setdefault((cat, sch), None)
+    return spark.createDataFrame(
+        [(c, s, cm) for (c, s), cm in sorted(pairs.items())],
+        _IS_SCHEMATA_SCHEMA,
+    )
 
 
 def tables_df(spark: SparkSession) -> DataFrame:
@@ -965,6 +1011,16 @@ def _unsupported(name: str, why: str):
 # ---------------------------------------------------------------------------
 
 _SYS_TABLES: list[tuple[str, str, Callable[[SparkSession], DataFrame]]] = [
+    (
+        r"\bsystem\s*\.\s*information_schema\s*\.\s*catalogs\b",
+        "engine_sys_is_catalogs",
+        catalogs_df,
+    ),
+    (
+        r"\bsystem\s*\.\s*information_schema\s*\.\s*schemata\b",
+        "engine_sys_is_schemata",
+        schemata_df,
+    ),
     (
         r"\bsystem\s*\.\s*information_schema\s*\.\s*tables\b",
         "engine_sys_is_tables",

@@ -565,6 +565,27 @@ def test_information_schema_tables_and_columns(spark, tag_world):
         """,
     ).collect()
     assert [r.column_name for r in joined] == ["email"]
+    # catalogs / schemata: namespaces implied by registered names are
+    # browsable even when namespace DDL never ran in this session;
+    # declared ones carry their comment
+    cats = run_statement(
+        spark,
+        "SELECT catalog_name FROM system.information_schema.catalogs",
+    ).collect()
+    assert "tagcat" in {r.catalog_name for r in cats}
+    run_statement(
+        spark, "CREATE SCHEMA tagcat.gold COMMENT 'aggregates'"
+    )
+    sch = run_statement(
+        spark,
+        "SELECT schema_name, comment FROM "
+        "system.information_schema.schemata "
+        "WHERE catalog_name = 'tagcat' ORDER BY schema_name",
+    ).collect()
+    assert [(r.schema_name, r.comment) for r in sch] == [
+        ("gold", "aggregates"),
+        ("silver", None),
+    ]
 
 
 def test_column_lineage_simple_projections(spark, tmp_path):
