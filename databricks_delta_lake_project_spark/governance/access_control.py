@@ -653,6 +653,43 @@ def canonical_name(spark: SparkSession, name: str) -> str:
     return hits[0] if len(hits) == 1 else clean
 
 
+_DYNAMIC_SQL_RE = re.compile(
+    r"\b(?:(IDENTIFIER)\s*\(|EXECUTE\s+IMMEDIATE\b)", re.IGNORECASE
+)
+
+
+def refuse_dynamic_sql(spark: SparkSession, sql: str) -> None:
+    """Fail closed on constructs that build names at RUNTIME —
+    ``IDENTIFIER(expr)`` and ``EXECUTE IMMEDIATE`` — while enforcement
+    is on. The token scans enforcement relies on
+    (``referenced_tables``, ``federation.enforce_internal_view_refs``)
+    can only check names that appear in the statement text; a name
+    assembled at evaluation time (``IDENTIFIER('fed' ||
+    '__crm__public__t')``) would read a gated table with no SELECT
+    check and no audit row. Refusing the construct outright is
+    over-enforcement by design — the same contract as
+    ``referenced_tables`` — and leaves the same 403 audit row a denied
+    table read would. Occurrences inside string literals are data, not
+    constructs, and pass."""
+    from ..tables import sqldml
+    from . import systables
+
+    mask = sqldml._mask(sql)
+    for m in _DYNAMIC_SQL_RE.finditer(sql):
+        if mask[m.start()][1]:
+            continue
+        construct = (
+            "IDENTIFIER()" if m.group(1) else "EXECUTE IMMEDIATE"
+        )
+        systables.record_access(spark, "SELECT", construct, 403)
+        raise PermissionError(
+            f"{construct} is refused while access-control enforcement "
+            f"is on: it resolves names at runtime, which the "
+            f"fail-closed identifier scan cannot check or audit — "
+            f"write the table name literally instead"
+        )
+
+
 def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
     """Registered table names the statement COULD read: every
     identifier token outside string literals (plus backtick-quoted

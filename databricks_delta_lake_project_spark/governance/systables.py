@@ -61,6 +61,7 @@ __all__ = [
     "record_access",
     "audit_df",
     "flush_audit",
+    "journal_flush_health",
     "record_query",
     "query_history_df",
     "flush_query_history",
@@ -447,35 +448,84 @@ def _append_or_create(spark: SparkSession, path: str, df: DataFrame) -> None:
             raise
 
 
+# journal-flush health, (session, label) -> [consecutive_failures,
+# last_error_repr]: record-path failures are warnings (observability
+# must not fail the operation it describes), so without a ledger a
+# persistently-broken storage path degrades the "durable" trail to
+# in-memory-only with nothing an operator can poll. Read paths surface
+# it — a failing flush propagates with this context attached, and a
+# session-view read over a degraded journal serves an explicit
+# degradation row (see _degradation_row uses below).
+_FLUSH_HEALTH: dict[tuple[str, str], list] = {}
+# one flush at a time: two racing flushes would both pin n=len(pend)
+# and both slice-delete, dropping up to n never-written rows from the
+# journal. Never held while allocating (seq alloc takes _SEQ_LOCK and
+# then returns BEFORE any flush attempt), so lock order is always
+# FLUSH -> SEQ, never inverted.
+_FLUSH_LOCK = _threading.Lock()
+
+
 def _flush_journal(
     spark: SparkSession,
     path: str | None,
     pending: dict[str, list[tuple]],
     schema: str,
+    label: str,
 ) -> int:
     """Drain one session journal to its durable table; returns rows
     written. Raises on failure — RECORD-path callers catch and warn
     (observability must not fail the operation it describes), READ
     paths let it propagate (silently serving a partial history is
-    worse than failing)."""
-    pend = pending.get(session_key(spark))
-    if not path or not pend:
-        return 0
-    n = len(pend)  # pin BEFORE the write: a concurrent record may
-    # append while the commit runs; those rows flush next time
-    _append_or_create(spark, path, spark.createDataFrame(pend[:n], schema))
-    # drain exactly what was written; a retry after a partial failure
-    # re-appends the same (session, seq) rows, which the read-side
-    # dedup absorbs
-    del pend[:n]
-    return n
+    worse than failing). Serialized under ``_FLUSH_LOCK``: concurrent
+    record-path appends land at the tail and flush next time; a second
+    flusher waits instead of double-draining."""
+    sid = session_key(spark)
+    with _FLUSH_LOCK:
+        pend = pending.get(sid)
+        if not path or not pend:
+            return 0
+        n = len(pend)  # pin BEFORE the write: a concurrent record may
+        # append while the commit runs; those rows flush next time
+        try:
+            _append_or_create(
+                spark, path, spark.createDataFrame(pend[:n], schema)
+            )
+        except Exception as e:  # noqa: BLE001
+            h = _FLUSH_HEALTH.setdefault((sid, label), [0, ""])
+            h[0] += 1
+            h[1] = repr(e)
+            raise RuntimeError(
+                f"{label}: durable flush failed ({h[0]} consecutive "
+                f"failure{'s' if h[0] > 1 else ''}, {n} rows pending "
+                f"in the session journal): {e}"
+            ) from e
+        _FLUSH_HEALTH.pop((sid, label), None)
+        # drain exactly what was written (appends only ever extend the
+        # tail, so the first n are the written rows); a retry after a
+        # partial failure re-appends the same (session, seq) rows,
+        # which the read-side dedup absorbs
+        with _SEQ_LOCK:
+            del pend[:n]
+        return n
+
+
+def journal_flush_health(
+    spark: SparkSession, label: str
+) -> tuple[int, str] | None:
+    """``(consecutive_failures, last_error)`` for this session's
+    ``label`` journal ("audit" / "query history"), or None while
+    healthy. A successful flush (including the read-path ones) clears
+    the entry."""
+    h = _FLUSH_HEALTH.get((session_key(spark), label))
+    return (h[0], h[1]) if h else None
 
 
 def flush_audit(spark: SparkSession) -> int:
     """Append this session's pending audit events to the durable table
     (no-op without ``AUDIT_PATH_CONF``); returns rows written."""
     return _flush_journal(
-        spark, _audit_path(spark), _AUDIT_PENDING, _DUR_AUDIT_SCHEMA
+        spark, _audit_path(spark), _AUDIT_PENDING, _DUR_AUDIT_SCHEMA,
+        "audit",
     )
 
 
@@ -495,7 +545,11 @@ def _journal_event(
     pending journal, and attempt a batched flush once per
     ``_AUDIT_FLUSH_EVERY`` events (a counter gate, not a buffer-size
     gate — the buffer stays full during a storage outage and must not
-    turn every recorded event into a doomed table commit). Timestamps
+    turn every recorded event into a doomed table commit). The pending
+    journal is deliberately UNCAPPED (unlike the display buffer): it
+    only grows while flushes fail, and trimming it would silently
+    punch holes in the durable trail while the flush-failure warning
+    claims the rows "remain session-journaled". Timestamps
     in ``row_tail`` are naive UTC — correct under the engine's
     UTC-pinned sessions (`session.py` pins
     ``spark.sql.session.timeZone``); a foreign non-UTC session would
@@ -511,8 +565,6 @@ def _journal_event(
             del buf[: len(buf) - _AUDIT_CAP]
         pend = pend_map.setdefault(sid, [])
         pend.append(row)
-        if len(pend) > _AUDIT_CAP:
-            del pend[: len(pend) - _AUDIT_CAP]
     if (seq + 1) % _AUDIT_FLUSH_EVERY == 0 and path_fn(spark):
         import warnings
 
@@ -520,9 +572,12 @@ def _journal_event(
             flush_fn(spark)
         except Exception as e:  # noqa: BLE001
             # observability must never fail the operation it describes
+            # (the flush error already carries the consecutive-failure
+            # count and pending size from _flush_journal); reads of
+            # the system table surface the same degradation loudly
             warnings.warn(
-                f"{label}: could not flush pending rows ({e}); they "
-                f"remain session-buffered",
+                f"{label}: {e}; rows remain session-journaled and "
+                f"flush on the next batch, read, or flush call",
                 stacklevel=3,
             )
 
@@ -621,10 +676,27 @@ def audit_df(spark: SparkSession) -> DataFrame:
 
     _require_system_admin(spark, "system.access.audit")
     path = _audit_path(spark)
-    buf = _AUDIT.get(session_key(spark), [])
+    sid = session_key(spark)
+    buf = _AUDIT.get(sid, [])
 
     def _session_view() -> DataFrame:
-        return _audit_view(spark.createDataFrame(buf, _DUR_AUDIT_SCHEMA))
+        rows = list(buf)
+        # a session-view read over a DEGRADED durable journal (path
+        # set, last flush failed, more than one batch pending — the
+        # enforcement-off shape the read-path flush never reaches)
+        # serves an explicit degradation row: an operator reading the
+        # trail must see that the durable copy is behind
+        h = _FLUSH_HEALTH.get((sid, "audit"))
+        pend = _AUDIT_PENDING.get(sid, [])
+        if path and h and len(pend) > _AUDIT_FLUSH_EVERY:
+            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            rows = rows + [(
+                sid, -1, now, now, "system", "journalFlushDegraded",
+                f"{len(pend)} audit rows pending durable flush after "
+                f"{h[0]} consecutive failures; last error: {h[1]}",
+                503,
+            )]
+        return _audit_view(spark.createDataFrame(rows, _DUR_AUDIT_SCHEMA))
 
     if not path or not acl.enabled(spark):
         return _session_view()
@@ -725,7 +797,8 @@ def flush_query_history(spark: SparkSession) -> int:
     table (no-op without ``QUERY_HISTORY_PATH_CONF``); same failure
     contract as ``flush_audit``."""
     return _flush_journal(
-        spark, _qh_path(spark), _QH_PENDING, _DUR_QH_SCHEMA
+        spark, _qh_path(spark), _QH_PENDING, _DUR_QH_SCHEMA,
+        "query history",
     )
 
 
@@ -742,10 +815,28 @@ def query_history_df(spark: SparkSession) -> DataFrame:
 
     _require_system_admin(spark, "system.query.history")
     path = _qh_path(spark)
-    buf = _QUERY_HISTORY.get(session_key(spark), [])
+    sid = session_key(spark)
+    buf = _QUERY_HISTORY.get(sid, [])
 
     def _session_view() -> DataFrame:
-        return spark.createDataFrame(buf, _DUR_QH_SCHEMA).drop(
+        rows = list(buf)
+        # same degradation row as audit_df: with the durable journal
+        # failing and enforcement off (query history records every
+        # statement regardless), the session view is all an operator
+        # sees — make the durable gap explicit in it
+        h = _FLUSH_HEALTH.get((sid, "query history"))
+        pend = _QH_PENDING.get(sid, [])
+        if path and h and len(pend) > _AUDIT_FLUSH_EVERY:
+            now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            rows = rows + [(
+                sid, -1,
+                f"-- DEGRADED: {len(pend)} query-history rows pending "
+                f"durable flush after {h[0]} consecutive failures; "
+                f"last error: {h[1]}",
+                0, None, None, "system", "journalFlushDegraded",
+                now, now,
+            )]
+        return spark.createDataFrame(rows, _DUR_QH_SCHEMA).drop(
             "session_id", "seq"
         )
 

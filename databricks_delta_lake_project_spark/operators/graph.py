@@ -57,11 +57,47 @@ def _cut(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     ck = df.localCheckpoint()
     spark = df.sparkSession
+    try:
+        return _rewrap_without_stats(spark, ck), ck
+    except Exception as e:  # noqa: BLE001
+        # the rewrap rides a PRIVATE Spark API (stable across 3.x-4.x
+        # but unversioned): if an upgrade removes or reshapes it, stay
+        # CORRECT on the plain checkpoint — the stats cut is purely a
+        # performance device — and say loudly, once, what was lost and
+        # where to fix it, so the degradation is upgrade-diagnosable
+        # instead of a silent slowdown.
+        global _STATS_CUT_LOST
+        if not _STATS_CUT_LOST:
+            _STATS_CUT_LOST = True
+            import warnings
+
+            warnings.warn(
+                "graph._cut: internalCreateDataFrame is unavailable "
+                f"in this Spark build ({e!r}); iterative operators "
+                "fall back to plain localCheckpoint() — correct, but "
+                "Catalyst statistics survive the checkpoint and long "
+                "iterations slow down (see _cut's docstring). Update "
+                "_rewrap_without_stats for this Spark version.",
+                stacklevel=2,
+            )
+        return ck, ck
+
+
+# process-wide once-flag for the loud stats-cut degradation warning
+_STATS_CUT_LOST = False
+
+
+def _rewrap_without_stats(spark, ck: DataFrame) -> DataFrame:
+    """Rewrap a checkpointed frame's RDD in a fresh ``LogicalRDD``
+    with no origin statistics. Isolated so ``_cut`` can capability-
+    check it (and tests can simulate its absence): it calls the
+    private ``SparkSession.internalCreateDataFrame`` JVM method, the
+    one Spark-internal API this engine touches."""
     jdf = ck._jdf
     fresh = spark._jsparkSession.internalCreateDataFrame(
         jdf.queryExecution().toRdd(), jdf.schema(), False
     )
-    return ck.__class__(fresh, spark), ck
+    return ck.__class__(fresh, spark)
 
 
 def connected_components(

@@ -174,21 +174,22 @@ def _persist_event(spark: SparkSession, path: str, ev: dict) -> None:
     )
 
 
-def _durable_events(
-    spark: SparkSession, *, base: str, root: str | None
-) -> list[dict]:
-    """Rows from the durable event table that COULD match one flow
-    (empty without the conf): the flow-name/path probe is pushed into
-    ``read_where`` so a years-old event table never collects WHOLE
-    into the driver — only the matching candidate rows do
-    (``events_df`` applies the exact rule after the merge). The OR
-    shape of the probe defeats file-level STATS pruning (the scan
-    touches every file, filtering distributed) — acceptable because
-    the event table grows one row per pipeline node per run; a
-    deployment at a scale where that matters should give each
-    pipeline its own event-log path. An unreadable table fails LOUDLY
-    here — the read path is a user query, and silently serving
-    partial history would misreport a pipeline's quality record."""
+def _esc(s: str) -> str:
+    # Spark's default lexer escapes with BACKSLASH ('' is two
+    # adjacent literals that concatenate, silently eating the
+    # quote): double backslashes, then backslash-escape quotes —
+    # either wrong and rows with such paths under-match silently
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def _durable_events(spark: SparkSession, cond: str) -> list[dict]:
+    """Rows from the durable event table matching one probe (empty
+    without the conf): the probe is pushed into ``read_where`` so a
+    years-old event table never collects WHOLE into the driver — only
+    the matching candidate rows do (``events_df`` applies the exact
+    rule after the merge). An unreadable table fails LOUDLY here —
+    the read path is a user query, and silently serving partial
+    history would misreport a pipeline's quality record."""
     path = _durable_path(spark)
     if not path:
         return []
@@ -196,21 +197,6 @@ def _durable_events(
 
     if not LakeTable.is_table(path):
         return []
-
-    def esc(s: str) -> str:
-        # Spark's default lexer escapes with BACKSLASH ('' is two
-        # adjacent literals that concatenate, silently eating the
-        # quote): double backslashes, then backslash-escape quotes —
-        # either wrong and rows with such paths under-match silently
-        return s.replace("\\", "\\\\").replace("'", "\\'")
-
-    # LIKE's _ wildcard over-matches on underscored names: harmless,
-    # the caller re-applies the exact rule on the merged rows
-    cond = (
-        f"flow_name = '{esc(base)}' OR flow_name LIKE '%.{esc(base)}'"
-    )
-    if root is not None:
-        cond += f" OR path = '{esc(root)}'"
     return [
         {c: r[c] for c in _DUR_COLS}
         for r in LakeTable.for_path(spark, path).read_where(cond).collect()
@@ -238,11 +224,30 @@ def events_df(spark: SparkSession, table_ref: str) -> DataFrame:
     base = table_ref.strip("`").lower().split(".")[-1]
     buf = list(_EVENTS.get(session_key(spark), []))
     have = {e["id"] for e in buf}
-    evs = buf + [
-        e
-        for e in _durable_events(spark, base=base, root=root)
-        if e["id"] not in have
-    ]
+    # two-step probe, path identity first: `path = <root>` is a single
+    # equality file-level stats CAN prune, and when it (or the session
+    # buffer) hits, the basename probe — whose OR-of-LIKE shape defeats
+    # pruning and would scan every file — never runs. The fallback
+    # probe only fires for references that don't resolve to a storage
+    # path (or whose events never carried one), mirroring exactly the
+    # exact-rule preference applied to the merged rows below.
+    dur: list[dict] = []
+    if root is not None:
+        dur = _durable_events(spark, f"path = '{_esc(root)}'")
+    if not dur and not (
+        root is not None
+        and any(
+            e.get("path") and str(Path(e["path"])) == root for e in buf
+        )
+    ):
+        # LIKE's _ wildcard over-matches on underscored names:
+        # harmless, the exact rule below re-applies
+        dur = _durable_events(
+            spark,
+            f"flow_name = '{_esc(base)}' "
+            f"OR flow_name LIKE '%.{_esc(base)}'",
+        )
+    evs = buf + [e for e in dur if e["id"] not in have]
     matched: list[dict] = []
     if root is not None:
         matched = [

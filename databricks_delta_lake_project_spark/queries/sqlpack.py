@@ -325,6 +325,48 @@ _NON_TABLE_FROM_PRECEDERS = frozenset(
         "leading", "trailing", "both",
     }
 )
+# PLURAL interval-unit spellings (`ts + INTERVAL 7 DAYS`): expression
+# tails the alias detector must never read as a trailing alias, and
+# tokens the ref scanners must never attribute as column reads. Kept
+# separate from _NON_TABLE_FROM_PRECEDERS because a plural unit right
+# before FROM is usually the END of an interval literal — i.e. a
+# TABLE FROM (`SELECT ts + interval 7 days FROM src`) — which
+# _lineage_sources disambiguates with an interval-literal lookbehind.
+_INTERVAL_PLURALS = frozenset(
+    {
+        "years", "quarters", "months", "weeks", "days", "hours",
+        "minutes", "seconds", "milliseconds", "microseconds",
+        "nanoseconds",
+    }
+)
+# every spelling Spark's EXTRACT accepts as a field name (docs:
+# YEAR/Y/YEARS/YR/YRS, MONTH/MON/MONS/MONTHS, DAY/D/DAYS, HOUR/H/HR/
+# HRS/HOURS, MINUTE/M/MIN/MINS/MINUTES, SECOND/S/SEC/SECS/SECONDS,
+# WEEK/W/WEEKS, QUARTER/QTR, DOW_ISO). Used ONLY by the table-level
+# FROM scan: `extract(DAYS FROM ts)` must not read `ts` as a table
+# (a registered table sharing a timestamp column's name would be a
+# fabricated edge). A plain `SELECT s FROM t` loses its table edge to
+# this set — under-report, the safe side.
+_EXTRACT_FIELD_SYNONYMS = (
+    _NON_TABLE_FROM_PRECEDERS
+    | _INTERVAL_PLURALS
+    | frozenset(
+        {
+            "y", "yr", "yrs", "qtr", "mon", "mons", "w", "d",
+            "dow_iso", "h", "hr", "hrs", "m", "min", "mins",
+            "s", "sec", "secs",
+        }
+    )
+)
+# an interval LITERAL ending right before this point: `interval`
+# followed by one or more `<value> <unit>` pairs (the final unit is
+# the token the caller already consumed). Mask-checked by the caller.
+_INTERVAL_LOOKBEHIND_RE = re.compile(
+    r"\binterval"
+    r"(?:\s+(?:[-+]?\d+(?:\.\d+)?|'[^']*')\s+[A-Za-z_]\w*)*"
+    r"\s+(?:[-+]?\d+(?:\.\d+)?|'[^']*')\s*$",
+    re.IGNORECASE,
+)
 
 
 _SELECT_TAIL_RE = re.compile(
@@ -337,12 +379,14 @@ _PLAIN_ITEM_RE = re.compile(
 )
 _STAR_ITEM_RE = re.compile(r"^\s*(?:(?P<q>\w+)\s*\.\s*)?\*\s*$")
 # FROM-clause grammar for column lineage: plain table refs combined
-# by explicit JOINs only. These keyword sets drive the conservative
-# parser below — any shape outside the grammar (subquery sources,
-# comma joins, NATURAL, LATERAL, VALUES, TABLESAMPLE, PIVOT) makes
-# the whole statement derive nothing rather than risk mis-reading a
-# source list (a missing source would silently flip an "unambiguous"
-# unqualified-column attribution into a fabricated edge).
+# by explicit JOINs or depth-0 commas (`FROM a, b` — a comma source
+# resolves exactly like a CROSS JOIN one). These keyword sets drive
+# the conservative parser below — any shape outside the grammar
+# (subquery sources, NATURAL, LATERAL, VALUES, TABLESAMPLE, PIVOT)
+# makes the whole statement derive nothing rather than risk
+# mis-reading a source list (a missing source would silently flip an
+# "unambiguous" unqualified-column attribution into a fabricated
+# edge).
 _FROM_TERMINATORS = frozenset(
     {
         "where", "group", "having", "order", "limit",
@@ -374,19 +418,52 @@ _SEG_SRC_RE = re.compile(r"\s*(?P<src>`[^`]+`|[\w.]+)")
 _SEG_WORD_RE = re.compile(r"\s*(?P<w>[A-Za-z_]\w*)")
 
 
+def _clause_start_ok(w: str, tail: str, pos: int) -> bool:
+    """Whether the text at ``pos`` (right after terminator word ``w``)
+    can legally START that clause — GROUP/ORDER/CLUSTER/DISTRIBUTE/
+    SORT demand BY, LIMIT a count, a set-op its branch; a leading
+    binary operator / comparison keyword means ``w`` was a bare COLUMN
+    inside a skipped ON condition, not a clause boundary."""
+    nm = _SEG_WORD_RE.match(tail, pos)
+    nxt_w = nm.group("w").lower() if nm is not None else None
+    if w in ("group", "order", "cluster", "distribute", "sort"):
+        return nxt_w == "by"
+    if w == "limit":
+        return nxt_w == "all" or bool(re.match(r"\s*\d", tail[pos:]))
+    if w in ("union", "intersect", "except", "minus"):
+        return nxt_w in ("all", "distinct", "select") or bool(
+            re.match(r"\s*\(", tail[pos:])
+        )
+    # where / having / qualify start with an expression, never with an
+    # operator ("WHERE NOT x" is mis-classified here — the cost is a
+    # conservative refusal below, never a wrong list)
+    return not re.match(
+        r"\s*(?:[=<>!+\-*/%|&^,.]"
+        r"|(?:is|in|like|ilike|rlike|between|and|or|not)\b)",
+        tail[pos:],
+        re.IGNORECASE,
+    )
+
+
 def _parse_from_sources(
     tail: str,
 ) -> tuple[list[tuple[str, str | None]], bool] | None:
     """``([(spelling, alias_or_None), ...], saw_using)`` for a FROM
-    clause made of plain table refs joined by explicit JOINs; None for
-    ANY shape outside that grammar. ``tail`` starts right after the
+    clause made of plain table refs joined by explicit JOINs or
+    depth-0 commas (``FROM a, b`` — each comma source resolves exactly
+    like a CROSS JOIN one, including after an ON condition: ``FROM a
+    JOIN b ON ..., c`` ends the condition at the comma); None for ANY
+    shape outside that grammar. ``tail`` starts right after the
     depth-0 FROM keyword. ON/USING conditions are skipped by scanning
-    for the next depth-0 join/terminator/bail keyword outside quotes —
-    qualified refs (``a.left``) and function calls (``right(s, 1)``)
-    named like keywords are stepped over, a depth-0 comma inside the
-    skipped region is a comma join continuing the source list (refused
-    outright), and every misparse collapses to None (derive nothing),
-    never to a wrong source list."""
+    for the next depth-0 join/terminator/bail keyword or source-list
+    comma outside quotes — qualified refs (``a.left``) and function
+    calls (``right(s, 1)``) named like keywords are stepped over, and
+    every misparse collapses to None (derive nothing), never to a
+    wrong source list. A terminator reached THROUGH a condition skip
+    may really be a bare column of the condition (``AND cluster = 1``)
+    — when the clause it claims to start is malformed
+    (``_clause_start_ok``) and a later JOIN or depth-0 comma could
+    still extend the source list, the whole clause refuses."""
     from ..tables import sqldml
 
     mask = sqldml._mask(tail)
@@ -416,6 +493,7 @@ def _parse_from_sources(
     saw_using = False
     pos = 0
     expect_source = True
+    via_skip = False  # connector position reached through an ON skip
     while True:
         if expect_source:
             pm = re.match(r"\s*\(", tail[pos:])
@@ -459,19 +537,32 @@ def _parse_from_sources(
             segs.append((src, alias))
             expect_source = False
             continue
+        cm = re.match(r"\s*,", tail[pos:])
+        if cm is not None:
+            # comma join: the next source continues the list
+            pos += cm.end()
+            expect_source = True
+            via_skip = False
+            continue
         wm = _SEG_WORD_RE.match(tail, pos)
         if wm is None:
-            # end of statement is fine; a comma / paren / anything
-            # else is outside the grammar
+            # end of statement is fine; a paren / anything else is
+            # outside the grammar
             return (segs, saw_using) if tail[pos:].strip() == "" else None
         w = wm.group("w").lower()
+        arrived_via_skip, via_skip = via_skip, False
         if w in _FROM_TERMINATORS:
             # a bare column NAMED like a terminator inside an ON
             # condition (ON ... AND cluster = 1 JOIN c ...) would end
             # the scan early and silently DROP table c from the source
             # list — the one misparse shape that yields a wrong list
-            # instead of None. Only a later JOIN can extend the list,
-            # so refuse whenever one exists beyond this point.
+            # instead of None. A later JOIN can always extend the
+            # list, so refuse whenever one exists beyond this point;
+            # a later depth-0 COMMA can too, but commas are ordinary
+            # inside real later clauses (GROUP BY a, b), so that
+            # refusal applies only when the terminator was reached
+            # THROUGH a condition skip AND the clause it claims to
+            # start is malformed (both signals of a misread column).
             for jm in re.finditer(r"\bjoin\b", tail[wm.end():], re.IGNORECASE):
                 a = wm.end() + jm.start()
                 if mask[a] != (0, False):
@@ -482,6 +573,10 @@ def _parse_from_sources(
                 if k >= 0 and tail[k] == ".":
                     continue  # a.join — a dotted ref's tail
                 return None
+            if arrived_via_skip and not _clause_start_ok(w, tail, wm.end()):
+                for ci in range(wm.end(), n):
+                    if tail[ci] == "," and mask[ci] == (0, False):
+                        return None
             return segs, saw_using
         if w in _FROM_BAILERS:
             return None
@@ -537,15 +632,23 @@ def _parse_from_sources(
                 break
             # a depth-0 comma inside the condition region is a COMMA
             # JOIN continuing the source list (valid after an ON:
-            # FROM a JOIN b ON ..., c) — out of grammar, and invisible
-            # to the keyword scan above, so check for it directly
+            # FROM a JOIN b ON ..., c) — the condition ends at the
+            # comma and the next source begins. Invisible to the
+            # keyword scan above, so check for it directly.
             end = nxt if nxt is not None else n
+            comma_i = None
             for ci in range(pos, end):
                 if tail[ci] == "," and mask[ci] == (0, False):
-                    return None
+                    comma_i = ci
+                    break
+            if comma_i is not None:
+                pos = comma_i + 1
+                expect_source = True
+                continue
             if nxt is None:
                 return segs, saw_using
             pos = nxt
+            via_skip = True
             continue
         return None  # bare word in connector position: outside grammar
 
@@ -597,7 +700,7 @@ _EXPR_STOPWORDS = frozenset(
         "char", "boolean", "date", "timestamp", "timestamp_ntz",
         "binary", "array", "map", "struct", "void",
     }
-) | _NON_TABLE_FROM_PRECEDERS | _NILADIC
+) | _NON_TABLE_FROM_PRECEDERS | _NILADIC | _INTERVAL_PLURALS
 
 
 _SETOP_RE = re.compile(r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b", re.IGNORECASE)
@@ -961,6 +1064,19 @@ def _expr_source_cols(
         j = m.end()
         while j < n and item[j].isspace():
             j += 1
+        if (
+            qual_low is None
+            and tok in _EXTRACT_FIELD_SYNONYMS
+            and re.match(r"FROM\b", item[j:], re.IGNORECASE)
+        ):
+            # extract's SHORT field synonyms (d, s, min, ...) are
+            # legal column names, so they are not blanket stopwords —
+            # but one right before a keyword-FROM is the field of
+            # `extract(d FROM ts)`, not a read of a column named `d`.
+            # A genuine column there (`substring(d FROM 2)`) is
+            # under-reported; attributing it would fabricate whenever
+            # the extract form was meant.
+            continue
         if j < n and item[j] == "(":
             continue  # function call
         if j < n and item[j] == "." and qual_low is None:
@@ -1013,9 +1129,11 @@ def _column_lineage_edges(
     column expands to the real table columns it derives from
     (transitively through chains and nesting); a CTE whose body is not
     attributable still SHADOWS any same-named registered table.
-    Comma joins, NATURAL joins, subquery ITEMS, ambiguous names and
-    unaliased CTAS expressions derive NOTHING — a fabricated edge is
-    worse than a missing one. INSERT targets map by
+    Comma joins (``FROM a, b [WHERE ...]`` — the reference's own KPI
+    dashboard shape, sql_queries_and_dashboards.py:43-73) resolve
+    exactly like CROSS JOINs. NATURAL joins, subquery ITEMS, ambiguous
+    names and unaliased CTAS expressions derive NOTHING — a fabricated
+    edge is worse than a missing one. INSERT targets map by
     POSITION against the target schema (the engine's ``_run_insert``
     renames via ``df.toDF(*target_cols)``), so any star mixed with
     other items makes an INSERT derive nothing (positions shift by the
@@ -1544,10 +1662,19 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
             prev = re.search(r"([\w.]+|')\s*$", sql[: m.start()])
             if prev and (
                 prev.group(1).split(".")[-1].lower()
-                in _NON_TABLE_FROM_PRECEDERS
+                in _EXTRACT_FIELD_SYNONYMS
                 or prev.group(1) == "'"
             ):
-                continue
+                # one exemption: a preceding interval LITERAL means
+                # the unit word ends the literal and this IS a table
+                # FROM (`SELECT ts + interval 7 days FROM src`);
+                # `extract(days FROM ts)` has no interval before the
+                # field and stays skipped
+                iv = _INTERVAL_LOOKBEHIND_RE.search(
+                    sql[: prev.start(1)]
+                )
+                if iv is None or mask[iv.start()][1]:
+                    continue
         names = [m.group(2)]
         if is_from:
             # comma join: FROM a, b, c
@@ -1725,6 +1852,10 @@ def _run_statement_impl(
     # sources and CTAS over foreign tables all resolve
     sql = federation.rewrite_foreign_tables(spark, sql)
     if enforcing:
+        # runtime-constructed names (IDENTIFIER(), EXECUTE IMMEDIATE)
+        # cannot be resolved by ANY token scan — fail closed before
+        # the rewrites and checks that rely on one
+        acl.refuse_dynamic_sql(spark, bare_sql)
         # a statement naming an engine-internal fed__ view DIRECTLY
         # (instead of the 3-part foreign name) gets the same SELECT
         # check + audit row; scanned on the comment-free PRE-rewrite

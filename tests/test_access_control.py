@@ -592,3 +592,46 @@ def test_revoke_of_disk_only_row_reports_count(spark, tmp_path):
     finally:
         spark.conf.unset(acl.PATH_CONF)
         _wipe_acl_session_state()
+
+
+def test_dynamic_sql_refused_under_enforcement(spark, acl_world):
+    """IDENTIFIER() / EXECUTE IMMEDIATE build names at RUNTIME — no
+    token scan can check or audit them, so enforcement fails closed:
+    the statement refuses loudly (naming the construct), leaves a 403
+    audit row, and occurrences inside string literals (data) still
+    pass. With enforcement off the guard does not run."""
+    from databricks_delta_lake_project_spark.governance import systables
+
+    run_statement(spark, "GRANT SELECT ON SCHEMA cat.gold TO alice")
+    run_statement(spark, "GRANT USAGE ON CATALOG cat TO alice")
+    run_statement(spark, "GRANT USAGE ON SCHEMA cat.gold TO alice")
+    with pytest.raises(PermissionError, match=r"IDENTIFIER\(\)"):
+        run_statement(
+            spark, "SELECT * FROM IDENTIFIER('cat.gold.' || 'c360')"
+        )
+    with pytest.raises(PermissionError, match="EXECUTE IMMEDIATE"):
+        run_statement(
+            spark, "EXECUTE IMMEDIATE 'SELECT * FROM cat.gold.c360'"
+        )
+    # the refusals are audited like any denied read
+    rows = systables.audit_df(spark).collect()
+    denied = {
+        (r["request_params"]["full_name_arg"], r["response"]["status_code"])
+        for r in rows
+    }
+    assert ("IDENTIFIER()", 403) in denied
+    assert ("EXECUTE IMMEDIATE", 403) in denied
+    # a string LITERAL containing the construct is data, not SQL
+    out = run_statement(
+        spark,
+        "SELECT 'IDENTIFIER(x)' AS s, count(*) AS n FROM c360",
+    ).collect()[0]
+    assert out["s"] == "IDENTIFIER(x)" and out["n"] == 2
+    # comment occurrences are stripped before the guard sees them
+    assert (
+        run_statement(
+            spark,
+            "SELECT count(*) AS n -- EXECUTE IMMEDIATE\nFROM c360",
+        ).collect()[0]["n"]
+        == 2
+    )

@@ -95,3 +95,34 @@ def test_convergence_surfaced_in_stats(spark):
     short: dict = {}
     connected_components(e, max_iter=2, stats=short).collect()
     assert short["converged"] is False
+
+
+def test_stats_cut_falls_back_when_internal_api_gone(spark, monkeypatch):
+    """The stats-cut rides a PRIVATE Spark API: when it disappears
+    (simulated), iterative operators stay CORRECT on the plain
+    checkpoint and warn loudly ONCE naming the degradation — an
+    upgrade must be diagnosable, never a silent slowdown."""
+    import warnings as _w
+
+    from databricks_delta_lake_project_spark.operators import graph
+
+    monkeypatch.setattr(
+        graph,
+        "_rewrap_without_stats",
+        lambda *_: (_ for _ in ()).throw(
+            AttributeError("internalCreateDataFrame gone")
+        ),
+    )
+    monkeypatch.setattr(graph, "_STATS_CUT_LOST", False)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "src long, dst long"
+    )
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = connected_components(edges).collect()
+    got = {(r["node"], r["component"]) for r in out}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+    hits = [
+        w for w in caught if "internalCreateDataFrame" in str(w.message)
+    ]
+    assert len(hits) == 1  # loud, and exactly once per process

@@ -409,3 +409,57 @@ def test_event_log_same_basename_distinct_pipelines(spark, tmp_path):
 
         sqldml._REGISTRY.pop(_skey(spark, "alpha.gold.events_clean"), None)
         sqldml._REGISTRY.pop(_skey(spark, "beta.gold.events_clean"), None)
+
+
+def test_event_log_probe_stays_bounded(spark, tmp_path, monkeypatch):
+    """With MANY flows journaled to one durable event table, the TVF's
+    durable probe for a path-resolvable reference is ONE prunable
+    equality (``path = ...``) — never an OR shape that defeats
+    file-level stats pruning and scans every file; the OR-of-LIKE
+    basename probe runs only for unresolvable references, and is
+    bounded at two disjuncts regardless of flow count."""
+    from databricks_delta_lake_project_spark.quality import event_log
+    from databricks_delta_lake_project_spark.session import session_key
+    from databricks_delta_lake_project_spark.tables import sqldml
+
+    log_path = str(tmp_path / "event_log_many")
+    spark.conf.set(event_log.PATH_CONF, log_path)
+    try:
+        p = Pipeline(str(tmp_path / "lake"))
+        for i in range(12):
+
+            @p.table(name=f"flow_{i}")
+            def flow(ctx, _i=i):
+                return ctx.spark.range(_i + 1).withColumnRenamed("id", "v")
+
+        p.run(spark)
+        sqldml.register_table(
+            spark,
+            "m.g.flow_3",
+            LakeTable.for_path(spark, str(tmp_path / "lake" / "flow_3")),
+        )
+        # durable-only reads (fresh-session shape)
+        event_log._EVENTS.pop(session_key(spark), None)
+        conds: list[str] = []
+        real = LakeTable.read_where
+
+        def spy(self, condition):
+            conds.append(condition)
+            return real(self, condition)
+
+        monkeypatch.setattr(LakeTable, "read_where", spy)
+        rows = event_log.events_df(spark, "m.g.flow_3").collect()
+        assert {r["flow_name"] for r in rows} == {"flow_3"}
+        assert len(conds) == 1
+        assert conds[0].startswith("path = ") and " OR " not in conds[0]
+        # unresolvable reference: basename fallback, two disjuncts
+        conds.clear()
+        rows = event_log.events_df(spark, "flow_7").collect()
+        assert {r["flow_name"] for r in rows} == {"flow_7"}
+        assert len(conds) == 1
+        assert conds[0].count(" OR ") == 1
+    finally:
+        spark.conf.unset(event_log.PATH_CONF)
+        from databricks_delta_lake_project_spark.tables.sqldml import _skey
+
+        sqldml._REGISTRY.pop(_skey(spark, "m.g.flow_3"), None)

@@ -375,6 +375,177 @@ def test_query_history_durable_across_sessions(spark, audit_world, tmp_path):
         systables._AUDIT_NONCE = old_nonce
 
 
+def test_journal_flush_degradation_visible_and_heals(spark, tmp_path):
+    """A persistently failing durable journal is VISIBLE, and nothing
+    is ever trimmed from it: with the storage path broken and more
+    than one batch of events recorded, the record path warns with the
+    consecutive-failure count, ``flush_query_history`` raises with the
+    same context, ``journal_flush_health`` reports it, and a
+    session-view read serves an explicit journalFlushDegraded row.
+    Repointing at a good path then lands EVERY journaled row."""
+    import datetime as _dt
+    import warnings as _w
+
+    bad = tmp_path / "not_a_table"
+    bad.mkdir()
+    (bad / "stray.txt").write_text("x")
+    sid = session_key(spark)
+    save = (
+        systables._QUERY_HISTORY.pop(sid, None),
+        systables._QH_PENDING.pop(sid, None),
+        systables._QH_SEQ.get(sid),
+    )
+    systables._QH_SEQ[sid] = 0
+    spark.conf.set(systables.QUERY_HISTORY_PATH_CONF, str(bad))
+    t0 = _dt.datetime.now(_dt.timezone.utc)
+    total = systables._AUDIT_FLUSH_EVERY + 7
+    try:
+        with _w.catch_warnings(record=True) as caught:
+            _w.simplefilter("always")
+            for i in range(total):
+                systables.record_query(spark, f"SELECT {i}", t0, 1, 1)
+        msgs = [str(w.message) for w in caught]
+        assert any("consecutive failure" in m for m in msgs)
+        assert any("session-journaled" in m for m in msgs)
+        # nothing trimmed: the pending journal holds every event
+        assert len(systables._QH_PENDING[sid]) == total
+        health = systables.journal_flush_health(spark, "query history")
+        assert health is not None and health[0] >= 1
+        # an explicit flush raises with the failure context
+        with pytest.raises(RuntimeError, match="consecutive"):
+            systables.flush_query_history(spark)
+        # a session-view read (enforcement off) serves the degradation
+        # row naming the backlog
+        deg = [
+            r
+            for r in systables.query_history_df(spark).collect()
+            if r["warehouse_id"] == "journalFlushDegraded"
+        ]
+        assert len(deg) == 1
+        assert f"{total} query-history rows pending" in deg[0][
+            "statement_text"
+        ]
+        # heal: repoint at a good path — every journaled row lands,
+        # health clears, the degradation row disappears
+        good = str(tmp_path / "qh_heal_table")
+        spark.conf.set(systables.QUERY_HISTORY_PATH_CONF, good)
+        assert systables.flush_query_history(spark) == total
+        assert systables.journal_flush_health(spark, "query history") is None
+        assert not systables._QH_PENDING[sid]
+        assert LakeTable.for_path(spark, good).to_df().count() == total
+        assert not [
+            r
+            for r in systables.query_history_df(spark).collect()
+            if r["warehouse_id"] == "journalFlushDegraded"
+        ]
+        # the audit view serves the same degradation row shape when
+        # ITS journal is degraded (read path checked directly — the
+        # ledger and pending backlog are injected)
+        spark.conf.set(systables.AUDIT_PATH_CONF, str(bad))
+        now = t0.replace(tzinfo=None)
+        systables._AUDIT_PENDING[sid] = [
+            (sid, i, now, now, "u", "getTable", "t", 200)
+            for i in range(systables._AUDIT_FLUSH_EVERY + 1)
+        ]
+        systables._FLUSH_HEALTH[(sid, "audit")] = [2, "IOError('x')"]
+        try:
+            arows = systables.audit_df(spark).collect()
+            adeg = [
+                r
+                for r in arows
+                if r["action_name"] == "journalFlushDegraded"
+            ]
+            assert len(adeg) == 1
+            assert adeg[0]["response"]["status_code"] == 503
+        finally:
+            spark.conf.unset(systables.AUDIT_PATH_CONF)
+            systables._AUDIT_PENDING.pop(sid, None)
+            systables._FLUSH_HEALTH.pop((sid, "audit"), None)
+    finally:
+        spark.conf.unset(systables.QUERY_HISTORY_PATH_CONF)
+        systables._FLUSH_HEALTH.pop((sid, "query history"), None)
+        systables._QUERY_HISTORY.pop(sid, None)
+        systables._QH_PENDING.pop(sid, None)
+        systables._QH_SEQ.pop(sid, None)
+        if save[0] is not None:
+            systables._QUERY_HISTORY[sid] = save[0]
+        if save[1] is not None:
+            systables._QH_PENDING[sid] = save[1]
+        if save[2] is not None:
+            systables._QH_SEQ[sid] = save[2]
+
+
+def test_journal_flush_race_never_drops_rows(spark, tmp_path, monkeypatch):
+    """Race-injection for the r11 flush race: rows journaled WHILE a
+    slow flush is mid-commit must survive — the rival flush waits for
+    the lock and drains exactly the new rows, never slicing an
+    already-drained list (which silently lost up-to-batch-size rows
+    before the fix)."""
+    import datetime as _dt
+    import threading
+
+    good = str(tmp_path / "qh_race_table")
+    sid = session_key(spark)
+    save = (
+        systables._QUERY_HISTORY.pop(sid, None),
+        systables._QH_PENDING.pop(sid, None),
+        systables._QH_SEQ.get(sid),
+    )
+    systables._QH_SEQ[sid] = 0
+    spark.conf.set(systables.QUERY_HISTORY_PATH_CONF, good)
+    t0 = _dt.datetime.now(_dt.timezone.utc)
+    in_append = threading.Event()
+    release = threading.Event()
+    real = systables._append_or_create
+
+    def slow(sp, path, df):
+        in_append.set()
+        assert release.wait(30)
+        return real(sp, path, df)
+
+    try:
+        for i in range(3):
+            systables.record_query(spark, f"SELECT {i}", t0, 1, 1)
+        monkeypatch.setattr(systables, "_append_or_create", slow)
+        flushed: list[int] = []
+        a = threading.Thread(
+            target=lambda: flushed.append(
+                systables.flush_query_history(spark)
+            )
+        )
+        a.start()
+        assert in_append.wait(30)
+        # journal 2 MORE rows while the first flush is mid-commit,
+        # then race a second flusher against it
+        for i in range(3, 5):
+            systables.record_query(spark, f"SELECT {i}", t0, 1, 1)
+        b = threading.Thread(
+            target=lambda: flushed.append(
+                systables.flush_query_history(spark)
+            )
+        )
+        b.start()
+        release.set()
+        a.join(60)
+        b.join(60)
+        assert not a.is_alive() and not b.is_alive()
+        assert sorted(flushed) == [2, 3]
+        assert not systables._QH_PENDING.get(sid)
+        df = LakeTable.for_path(spark, good).to_df()
+        assert df.count() == 5  # every row landed exactly once
+    finally:
+        spark.conf.unset(systables.QUERY_HISTORY_PATH_CONF)
+        systables._QUERY_HISTORY.pop(sid, None)
+        systables._QH_PENDING.pop(sid, None)
+        systables._QH_SEQ.pop(sid, None)
+        if save[0] is not None:
+            systables._QUERY_HISTORY[sid] = save[0]
+        if save[1] is not None:
+            systables._QH_PENDING[sid] = save[1]
+        if save[2] is not None:
+            systables._QH_SEQ[sid] = save[2]
+
+
 def test_denied_access_recorded_403(spark, audit_world):
     spark.conf.set(acl.PRINCIPAL_CONF, "intruder")
     with pytest.raises(PermissionError):
@@ -751,7 +922,7 @@ def test_column_lineage_expression_edge_cases(spark, tmp_path):
         str(tmp_path / "xsrc"),
         df=spark.sql(
             "SELECT 1L AS id, 'metro' AS city, "
-            "named_struct('city', 'sub') AS addr, 2.0D AS amt"
+            "named_struct('city', 'sub') AS addr, 2.0D AS amt, 3L AS d"
         ),
     )
     sqldml.register_table(spark, "xcat.bronze.xsrc", t)
@@ -799,6 +970,41 @@ def test_column_lineage_expression_edge_cases(spark, tmp_path):
             "xcat.silver.k2",
         )
         assert edges == []
+        # PLURAL interval units are expression tails too: no edge to a
+        # target column named `days` (ADVICE r11 — the fabricated
+        # alias), and an explicit alias still attributes normally
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE xcat.silver.k3 AS SELECT "
+            "amt + interval 7 days FROM xsrc",
+            "xcat.silver.k3",
+        )
+        assert edges == []
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE xcat.silver.k4 AS SELECT "
+            "amt + interval 7 days AS amt_next FROM xsrc",
+            "xcat.silver.k4",
+        )
+        assert edges == [("xcat.bronze.xsrc", "amt", "amt_next")]
+        # set-op output names must not read a plural unit either
+        assert sqlpack._ctas_out_names(
+            "amt + interval 7 days FROM xsrc"
+        ) == [None]
+        # extract's SHORT field synonyms (not blanket stopwords — `d`
+        # etc. are legal column names) are skipped right before a
+        # keyword-FROM: extract(d FROM ...) must not attribute a
+        # same-named column, while `d` elsewhere still attributes
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE xcat.silver.k5 AS SELECT "
+            "extract(d FROM amt) AS dd, id + 1 AS nid FROM xsrc",
+            "xcat.silver.k5",
+        )
+        assert edges == [
+            ("xcat.bronze.xsrc", "amt", "dd"),
+            ("xcat.bronze.xsrc", "id", "nid"),
+        ]
     finally:
         for nm in ("xcat.bronze.xsrc", "xcat.silver.xtgt"):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
@@ -940,17 +1146,13 @@ def test_column_lineage_join_projections(spark, tmp_path):
             )
             == []
         )
-        # out-of-grammar FROM shapes derive nothing — including a
-        # comma join hidden AFTER an ON condition (valid SQL that
-        # continues the source list where the keyword scan can't see
-        # it), PIVOT/UNPIVOT/TABLESAMPLE/WINDOW after the join, and
+        # out-of-grammar FROM shapes derive nothing —
+        # PIVOT/UNPIVOT/TABLESAMPLE/WINDOW after the join, and
         # MINUS as the EXCEPT synonym the set-op bail must also catch
         for frm in (
             "(SELECT 1 AS x) q JOIN jcust ON true",
-            "jorders, jcust",
             "jorders NATURAL JOIN jcust",
             "jorders a JOIN (SELECT * FROM jcust) b ON a.cust_id = b.cust_id",
-            "jorders o JOIN jcust c ON o.cust_id = c.cust_id, jrates",
             "jorders o JOIN jcust c ON o.cust_id = c.cust_id "
             "PIVOT (sum(amount) FOR country IN ('US'))",
             "jcust TABLESAMPLE (10 PERCENT)",
@@ -987,6 +1189,54 @@ def test_column_lineage_join_projections(spark, tmp_path):
             "AND cluster = 1",
             "jcat.silver.zz",
         ) == [("jcat.bronze.jcust", "cname", "cname")]
+        # COMMA joins resolve like CROSS joins: plain lists, aliased
+        # lists with a WHERE, and a comma continuing the list after an
+        # ON condition all attribute; an unqualified name both sides
+        # hold still derives nothing
+        assert edges(
+            "CREATE TABLE jcat.silver.c1 AS "
+            "SELECT cname, amount FROM jorders, jcust",
+            "jcat.silver.c1",
+        ) == [
+            ("jcat.bronze.jcust", "cname", "cname"),
+            ("jcat.bronze.jorders", "amount", "amount"),
+        ]
+        assert edges(
+            "CREATE TABLE jcat.silver.c2 AS "
+            "SELECT o.amount * r.rate AS usd FROM jorders o, jrates r "
+            "WHERE o.o_id > 0 GROUP BY usd, o.amount",
+            "jcat.silver.c2",
+        ) == [
+            ("jcat.bronze.jorders", "amount", "usd"),
+            ("jcat.bronze.jrates", "rate", "usd"),
+        ]
+        assert edges(
+            "CREATE TABLE jcat.silver.c3 AS SELECT rate FROM "
+            "jorders o JOIN jcust c ON o.cust_id = c.cust_id, jrates",
+            "jcat.silver.c3",
+        ) == [("jcat.bronze.jrates", "rate", "rate")]
+        assert (
+            edges(
+                "CREATE TABLE jcat.silver.c4 AS "
+                "SELECT cust_id FROM jorders, jcust",
+                "jcat.silver.c4",
+            )
+            == []
+        )
+        # ...but a comma AFTER a terminator-named bare column inside
+        # an ON condition ("AND cluster = 1, jrates") is unreadable —
+        # the list may extend past the misread word, so the whole
+        # clause refuses rather than drop jrates (whose `country`
+        # would flip `country` from ambiguous to fabricated)
+        assert (
+            edges(
+                "CREATE TABLE jcat.silver.c5 AS SELECT cname FROM "
+                "jorders o JOIN jcust c ON o.cust_id = c.cust_id "
+                "AND cluster = 1, jrates",
+                "jcat.silver.c5",
+            )
+            == []
+        )
         # a dotted FUNCTION call's namespace root is code, not data —
         # even when a source column shares its name; and a keyword
         # operator's trailing operand is never read as an alias
@@ -1183,6 +1433,22 @@ def test_column_lineage_cte_composition(spark, tmp_path):
         ) == [
             ("wcat.s.wcust", "cname", "cname"),
             ("wcat.s.worders", "amount", "amount"),
+        ]
+        # COMMA-joined CTEs — the reference's own KPI dashboard shape
+        # (sql_queries_and_dashboards.py:43-73 comma-joins
+        # current_period and previous_period)
+        assert edges(
+            "CREATE TABLE wcat.s.t2 AS "
+            "WITH cur AS (SELECT sum(amount) AS revenue_30d "
+            "FROM worders), "
+            "prev AS (SELECT sum(amount) AS revenue_prev_30d "
+            "FROM worders) "
+            "SELECT c.revenue_30d, round((c.revenue_30d - "
+            "p.revenue_prev_30d) / nullif(p.revenue_prev_30d, 0) "
+            "* 100, 1) AS growth_pct FROM cur c, prev p"
+        ) == [
+            ("wcat.s.worders", "amount", "growth_pct"),
+            ("wcat.s.worders", "amount", "revenue_30d"),
         ]
         assert edges(
             "CREATE TABLE wcat.s.t2 AS "
@@ -1761,6 +2027,27 @@ def test_extract_from_does_not_fabricate_lineage(spark, tag_world, tmp_path):
             "tagcat.silver.customers",
             "tagcat.silver.order_date",
         }
+        # extract's PLURAL/short field synonyms must not read the
+        # extracted expression as a table either...
+        assert _lineage_sources(
+            spark,
+            "INSERT INTO t SELECT extract(DAYS FROM order_date) "
+            "FROM customers",
+        ) == {"tagcat.silver.customers"}
+        assert _lineage_sources(
+            spark,
+            "INSERT INTO t SELECT extract(d FROM order_date) "
+            "FROM customers",
+        ) == {"tagcat.silver.customers"}
+        # ...while a unit word ENDING an interval literal right before
+        # FROM leaves it a table FROM (the lookbehind exemption)
+        for lit in ("interval 7 days", "interval '7' days",
+                    "interval 1 day 2 hours"):
+            assert _lineage_sources(
+                spark,
+                f"INSERT INTO t SELECT signup_date + {lit} "
+                "FROM customers",
+            ) == {"tagcat.silver.customers"}
     finally:
         sqldml._REGISTRY.pop(
             (session_key(spark), "tagcat.silver.order_date"), None
