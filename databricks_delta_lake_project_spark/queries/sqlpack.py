@@ -1004,6 +1004,7 @@ def _expr_source_cols(
     alias_map: dict[str, str],
     dead_quals: set[str],
     schemas: dict[str, dict[str, str]],
+    lateral: dict[str, list[tuple[str, str]]] | None = None,
 ) -> list[tuple[str, str]] | None:
     """``(source, column)`` pairs referenced by ONE select-list
     expression: every identifier token outside string literals that
@@ -1013,10 +1014,15 @@ def _expr_source_cols(
     (``o.amount`` attributes ``amount`` of o's table; ``addr.city`` —
     struct-field access — attributes ``addr``, the column the data
     actually flows from, never a same-named top-level column; an
-    unqualified name held by two sources derives nothing). Returns
-    None when the item is not attributable at all — an embedded
-    subquery reads OTHER tables, and a ``t.*`` star needs schema
-    expansion, not token attribution. Backtick-quoted refs are
+    unqualified name held by two sources derives nothing). ``lateral``
+    maps EARLIER select items' aliases to the source pairs they derive
+    from (Spark's lateral column aliases): an unqualified token held
+    by NO source schema that matches one expands to that ancestry —
+    Spark's own precedence, where a real column always wins and an
+    ambiguous real name errors at execution before lineage ever runs.
+    Returns None when the item is not attributable at all — an
+    embedded subquery reads OTHER tables, and a ``t.*`` star needs
+    schema expansion, not token attribution. Backtick-quoted refs are
     skipped (under-report, never fabricate)."""
     from ..tables import sqldml
 
@@ -1098,8 +1104,23 @@ def _expr_source_cols(
             if re.match(r"\.\s*[A-Za-z_]\w*\s*[.(]", item[j:]):
                 continue
         hit = _resolve_ref(tok, qual_low, alias_map, dead_quals, schemas)
-        if hit is not None and hit not in out:
-            out.append(hit)
+        if hit is not None:
+            if hit not in out:
+                out.append(hit)
+        elif (
+            lateral
+            and qual_low is None
+            and tok in lateral
+            and all(tok not in sch for sch in schemas.values())
+        ):
+            # lateral column alias: expand to the earlier item's
+            # ancestry. Guarded to names NO source schema holds — a
+            # real column always wins in Spark, and an AMBIGUOUS real
+            # name (hit None but present in schemas) errors at
+            # execution, so expanding it would fabricate
+            for pair in lateral[tok]:
+                if pair not in out:
+                    out.append(pair)
     return out
 
 
@@ -1131,9 +1152,12 @@ def _column_lineage_edges(
     attributable still SHADOWS any same-named registered table.
     Comma joins (``FROM a, b [WHERE ...]`` — the reference's own KPI
     dashboard shape, sql_queries_and_dashboards.py:43-73) resolve
-    exactly like CROSS JOINs. NATURAL joins, subquery ITEMS, ambiguous
-    names and unaliased CTAS expressions derive NOTHING — a fabricated
-    edge is worse than a missing one. INSERT targets map by
+    exactly like CROSS JOINs. Lateral column aliases compose: a later
+    item's bare reference to an earlier item's alias (a name no source
+    holds — Spark's precedence) expands to that item's ancestry.
+    NATURAL joins, subquery ITEMS, ambiguous names and unaliased CTAS
+    expressions derive NOTHING — a fabricated edge is worse than a
+    missing one. INSERT targets map by
     POSITION against the target schema (the engine's ``_run_insert``
     renames via ``df.toDF(*target_cols)``), so any star mixed with
     other items makes an INSERT derive nothing (positions shift by the
@@ -1398,6 +1422,12 @@ def _edges_impl(
             r"^\s*(DISTINCT|ALL)\b", "", items[0], flags=re.IGNORECASE
         )
     edges: list[tuple[str, str, str]] = []
+    # lateral column aliases (Spark >= 3.4 resolves a later item's
+    # bare reference to an EARLIER item's alias when no source column
+    # holds the name): alias -> the source pairs that item derives
+    # from, [] when defined but underivable (references then derive
+    # nothing rather than fall through to a same-named source guess)
+    lateral: dict[str, list[tuple[str, str]]] = {}
     for i, item in enumerate(items):
         sm = _STAR_ITEM_RE.match(item)
         if sm is not None:
@@ -1452,19 +1482,33 @@ def _edges_impl(
         if pm is not None:
             alias = pm.group("alias")
             qual = pm.group("qual")
+            col_low = pm.group("col").lower()
             hit = _resolve_ref(
-                pm.group("col").lower(),
+                col_low,
                 qual.lower() if qual is not None else None,
                 alias_map,
                 dead_quals,
                 schemas,
             )
-            if hit is None:
+            if hit is not None:
+                # struct-field access (addr.city) attributes the
+                # struct column; the output auto-name stays the FIELD
+                # name, so the alias default below still holds
+                s_hits = [hit]
+            elif (
+                qual is None
+                and col_low in lateral
+                and all(col_low not in sch for sch in schemas.values())
+            ):
+                # an earlier item's alias re-projected under a new
+                # name (real columns win — hence the NO-schema guard;
+                # an ambiguous real name errors at execution before
+                # lineage runs)
+                s_hits = list(lateral[col_low])
+            else:
+                if alias is not None:
+                    lateral[alias.lower()] = []
                 continue  # unknown / ambiguous: not attributable
-            # struct-field access (addr.city) attributes the struct
-            # column; the output auto-name stays the FIELD name, so
-            # the alias default below still holds
-            s_hits = [hit]
         else:
             # expression item: strip the alias before scanning
             expr, alias = _split_item_alias(item)
@@ -1472,10 +1516,16 @@ def _edges_impl(
                 # CTAS expression without an alias materializes under
                 # Spark's auto-generated column name: skip it
                 continue
-            found = _expr_source_cols(expr, alias_map, dead_quals, schemas)
+            found = _expr_source_cols(
+                expr, alias_map, dead_quals, schemas, lateral
+            )
             if not found:
+                if alias is not None:
+                    lateral[alias.lower()] = []
                 continue  # subquery / star / no attributable refs
             s_hits = found
+        if alias is not None:
+            lateral[alias.lower()] = list(s_hits)
         if is_insert:
             if i >= len(insert_cols):
                 continue
@@ -1496,26 +1546,31 @@ def _merge_column_lineage_edges(
     spark: SparkSession, sql: str, target: str
 ) -> list[tuple[str, str, str]]:
     """``(source_table, source_column, target_column)`` edges for
-    ``MERGE INTO t USING s`` over a PLAIN registered source table: the
-    columns a MERGE writes are its assignment targets, and each
-    assignment/INSERT-value expression attributes its references to
-    the SOURCE table (``SET amount = s.amount * s.rate`` =>
-    ``amount -> amount`` and ``rate -> amount``). ``UPDATE SET *`` /
-    ``INSERT *`` assign every target column from the same-named source
-    column. Subquery USING sources derive nothing; references to the
-    target's own columns are value recirculation, not cross-table
-    lineage, and are not recorded (consistent with table-level lineage
-    skipping self-edges); ON / WHEN conditions only FILTER rows
-    (indirect lineage) and are likewise not recorded. Reuses the same
-    structural parse helpers the MERGE executor uses
-    (`tables/sqldml.py` ``_run_merge``), so the scan sees exactly the
-    clause boundaries that ran."""
+    ``MERGE INTO t USING s`` over a PLAIN registered source table or a
+    parenthesized SUBQUERY source: the columns a MERGE writes are its
+    assignment targets, and each assignment/INSERT-value expression
+    attributes its references to the SOURCE (``SET amount = s.amount *
+    s.rate`` => ``amount -> amount`` and ``rate -> amount``).
+    ``UPDATE SET *`` / ``INSERT *`` assign every target column from
+    the same-named source column. A subquery source becomes a VIRTUAL
+    source (the same ``_virtual_source`` machinery CTEs and derived
+    tables use): a reference to one of its output columns expands to
+    the real table columns that output derives from; an unattributable
+    body derives nothing. References to the target's own columns are
+    value recirculation, not cross-table lineage, and are not recorded
+    (consistent with table-level lineage skipping self-edges); ON /
+    WHEN conditions only FILTER rows (indirect lineage) and are
+    likewise not recorded. Reuses the same structural parse helpers
+    the MERGE executor uses (`tables/sqldml.py` ``_run_merge``), so
+    the scan sees exactly the clause boundaries that ran."""
     from ..governance import access_control as acl
     from ..tables import sqldml
 
     m = re.match(r"\s*MERGE\s+INTO\s+", sql.strip().rstrip(";"), re.IGNORECASE)
     if m is None:
         return []
+    virtual_anc: dict[str, set] | None = None
+    sname = salias = None
     try:
         rest = sql.strip().rstrip(";")[m.end():]
         tname, rest = sqldml._read_table_ref(rest)
@@ -1525,9 +1580,20 @@ def _merge_column_lineage_edges(
             return []
         rest = rest[mu.end():].lstrip()
         if rest.startswith("("):
-            return []  # subquery source: not attributable
-        sname, rest = sqldml._read_table_ref(rest)
-        salias, rest = sqldml._read_alias(rest)
+            # subquery source: scan the body as a virtual source whose
+            # per-output-column ancestry holds real (table, column)
+            # pairs (Spark requires an alias here; its absence never
+            # executed, so bailing loses nothing)
+            try:
+                inner, rest = sqldml._balanced_paren(rest)
+            except StopIteration:
+                return []
+            salias, rest = sqldml._read_alias(rest.lstrip())
+            if not salias:
+                return []
+        else:
+            sname, rest = sqldml._read_table_ref(rest)
+            salias, rest = sqldml._read_alias(rest)
         mo = re.match(r"ON\s+", rest, re.IGNORECASE)
         if mo is None:
             return []
@@ -1537,16 +1603,28 @@ def _merge_column_lineage_edges(
         return []
     if not cuts:
         return []
-    src = acl.canonical_name(spark, sname.strip("`").lower())
     sid = session_key(spark)
     registered = {n for (s, n) in sqldml._REGISTRY if s == sid}
-    if src == target or src not in registered:
-        return []
+    if sname is None:
+        ctx: dict = {"virtual": {}, "ancestry": {}, "n": 0}
+        _virtual_source(spark, "__musrc", None, inner, target, {}, ctx)
+        src_schema = ctx["virtual"]["__musrc"]
+        if not src_schema:
+            return []  # unattributable body: derive nothing
+        virtual_anc = ctx["ancestry"]["__musrc"]
+        src = "cte:__musrc"
+    else:
+        src = acl.canonical_name(spark, sname.strip("`").lower())
+        if src == target or src not in registered:
+            return []
+        try:
+            src_schema = {
+                c.lower(): c
+                for c in sqldml.resolve_table(spark, src).schema.fieldNames()
+            }
+        except Exception:  # noqa: BLE001
+            return []
     try:
-        src_schema = {
-            c.lower(): c
-            for c in sqldml.resolve_table(spark, src).schema.fieldNames()
-        }
         tgt_cols = sqldml.resolve_table(spark, target).schema.fieldNames()
     except Exception:  # noqa: BLE001
         return []
@@ -1564,6 +1642,8 @@ def _merge_column_lineage_edges(
     ):
         if alias:
             _register_qual(alias_map, dead_quals, alias, s)
+        if name is None:
+            continue  # subquery source: only its alias qualifies
         bare = name.strip("`").lower()
         _register_qual(alias_map, dead_quals, bare, s)
         _register_qual(alias_map, dead_quals, bare.split(".")[-1], s)
@@ -1571,6 +1651,18 @@ def _merge_column_lineage_edges(
     schemas = {src: src_schema, target: tgt_schema}
 
     edges: list[tuple[str, str, str]] = []
+
+    def _emit(s_c: str, t_actual: str) -> None:
+        # a virtual (subquery) source column expands to the real
+        # table columns its output derives from; self-edges into the
+        # target stay unrecorded either way
+        if virtual_anc is None:
+            if (src, s_c, t_actual) not in edges:
+                edges.append((src, s_c, t_actual))
+            return
+        for rt, rc in sorted(virtual_anc.get(s_c.lower(), set())):
+            if rt != target and (rt, rc, t_actual) not in edges:
+                edges.append((rt, rc, t_actual))
 
     def _scan(expr: str, t_col_raw: str) -> None:
         t_low = (
@@ -1584,14 +1676,14 @@ def _merge_column_lineage_edges(
         for s_t, s_c in _expr_source_cols(
             expr, alias_map, dead_quals, schemas
         ) or []:
-            if s_t == src and (src, s_c, t_actual) not in edges:
-                edges.append((src, s_c, t_actual))
+            if s_t == src:
+                _emit(s_c, t_actual)
 
     def _star_edges() -> None:
         for tc in tgt_cols:
             sc = src_schema.get(tc.lower())
-            if sc is not None and (src, sc, tc) not in edges:
-                edges.append((src, sc, tc))
+            if sc is not None:
+                _emit(sc, tc)
 
     chunks = [rest[a:b] for a, b in zip(cuts, cuts[1:] + [len(rest)])]
     for chunk in chunks:

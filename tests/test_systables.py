@@ -1253,13 +1253,54 @@ def test_column_lineage_join_projections(spark, tmp_path):
             )
             == []
         )
-        # a lateral column alias is not a source column: no edge for
-        # its re-reference (fabrication guard)
+        # lateral column aliases COMPOSE: a later item's reference to
+        # an earlier alias (a name no source holds) expands to that
+        # item's ancestry — plain re-projection, expression chains,
+        # and an underivable head (rand()) that derives nothing
         assert edges(
             "CREATE TABLE jcat.silver.x6 AS "
             "SELECT amount AS b, b AS c2 FROM jorders",
             "jcat.silver.x6",
-        ) == [("jcat.bronze.jorders", "amount", "b")]
+        ) == [
+            ("jcat.bronze.jorders", "amount", "b"),
+            ("jcat.bronze.jorders", "amount", "c2"),
+        ]
+        assert edges(
+            "CREATE TABLE jcat.silver.x6b AS SELECT "
+            "amount * 2 AS dbl, round(dbl + o_id, 1) AS score, "
+            "score AS score2 FROM jorders",
+            "jcat.silver.x6b",
+        ) == [
+            ("jcat.bronze.jorders", "amount", "dbl"),
+            ("jcat.bronze.jorders", "amount", "score"),
+            ("jcat.bronze.jorders", "amount", "score2"),
+            ("jcat.bronze.jorders", "o_id", "score"),
+            ("jcat.bronze.jorders", "o_id", "score2"),
+        ]
+        assert edges(
+            "CREATE TABLE jcat.silver.x6c AS "
+            "SELECT rand() AS r, r + amount AS z FROM jorders",
+            "jcat.silver.x6c",
+        ) == [("jcat.bronze.jorders", "amount", "z")]
+        # ...but a REAL column always wins over a lateral alias: the
+        # second `cname` reads jcust, and an alias sharing an
+        # AMBIGUOUS real name (country) expands nothing
+        assert edges(
+            "CREATE TABLE jcat.silver.x6d AS "
+            "SELECT cust_id AS cname, cname AS n2 "
+            "FROM jcust",
+            "jcat.silver.x6d",
+        ) == [
+            ("jcat.bronze.jcust", "cname", "n2"),
+            ("jcat.bronze.jcust", "cust_id", "cname"),
+        ]
+        assert edges(
+            "CREATE TABLE jcat.silver.x6e AS "
+            "SELECT amount AS country, country AS c2 "
+            "FROM jorders o JOIN jcust c ON o.cust_id = c.cust_id "
+            "JOIN jrates r ON c.country = r.country",
+            "jcat.silver.x6e",
+        ) == [("jcat.bronze.jorders", "amount", "country")]
         # the GROUP-BY window() FUNCTION is not a WINDOW clause: the
         # statement still attributes
         assert edges(
@@ -1436,17 +1477,31 @@ def test_column_lineage_cte_composition(spark, tmp_path):
         ]
         # COMMA-joined CTEs — the reference's own KPI dashboard shape
         # (sql_queries_and_dashboards.py:43-73 comma-joins
-        # current_period and previous_period)
-        assert edges(
-            "CREATE TABLE wcat.s.t2 AS "
+        # current_period and previous_period) — END-TO-END through the
+        # runner into system.lineage.column_lineage
+        run_statement(
+            spark,
+            f"CREATE TABLE wcat.s.kpi USING delta LOCATION "
+            f"'{tmp_path / 'kpi'}' AS "
             "WITH cur AS (SELECT sum(amount) AS revenue_30d "
             "FROM worders), "
             "prev AS (SELECT sum(amount) AS revenue_prev_30d "
             "FROM worders) "
             "SELECT c.revenue_30d, round((c.revenue_30d - "
             "p.revenue_prev_30d) / nullif(p.revenue_prev_30d, 0) "
-            "* 100, 1) AS growth_pct FROM cur c, prev p"
-        ) == [
+            "* 100, 1) AS growth_pct FROM cur c, prev p",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_table_full_name, source_column_name,
+                   target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'wcat.s.kpi'
+            ORDER BY target_column_name
+            """,
+        ).collect()
+        assert [tuple(r) for r in rows] == [
             ("wcat.s.worders", "amount", "growth_pct"),
             ("wcat.s.worders", "amount", "revenue_30d"),
         ]
@@ -1576,7 +1631,9 @@ def test_column_lineage_cte_composition(spark, tmp_path):
             == set()
         )
     finally:
-        for nm in ("wcat.s.worders", "wcat.s.wcust", "wcat.s.t"):
+        for nm in (
+            "wcat.s.worders", "wcat.s.wcust", "wcat.s.t", "wcat.s.kpi",
+        ):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
 
 
@@ -1808,10 +1865,12 @@ def test_column_lineage_set_operations(spark, tmp_path):
 def test_column_lineage_merge(spark, tmp_path):
     """MERGE INTO records column lineage for its assignment targets:
     each UPDATE SET / INSERT VALUES expression attributes its
-    references to the SOURCE table; UPDATE SET * / INSERT * map every
-    target column from the same-named source column; references to the
-    target's own columns (value recirculation), literals, subquery
-    USING sources and ON/WHEN filter conditions derive nothing."""
+    references to the SOURCE (a plain registered table, or a subquery
+    whose output columns expand to the real columns they derive from);
+    UPDATE SET * / INSERT * map every target column from the
+    same-named source column; references to the target's own columns
+    (value recirculation), literals, star-bodied subqueries and
+    ON/WHEN filter conditions derive nothing."""
     from databricks_delta_lake_project_spark.queries import sqlpack
     from databricks_delta_lake_project_spark.tables import LakeTable
 
@@ -1883,11 +1942,46 @@ def test_column_lineage_merge(spark, tmp_path):
             "MERGE INTO mcat.s.mtgt t USING mlsrc s ON t.id = s.id "
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
         ) == [("mcat.s.mlsrc", "id", "id")]
-        # subquery USING source derives nothing
+        # subquery USING source: output columns expand to the real
+        # table columns they derive from (the CTE/derived-table
+        # virtual-source machinery), composing through expressions
+        assert edges(
+            "MERGE INTO mcat.s.mtgt t USING "
+            "(SELECT id, amt * rate AS usd FROM mlsrc) s "
+            "ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET amount = s.usd "
+            "WHEN NOT MATCHED THEN INSERT (id, amount) "
+            "VALUES (s.id, s.usd)"
+        ) == [
+            ("mcat.s.mlsrc", "amt", "amount"),
+            ("mcat.s.mlsrc", "id", "id"),
+            ("mcat.s.mlsrc", "rate", "amount"),
+        ]
+        # UPDATE SET * over a subquery source maps same-named columns
+        # then expands them the same way
+        assert edges(
+            "MERGE INTO mcat.s.mtgt t USING "
+            "(SELECT id, amt AS amount FROM mlsrc) s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET *"
+        ) == [
+            ("mcat.s.mlsrc", "amt", "amount"),
+            ("mcat.s.mlsrc", "id", "id"),
+        ]
+        # a star BODY's output names are not derivable (same rule as
+        # CTE bodies): derive nothing rather than guess widths
         assert (
             edges(
                 "MERGE INTO mcat.s.mtgt t USING (SELECT * FROM mlsrc) s "
                 "ON t.id = s.id WHEN MATCHED THEN UPDATE SET amount = s.amt"
+            )
+            == []
+        )
+        # a subquery reading the TARGET is recirculation: no edges
+        assert (
+            edges(
+                "MERGE INTO mcat.s.mtgt t USING "
+                "(SELECT id, amount FROM mcat.s.mtgt) s ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET amount = s.amount"
             )
             == []
         )
