@@ -1744,6 +1744,28 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
     mask = sqldml._mask(sql)
     ctes = _cte_names(sql)
     out: set[str] = set()
+    # CLONE sources scan separately from the FROM/USING/JOIN loop: a
+    # combined alternation would CONSUME the real FROM after a column
+    # named `clone` (SELECT clone FROM t) and drop t's edge
+    for m in re.finditer(
+        r"\b(?:SHALLOW\s+|DEEP\s+)?CLONE\s+(`[^`]+`|[\w.]+)",
+        sql,
+        re.IGNORECASE,
+    ):
+        if mask[m.start()][1]:
+            continue
+        bare = m.group(1).strip("`").lower()
+        # a column named clone captures the keyword after it — a
+        # keyword never names a registered table
+        if bare in sqldml._KEYWORDS or bare in (
+            "from", "join", "where", "group", "order", "limit", "union",
+        ):
+            continue
+        if "." not in bare and bare in ctes:
+            continue
+        name = acl.canonical_name(spark, bare)
+        if name in registered:
+            out.add(name)
     for m in re.finditer(
         r"\b(?P<kw>FROM|USING|JOIN)\s+(`[^`]+`|[\w.]+)", sql, re.IGNORECASE
     ):
@@ -2012,12 +2034,40 @@ def _run_statement_impl(
                 # MODIFY gate's scope); CTAS targets parse via the
                 # shared sqldml.ctas_target
                 tgt = sqldml.ctas_target(sql)
+            is_clone = metrics.get("operation") == "CLONE"
+            if tgt is None and is_clone:
+                mm = re.match(
+                    r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+                    r"(?:IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|[\w.]+)",
+                    sql,
+                    re.IGNORECASE,
+                )
+                if mm:
+                    tgt = mm.group(1).strip("`").lower()
             if tgt is not None:
                 tgt_c = acl.canonical_name(spark, tgt)
-                for src in _lineage_sources(spark, sql):
-                    if src != tgt_c:
-                        systables.record_lineage(spark, src, tgt_c)
-                if kind in ("insert", "create"):
+                srcs = [
+                    s for s in _lineage_sources(spark, sql) if s != tgt_c
+                ]
+                for src in srcs:
+                    systables.record_lineage(spark, src, tgt_c)
+                if is_clone:
+                    # a clone carries every source column 1:1 under
+                    # the same name (the clone's own schema IS the
+                    # cloned snapshot's schema, exact for time-travel
+                    # clones too)
+                    if len(srcs) == 1:
+                        try:
+                            cols = sqldml.resolve_table(
+                                spark, tgt_c
+                            ).schema.fieldNames()
+                        except Exception:  # noqa: BLE001
+                            cols = []
+                        for c in cols:
+                            systables.record_column_lineage(
+                                spark, srcs[0], c, tgt_c, c
+                            )
+                elif kind in ("insert", "create"):
                     # column edges for attributable projections (bare
                     # / aliased / expression refs over plain sources
                     # joined explicitly) — every ambiguous shape

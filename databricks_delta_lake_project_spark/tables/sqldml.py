@@ -1158,6 +1158,121 @@ def _balanced_paren(s: str) -> tuple[str, str]:
     return s[1:close], s[close + 1 :]
 
 
+def _default_location(spark: SparkSession, clean_name: str) -> str:
+    """Managed-table location for ``clean_name``: the runtime-settable
+    ``spark.engine.warehouse.dir`` first (``spark.sql.warehouse.dir``
+    is a static conf), else the session warehouse, dots mapped to
+    directories."""
+    import os
+
+    try:
+        wh = spark.conf.get("spark.engine.warehouse.dir")
+    except Exception:  # noqa: BLE001
+        wh = None
+    if not wh:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = re.sub("^file:/*", "/", wh) if wh.startswith("file:") else wh
+    return os.path.join(wh, "engine_tables", *clean_name.split("."))
+
+
+def _run_clone(
+    spark: SparkSession, head_m: "re.Match", tname: str, rest: str
+) -> dict[str, Any]:
+    """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] tgt [SHALLOW|DEEP]
+    CLONE src [VERSION AS OF n | TIMESTAMP AS OF 'ts'] [LOCATION
+    '...'] [TBLPROPERTIES (...)]`` — Delta's zero-copy snapshot DDL
+    (bare CLONE = DEEP, the Databricks default). Beyond the reference
+    repo's surface; executes :meth:`LakeTable.clone` and registers the
+    target for later DML."""
+    from .table import LakeTable
+
+    mcl = re.match(
+        r"(?:(?P<kind>SHALLOW|DEEP)\s+)?CLONE\s+", rest, re.IGNORECASE
+    )
+    kind = (mcl.group("kind") or "DEEP").upper()
+    rest = rest[mcl.end():]
+    sref, rest = _read_table_ref(rest)
+    rest = rest.lstrip()
+    ver: int | None = None
+    location: str | None = None
+    props: dict[str, str] = {}
+    ts_lit: str | None = None
+    while rest:
+        mv = re.match(r"VERSION\s+AS\s+OF\s+(\d+)\s*", rest, re.IGNORECASE)
+        if mv:
+            ver = int(mv.group(1))
+            rest = rest[mv.end():]
+            continue
+        mts = re.match(
+            r"TIMESTAMP\s+AS\s+OF\s+('[^']+')\s*", rest, re.IGNORECASE
+        )
+        if mts:
+            ts_lit = mts.group(1)
+            rest = rest[mts.end():]
+            continue
+        ml = re.match(r"LOCATION\s+'([^']+)'\s*", rest, re.IGNORECASE)
+        if ml:
+            location = ml.group(1)
+            rest = rest[ml.end():]
+            continue
+        mt = re.match(r"TBLPROPERTIES\s*\(", rest, re.IGNORECASE)
+        if mt:
+            inner, rest = _balanced_paren(rest[mt.end() - 1:])
+            props.update(_parse_properties(inner))
+            rest = rest.lstrip()
+            continue
+        raise ValueError(f"CLONE: cannot parse clause at {rest[:60]!r}")
+    src = resolve_table(spark, sref.strip("`"))
+    if not hasattr(src, "clone"):
+        raise NotImplementedError(
+            f"CLONE source {sref!r} is not engine-writable (read-only "
+            "interop handle)"
+        )
+    if ts_lit is not None:
+        if ver is not None:
+            raise ValueError("CLONE: VERSION and TIMESTAMP are exclusive")
+        from ..queries.sqlpack import _travel_ts_ms
+
+        ver = src._log.version_at_timestamp(
+            src.root, _travel_ts_ms(ts_lit)
+        )
+    clean = tname.strip("`")
+    if location is None:
+        location = _default_location(spark, clean)
+    from pathlib import Path as _P
+
+    from .delta_interop import is_delta_table
+
+    exists = LakeTable.is_table(location) or is_delta_table(location)
+    if exists and head_m.group("ine"):
+        t = LakeTable.for_path(spark, location)
+        register_table(spark, clean, t)
+        return {"operation": "CLONE", "created": 0}
+    if exists and not head_m.group("replace"):
+        raise ValueError(f"table already exists: {location}")
+    if exists:
+        import shutil
+
+        shutil.rmtree(location, ignore_errors=True)
+    _P(location).parent.mkdir(parents=True, exist_ok=True)
+    t = src.clone(
+        location,
+        shallow=kind == "SHALLOW",
+        version=ver,
+        properties=props or None,
+    )
+    register_table(spark, clean, t)
+    params = t._log.read_commit(t.root, 0).get("operationParameters", {})
+    return {
+        "operation": "CLONE",
+        "created": 1,
+        "isShallow": str(kind == "SHALLOW").lower(),
+        "sourceTable": src.root,
+        "sourceVersion": int(params.get("sourceVersion") or 0),
+        "numClonedFiles": len(t._files()),
+    }
+
+
 def _run_create(spark: SparkSession, sql: str) -> dict[str, Any]:
     """``CREATE [OR REPLACE] TABLE [IF NOT EXISTS] name
     [(col type, ...)] [USING DELTA] [PARTITIONED BY (...)]
@@ -1189,6 +1304,8 @@ def _run_create(spark: SparkSession, sql: str) -> dict[str, Any]:
     rest = sql[m.end() :]
     tname, rest = _read_table_ref(rest)
     rest = rest.lstrip()
+    if re.match(r"(?:(?:SHALLOW|DEEP)\s+)?CLONE\s+", rest, re.IGNORECASE):
+        return _run_clone(spark, m, tname, rest)
 
     schema: _ST | None = None
     if rest.startswith("("):
@@ -1246,18 +1363,7 @@ def _run_create(spark: SparkSession, sql: str) -> dict[str, Any]:
 
     clean = tname.strip("`")
     if location is None:
-        import os
-
-        # runtime-settable override first (spark.sql.warehouse.dir is
-        # a static conf), else the session warehouse
-        try:
-            wh = spark.conf.get("spark.engine.warehouse.dir")
-        except Exception:
-            wh = None
-        if not wh:
-            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        wh = re.sub("^file:/*", "/", wh) if wh.startswith("file:") else wh
-        location = os.path.join(wh, "engine_tables", *clean.split("."))
+        location = _default_location(spark, clean)
 
     from pathlib import Path as _P
 
