@@ -342,11 +342,13 @@ _INTERVAL_PLURALS = frozenset(
 # every spelling Spark's EXTRACT accepts as a field name (docs:
 # YEAR/Y/YEARS/YR/YRS, MONTH/MON/MONS/MONTHS, DAY/D/DAYS, HOUR/H/HR/
 # HRS/HOURS, MINUTE/M/MIN/MINS/MINUTES, SECOND/S/SEC/SECS/SECONDS,
-# WEEK/W/WEEKS, QUARTER/QTR, DOW_ISO). Used ONLY by the table-level
-# FROM scan: `extract(DAYS FROM ts)` must not read `ts` as a table
-# (a registered table sharing a timestamp column's name would be a
-# fabricated edge). A plain `SELECT s FROM t` loses its table edge to
-# this set — under-report, the safe side.
+# WEEK/W/WEEKS, QUARTER/QTR, DOW_ISO). Used by the table-level FROM
+# scan: `extract(DAYS FROM ts)` must not read `ts` as a table (a
+# registered table sharing a timestamp column's name would be a
+# fabricated edge). The scan pairs this set with an opening-paren
+# check — the field position only exists right after the function's
+# "(" — so `SELECT x AS d FROM t` / `+ interval 7 days FROM t` keep
+# their table edges.
 _EXTRACT_FIELD_SYNONYMS = (
     _NON_TABLE_FROM_PRECEDERS
     | _INTERVAL_PLURALS
@@ -357,15 +359,6 @@ _EXTRACT_FIELD_SYNONYMS = (
             "s", "sec", "secs",
         }
     )
-)
-# an interval LITERAL ending right before this point: `interval`
-# followed by one or more `<value> <unit>` pairs (the final unit is
-# the token the caller already consumed). Mask-checked by the caller.
-_INTERVAL_LOOKBEHIND_RE = re.compile(
-    r"\binterval"
-    r"(?:\s+(?:[-+]?\d+(?:\.\d+)?|'[^']*')\s+[A-Za-z_]\w*)*"
-    r"\s+(?:[-+]?\d+(?:\.\d+)?|'[^']*')\s*$",
-    re.IGNORECASE,
 )
 
 
@@ -1774,21 +1767,26 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
         is_from = m.group("kw").upper() == "FROM"
         if is_from:
             prev = re.search(r"([\w.]+|')\s*$", sql[: m.start()])
-            if prev and (
-                prev.group(1).split(".")[-1].lower()
-                in _EXTRACT_FIELD_SYNONYMS
-                or prev.group(1) == "'"
-            ):
-                # one exemption: a preceding interval LITERAL means
-                # the unit word ends the literal and this IS a table
-                # FROM (`SELECT ts + interval 7 days FROM src`);
-                # `extract(days FROM ts)` has no interval before the
-                # field and stays skipped
-                iv = _INTERVAL_LOOKBEHIND_RE.search(
-                    sql[: prev.start(1)]
-                )
-                if iv is None or mask[iv.start()][1]:
-                    continue
+            if prev is not None:
+                ptok = prev.group(1)
+                if ptok == "'":
+                    continue  # substring('abc' FROM 2): keyword-FROM
+                if (
+                    ptok.split(".")[-1].lower()
+                    in _EXTRACT_FIELD_SYNONYMS
+                ):
+                    # a field word is the keyword-FROM shape ONLY right
+                    # after the function's opening paren —
+                    # extract(DAY FROM ts), trim(BOTH FROM s) — while a
+                    # select item aliased d/min/days (SELECT x AS d
+                    # FROM t) or an interval literal (`+ interval 7
+                    # days FROM t`) is preceded by a word or number and
+                    # keeps its table edge
+                    k = prev.start(1) - 1
+                    while k >= 0 and sql[k].isspace():
+                        k -= 1
+                    if k >= 0 and sql[k] == "(":
+                        continue
         names = [m.group(2)]
         if is_from:
             # comma join: FROM a, b, c

@@ -269,8 +269,10 @@ class DeltaLogBackend:
     def _state(self, root: str, version: int | None = None) -> di._State:
         return di._replay(self.spark, root, version)
 
-    def partition_columns(self, root: str) -> list[str]:
-        return list(self._state(root).partition_columns)
+    def partition_columns(
+        self, root: str, version: int | None = None
+    ) -> list[str]:
+        return list(self._state(root, version).partition_columns)
 
     def evolve_mapped_schema(
         self, root: str, new_schema: StructType
@@ -486,8 +488,10 @@ class DeltaLogBackend:
             raise ValueError(f"no metaData action in {root}")
         return state.schema_json
 
-    def table_properties(self, root: str) -> dict[str, Any]:
-        return self._state(root).properties
+    def table_properties(
+        self, root: str, version: int | None = None
+    ) -> dict[str, Any]:
+        return self._state(root, version).properties
 
     def referenced_files_all_versions(self, root: str) -> set[str]:
         refs: set[str] = set()

@@ -332,14 +332,17 @@ def schema_at(root: str, version: int | None = None) -> str:
     raise ValueError(f"not a table: {root}")
 
 
-def table_properties(root: str) -> dict[str, Any]:
-    """Fold per-commit property dicts; a ``None`` value is a DELETION
-    tombstone (the merge-on-replay model has no other way to unset —
-    popping a key from a later snapshot would be silently re-merged
-    from the earlier commit)."""
-    ckpt = latest_checkpoint(root)
+def table_properties(
+    root: str, version: int | None = None
+) -> dict[str, Any]:
+    """Fold per-commit property dicts (up to ``version`` when given —
+    time-travel property state, e.g. for VERSION AS OF clones); a
+    ``None`` value is a DELETION tombstone (the merge-on-replay model
+    has no other way to unset — popping a key from a later snapshot
+    would be silently re-merged from the earlier commit)."""
+    ckpt = latest_checkpoint(root, version)
     props: dict[str, Any] = dict(ckpt["properties"]) if ckpt else {}
-    for c in read_log(root, use_checkpoint=True):
+    for c in read_log(root, version, use_checkpoint=True):
         props.update(c.get("properties", {}))
     return {k: v for k, v in props.items() if v is not None}
 
@@ -356,7 +359,7 @@ def data_dir(root: str) -> Path:
     return Path(root) / DATA_DIR
 
 
-def partition_columns(root: str) -> list[str]:
+def partition_columns(root: str, version: int | None = None) -> list[str]:
     """Engine-native tables are unpartitioned by design — data skipping
     rides per-file footer stats instead of directory layout. Hive
     partitioning exists only on Delta-backed tables

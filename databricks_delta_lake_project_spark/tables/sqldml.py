@@ -1243,13 +1243,32 @@ def _run_copy_into(spark: SparkSession, sql: str) -> dict[str, Any]:
         )
     t = resolve_table(spark, m.group("tref").strip("`"))
     src_dir = _P(m.group("src"))
-    cands = sorted(
-        p
-        for p in (
-            src_dir.glob(pattern) if pattern else src_dir.rglob("*")
+    if src_dir.is_file():
+        # a direct file source (Databricks accepts it); PATTERN is
+        # meaningless against one file
+        cands = [src_dir] if pattern is None else []
+    elif src_dir.is_dir():
+        # skip any candidate with a HIDDEN path component relative to
+        # the source — Spark's own file index does, and a leaf-only
+        # check would descend into _delta_log/ or _spark_metadata/ and
+        # ingest commit JSON as data
+        cands = sorted(
+            p
+            for p in (
+                src_dir.glob(pattern) if pattern else src_dir.rglob("*")
+            )
+            if p.is_file()
+            and not any(
+                part.startswith((".", "_"))
+                for part in p.relative_to(src_dir).parts
+            )
         )
-        if p.is_file() and not p.name.startswith((".", "_"))
-    )
+    else:
+        # a missing source must FAIL, not report a successful 0-file
+        # load (a typo'd path would otherwise green a pipeline run)
+        raise ValueError(
+            f"COPY INTO source does not exist: {src_dir}"
+        )
     force = str(copts.get("force", "false")).lower() in ("true", "1")
     merge = str(copts.get("mergeSchema", "false")).lower() in ("true", "1")
     loaded: set[str] = set()
@@ -1308,6 +1327,36 @@ def _default_location(spark: SparkSession, clean_name: str) -> str:
         wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     wh = re.sub("^file:/*", "/", wh) if wh.startswith("file:") else wh
     return os.path.join(wh, "engine_tables", *clean_name.split("."))
+
+
+def _prepare_create_target(
+    spark: SparkSession, head_m: "re.Match", clean: str, location: str
+):
+    """Shared CREATE-target protocol for ``_run_create`` and
+    ``_run_clone`` (one copy, so replace/exists semantics can never
+    drift between them): IF NOT EXISTS returns the EXISTING table
+    (caller no-ops after re-registering), plain CREATE over an
+    existing table refuses, OR REPLACE clears the location; otherwise
+    the parent directory is readied and None returned (caller
+    creates)."""
+    from pathlib import Path as _P
+
+    from .delta_interop import is_delta_table
+    from .table import LakeTable
+
+    exists = LakeTable.is_table(location) or is_delta_table(location)
+    if exists and head_m.group("ine"):
+        t = LakeTable.for_path(spark, location)
+        register_table(spark, clean, t)
+        return t
+    if exists and not head_m.group("replace"):
+        raise ValueError(f"table already exists: {location}")
+    if exists:
+        import shutil
+
+        shutil.rmtree(location, ignore_errors=True)
+    _P(location).parent.mkdir(parents=True, exist_ok=True)
+    return None
 
 
 def _run_clone(
@@ -1376,20 +1425,14 @@ def _run_clone(
         location = _default_location(spark, clean)
     from pathlib import Path as _P
 
-    from .delta_interop import is_delta_table
-
-    exists = LakeTable.is_table(location) or is_delta_table(location)
-    if exists and head_m.group("ine"):
-        t = LakeTable.for_path(spark, location)
-        register_table(spark, clean, t)
+    if str(_P(location).resolve()) == str(_P(src.root).resolve()):
+        # OR REPLACE would rmtree the SOURCE before the clone reads it
+        raise ValueError(
+            f"CLONE target location is the source's own location: "
+            f"{location}"
+        )
+    if _prepare_create_target(spark, head_m, clean, location) is not None:
         return {"operation": "CLONE", "created": 0}
-    if exists and not head_m.group("replace"):
-        raise ValueError(f"table already exists: {location}")
-    if exists:
-        import shutil
-
-        shutil.rmtree(location, ignore_errors=True)
-    _P(location).parent.mkdir(parents=True, exist_ok=True)
     t = src.clone(
         location,
         shallow=kind == "SHALLOW",
@@ -1500,22 +1543,8 @@ def _run_create(spark: SparkSession, sql: str) -> dict[str, Any]:
     if location is None:
         location = _default_location(spark, clean)
 
-    from pathlib import Path as _P
-
-    from .delta_interop import is_delta_table
-
-    exists = LakeTable.is_table(location) or is_delta_table(location)
-    if exists and m.group("ine"):
-        t = LakeTable.for_path(spark, location)
-        register_table(spark, clean, t)
+    if _prepare_create_target(spark, m, clean, location) is not None:
         return {"operation": "CREATE TABLE", "created": 0}
-    if exists and not m.group("replace"):
-        raise ValueError(f"table already exists: {location}")
-    if exists:
-        import shutil
-
-        shutil.rmtree(location, ignore_errors=True)
-    _P(location).parent.mkdir(parents=True, exist_ok=True)
 
     df = spark.sql(select_sql) if select_sql is not None else None
     t = LakeTable.create(

@@ -157,6 +157,36 @@ def test_clone_refuses_deletion_vectors_and_existing_target(
     ok.clone(str(tmp_path / "okclone"))
     with pytest.raises(ValueError, match="already exists"):
         ok.clone(str(tmp_path / "okclone"))
+    # a FOREIGN table at the target (delta log, engine source) must
+    # refuse too — a second commit log would fork the directory
+    LakeTable.create(
+        spark, str(tmp_path / "foreign"), df=spark.range(3),
+        format="delta",
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        ok.clone(str(tmp_path / "foreign"))
+
+
+def test_time_travel_clone_carries_snapshot_properties(spark, tmp_path):
+    """A VERSION AS OF clone is born with the properties (and
+    partitioning) the source had AT that version — a later ALTER's
+    feature flags must not leak backwards into an older snapshot."""
+    src = LakeTable.create(
+        spark, str(tmp_path / "vp"), df=spark.range(10).withColumn(
+            "v", F.lit(1)
+        )
+    )
+    run_statement_props = {"engine.flag": "on"}
+    src._log.commit(
+        src.root, "SET TBLPROPERTIES", [], [],
+        src._log.schema_at(src.root),
+        properties=run_statement_props,
+    )
+    assert src.properties().get("engine.flag") == "on"
+    c0 = src.clone(str(tmp_path / "vp0"), shallow=True, version=0)
+    assert "engine.flag" not in c0.properties()
+    c1 = src.clone(str(tmp_path / "vp1"), shallow=True)
+    assert c1.properties().get("engine.flag") == "on"
 
 
 def test_clone_sql_grammar_and_lineage(spark, tmp_path):
@@ -240,6 +270,14 @@ def test_clone_sql_grammar_and_lineage(spark, tmp_path):
                 spark,
                 f"CREATE TABLE cat.dev.gsnap SHALLOW CLONE "
                 f"cat.gold.gsrc LOCATION '{tmp_path / 'gsnap'}'",
+            )
+        # OR REPLACE into the SOURCE's own location would rmtree the
+        # source before the clone reads it: refused up front
+        with pytest.raises(ValueError, match="source's own location"):
+            run_statement(
+                spark,
+                f"CREATE OR REPLACE TABLE cat.dev.oops SHALLOW CLONE "
+                f"cat.gold.gsrc LOCATION '{tmp_path / 'gsrc'}'",
             )
     finally:
         for nm in (

@@ -114,3 +114,57 @@ def test_copy_into_refusals(spark, copy_world, tmp_path):
             "COPY INTO ccat.bronze.tgt FROM (SELECT 1) "
             "FILEFORMAT = PARQUET",
         )
+    # a MISSING source fails loudly — a typo'd path must never green a
+    # pipeline run with numFilesLoaded=0
+    with pytest.raises(ValueError, match="does not exist"):
+        run_statement(
+            spark,
+            f"COPY INTO ccat.bronze.tgt FROM '{tmp_path / 'landng'}' "
+            "FILEFORMAT = PARQUET",
+        )
+
+
+def test_copy_into_hidden_dirs_and_file_source(spark, tmp_path):
+    """Candidates with a hidden path COMPONENT (_delta_log/,
+    _spark_metadata/, .staging/) are skipped — Spark's own file index
+    does, and a leaf-only check would ingest commit JSON as data. A
+    direct FILE source (no directory) loads that one file."""
+    land = tmp_path / "land2"
+    (land / "_delta_log").mkdir(parents=True)
+    (land / "_delta_log" / "00000000000000000000.json").write_text("{}")
+    (land / ".staging").mkdir()
+    spark.range(7).withColumn("v", F.col("id")).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(land / ".staging" / "tmp"))
+    spark.range(5).withColumn("v", F.col("id")).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(land / "good"))
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "htgt"),
+        schema=spark.range(1).withColumn("v", F.col("id")).schema,
+    )
+    sqldml.register_table(spark, "ccat.bronze.htgt", t)
+    try:
+        r = run_statement(
+            spark,
+            f"COPY INTO ccat.bronze.htgt FROM '{land}' "
+            "FILEFORMAT = PARQUET",
+        ).collect()[0]
+        assert r["numOutputRows"] == 5  # only good/, never .staging/
+        assert t.to_df().count() == 5
+        # direct file source
+        one = sorted((land / "good").glob("*.parquet"))[0]
+        t2 = LakeTable.create(
+            spark, str(tmp_path / "ftgt"), schema=t.schema
+        )
+        sqldml.register_table(spark, "ccat.bronze.ftgt", t2)
+        r2 = run_statement(
+            spark,
+            f"COPY INTO ccat.bronze.ftgt FROM '{one}' "
+            "FILEFORMAT = PARQUET",
+        ).collect()[0]
+        assert (r2["numFilesLoaded"], r2["numOutputRows"]) == (1, 5)
+    finally:
+        for nm in ("ccat.bronze.htgt", "ccat.bronze.ftgt"):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)

@@ -2134,12 +2134,20 @@ def test_extract_from_does_not_fabricate_lineage(spark, tag_world, tmp_path):
             "FROM customers",
         ) == {"tagcat.silver.customers"}
         # ...while a unit word ENDING an interval literal right before
-        # FROM leaves it a table FROM (the lookbehind exemption)
+        # FROM leaves it a table FROM (no opening paren precedes it)
         for lit in ("interval 7 days", "interval '7' days",
                     "interval 1 day 2 hours"):
             assert _lineage_sources(
                 spark,
                 f"INSERT INTO t SELECT signup_date + {lit} "
+                "FROM customers",
+            ) == {"tagcat.silver.customers"}
+        # a select item ALIASED like a short extract synonym (d, min,
+        # days) is not the extract shape either — the table edge stays
+        for alias in ("d", "min", "days"):
+            assert _lineage_sources(
+                spark,
+                f"INSERT INTO t SELECT signup_date AS {alias} "
                 "FROM customers",
             ) == {"tagcat.silver.customers"}
     finally:
