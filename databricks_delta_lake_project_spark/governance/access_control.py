@@ -646,7 +646,9 @@ def canonical_name(spark: SparkSession, name: str) -> str:
 
     sid = session_key(spark)
     clean = name.strip("`").lower()
-    names = [n for (s, n) in sqldml._REGISTRY if s == sid]
+    names = [n for (s, n) in sqldml._REGISTRY if s == sid] + [
+        n for (s, n) in sqldml._VIEW_DEFS if s == sid
+    ]
     if clean in names:
         return clean
     hits = [n for n in names if n.split(".")[-1] == clean.split(".")[-1]]
@@ -707,6 +709,16 @@ def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
     lasts = {r.split(".")[-1] for r in refs}
     out: set[str] = set()
     for (s, n) in sqldml._REGISTRY:
+        if s != sid:
+            continue
+        if n in refs or n.split(".")[-1] in lasts:
+            out.add(n)
+    # persistent VIEWS are securables in their own right (UC's
+    # owner's-rights model: querying a view needs SELECT on the VIEW;
+    # the body's tables were checked against the CREATOR at
+    # definition). Their names never appear in _REGISTRY, so they need
+    # their own pass.
+    for (s, n) in sqldml._VIEW_DEFS:
         if s != sid:
             continue
         if n in refs or n.split(".")[-1] in lasts:

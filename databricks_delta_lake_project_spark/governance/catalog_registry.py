@@ -105,6 +105,9 @@ _KIND_ORDER = {
     "volume": 4,
     "layer_tag": 5,
     "function": 9,
+    # views may read tables through foreign catalogs and call SQL
+    # functions: replay them last
+    "view": 10,
 }
 
 
@@ -145,7 +148,7 @@ def _disk_rows_versioned(
 # separate UC namespace: DROP CATALOG analytics CASCADE must never
 # delete an unrelated connection that happens to share the name
 _TREE_KINDS = frozenset(
-    {"catalog", "schema", "volume", "layer_tag", "function"}
+    {"catalog", "schema", "volume", "layer_tag", "function", "view"}
 )
 
 
@@ -215,6 +218,13 @@ def _apply_row(
             # created
             fmap.pop(name, None)
             raise
+    elif kind == "view":
+        from ..tables import sqldml
+
+        # definition only — the temp view materializes on the next
+        # sync_views pass (no spark.sql during a registry load: a
+        # body whose tables resolve later must not fail the load)
+        sqldml._VIEW_DEFS.setdefault((sid, name), dict(payload))
     elif kind == "connection":
         from . import federation
 

@@ -276,6 +276,18 @@ def tables_df(spark: SparkSession) -> DataFrame:
             rows.append((cat, sch, tbl, kind, fmt, str(t.root)))
         except Exception:  # noqa: BLE001
             continue
+    # persistent views list alongside tables (UC's
+    # information_schema.tables includes table_type = 'VIEW' rows)
+    from ..tables import sqldml as _sqldml
+    from . import access_control as acl
+
+    sid = session_key(spark)
+    enforcing = acl.enabled(spark)
+    for (s, n) in sorted(_sqldml._VIEW_DEFS):
+        if s != sid or (enforcing and not acl.can_list(spark, n)):
+            continue
+        cat, sch, tbl = _split_name(n)
+        rows.append((cat, sch, tbl, "VIEW", None, None))
     return spark.createDataFrame(rows, _IS_TABLES_SCHEMA)
 
 

@@ -1358,6 +1358,24 @@ def _edges_impl(
             if not virtual[bare]:
                 return []
             srcs.append("cte:" + bare)
+            continue
+        vd = sqldml.view_def(spark, bare)
+        if vd is not None:
+            # a persistent VIEW is a virtual source like a CTE: its
+            # body is scanned once per statement and references
+            # through its output columns expand to the real table
+            # columns they derive from; an unattributable body (WITH,
+            # stars) derives nothing for the whole statement, same as
+            # a shadow-only CTE
+            vname = "__v_" + vd[0].replace(".", "_")
+            if vname not in virtual:
+                _virtual_source(
+                    spark, vname, vd[1].get("cols"), vd[1]["sql"],
+                    target, cache, ctx,
+                )
+            if not virtual[vname]:
+                return []
+            srcs.append("cte:" + vname)
         else:
             srcs.append(acl.canonical_name(spark, bare))
     sid = session_key(spark)
@@ -1598,9 +1616,21 @@ def _merge_column_lineage_edges(
         return []
     sid = session_key(spark)
     registered = {n for (s, n) in sqldml._REGISTRY if s == sid}
-    if sname is None:
+    vbody = vcols = None
+    if sname is not None:
+        vd = sqldml.view_def(spark, sname.strip("`"))
+        if vd is not None:
+            # MERGE USING <view>: scan the view body as the virtual
+            # source, exactly like a subquery source
+            vbody, vcols = vd[1]["sql"], vd[1].get("cols")
+    if sname is None or vbody is not None:
         ctx: dict = {"virtual": {}, "ancestry": {}, "n": 0}
-        _virtual_source(spark, "__musrc", None, inner, target, {}, ctx)
+        _virtual_source(
+            spark, "__musrc",
+            vcols if vbody is not None else None,
+            vbody if vbody is not None else inner,
+            target, {}, ctx,
+        )
         src_schema = ctx["virtual"]["__musrc"]
         if not src_schema:
             return []  # unattributable body: derive nothing
@@ -1733,7 +1763,9 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
     from ..tables import sqldml
 
     sid = session_key(spark)
-    registered = {n for (s, n) in sqldml._REGISTRY if s == sid}
+    registered = {n for (s, n) in sqldml._REGISTRY if s == sid} | {
+        n for (s, n) in sqldml._VIEW_DEFS if s == sid
+    }
     mask = sqldml._mask(sql)
     ctes = _cte_names(sql)
     out: set[str] = set()
@@ -2047,8 +2079,15 @@ def _run_statement_impl(
                 srcs = [
                     s for s in _lineage_sources(spark, sql) if s != tgt_c
                 ]
+                views = {
+                    n for (s, n) in sqldml._VIEW_DEFS
+                    if s == session_key(spark)
+                }
                 for src in srcs:
-                    systables.record_lineage(spark, src, tgt_c)
+                    systables.record_lineage(
+                        spark, src, tgt_c,
+                        source_type="VIEW" if src in views else "TABLE",
+                    )
                 if is_clone:
                     # a clone carries every source column 1:1 under
                     # the same name (the clone's own schema IS the

@@ -428,6 +428,162 @@ def _upsert_namespace(
     return True
 
 
+_CREATE_VIEW_RE = re.compile(
+    r"CREATE\s+(?P<repl>OR\s+REPLACE\s+)?VIEW\s+"
+    r"(?:(?P<ine>IF\s+NOT\s+EXISTS)\s+)?"
+    r"(?P<name>`[^`]+`|[\w.]+)\s*"
+    r"(?:\((?P<cols>[^()]*)\)\s*)?"
+    r"(?:COMMENT\s+'(?P<comment>[^']*)'\s*)?"
+    r"AS\s+(?P<body>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _run_create_view(spark: SparkSession, text: str) -> DataFrame | None:
+    """``CREATE [OR REPLACE] VIEW [IF NOT EXISTS] name [(cols)]
+    [COMMENT '...'] AS select`` — persistent, ACL-gated views (UC
+    views; the reference drives everything through tables, so this is
+    beyond-reference surface). ``CREATE TEMPORARY VIEW`` falls through
+    to Spark's native handling (None).
+
+    Definition-time semantics mirror UC's owner's-rights model: the
+    CREATOR needs SELECT on every table the body reads (checked here,
+    once), and later queries need SELECT on the VIEW only — the view
+    is the securable. The definition is re-analyzed per statement
+    (``sync_views``), so it always reads the underlying tables'
+    current snapshot, and it persists through the durable catalog
+    registry like SQL functions do. Body table references use the
+    same suffix-name resolution every engine statement uses."""
+    from ..governance import access_control as acl, catalog_registry
+    from ..queries import sqlpack
+    from .table import LakeTable
+
+    m = _CREATE_VIEW_RE.match(text)
+    if m is None:
+        return None
+    from . import sqldml
+
+    sid = session_key(spark)
+    clean = m.group("name").strip("`").lower()
+    base = clean.split(".")[-1]
+    if not re.fullmatch(r"\w+", base):
+        raise ValueError(f"invalid view name: {m.group('name')!r}")
+    body = m.group("body").strip().rstrip(";")
+    cols = (
+        [c.strip().strip("`") for c in m.group("cols").split(",")]
+        if m.group("cols")
+        else None
+    )
+    # a view must not shadow (or be shadowed by) a registered table's
+    # resolution name — both resolve by basename
+    for (s, n) in sqldml._REGISTRY:
+        if s == sid and (n == clean or n.split(".")[-1] == base):
+            raise ValueError(
+                f"view name collides with registered table {n!r}"
+            )
+    # a self-referential body (CREATE OR REPLACE VIEW v AS ... FROM v)
+    # would analyze against the PREVIOUS definition's already-bound
+    # temp view and silently freeze that stale plan — refuse the shape
+    # outright (views resolve by basename, so a same-named other
+    # object cannot exist)
+    body_refs = sqldml.identifier_tokens(body)
+    if base in body_refs or clean in body_refs:
+        raise ValueError(
+            f"view {clean} references itself in its body — recursive "
+            f"or self-replacing views are not supported"
+        )
+    existing = sqldml._VIEW_DEFS.get((sid, clean))
+    if existing is not None and m.group("ine"):
+        return spark.createDataFrame(
+            [(clean, 0)], "view string, created int"
+        )
+    if existing is not None and not m.group("repl"):
+        raise ValueError(f"view already exists: {clean}")
+    if acl.enabled(spark):
+        # a view BODY resolves names at sync time, outside the
+        # per-statement guard — the same fail-closed rule applies
+        acl.refuse_dynamic_sql(spark, body)
+        if existing is not None:
+            # replacing a view rewrites what every granted reader
+            # sees: ownership/manage gate, like DROP (UC requires
+            # ownership to REPLACE)
+            _require_drop(spark, clean, "CREATE OR REPLACE VIEW")
+        parent = clean.rpartition(".")[0] or "default"
+        acl.enforce(spark, "CREATE", parent)
+        # owner's rights, checked ONCE at definition: the creator must
+        # be able to read everything the body reads; queriers later
+        # need SELECT on the view only
+        for tbl in acl.referenced_tables(spark, body):
+            acl.enforce(spark, "SELECT", tbl)
+    # validate the body NOW (and bind the temp view): a definition
+    # that cannot analyze must fail its CREATE, not every later
+    # statement
+    sqldml.sync_views(spark)
+    df = spark.sql(sqlpack.normalize_sql(body))
+    if cols is not None:
+        if len(cols) != len(df.columns):
+            raise ValueError(
+                f"view column list has {len(cols)} names for "
+                f"{len(df.columns)} output columns"
+            )
+        df = df.toDF(*cols)
+    df.createOrReplaceTempView(base)
+    sqldml._VIEW_DEFS[(sid, clean)] = {
+        "sql": body,
+        "cols": cols,
+        "comment": m.group("comment"),
+    }
+    # table-level lineage: underlying tables/views -> the view entity
+    from ..governance import systables
+
+    vnames = {n for (s, n) in sqldml._VIEW_DEFS if s == sid}
+    for src in sqlpack._lineage_sources(spark, body):
+        if src != clean:
+            systables.record_lineage(
+                spark, src, clean,
+                source_type="VIEW" if src in vnames else "TABLE",
+                target_type="VIEW",
+            )
+    catalog_registry.record(
+        spark,
+        "view",
+        clean,
+        {"sql": body, "cols": cols, "comment": m.group("comment")},
+    )
+    return spark.createDataFrame(
+        [(clean, 1)], "view string, created int"
+    )
+
+
+def _run_drop_view(spark: SparkSession, text: str) -> DataFrame | None:
+    """``DROP VIEW [IF EXISTS] name`` over a registered persistent
+    view; None (fall through to Spark) when the name is not one —
+    a user's own TEMP view drops natively."""
+    from ..governance import catalog_registry
+    from . import sqldml
+
+    m = re.match(
+        r"DROP\s+VIEW\s+(?P<ife>IF\s+EXISTS\s+)?"
+        r"(?P<name>`[^`]+`|[\w.]+)\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m is None:
+        return None
+    hit = sqldml.view_def(spark, m.group("name"))
+    if hit is None:
+        return None  # unknown to the engine: native temp-view drop
+    full, _meta = hit
+    _require_drop(spark, full, "DROP VIEW")
+    sqldml._VIEW_DEFS.pop((session_key(spark), full), None)
+    try:
+        spark.catalog.dropTempView(full.split(".")[-1])
+    except Exception:  # noqa: BLE001
+        pass
+    catalog_registry.erase(spark, "view", full)
+    return spark.createDataFrame([(full, 1)], "view string, dropped int")
+
+
 def _run_create_volume(spark: SparkSession, text: str) -> DataFrame | None:
     m = re.match(
         rf"CREATE\s+(?P<ext>EXTERNAL\s+)?VOLUME\s+"
@@ -929,6 +1085,37 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
     ns = _run_create_namespace(spark, text)
     if ns is not None:
         return ns
+
+    if re.match(r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\b", text, re.IGNORECASE):
+        made = _run_create_view(spark, text)
+        if made is not None:
+            return made
+        raise ValueError(f"cannot parse CREATE VIEW: {text[:80]!r}")
+
+    if re.match(r"DROP\s+VIEW\b", text, re.IGNORECASE):
+        dropped = _run_drop_view(spark, text)
+        if dropped is not None:
+            return dropped
+
+    m = re.match(
+        r"SHOW\s+VIEWS(?:\s+IN\s+(?P<ns>[\w.]+))?\s*$", text, re.IGNORECASE
+    )
+    if m:
+        ns_filter = (m.group("ns") or "").lower()
+        sid = session_key(spark)
+        rows = []
+        for (s, n), meta in sorted(sqldml._VIEW_DEFS.items()):
+            if s != sid:
+                continue
+            if ns_filter and not n.startswith(ns_filter + "."):
+                continue
+            if not _listable(spark, n):
+                continue
+            ns_part, _, base = n.rpartition(".")
+            rows.append((ns_part, base, meta.get("comment")))
+        return spark.createDataFrame(
+            rows, "namespace string, view_name string, comment string"
+        )
 
     if re.match(r"DROP\s+VOLUME\b", text, re.IGNORECASE):
         return _run_drop_volume(spark, text)

@@ -58,8 +58,18 @@ def _skey(spark: SparkSession, name: str) -> tuple[str, str]:
 
 def register_table(spark: SparkSession, name: str, table: "LakeTable") -> None:
     """Bind ``name`` (optionally dotted, e.g. ``cat.schema.customers``)
-    to a LakeTable for SQL DML resolution in this session."""
-    _REGISTRY[_skey(spark, name)] = table
+    to a LakeTable for SQL DML resolution in this session. Refuses a
+    name whose BASENAME collides with a persistent view (both resolve
+    by basename — the later sync pass would silently shadow one with
+    the other)."""
+    sid, clean = _skey(spark, name)
+    base = clean.split(".")[-1]
+    for (s, n) in _VIEW_DEFS:
+        if s == sid and (n == clean or n.split(".")[-1] == base):
+            raise ValueError(
+                f"table name {name!r} collides with view {n!r}"
+            )
+    _REGISTRY[(sid, clean)] = table
 
 
 # temp views this module created (never user-owned ones), mapped to
@@ -154,6 +164,55 @@ def sync_views(spark: SparkSession) -> None:
                     continue
             df.createOrReplaceTempView(name)
             _OWNED_VIEWS[key] = (v, t.root)
+    # persistent VIEWS re-analyze per statement (the definition is SQL
+    # text, so the plan always reads the underlying tables' CURRENT
+    # snapshot — a temp view built once would freeze the file list at
+    # definition time). Creation order = dict order, so a view over an
+    # earlier view resolves. Zero cost for sessions with no views.
+    for (s, n), meta in list(_VIEW_DEFS.items()):
+        if s != sid:
+            continue
+        base = n.split(".")[-1]
+        try:
+            df = spark.sql(meta["sql"])
+            if meta.get("cols"):
+                df = df.toDF(*meta["cols"])
+            df.createOrReplaceTempView(base)
+        except Exception as e:  # noqa: BLE001
+            import warnings
+
+            # one broken view (an underlying table dropped since
+            # definition) must not brick every later statement
+            warnings.warn(
+                f"view {n}: body no longer analyzes ({e}); statements "
+                f"referencing it will fail until it is re-created or "
+                f"dropped",
+                stacklevel=2,
+            )
+
+
+# persistent VIEW definitions (UC views: named, ACL-gated, durable
+# via the catalog registry), (session, full_name_lower) ->
+# {"sql": <select body>, "cols": [..]|None, "comment": str|None}
+_VIEW_DEFS: dict[tuple[str, str], dict] = {}
+
+
+def view_def(spark: SparkSession, name: str) -> tuple[str, dict] | None:
+    """``(full_name, definition)`` for a registered view, resolved
+    exactly or by unique basename suffix (the same rule table
+    resolution applies); None when unknown or ambiguous."""
+    sid = session_key(spark)
+    clean = name.strip().strip("`").lower()
+    hit = _VIEW_DEFS.get((sid, clean))
+    if hit is not None:
+        return clean, hit
+    last = clean.split(".")[-1]
+    matches = [
+        (n, d)
+        for (s, n), d in _VIEW_DEFS.items()
+        if s == sid and n.split(".")[-1] == last
+    ]
+    return matches[0] if len(matches) == 1 else None
 
 
 def resolve_table(spark: SparkSession, name: str) -> "LakeTable":

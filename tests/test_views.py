@@ -1,0 +1,317 @@
+"""Persistent views (beyond the reference repo's surface; UC view
+semantics): CREATE/DROP/SHOW VIEWS DDL, per-statement re-analysis (a
+view always reads the underlying tables' CURRENT snapshot), UC's
+owner's-rights ACL model (creator needs SELECT on the body's tables,
+queriers need SELECT on the VIEW only), durable catalog-registry
+persistence, and lineage that composes through view bodies."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from databricks_delta_lake_project_spark.functions.masking import (
+    GROUPS_CONF_KEY,
+)
+from databricks_delta_lake_project_spark.governance import (
+    access_control as acl,
+    catalog_registry,
+)
+from databricks_delta_lake_project_spark.queries.sqlpack import run_statement
+from databricks_delta_lake_project_spark.session import session_key
+from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
+
+
+@pytest.fixture()
+def view_world(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "orders"),
+        df=spark.range(10).withColumn("amount", F.col("id") * 2.0),
+    )
+    sqldml.register_table(spark, "vcat.gold.orders", t)
+    sid = session_key(spark)
+    yield t
+    sqldml._REGISTRY.pop((sid, "vcat.gold.orders"), None)
+    for key in [k for k in sqldml._VIEW_DEFS if k[0] == sid]:
+        sqldml._VIEW_DEFS.pop(key, None)
+
+
+def test_view_ddl_freshness_and_composition(spark, view_world, tmp_path):
+    """CREATE VIEW binds a named, re-analyzed-per-statement view:
+    mutations to the underlying table show up immediately, views
+    compose over views, OR REPLACE swaps the definition, IF NOT EXISTS
+    no-ops, DROP removes it, SHOW VIEWS and
+    information_schema.tables list it."""
+    out = run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.big_orders (oid, dbl) "
+        "COMMENT 'doubled big orders' AS "
+        "SELECT id, amount * 2 FROM orders WHERE amount > 4",
+    ).collect()[0]
+    assert (out["view"], out["created"]) == ("vcat.gold.big_orders", 1)
+    assert (
+        run_statement(
+            spark, "SELECT count(*) AS n FROM big_orders"
+        ).collect()[0]["n"]
+        == 7
+    )
+    # FRESHNESS: the definition re-analyzes per statement, so DML on
+    # the underlying table is visible without re-creating the view
+    run_statement(spark, "DELETE FROM orders WHERE id >= 8")
+    assert (
+        run_statement(
+            spark, "SELECT count(*) AS n FROM big_orders"
+        ).collect()[0]["n"]
+        == 5
+    )
+    # view over view
+    run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.big2 AS "
+        "SELECT dbl FROM big_orders WHERE dbl > 20",
+    )
+    assert (
+        run_statement(spark, "SELECT count(*) AS n FROM big2").collect()[
+            0
+        ]["n"]
+        == 2
+    )
+    shows = {
+        (r["namespace"], r["view_name"], r["comment"])
+        for r in run_statement(spark, "SHOW VIEWS").collect()
+    }
+    assert ("vcat.gold", "big_orders", "doubled big orders") in shows
+    assert ("vcat.gold", "big2", None) in shows
+    ist = {
+        tuple(r)
+        for r in run_statement(
+            spark,
+            "SELECT table_catalog, table_schema, table_name, table_type "
+            "FROM system.information_schema.tables "
+            "WHERE table_type = 'VIEW'",
+        ).collect()
+    }
+    assert ("vcat", "gold", "big_orders", "VIEW") in ist
+    # IF NOT EXISTS no-ops; plain CREATE refuses; OR REPLACE swaps
+    assert (
+        run_statement(
+            spark,
+            "CREATE VIEW IF NOT EXISTS vcat.gold.big_orders AS "
+            "SELECT id FROM orders",
+        ).collect()[0]["created"]
+        == 0
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        run_statement(
+            spark,
+            "CREATE VIEW vcat.gold.big_orders AS SELECT id FROM orders",
+        )
+    run_statement(
+        spark,
+        "CREATE OR REPLACE VIEW vcat.gold.big2 AS SELECT oid FROM "
+        "big_orders",
+    )
+    assert run_statement(spark, "SELECT * FROM big2").columns == ["oid"]
+    # name collision with a registered table refuses — both directions
+    with pytest.raises(ValueError, match="collides"):
+        run_statement(
+            spark,
+            "CREATE VIEW other.ns.orders AS SELECT 1 AS x",
+        )
+    with pytest.raises(ValueError, match="collides"):
+        sqldml.register_table(
+            spark, "other.ns.big_orders", view_world
+        )
+    # a self-referential body would freeze the PREVIOUS definition's
+    # plan: refused
+    with pytest.raises(ValueError, match="references itself"):
+        run_statement(
+            spark,
+            "CREATE OR REPLACE VIEW vcat.gold.big_orders AS "
+            "SELECT oid FROM big_orders WHERE oid > 1",
+        )
+    # DROP
+    run_statement(spark, "DROP VIEW vcat.gold.big2")
+    assert not [
+        r
+        for r in run_statement(spark, "SHOW VIEWS").collect()
+        if r["view_name"] == "big2"
+    ]
+    # CREATE TEMPORARY VIEW stays native Spark (not registered)
+    run_statement(
+        spark, "CREATE TEMPORARY VIEW tview AS SELECT 1 AS one"
+    )
+    assert not [
+        r
+        for r in run_statement(spark, "SHOW VIEWS").collect()
+        if r["view_name"] == "tview"
+    ]
+    spark.catalog.dropTempView("tview")
+
+
+def test_view_lineage_composes_to_real_tables(
+    spark, view_world, tmp_path
+):
+    """A CTAS reading a view records the VIEW as its table-level
+    source (source_type VIEW) while COLUMN lineage expands through the
+    view body to the real table columns; CREATE VIEW itself records
+    underlying-table -> view edges."""
+    from databricks_delta_lake_project_spark.queries import sqlpack
+
+    run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.vbig AS "
+        "SELECT id, amount * 2 AS dbl FROM orders WHERE amount > 4",
+    )
+    run_statement(
+        spark,
+        f"CREATE TABLE vcat.silver.vsnap USING delta LOCATION "
+        f"'{tmp_path / 'vsnap'}' AS SELECT dbl AS d2, id FROM vbig",
+    )
+    tl = {
+        tuple(r)
+        for r in run_statement(
+            spark,
+            "SELECT source_table_full_name, source_type, "
+            "target_table_full_name FROM system.lineage.table_lineage",
+        ).collect()
+    }
+    assert ("vcat.gold.orders", "TABLE", "vcat.gold.vbig") in tl
+    assert ("vcat.gold.vbig", "VIEW", "vcat.silver.vsnap") in tl
+    cl = sorted(
+        tuple(r)
+        for r in run_statement(
+            spark,
+            "SELECT source_table_full_name, source_column_name, "
+            "target_column_name FROM system.lineage.column_lineage "
+            "WHERE target_table_full_name = 'vcat.silver.vsnap'",
+        ).collect()
+    )
+    assert cl == [
+        ("vcat.gold.orders", "amount", "d2"),
+        ("vcat.gold.orders", "id", "id"),
+    ]
+    # MERGE USING a view expands the same way
+    tgt = LakeTable.create(
+        spark,
+        str(tmp_path / "vm"),
+        df=spark.createDataFrame([(1, 0.0)], "id long, amount double"),
+    )
+    sqldml.register_table(spark, "vcat.silver.vm", tgt)
+    try:
+        edges = sorted(
+            sqlpack._merge_column_lineage_edges(
+                spark,
+                "MERGE INTO vcat.silver.vm t USING vbig s "
+                "ON t.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET amount = s.dbl",
+                "vcat.silver.vm",
+            )
+        )
+        assert edges == [("vcat.gold.orders", "amount", "amount")]
+    finally:
+        sqldml._REGISTRY.pop((session_key(spark), "vcat.silver.vm"), None)
+
+
+def test_view_acl_owner_rights(spark, view_world):
+    """UC's owner's-rights model: the CREATOR must hold SELECT on the
+    body's tables (checked once, at definition); queriers need SELECT
+    on the VIEW only — no grant on the underlying table required."""
+    spark.conf.set(acl.ENABLED_CONF, "true")
+    spark.conf.set(acl.PRINCIPAL_CONF, "owner")
+    spark.conf.set(acl.ADMINS_CONF, "owner")
+    try:
+        for g in (
+            "GRANT USAGE ON CATALOG vcat TO owner",
+            "GRANT USAGE ON SCHEMA vcat.gold TO owner",
+            "GRANT CREATE ON SCHEMA vcat.gold TO owner",
+            "GRANT SELECT ON SCHEMA vcat.gold TO owner",
+        ):
+            run_statement(spark, g)
+        run_statement(
+            spark,
+            "CREATE VIEW vcat.gold.sview AS "
+            "SELECT id FROM orders WHERE amount > 4",
+        )
+        run_statement(
+            spark, "GRANT SELECT ON TABLE vcat.gold.sview TO reader"
+        )
+        run_statement(spark, "GRANT USAGE ON CATALOG vcat TO reader")
+        run_statement(spark, "GRANT USAGE ON SCHEMA vcat.gold TO reader")
+        spark.conf.set(acl.PRINCIPAL_CONF, "reader")
+        # reader holds NOTHING on vcat.gold.orders, but the view grant
+        # suffices
+        assert (
+            run_statement(
+                spark, "SELECT count(*) AS n FROM sview"
+            ).collect()[0]["n"]
+            == 7
+        )
+        with pytest.raises(PermissionError):
+            run_statement(spark, "SELECT * FROM orders")
+        # an unprivileged principal cannot CREATE a view over tables
+        # it cannot read
+        spark.conf.set(acl.PRINCIPAL_CONF, "intruder")
+        with pytest.raises(PermissionError):
+            run_statement(
+                spark,
+                "CREATE VIEW vcat.gold.leak AS SELECT id FROM orders",
+            )
+        # ...nor REPLACE someone else's view (ownership/manage gate),
+        # nor hide a runtime-built name in a view body
+        spark.conf.set(acl.PRINCIPAL_CONF, "reader")
+        with pytest.raises(PermissionError):
+            run_statement(
+                spark,
+                "CREATE OR REPLACE VIEW vcat.gold.sview AS "
+                "SELECT 1 AS x",
+            )
+        spark.conf.set(acl.PRINCIPAL_CONF, "owner")
+        with pytest.raises(PermissionError, match=r"IDENTIFIER\(\)"):
+            run_statement(
+                spark,
+                "CREATE VIEW vcat.gold.dyn AS "
+                "SELECT * FROM IDENTIFIER('ord' || 'ers')",
+            )
+    finally:
+        spark.conf.set(acl.ENABLED_CONF, "false")
+        spark.conf.unset(acl.PRINCIPAL_CONF)
+        spark.conf.unset(acl.ADMINS_CONF)
+        acl._GRANTS.clear()
+
+
+def test_view_durable_across_sessions(spark, view_world, tmp_path):
+    """spark.engine.catalogRegistry.path persists view definitions: a
+    fresh session (cleared dict) re-resolves the view from the durable
+    registry on first touch; DROP VIEW tombstones it."""
+    reg = str(tmp_path / "catreg")
+    spark.conf.set(catalog_registry.PATH_CONF, reg)
+    sid = session_key(spark)
+    try:
+        run_statement(
+            spark,
+            "CREATE VIEW vcat.gold.dview AS "
+            "SELECT id FROM orders WHERE amount > 10",
+        )
+        # fresh session: definitions gone, loaded-marker cleared
+        sqldml._VIEW_DEFS.pop((sid, "vcat.gold.dview"), None)
+        catalog_registry._LOADED.pop(sid, None)
+        assert (
+            run_statement(
+                spark, "SELECT count(*) AS n FROM dview"
+            ).collect()[0]["n"]
+            == 4
+        )
+        # DROP tombstones on disk too
+        run_statement(spark, "DROP VIEW vcat.gold.dview")
+        sqldml._VIEW_DEFS.pop((sid, "vcat.gold.dview"), None)
+        catalog_registry._LOADED.pop(sid, None)
+        catalog_registry.ensure_loaded(spark)
+        assert (sid, "vcat.gold.dview") not in sqldml._VIEW_DEFS
+    finally:
+        spark.conf.unset(catalog_registry.PATH_CONF)
+        catalog_registry._LOADED.pop(sid, None)
+        catalog_registry._ADDS.pop(sid, None)
+        catalog_registry._DELS.pop(sid, None)
+        catalog_registry._PDELS.pop(sid, None)
