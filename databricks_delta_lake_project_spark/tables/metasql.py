@@ -456,31 +456,56 @@ def _run_create_view(spark: SparkSession, text: str) -> DataFrame | None:
     same suffix-name resolution every engine statement uses."""
     from ..governance import access_control as acl, catalog_registry
     from ..queries import sqlpack
-    from .table import LakeTable
 
     m = _CREATE_VIEW_RE.match(text)
     if m is None:
         return None
-    from . import sqldml
-
     sid = session_key(spark)
     clean = m.group("name").strip("`").lower()
-    base = clean.split(".")[-1]
+    parts = clean.split(".")
+    base = parts[-1]
+    # engine views are UC-style 3-part names outside real Spark
+    # catalogs; everything else is NATIVE territory (Spark's own view
+    # DDL handles 1/2-part and spark_catalog names — same routing rule
+    # as DROP TABLE / namespace DDL)
+    if len(parts) != 3 or parts[0] in _native_catalogs(spark):
+        return None
     if not re.fullmatch(r"\w+", base):
         raise ValueError(f"invalid view name: {m.group('name')!r}")
-    body = m.group("body").strip().rstrip(";")
+    # the definition is STORED normalized: validation analyzes the
+    # same dialect-neutral text every later sync re-analyzes, so a
+    # body using DATEADD / IS_ACCOUNT_GROUP_MEMBER cannot validate at
+    # CREATE and then fail on every statement after
+    body = sqlpack.normalize_sql(m.group("body").strip().rstrip(";"))
     cols = (
         [c.strip().strip("`") for c in m.group("cols").split(",")]
         if m.group("cols")
         else None
     )
-    # a view must not shadow (or be shadowed by) a registered table's
-    # resolution name — both resolve by basename
+    # ACL FIRST — before any existence/collision answer (the repo's
+    # no-existence-oracle convention: an unprivileged principal gets
+    # the same PermissionError whether or not the view exists)
+    if acl.enabled(spark):
+        # a view BODY resolves names at sync time, outside the
+        # per-statement guard — the same fail-closed rule applies
+        acl.refuse_dynamic_sql(spark, body)
+        parent = clean.rpartition(".")[0]
+        acl.enforce(spark, "CREATE", parent)
+        # owner's rights, checked ONCE at definition: the creator must
+        # be able to read everything the body reads; queriers later
+        # need SELECT on the view only
+        for tbl in acl.referenced_tables(spark, body):
+            acl.enforce(spark, "SELECT", tbl)
+    # a view must not shadow (or be shadowed by) another resolution
+    # name — tables AND views resolve by basename
     for (s, n) in sqldml._REGISTRY:
         if s == sid and (n == clean or n.split(".")[-1] == base):
             raise ValueError(
                 f"view name collides with registered table {n!r}"
             )
+    for (s, n) in sqldml._VIEW_DEFS:
+        if s == sid and n != clean and n.split(".")[-1] == base:
+            raise ValueError(f"view name collides with view {n!r}")
     # a self-referential body (CREATE OR REPLACE VIEW v AS ... FROM v)
     # would analyze against the PREVIOUS definition's already-bound
     # temp view and silently freeze that stale plan — refuse the shape
@@ -499,27 +524,15 @@ def _run_create_view(spark: SparkSession, text: str) -> DataFrame | None:
         )
     if existing is not None and not m.group("repl"):
         raise ValueError(f"view already exists: {clean}")
-    if acl.enabled(spark):
-        # a view BODY resolves names at sync time, outside the
-        # per-statement guard — the same fail-closed rule applies
-        acl.refuse_dynamic_sql(spark, body)
-        if existing is not None:
-            # replacing a view rewrites what every granted reader
-            # sees: ownership/manage gate, like DROP (UC requires
-            # ownership to REPLACE)
-            _require_drop(spark, clean, "CREATE OR REPLACE VIEW")
-        parent = clean.rpartition(".")[0] or "default"
-        acl.enforce(spark, "CREATE", parent)
-        # owner's rights, checked ONCE at definition: the creator must
-        # be able to read everything the body reads; queriers later
-        # need SELECT on the view only
-        for tbl in acl.referenced_tables(spark, body):
-            acl.enforce(spark, "SELECT", tbl)
+    if existing is not None and acl.enabled(spark):
+        # replacing a view rewrites what every granted reader sees:
+        # ownership/manage gate, like DROP (UC requires ownership)
+        _require_drop(spark, clean, "CREATE OR REPLACE VIEW")
     # validate the body NOW (and bind the temp view): a definition
     # that cannot analyze must fail its CREATE, not every later
     # statement
     sqldml.sync_views(spark)
-    df = spark.sql(sqlpack.normalize_sql(body))
+    df = spark.sql(body)
     if cols is not None:
         if len(cols) != len(df.columns):
             raise ValueError(
@@ -873,6 +886,11 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
                 f.startswith(name + ".")
                 for f in sqlpack._FUNCS.get(sid, {})
             )
+            or any(
+                n.startswith(name + ".")
+                for (s, n) in sqldml._VIEW_DEFS
+                if s == sid
+            )
             or bool(_tagged_under(sid, name, include_self=True))
         )
 
@@ -941,6 +959,11 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
     child_mounts = [f for f in mounts if f.startswith(prefix)]
     fmap = sqlpack._FUNCS.get(sid, {})
     child_funcs = [f for f in fmap if f.startswith(prefix)]
+    child_views = [
+        n
+        for (s, n) in sqldml._VIEW_DEFS
+        if s == sid and n.startswith(prefix)
+    ]
     # tags on CHILD namespaces are governed metadata worth a RESTRICT
     # refusal (tags on the dropped namespace itself die with it)
     child_tagged = _tagged_under(sid, name, include_self=False)
@@ -951,6 +974,7 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
         + child_tables
         + child_mounts
         + child_funcs
+        + child_views
         + child_tagged
     )
     if children and not cascade:
@@ -977,6 +1001,15 @@ def _run_drop_namespace(spark: SparkSession, text: str) -> DataFrame | None:
         base = fmap.pop(full)
         try:
             spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {base}")
+        except Exception:  # noqa: BLE001
+            pass
+    for full in child_views:
+        # contained persistent views go too — a ghost _VIEW_DEFS entry
+        # would keep listing the view, warn on every sync, and block
+        # same-basename re-registration forever
+        sqldml._VIEW_DEFS.pop((sid, full), None)
+        try:
+            spark.catalog.dropTempView(full.split(".")[-1])
         except Exception:  # noqa: BLE001
             pass
     reg.pop((kind, name), None)
@@ -1090,7 +1123,8 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         made = _run_create_view(spark, text)
         if made is not None:
             return made
-        raise ValueError(f"cannot parse CREATE VIEW: {text[:80]!r}")
+        # native territory (1/2-part or real-catalog names): Spark's
+        # own view DDL handles it via the caller's fall-through
 
     if re.match(r"DROP\s+VIEW\b", text, re.IGNORECASE):
         dropped = _run_drop_view(spark, text)
@@ -1101,10 +1135,17 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         r"SHOW\s+VIEWS(?:\s+IN\s+(?P<ns>[\w.]+))?\s*$", text, re.IGNORECASE
     )
     if m:
+        # native rows (the user's temp views, native-catalog views)
+        # UNION engine persistent views — native behavior preserved,
+        # engine objects visible, one listing
         ns_filter = (m.group("ns") or "").lower()
+        try:
+            native = spark.sql(text)
+        except Exception:  # noqa: BLE001
+            native = None  # engine-only namespace: no native rows
         sid = session_key(spark)
         rows = []
-        for (s, n), meta in sorted(sqldml._VIEW_DEFS.items()):
+        for (s, n) in sorted(sqldml._VIEW_DEFS):
             if s != sid:
                 continue
             if ns_filter and not n.startswith(ns_filter + "."):
@@ -1112,10 +1153,11 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
             if not _listable(spark, n):
                 continue
             ns_part, _, base = n.rpartition(".")
-            rows.append((ns_part, base, meta.get("comment")))
-        return spark.createDataFrame(
-            rows, "namespace string, view_name string, comment string"
+            rows.append((ns_part, base, False))
+        eng = spark.createDataFrame(
+            rows, "namespace string, viewName string, isTemporary boolean"
         )
+        return eng if native is None else native.unionByName(eng)
 
     if re.match(r"DROP\s+VOLUME\b", text, re.IGNORECASE):
         return _run_drop_volume(spark, text)

@@ -167,28 +167,47 @@ def sync_views(spark: SparkSession) -> None:
     # persistent VIEWS re-analyze per statement (the definition is SQL
     # text, so the plan always reads the underlying tables' CURRENT
     # snapshot — a temp view built once would freeze the file list at
-    # definition time). Creation order = dict order, so a view over an
-    # earlier view resolves. Zero cost for sessions with no views.
-    for (s, n), meta in list(_VIEW_DEFS.items()):
-        if s != sid:
-            continue
+    # definition time). Fixed-point passes make view-over-view binding
+    # ORDER-FREE (a durable-registry replay or drop+recreate can list
+    # a dependent before its base); a view that still fails after
+    # convergence fails CLOSED — its previous binding is dropped, so a
+    # stale frozen plan can never keep serving data whose definition
+    # no longer analyzes. Zero cost for sessions with no views.
+    pending = [
+        (n, meta) for (s, n), meta in _VIEW_DEFS.items() if s == sid
+    ]
+    progressed = True
+    while pending and progressed:
+        progressed = False
+        still: list[tuple[str, dict]] = []
+        for n, meta in pending:
+            base = n.split(".")[-1]
+            try:
+                df = spark.sql(meta["sql"])
+                if meta.get("cols"):
+                    df = df.toDF(*meta["cols"])
+                df.createOrReplaceTempView(base)
+                progressed = True
+            except Exception:  # noqa: BLE001
+                still.append((n, meta))
+        pending = still
+    for n, _meta in pending:
+        import warnings
+
         base = n.split(".")[-1]
         try:
-            df = spark.sql(meta["sql"])
-            if meta.get("cols"):
-                df = df.toDF(*meta["cols"])
-            df.createOrReplaceTempView(base)
-        except Exception as e:  # noqa: BLE001
-            import warnings
-
-            # one broken view (an underlying table dropped since
-            # definition) must not brick every later statement
-            warnings.warn(
-                f"view {n}: body no longer analyzes ({e}); statements "
-                f"referencing it will fail until it is re-created or "
-                f"dropped",
-                stacklevel=2,
-            )
+            spark.catalog.dropTempView(base)
+        except Exception:  # noqa: BLE001
+            pass
+        # one broken view (an underlying table dropped since
+        # definition) must not brick every later statement — but it
+        # must not serve a stale frozen plan either
+        warnings.warn(
+            f"view {n}: body no longer analyzes; statements "
+            f"referencing it will fail until it is re-created or "
+            f"dropped",
+            stacklevel=2,
+        )
 
 
 # persistent VIEW definitions (UC views: named, ACL-gated, durable

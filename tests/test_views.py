@@ -10,9 +10,6 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from databricks_delta_lake_project_spark.functions.masking import (
-    GROUPS_CONF_KEY,
-)
 from databricks_delta_lake_project_spark.governance import (
     access_control as acl,
     catalog_registry,
@@ -78,11 +75,23 @@ def test_view_ddl_freshness_and_composition(spark, view_world, tmp_path):
         == 2
     )
     shows = {
-        (r["namespace"], r["view_name"], r["comment"])
+        (r["namespace"], r["viewName"])
         for r in run_statement(spark, "SHOW VIEWS").collect()
     }
-    assert ("vcat.gold", "big_orders", "doubled big orders") in shows
-    assert ("vcat.gold", "big2", None) in shows
+    assert ("vcat.gold", "big_orders") in shows
+    assert ("vcat.gold", "big2") in shows
+    # the COMMENT clause is stored (durable payload)
+    assert (
+        sqldml._VIEW_DEFS[(session_key(spark), "vcat.gold.big_orders")][
+            "comment"
+        ]
+        == "doubled big orders"
+    )
+    # namespace-scoped listing
+    assert {
+        r["viewName"]
+        for r in run_statement(spark, "SHOW VIEWS IN vcat.gold").collect()
+    } >= {"big_orders", "big2"}
     ist = {
         tuple(r)
         for r in run_statement(
@@ -131,23 +140,68 @@ def test_view_ddl_freshness_and_composition(spark, view_world, tmp_path):
             "CREATE OR REPLACE VIEW vcat.gold.big_orders AS "
             "SELECT oid FROM big_orders WHERE oid > 1",
         )
+    # views sharing a basename would silently shadow each other
+    with pytest.raises(ValueError, match="collides with view"):
+        run_statement(
+            spark,
+            "CREATE VIEW other.ns.big2 AS SELECT 1 AS x",
+        )
     # DROP
     run_statement(spark, "DROP VIEW vcat.gold.big2")
     assert not [
         r
         for r in run_statement(spark, "SHOW VIEWS").collect()
-        if r["view_name"] == "big2"
+        if r["viewName"] == "big2"
     ]
-    # CREATE TEMPORARY VIEW stays native Spark (not registered)
+    # CREATE TEMPORARY VIEW stays native Spark (not registered with
+    # the engine, but native SHOW VIEWS output is preserved: the temp
+    # view lists with isTemporary=true)
     run_statement(
         spark, "CREATE TEMPORARY VIEW tview AS SELECT 1 AS one"
     )
-    assert not [
+    assert (session_key(spark), "tview") not in sqldml._VIEW_DEFS
+    trows = [
         r
         for r in run_statement(spark, "SHOW VIEWS").collect()
-        if r["view_name"] == "tview"
+        if r["viewName"] == "tview"
     ]
+    assert trows and trows[0]["isTemporary"]
     spark.catalog.dropTempView("tview")
+    # a DIALECT body (DATEADD) validates AND re-analyzes: the stored
+    # definition is the normalized text, so freshness survives syncs
+    run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.recent AS SELECT id FROM orders "
+        "WHERE current_date() < DATEADD(DAY, 10000, current_date())",
+    )
+    assert (
+        run_statement(
+            spark, "SELECT count(*) AS n FROM recent"
+        ).collect()[0]["n"]
+        == 8
+    )
+    # a broken view FAILS CLOSED: drop the underlying table's
+    # registration and the view stops serving (no stale frozen plan),
+    # while other statements keep working
+    import warnings as _w
+
+    saved = sqldml._REGISTRY.pop(
+        (session_key(spark), "vcat.gold.orders")
+    )
+    try:
+        spark.catalog.dropTempView("orders")
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            with pytest.raises(Exception):
+                run_statement(
+                    spark, "SELECT count(*) AS n FROM recent"
+                ).collect()
+            assert (
+                run_statement(spark, "SELECT 1 AS ok").collect()[0]["ok"]
+                == 1
+            )
+    finally:
+        sqldml._REGISTRY[(session_key(spark), "vcat.gold.orders")] = saved
 
 
 def test_view_lineage_composes_to_real_tables(
@@ -274,11 +328,43 @@ def test_view_acl_owner_rights(spark, view_world):
                 "CREATE VIEW vcat.gold.dyn AS "
                 "SELECT * FROM IDENTIFIER('ord' || 'ers')",
             )
+        # no existence oracle: an unprivileged principal gets the SAME
+        # PermissionError for an existing and a missing view name
+        spark.conf.set(acl.PRINCIPAL_CONF, "intruder")
+        for nm in ("sview", "nosuchview"):
+            with pytest.raises(PermissionError):
+                run_statement(
+                    spark,
+                    f"CREATE VIEW IF NOT EXISTS vcat.gold.{nm} AS "
+                    "SELECT 1 AS x",
+                )
     finally:
         spark.conf.set(acl.ENABLED_CONF, "false")
         spark.conf.unset(acl.PRINCIPAL_CONF)
         spark.conf.unset(acl.ADMINS_CONF)
         acl._GRANTS.clear()
+
+
+def test_drop_schema_cascade_removes_views(spark, view_world):
+    """DROP SCHEMA CASCADE clears contained views from the session
+    registry (no ghost SHOW VIEWS rows, no permanent basename squat);
+    RESTRICT counts a contained view as a child."""
+    run_statement(
+        spark,
+        "CREATE VIEW vxc.s.only_view AS SELECT id FROM orders",
+    )
+    with pytest.raises(ValueError, match="not empty"):
+        run_statement(spark, "DROP SCHEMA vxc.s")
+    run_statement(spark, "DROP SCHEMA vxc.s CASCADE")
+    assert (session_key(spark), "vxc.s.only_view") not in sqldml._VIEW_DEFS
+    assert not [
+        r
+        for r in run_statement(spark, "SHOW VIEWS").collect()
+        if r["viewName"] == "only_view"
+    ]
+    # the basename is free again
+    sqldml.register_table(spark, "other.ns.only_view", view_world)
+    sqldml._REGISTRY.pop((session_key(spark), "other.ns.only_view"), None)
 
 
 def test_view_durable_across_sessions(spark, view_world, tmp_path):
