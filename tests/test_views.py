@@ -23,13 +23,13 @@ from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
 def view_world(spark, tmp_path):
     t = LakeTable.create(
         spark,
-        str(tmp_path / "orders"),
+        str(tmp_path / "vord"),
         df=spark.range(10).withColumn("amount", F.col("id") * 2.0),
     )
-    sqldml.register_table(spark, "vcat.gold.orders", t)
+    sqldml.register_table(spark, "vcat.gold.vord", t)
     sid = session_key(spark)
     yield t
-    sqldml._REGISTRY.pop((sid, "vcat.gold.orders"), None)
+    sqldml._REGISTRY.pop((sid, "vcat.gold.vord"), None)
     for key in [k for k in sqldml._VIEW_DEFS if k[0] == sid]:
         sqldml._VIEW_DEFS.pop(key, None)
 
@@ -44,7 +44,7 @@ def test_view_ddl_freshness_and_composition(spark, view_world, tmp_path):
         spark,
         "CREATE VIEW vcat.gold.big_orders (oid, dbl) "
         "COMMENT 'doubled big orders' AS "
-        "SELECT id, amount * 2 FROM orders WHERE amount > 4",
+        "SELECT id, amount * 2 FROM vord WHERE amount > 4",
     ).collect()[0]
     assert (out["view"], out["created"]) == ("vcat.gold.big_orders", 1)
     assert (
@@ -55,7 +55,7 @@ def test_view_ddl_freshness_and_composition(spark, view_world, tmp_path):
     )
     # FRESHNESS: the definition re-analyzes per statement, so DML on
     # the underlying table is visible without re-creating the view
-    run_statement(spark, "DELETE FROM orders WHERE id >= 8")
+    run_statement(spark, "DELETE FROM vord WHERE id >= 8")
     assert (
         run_statement(
             spark, "SELECT count(*) AS n FROM big_orders"
@@ -107,14 +107,14 @@ def test_view_ddl_freshness_and_composition(spark, view_world, tmp_path):
         run_statement(
             spark,
             "CREATE VIEW IF NOT EXISTS vcat.gold.big_orders AS "
-            "SELECT id FROM orders",
+            "SELECT id FROM vord",
         ).collect()[0]["created"]
         == 0
     )
     with pytest.raises(ValueError, match="already exists"):
         run_statement(
             spark,
-            "CREATE VIEW vcat.gold.big_orders AS SELECT id FROM orders",
+            "CREATE VIEW vcat.gold.big_orders AS SELECT id FROM vord",
         )
     run_statement(
         spark,
@@ -126,7 +126,7 @@ def test_view_ddl_freshness_and_composition(spark, view_world, tmp_path):
     with pytest.raises(ValueError, match="collides"):
         run_statement(
             spark,
-            "CREATE VIEW other.ns.orders AS SELECT 1 AS x",
+            "CREATE VIEW other.ns.vord AS SELECT 1 AS x",
         )
     with pytest.raises(ValueError, match="collides"):
         sqldml.register_table(
@@ -171,7 +171,7 @@ def test_view_ddl_freshness_and_composition(spark, view_world, tmp_path):
     # definition is the normalized text, so freshness survives syncs
     run_statement(
         spark,
-        "CREATE VIEW vcat.gold.recent AS SELECT id FROM orders "
+        "CREATE VIEW vcat.gold.recent AS SELECT id FROM vord "
         "WHERE current_date() < DATEADD(DAY, 10000, current_date())",
     )
     assert (
@@ -186,10 +186,10 @@ def test_view_ddl_freshness_and_composition(spark, view_world, tmp_path):
     import warnings as _w
 
     saved = sqldml._REGISTRY.pop(
-        (session_key(spark), "vcat.gold.orders")
+        (session_key(spark), "vcat.gold.vord")
     )
     try:
-        spark.catalog.dropTempView("orders")
+        spark.catalog.dropTempView("vord")
         with _w.catch_warnings():
             _w.simplefilter("ignore")
             with pytest.raises(Exception):
@@ -201,7 +201,7 @@ def test_view_ddl_freshness_and_composition(spark, view_world, tmp_path):
                 == 1
             )
     finally:
-        sqldml._REGISTRY[(session_key(spark), "vcat.gold.orders")] = saved
+        sqldml._REGISTRY[(session_key(spark), "vcat.gold.vord")] = saved
 
 
 def test_view_lineage_composes_to_real_tables(
@@ -216,7 +216,7 @@ def test_view_lineage_composes_to_real_tables(
     run_statement(
         spark,
         "CREATE VIEW vcat.gold.vbig AS "
-        "SELECT id, amount * 2 AS dbl FROM orders WHERE amount > 4",
+        "SELECT id, amount * 2 AS dbl FROM vord WHERE amount > 4",
     )
     run_statement(
         spark,
@@ -231,7 +231,7 @@ def test_view_lineage_composes_to_real_tables(
             "target_table_full_name FROM system.lineage.table_lineage",
         ).collect()
     }
-    assert ("vcat.gold.orders", "TABLE", "vcat.gold.vbig") in tl
+    assert ("vcat.gold.vord", "TABLE", "vcat.gold.vbig") in tl
     assert ("vcat.gold.vbig", "VIEW", "vcat.silver.vsnap") in tl
     cl = sorted(
         tuple(r)
@@ -243,8 +243,8 @@ def test_view_lineage_composes_to_real_tables(
         ).collect()
     )
     assert cl == [
-        ("vcat.gold.orders", "amount", "d2"),
-        ("vcat.gold.orders", "id", "id"),
+        ("vcat.gold.vord", "amount", "d2"),
+        ("vcat.gold.vord", "id", "id"),
     ]
     # MERGE USING a view expands the same way
     tgt = LakeTable.create(
@@ -263,7 +263,7 @@ def test_view_lineage_composes_to_real_tables(
                 "vcat.silver.vm",
             )
         )
-        assert edges == [("vcat.gold.orders", "amount", "amount")]
+        assert edges == [("vcat.gold.vord", "amount", "amount")]
     finally:
         sqldml._REGISTRY.pop((session_key(spark), "vcat.silver.vm"), None)
 
@@ -286,7 +286,7 @@ def test_view_acl_owner_rights(spark, view_world):
         run_statement(
             spark,
             "CREATE VIEW vcat.gold.sview AS "
-            "SELECT id FROM orders WHERE amount > 4",
+            "SELECT id FROM vord WHERE amount > 4",
         )
         run_statement(
             spark, "GRANT SELECT ON TABLE vcat.gold.sview TO reader"
@@ -294,7 +294,7 @@ def test_view_acl_owner_rights(spark, view_world):
         run_statement(spark, "GRANT USAGE ON CATALOG vcat TO reader")
         run_statement(spark, "GRANT USAGE ON SCHEMA vcat.gold TO reader")
         spark.conf.set(acl.PRINCIPAL_CONF, "reader")
-        # reader holds NOTHING on vcat.gold.orders, but the view grant
+        # reader holds NOTHING on vcat.gold.vord, but the view grant
         # suffices
         assert (
             run_statement(
@@ -303,14 +303,14 @@ def test_view_acl_owner_rights(spark, view_world):
             == 7
         )
         with pytest.raises(PermissionError):
-            run_statement(spark, "SELECT * FROM orders")
+            run_statement(spark, "SELECT * FROM vord")
         # an unprivileged principal cannot CREATE a view over tables
         # it cannot read
         spark.conf.set(acl.PRINCIPAL_CONF, "intruder")
         with pytest.raises(PermissionError):
             run_statement(
                 spark,
-                "CREATE VIEW vcat.gold.leak AS SELECT id FROM orders",
+                "CREATE VIEW vcat.gold.leak AS SELECT id FROM vord",
             )
         # ...nor REPLACE someone else's view (ownership/manage gate),
         # nor hide a runtime-built name in a view body
@@ -326,7 +326,7 @@ def test_view_acl_owner_rights(spark, view_world):
             run_statement(
                 spark,
                 "CREATE VIEW vcat.gold.dyn AS "
-                "SELECT * FROM IDENTIFIER('ord' || 'ers')",
+                "SELECT * FROM IDENTIFIER('vo' || 'rd')",
             )
         # no existence oracle: an unprivileged principal gets the SAME
         # PermissionError for an existing and a missing view name
@@ -351,7 +351,7 @@ def test_drop_schema_cascade_removes_views(spark, view_world):
     RESTRICT counts a contained view as a child."""
     run_statement(
         spark,
-        "CREATE VIEW vxc.s.only_view AS SELECT id FROM orders",
+        "CREATE VIEW vxc.s.only_view AS SELECT id FROM vord",
     )
     with pytest.raises(ValueError, match="not empty"):
         run_statement(spark, "DROP SCHEMA vxc.s")
@@ -378,7 +378,7 @@ def test_view_durable_across_sessions(spark, view_world, tmp_path):
         run_statement(
             spark,
             "CREATE VIEW vcat.gold.dview AS "
-            "SELECT id FROM orders WHERE amount > 10",
+            "SELECT id FROM vord WHERE amount > 10",
         )
         # fresh session: definitions gone, loaded-marker cleared
         sqldml._VIEW_DEFS.pop((sid, "vcat.gold.dview"), None)
