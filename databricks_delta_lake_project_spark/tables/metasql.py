@@ -1314,12 +1314,34 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         )
 
     m = re.match(
-        rf"SHOW\s+CREATE\s+TABLE\s+{_TREF}\s*$", text, re.IGNORECASE
+        rf"SHOW\s+CREATE\s+(?:TABLE|VIEW)\s+{_TREF}\s*$",
+        text,
+        re.IGNORECASE,
     )
     if m:
         t = _resolve(spark, m.group(1))
         if t is None:
-            return None
+            # a persistent VIEW reconstructs its CREATE statement from
+            # the stored (normalized) definition
+            hit = sqldml.view_def(spark, m.group(1))
+            if hit is None:
+                return None
+            full, meta = hit
+            _enforce(spark, "SELECT", full)
+            cols = (
+                f" ({', '.join(meta['cols'])})" if meta.get("cols") else ""
+            )
+            comment = (
+                " COMMENT '{}'".format(meta["comment"].replace("'", "''"))
+                if meta.get("comment")
+                else ""
+            )
+            stmt = (
+                f"CREATE VIEW {full}{cols}{comment} AS {meta['sql']}"
+            )
+            return spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string"
+            )
         _enforce(spark, "SELECT", m.group(1))
         stmt = _show_create_stmt(m.group(1).strip("`"), t)
         return spark.createDataFrame([(stmt,)], "createtab_stmt string")

@@ -1320,7 +1320,12 @@ def _run_copy_into(spark: SparkSession, sql: str) -> dict[str, Any]:
             f"(got {fmt!r})"
         )
     t = resolve_table(spark, m.group("tref").strip("`"))
-    src_dir = _P(m.group("src"))
+    # UC-style /Volumes/<catalog>/<schema>/<volume>/... sources
+    # resolve through the declared volume (SELECT-gated, like every
+    # volume read); plain paths pass through unchanged
+    from .metasql import resolve_volume_path
+
+    src_dir = _P(resolve_volume_path(spark, m.group("src"), intent="read"))
     if src_dir.is_file():
         # a direct file source (Databricks accepts it); PATTERN is
         # meaningless against one file

@@ -168,3 +168,39 @@ def test_copy_into_hidden_dirs_and_file_source(spark, tmp_path):
     finally:
         for nm in ("ccat.bronze.htgt", "ccat.bronze.ftgt"):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
+
+
+def test_copy_into_from_volume(spark, tmp_path):
+    """A UC-style /Volumes/<cat>/<schema>/<volume>/... source resolves
+    through the declared volume's backing directory; an undeclared
+    volume refuses loudly (the resolve_volume_path contract)."""
+    land = tmp_path / "vol_backing"
+    spark.range(9).withColumn("v", F.col("id")).coalesce(1).write.parquet(
+        str(land / "day1")
+    )
+    run_statement(
+        spark,
+        f"CREATE EXTERNAL VOLUME vc.s.land LOCATION '{land}'",
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "vtgt"),
+        schema=spark.range(1).withColumn("v", F.col("id")).schema,
+    )
+    sqldml.register_table(spark, "vc.bronze.vtgt", t)
+    try:
+        r = run_statement(
+            spark,
+            "COPY INTO vc.bronze.vtgt FROM '/Volumes/vc/s/land/day1' "
+            "FILEFORMAT = PARQUET",
+        ).collect()[0]
+        assert (r["numFilesLoaded"], r["numOutputRows"]) == (1, 9)
+        with pytest.raises(ValueError, match="no such volume|volume"):
+            run_statement(
+                spark,
+                "COPY INTO vc.bronze.vtgt FROM '/Volumes/vc/s/nope/x' "
+                "FILEFORMAT = PARQUET",
+            )
+    finally:
+        sqldml._REGISTRY.pop((session_key(spark), "vc.bronze.vtgt"), None)
+        run_statement(spark, "DROP VOLUME vc.s.land")

@@ -401,3 +401,33 @@ def test_view_durable_across_sessions(spark, view_world, tmp_path):
         catalog_registry._ADDS.pop(sid, None)
         catalog_registry._DELS.pop(sid, None)
         catalog_registry._PDELS.pop(sid, None)
+
+
+def test_show_create_view(spark, view_world):
+    """SHOW CREATE TABLE/VIEW over a persistent view reconstructs the
+    CREATE statement from the stored definition (cols + comment +
+    normalized body)."""
+    run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.scv (a, b) COMMENT 'summed view' AS "
+        "SELECT id, amount FROM vord",
+    )
+    stmt = run_statement(
+        spark, "SHOW CREATE VIEW vcat.gold.scv"
+    ).collect()[0]["createtab_stmt"]
+    assert stmt.startswith("CREATE VIEW vcat.gold.scv (a, b)")
+    assert "COMMENT 'summed view'" in stmt
+    assert "SELECT id, amount FROM vord" in stmt
+    # the reconstruction round-trips: drop, replay, same rows
+    run_statement(spark, "DROP VIEW vcat.gold.scv")
+    run_statement(spark, stmt)
+    assert (
+        run_statement(spark, "SELECT count(*) AS n FROM scv").collect()[
+            0
+        ]["n"]
+        == 10
+    )
+    # SHOW CREATE TABLE spelling resolves views too
+    assert run_statement(
+        spark, "SHOW CREATE TABLE scv"
+    ).collect()[0]["createtab_stmt"] == stmt
