@@ -225,6 +225,11 @@ def _apply_row(
         # sync_views pass (no spark.sql during a registry load: a
         # body whose tables resolve later must not fail the load)
         sqldml._VIEW_DEFS.setdefault((sid, name), dict(payload))
+        if "engine_is_group_member" in str(payload.get("sql", "")).lower():
+            # a replayed group-membership view needs the engine UDF
+            # registered before its first sync analysis — flag the
+            # session exactly like CREATE VIEW does
+            sqldml._MASKED_SESSIONS.add(sid)
     elif kind == "connection":
         from . import federation
 

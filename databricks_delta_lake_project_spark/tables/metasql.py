@@ -465,11 +465,19 @@ def _run_create_view(spark: SparkSession, text: str) -> DataFrame | None:
     parts = clean.split(".")
     base = parts[-1]
     # engine views are UC-style 3-part names outside real Spark
-    # catalogs; everything else is NATIVE territory (Spark's own view
-    # DDL handles 1/2-part and spark_catalog names — same routing rule
-    # as DROP TABLE / namespace DDL)
-    if len(parts) != 3 or parts[0] in _native_catalogs(spark):
+    # catalogs — same routing rule as DROP TABLE / namespace DDL. A
+    # SHORT-named view still lands in the engine when its body reads
+    # engine objects: their temp-view bindings are invisible to a
+    # native permanent view (INVALID_TEMP_OBJ_REFERENCE), so native
+    # routing could never succeed for it; a short view over native
+    # tables stays native.
+    if parts[0] in _native_catalogs(spark):
         return None
+    if len(parts) != 3:
+        from ..governance import access_control as _acl
+
+        if not _acl.referenced_tables(spark, m.group("body")):
+            return None
     if not re.fullmatch(r"\w+", base):
         raise ValueError(f"invalid view name: {m.group('name')!r}")
     # the definition is STORED normalized: validation analyzes the
@@ -497,15 +505,19 @@ def _run_create_view(spark: SparkSession, text: str) -> DataFrame | None:
         for tbl in acl.referenced_tables(spark, body):
             acl.enforce(spark, "SELECT", tbl)
     # a view must not shadow (or be shadowed by) another resolution
-    # name — tables AND views resolve by basename
+    # name — tables AND views resolve by basename. The colliding name
+    # is shown only when the principal may LIST it (the same
+    # no-inventory-oracle filter volume_path applies).
     for (s, n) in sqldml._REGISTRY:
         if s == sid and (n == clean or n.split(".")[-1] == base):
+            shown = n if _listable(spark, n) else "an existing table"
             raise ValueError(
-                f"view name collides with registered table {n!r}"
+                f"view name collides with registered table {shown!r}"
             )
     for (s, n) in sqldml._VIEW_DEFS:
         if s == sid and n != clean and n.split(".")[-1] == base:
-            raise ValueError(f"view name collides with view {n!r}")
+            shown = n if _listable(spark, n) else "an existing view"
+            raise ValueError(f"view name collides with view {shown!r}")
     # a self-referential body (CREATE OR REPLACE VIEW v AS ... FROM v)
     # would analyze against the PREVIOUS definition's already-bound
     # temp view and silently freeze that stale plan — refuse the shape
@@ -530,7 +542,10 @@ def _run_create_view(spark: SparkSession, text: str) -> DataFrame | None:
         _require_drop(spark, clean, "CREATE OR REPLACE VIEW")
     # validate the body NOW (and bind the temp view): a definition
     # that cannot analyze must fail its CREATE, not every later
-    # statement
+    # statement. Metadata verbs run BEFORE the statement-level group
+    # UDF refresh, so a membership-gated body registers the UDF here.
+    if "engine_is_group_member" in body.lower():
+        sqlpack._ensure_group_udf(spark)
     sqldml.sync_views(spark)
     df = spark.sql(body)
     if cols is not None:
@@ -546,6 +561,13 @@ def _run_create_view(spark: SparkSession, text: str) -> DataFrame | None:
         "cols": cols,
         "comment": m.group("comment"),
     }
+    if "engine_is_group_member" in body.lower():
+        # the body evaluates group membership (IS_ACCOUNT_GROUP_MEMBER
+        # normalizes to the engine UDF): flag the session so every
+        # statement re-registers the UDF with the CURRENT groups conf
+        # BEFORE the view re-analyzes — the same freshness contract
+        # masked tables get
+        sqldml._MASKED_SESSIONS.add(sid)
     # table-level lineage: underlying tables/views -> the view entity
     from ..governance import systables
 
@@ -583,6 +605,12 @@ def _run_drop_view(spark: SparkSession, text: str) -> DataFrame | None:
     )
     if m is None:
         return None
+    ref = m.group("name").strip("`").lower()
+    rparts = ref.split(".")
+    if len(rparts) == 3 and rparts[0] not in _native_catalogs(spark):
+        # engine-shaped name: gate BEFORE the existence answer (the
+        # no-existence-oracle convention)
+        _require_drop(spark, ref, "DROP VIEW")
     hit = sqldml.view_def(spark, m.group("name"))
     if hit is None:
         return None  # unknown to the engine: native temp-view drop
@@ -1157,7 +1185,28 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         eng = spark.createDataFrame(
             rows, "namespace string, viewName string, isTemporary boolean"
         )
-        return eng if native is None else native.unionByName(eng)
+        if native is not None:
+            # native SHOW VIEWS lists every TEMP view — including the
+            # bindings the ENGINE creates for its registered tables
+            # and persistent views. Those are resolution plumbing, not
+            # user views: listing them would double-list every
+            # persistent view (falsely isTemporary) and leak the full
+            # table inventory past the _listable privilege filter.
+            # The user's OWN temp views (never engine-owned) stay.
+            owned = {
+                k[1] for k in sqldml._OWNED_VIEWS if k[0] == sid
+            } | {
+                n.split(".")[-1]
+                for (s, n) in sqldml._VIEW_DEFS
+                if s == sid
+            }
+            if owned:
+                native = native.filter(
+                    (~F.col("viewName").isin(sorted(owned)))
+                    | (~F.col("isTemporary"))
+                )
+            return native.unionByName(eng)
+        return eng
 
     if re.match(r"DROP\s+VOLUME\b", text, re.IGNORECASE):
         return _run_drop_volume(spark, text)
@@ -1322,14 +1371,30 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         t = _resolve(spark, m.group(1))
         if t is None:
             # a persistent VIEW reconstructs its CREATE statement from
-            # the stored (normalized) definition
+            # the stored (normalized) definition. For an engine-shaped
+            # name (3-part, non-native) the gate fires BEFORE the
+            # existence answer — exists-vs-missing must not be an
+            # oracle for unprivileged principals.
+            ref = m.group(1).strip("`").lower()
+            rparts = ref.split(".")
+            if len(rparts) == 3 and rparts[0] not in _native_catalogs(
+                spark
+            ):
+                _enforce(spark, "SELECT", ref)
             hit = sqldml.view_def(spark, m.group(1))
             if hit is None:
                 return None
             full, meta = hit
             _enforce(spark, "SELECT", full)
             cols = (
-                f" ({', '.join(meta['cols'])})" if meta.get("cols") else ""
+                " ({})".format(
+                    ", ".join(
+                        c if re.fullmatch(r"\w+", c) else f"`{c}`"
+                        for c in meta["cols"]
+                    )
+                )
+                if meta.get("cols")
+                else ""
             )
             comment = (
                 " COMMENT '{}'".format(meta["comment"].replace("'", "''"))

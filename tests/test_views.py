@@ -431,3 +431,76 @@ def test_show_create_view(spark, view_world):
     assert run_statement(
         spark, "SHOW CREATE TABLE scv"
     ).collect()[0]["createtab_stmt"] == stmt
+
+
+def test_show_views_no_engine_binding_leak(spark, view_world):
+    """Native SHOW VIEWS rows are filtered of ENGINE-owned temp-view
+    bindings: a registered table's resolution binding never lists as a
+    view, and a persistent view lists exactly once (namespace row,
+    isTemporary=false) — while a user's own temp view still shows."""
+    run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.lk AS SELECT id FROM vord",
+    )
+    spark.sql("CREATE TEMPORARY VIEW user_own AS SELECT 1 AS x")
+    try:
+        rows = run_statement(spark, "SHOW VIEWS").collect()
+        names = [(r["viewName"], r["isTemporary"]) for r in rows]
+        assert names.count(("lk", False)) == 1
+        assert ("lk", True) not in names  # never double-listed
+        assert ("vord", True) not in names  # table binding is plumbing
+        assert ("user_own", True) in names  # user temp views remain
+    finally:
+        spark.catalog.dropTempView("user_own")
+
+
+def test_short_named_view_over_engine_table(spark, view_world):
+    """A 1-part view whose body reads an ENGINE table lands in the
+    engine (native permanent views cannot reference temp bindings);
+    a 1-part view over purely native objects stays native."""
+    run_statement(spark, "CREATE VIEW shortv AS SELECT id FROM vord")
+    assert (session_key(spark), "shortv") in sqldml._VIEW_DEFS
+    assert (
+        run_statement(
+            spark, "SELECT count(*) AS n FROM shortv"
+        ).collect()[0]["n"]
+        == 10
+    )
+    run_statement(spark, "DROP VIEW shortv")
+    assert (session_key(spark), "shortv") not in sqldml._VIEW_DEFS
+
+
+def test_group_membership_view_stays_fresh(spark, view_world):
+    """A view body using IS_ACCOUNT_GROUP_MEMBER flags the session so
+    the membership UDF re-registers with the CURRENT groups conf
+    before every sync — group changes apply without re-creating the
+    view."""
+    from databricks_delta_lake_project_spark.functions.masking import (
+        GROUPS_CONF_KEY,
+    )
+
+    spark.conf.set(GROUPS_CONF_KEY, "pii_team")
+    try:
+        run_statement(
+            spark,
+            "CREATE VIEW vcat.gold.gated AS SELECT id FROM vord "
+            "WHERE IS_ACCOUNT_GROUP_MEMBER('pii_team')",
+        )
+        assert session_key(spark) in sqldml._MASKED_SESSIONS
+        assert (
+            run_statement(
+                spark, "SELECT count(*) AS n FROM gated"
+            ).collect()[0]["n"]
+            == 10
+        )
+        # leave the group: the NEXT statement re-binds the UDF and the
+        # view serves nothing
+        spark.conf.set(GROUPS_CONF_KEY, "other_team")
+        assert (
+            run_statement(
+                spark, "SELECT count(*) AS n FROM gated"
+            ).collect()[0]["n"]
+            == 0
+        )
+    finally:
+        spark.conf.unset(GROUPS_CONF_KEY)
