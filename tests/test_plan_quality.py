@@ -196,3 +196,24 @@ def test_partitioned_delta_scan_is_single_filescan_with_partition_pruning(
     assert re.search(r"day#\d+ = d1", plan), plan
     # partition column served from the directory index, not the files
     assert "ReadSchema: struct<id:bigint>" in plan, plan
+
+
+def test_q38_single_column_scan_window_over_grouped_rows(spark):
+    """q38 share-of-total: the scan reads ONLY c_mktsegment, the
+    count aggregates partially before its hash shuffle, and the
+    unpartitioned window runs AFTER the aggregation over a
+    SinglePartition gather of the O(segments) grouped rows — exactly
+    two exchanges total. A third exchange (or a window before the
+    aggregate) means the share computation started moving
+    pre-aggregation rows. Pinned for drift attribution (BASELINE.md
+    q38 row)."""
+    plan = _plan(spark, "q38_segment_share")
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "ReadSchema: struct<c_mktsegment:string>" in scan, scan
+    assert plan.count("HashAggregate") == 2, plan
+    # partial aggregate sits below the first exchange
+    assert "HashAggregate" in plan[plan.index("Exchange hashpartitioning"):], plan
+    assert plan.count("Exchange") == 2, plan
+    assert "Exchange SinglePartition" in plan, plan
+    # the window consumes the gathered grouped rows, not scan rows
+    assert plan.index("Window") < plan.index("Exchange SinglePartition"), plan
