@@ -115,8 +115,7 @@ def test_clone_of_clone(spark, tmp_path):
 
 def test_deep_clone_partitioned_delta(spark, tmp_path):
     """DEEP clone preserves a partitioned Delta table's hive layout
-    and partitionValues; SHALLOW clone of a partitioned source refuses
-    loudly (directory discovery cannot span roots)."""
+    and partitionValues."""
     src = LakeTable.create(
         spark,
         str(tmp_path / "psrc"),
@@ -126,8 +125,6 @@ def test_deep_clone_partitioned_delta(spark, tmp_path):
         format="delta",
         partition_by=["country"],
     )
-    with pytest.raises(NotImplementedError, match="SHALLOW CLONE"):
-        src.clone(str(tmp_path / "pshallow"), shallow=True)
     deep = src.clone(str(tmp_path / "pdeep"), shallow=False)
     got = sorted(
         tuple(r) for r in deep.to_df().select("id", "country").collect()
@@ -137,9 +134,73 @@ def test_deep_clone_partitioned_delta(spark, tmp_path):
     assert deep.to_df().filter(F.col("country") == "DE").count() == 1
 
 
-def test_clone_refuses_deletion_vectors_and_existing_target(
-    spark, tmp_path
-):
+def test_shallow_clone_partitioned_delta(spark, tmp_path):
+    """SHALLOW clone of a PARTITIONED source: zero-copy, each borrowed
+    absolute entry resolves against the SOURCE's hive base (no
+    cross-root directory discovery), partition-pruned and stats-pruned
+    reads work, DML copy-on-writes hive-laid rewrites into the CLONE's
+    own directory, VACUUM is isolated in both directions, and a DEEP
+    clone of the shallow-partitioned clone owns hive-laid bytes."""
+    rows = [(i, "US" if i % 3 else "DE", i * 10) for i in range(90)]
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "spsrc"),
+        df=spark.createDataFrame(
+            rows, "id long, country string, amount long"
+        ).repartition(4),
+        format="delta",
+        partition_by=["country"],
+    )
+    c = src.clone(str(tmp_path / "spc"), shallow=True)
+    assert _data_files(str(tmp_path / "spc")) == []  # zero-copy
+    assert c.to_df().count() == 90
+    assert sorted(
+        tuple(r) for r in c.to_df().collect()
+    ) == sorted(rows)
+    # partition-pruned read over borrowed entries
+    assert c.to_df().filter(F.col("country") == "DE").count() == 30
+    # stats-pruned read path (partitionValues synth stats carried over)
+    assert c.read_where("country = 'DE'").count() == 30
+    # metadata-only whole-partition DELETE: no data read or copied
+    m = c.delete("country = 'DE'")
+    assert m["numDeletedRows"] == 30
+    assert m["numWholeFilesRemoved"] == m["numRemovedFiles"] > 0
+    assert _data_files(str(tmp_path / "spc")) == []  # still zero-copy
+    # copy-on-write UPDATE cuts inside files: rewrites land hive-laid
+    # in the CLONE's own dir, source untouched
+    c.update("id < 10", {"amount": "amount + 1"})
+    local = _data_files(str(tmp_path / "spc"))
+    assert local and all(f.startswith("country=") for f in local)
+    # ids 0..9 remaining after the DE delete: the six US rows
+    assert c.to_df().filter("id < 10 AND amount % 10 = 1").count() == 6
+    assert src.to_df().count() == 90
+    assert src.to_df().filter("amount % 10 = 1").count() == 0
+    # clone sees borrowed + local entries together (mixed bases)
+    assert c.to_df().count() == 60
+    assert c.to_df().filter(F.col("country") == "US").count() == 60
+    # VACUUM on the clone never reclaims borrowed files
+    c.vacuum(retain_hours=0)
+    assert src.to_df().count() == 90
+    assert c.to_df().count() == 60
+    # deep-of-shallow-partitioned: owns its bytes, hive-laid
+    d = c.clone(str(tmp_path / "spd"), shallow=False)
+    dl = _data_files(str(tmp_path / "spd"))
+    assert dl and all(f.startswith("country=") for f in dl)
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "spsrc"))
+    shutil.rmtree(str(tmp_path / "spc"))
+    assert d.to_df().count() == 60
+    assert d.to_df().filter(F.col("country") == "US").count() == 60
+
+
+def test_clone_of_live_dv_table_and_existing_target(spark, tmp_path):
+    """A source with LIVE deletion vectors clones both ways: SHALLOW
+    borrows the sidecars by ABSOLUTE `p`-type descriptors (reads see
+    alive rows only; the clone's own later DV writes stay clone-local
+    and never touch the source's sidecar), DEEP materializes the DV'd
+    files' alive rows into clone-owned descriptor-free files; an
+    existing target refuses."""
     src = LakeTable.create(
         spark,
         str(tmp_path / "dvsrc"),
@@ -149,8 +210,32 @@ def test_clone_refuses_deletion_vectors_and_existing_target(
     )
     m = src.delete("id IN (2, 5)")
     assert m["strategy"] == "dv"
-    with pytest.raises(NotImplementedError, match="deletion vectors"):
-        src.clone(str(tmp_path / "dvclone"), shallow=True)
+    c = src.clone(str(tmp_path / "dvclone"), shallow=True)
+    assert _data_files(str(tmp_path / "dvclone")) == []  # zero-copy
+    assert sorted(r["id"] for r in c.to_df().collect()) == [
+        0, 1, 3, 4, 6, 7, 8, 9,
+    ]
+    dv = c._files()[0]["deletionVector"]
+    assert dv["storageType"] == "p"
+    assert Path(dv["pathOrInlineDv"]).is_absolute()
+    # a DV delete ON the clone merges the borrowed bitmap into a
+    # CLONE-LOCAL sidecar; the source still reads its own 8 rows
+    m2 = c.delete("id = 7")
+    assert m2["strategy"] == "dv"
+    assert sorted(r["id"] for r in c.to_df().collect()) == [
+        0, 1, 3, 4, 6, 8, 9,
+    ]
+    assert src.to_df().count() == 8
+    assert list(Path(c.root).glob("deletion_vector_*.bin"))
+    # DEEP materializes: no descriptors survive, bytes are owned
+    d = src.clone(str(tmp_path / "dvdeep"), shallow=False)
+    assert not any(e.get("deletionVector") for e in d._files())
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "dvsrc"))
+    assert sorted(r["id"] for r in d.to_df().collect()) == [
+        0, 1, 3, 4, 6, 7, 8, 9,
+    ]
     ok = LakeTable.create(
         spark, str(tmp_path / "oksrc"), df=spark.range(5)
     )
