@@ -992,6 +992,69 @@ def _resolve_ref(
     return hits[0] if len(hits) == 1 else None
 
 
+def _scalar_subquery_hits(
+    spark: SparkSession,
+    expr: str,
+    target: str,
+    cache: dict[str, dict[str, str]],
+    ctx: dict,
+) -> tuple[str, list[tuple[str, str]]] | None:
+    """``(residual_expr, hits)`` for a select ITEM containing scalar
+    subqueries (``SELECT (SELECT max(x) FROM s) AS m FROM t`` — the
+    real-dashboard shape): each outermost ``(SELECT ...)`` group is
+    scanned as a VIRTUAL source (the same machinery MERGE subquery
+    sources use), its output columns' REAL (table, column) ancestry
+    joins the item's hits, and the group is replaced by a neutral
+    parenthesized literal so the outer token scan attributes the
+    remaining refs without re-entering the subquery (and an
+    ``EXISTS (...)`` keyword stays function-shaped, never a column
+    guess). IN-subqueries and EXISTS in a select item are
+    value-affecting and attribute the same way; a ``count(*)``-style
+    body legitimately contributes no column edges. None when any
+    group's body is unattributable — the item then derives nothing
+    (under-report, never fabricate)."""
+    from ..tables import sqldml
+
+    hits: list[tuple[str, str]] = []
+    while True:
+        mask = sqldml._mask(expr)
+        m = None
+        for mm in re.finditer(r"\(\s*SELECT\b", expr, re.IGNORECASE):
+            if not mask[mm.start()][1]:
+                m = mm
+                break
+        if m is None:
+            return expr, hits
+        try:
+            inner, rest = sqldml._balanced_paren(expr[m.start():])
+        except Exception:  # noqa: BLE001
+            return None  # unbalanced: derive nothing
+        name = f"__sq_{ctx['n']}"
+        ctx["n"] += 1
+        while name in ctx["virtual"]:
+            name = f"__sq_{ctx['n']}"
+            ctx["n"] += 1
+        # the subquery's output NAME is irrelevant (its value feeds the
+        # item, not a referenceable column) — synthesize names so an
+        # unaliased projection (`max(price)`, the normal scalar shape)
+        # still records ancestry instead of a skipped placeholder
+        ms = re.match(r"\s*SELECT\b", inner, re.IGNORECASE)
+        if ms is None:
+            return None  # (WITH ...)-headed body: derive nothing
+        names = _ctas_out_names(inner[ms.end():])
+        if names is None:
+            return None  # star projection: derive nothing
+        _virtual_source(
+            spark, name, [f"__sqc{i}" for i in range(len(names))],
+            inner, target, cache, ctx,
+        )
+        if not ctx["virtual"][name]:
+            return None  # unattributable body: derive nothing
+        for pairs in ctx["ancestry"][name].values():
+            hits.extend(sorted(pairs))
+        expr = expr[: m.start()] + "(0)" + rest
+
+
 def _expr_source_cols(
     item: str,
     alias_map: dict[str, str],
@@ -1148,7 +1211,11 @@ def _column_lineage_edges(
     exactly like CROSS JOINs. Lateral column aliases compose: a later
     item's bare reference to an earlier item's alias (a name no source
     holds — Spark's precedence) expands to that item's ancestry.
-    NATURAL joins, subquery ITEMS, ambiguous names and unaliased CTAS
+    Scalar subqueries in select items (``(SELECT max(x) FROM s) AS
+    m``) scan their bodies as virtual sources and attribute their
+    projected columns (``_scalar_subquery_hits``); correlation
+    predicates affect rows, not values, and derive nothing extra.
+    NATURAL joins, ambiguous names and unaliased CTAS
     expressions derive NOTHING — a fabricated edge is worse than a
     missing one. INSERT targets map by
     POSITION against the target schema (the engine's ``_run_insert``
@@ -1527,13 +1594,30 @@ def _edges_impl(
                 # CTAS expression without an alias materializes under
                 # Spark's auto-generated column name: skip it
                 continue
+            sub_hits: list[tuple[str, str]] = []
+            if re.search(r"\bSELECT\b", expr, re.IGNORECASE):
+                # scalar subquery in a select item: scan each
+                # (SELECT ...) group as a virtual source; the residual
+                # expression (groups replaced by literals) attributes
+                # its own refs below
+                sq = _scalar_subquery_hits(spark, expr, target, cache, ctx)
+                if sq is None:
+                    if alias is not None:
+                        lateral[alias.lower()] = []
+                    continue  # unattributable subquery body
+                expr, sub_hits = sq
             found = _expr_source_cols(
                 expr, alias_map, dead_quals, schemas, lateral
             )
+            if found is None:
+                if alias is not None:
+                    lateral[alias.lower()] = []
+                continue  # star / unresolvable shape: derive nothing
+            found = found + [h for h in sub_hits if h not in found]
             if not found:
                 if alias is not None:
                     lateral[alias.lower()] = []
-                continue  # subquery / star / no attributable refs
+                continue  # no attributable refs
             s_hits = found
         if alias is not None:
             lateral[alias.lower()] = list(s_hits)
@@ -1766,6 +1850,24 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
     registered = {n for (s, n) in sqldml._REGISTRY if s == sid} | {
         n for (s, n) in sqldml._VIEW_DEFS if s == sid
     }
+    out: set[str] = set()
+    for bare in from_position_refs(sql):
+        name = acl.canonical_name(spark, bare)
+        if name in registered:
+            out.add(name)
+    return out
+
+
+def from_position_refs(sql: str) -> set[str]:
+    """Bare lowered table refs in FROM/USING/JOIN/CLONE position
+    (quote-aware, comma joins included), CTE names excluded — the
+    READ positions of a statement, without registry resolution. The
+    textual half of :func:`_lineage_sources`; also the view
+    self-reference guard (``metasql._run_create_view``), where a
+    COLUMN merely sharing the view's basename must not count as a
+    reference."""
+    from ..tables import sqldml
+
     mask = sqldml._mask(sql)
     ctes = _cte_names(sql)
     out: set[str] = set()
@@ -1788,9 +1890,7 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
             continue
         if "." not in bare and bare in ctes:
             continue
-        name = acl.canonical_name(spark, bare)
-        if name in registered:
-            out.add(name)
+        out.add(bare)
     for m in re.finditer(
         r"\b(?P<kw>FROM|USING|JOIN)\s+(`[^`]+`|[\w.]+)", sql, re.IGNORECASE
     ):
@@ -1803,6 +1903,10 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
                 ptok = prev.group(1)
                 if ptok == "'":
                     continue  # substring('abc' FROM 2): keyword-FROM
+                if ptok.lower() == "distinct":
+                    # `a IS [NOT] DISTINCT FROM b` captures b, a
+                    # COLUMN (bare SELECT DISTINCT never abuts FROM)
+                    continue
                 if (
                     ptok.split(".")[-1].lower()
                     in _EXTRACT_FIELD_SYNONYMS
@@ -1835,9 +1939,7 @@ def _lineage_sources(spark: SparkSession, sql: str) -> set[str]:
                 # a single-part ref bound by the statement's own WITH
                 # clause reads the CTE, never a same-named table
                 continue
-            name = acl.canonical_name(spark, bare)
-            if name in registered:
-                out.add(name)
+            out.add(bare)
     return out
 
 
@@ -1972,8 +2074,10 @@ def _run_statement_impl(
         )
     ):
         _ensure_group_udf(spark)
-    # registered LakeTables resolve by name in FROM/USING clauses
-    sqldml.sync_views(spark)
+    # registered LakeTables resolve by name in FROM/USING clauses;
+    # the statement text scopes the persistent-view sync to the views
+    # it references (plus their transitive deps)
+    sqldml.sync_views(spark, sql)
     # share-mounted catalogs (CREATE CATALOG ... USING SHARE): 3-part
     # mounted names re-point to their views BEFORE routing, so DML/CTAS
     # reading a mounted table resolves like a plain SELECT does

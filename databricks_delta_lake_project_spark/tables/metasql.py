@@ -521,10 +521,15 @@ def _run_create_view(spark: SparkSession, text: str) -> DataFrame | None:
     # a self-referential body (CREATE OR REPLACE VIEW v AS ... FROM v)
     # would analyze against the PREVIOUS definition's already-bound
     # temp view and silently freeze that stale plan — refuse the shape
-    # outright (views resolve by basename, so a same-named other
-    # object cannot exist)
-    body_refs = sqldml.identifier_tokens(body)
-    if base in body_refs or clean in body_refs:
+    # outright (views resolve by basename, so a FROM-position ref
+    # sharing this basename can only mean the view). The scan is
+    # limited to FROM/USING/JOIN/CLONE READ positions: a COLUMN that
+    # merely shares the view's basename (CREATE VIEW revenue AS
+    # SELECT revenue FROM t) must create, not refuse.
+    body_refs = sqlpack.from_position_refs(body)
+    if clean in body_refs or base in {
+        r.split(".")[-1] for r in body_refs
+    }:
         raise ValueError(
             f"view {clean} references itself in its body — recursive "
             f"or self-replacing views are not supported"
@@ -546,7 +551,7 @@ def _run_create_view(spark: SparkSession, text: str) -> DataFrame | None:
     # UDF refresh, so a membership-gated body registers the UDF here.
     if "engine_is_group_member" in body.lower():
         sqlpack._ensure_group_udf(spark)
-    sqldml.sync_views(spark)
+    sqldml.sync_views(spark, body)
     df = spark.sql(body)
     if cols is not None:
         if len(cols) != len(df.columns):
@@ -561,6 +566,9 @@ def _run_create_view(spark: SparkSession, text: str) -> DataFrame | None:
         "cols": cols,
         "comment": m.group("comment"),
     }
+    # the manual bind above carries no freshness key: drop any stale
+    # one (an OR REPLACE's predecessor) so the next sync recomputes
+    sqldml._BOUND_VIEWS.pop((sid, clean), None)
     if "engine_is_group_member" in body.lower():
         # the body evaluates group membership (IS_ACCOUNT_GROUP_MEMBER
         # normalizes to the engine UDF): flag the session so every
@@ -617,6 +625,7 @@ def _run_drop_view(spark: SparkSession, text: str) -> DataFrame | None:
     full, _meta = hit
     _require_drop(spark, full, "DROP VIEW")
     sqldml._VIEW_DEFS.pop((session_key(spark), full), None)
+    sqldml._BOUND_VIEWS.pop((session_key(spark), full), None)
     try:
         spark.catalog.dropTempView(full.split(".")[-1])
     except Exception:  # noqa: BLE001

@@ -88,13 +88,26 @@ _MASKED_SESSIONS: set[str] = set()
 _OWNED_VIEWS: dict[tuple[str, str], tuple[int | None, str] | None] = {}
 
 
-def sync_views(spark: SparkSession) -> None:
+def sync_views(spark: SparkSession, statement: str | None = None) -> None:
     """Expose every registered LakeTable as a same-named temp view (last
     dotted component) so plain SELECTs and MERGE USING clauses resolve
     table names. A view refreshes only when its table's version moved
     (cheap latest-version probe, no replay); a user's own temp view is
-    never shadowed."""
+    never shadowed.
+
+    ``statement`` (the SQL about to run) scopes the persistent-view
+    sync: only views the statement's identifier tokens reference —
+    plus their transitive view dependencies — are considered, and a
+    considered view re-analyzes only when its freshness key moved
+    (underlying registered-table versions, its own definition text, a
+    dependency rebuilt this pass, a membership-gated body, or a
+    non-engine source whose state the engine cannot version). Without
+    ``statement`` (or when it contains runtime-constructed names —
+    IDENTIFIER() / EXECUTE IMMEDIATE — that no token scan resolves)
+    every view is considered. Zero cost for sessions with no views."""
     sid = session_key(spark)
+    cur_state: dict[str, tuple[int | None, str]] = {}
+    rebuilt: set[str] = set()
     for (s, n), t in list(_REGISTRY.items()):
         if s != sid:
             continue
@@ -106,6 +119,7 @@ def sync_views(spark: SparkSession) -> None:
             v = t._log.latest_version(t.root)
         except Exception:
             v = None
+        cur_state[name] = (v, t.root)
         owned = key in _OWNED_VIEWS
         if owned and _OWNED_VIEWS[key] == (v, t.root):
             # same table, unchanged since the last sync — EXCEPT masked
@@ -161,21 +175,148 @@ def sync_views(spark: SparkSession) -> None:
                     # including the CREATE FUNCTION that fixes it)
                     spark.catalog.dropTempView(name)
                     _OWNED_VIEWS.pop(key, None)
+                    rebuilt.add(name)
                     continue
             df.createOrReplaceTempView(name)
             _OWNED_VIEWS[key] = (v, t.root)
-    # persistent VIEWS re-analyze per statement (the definition is SQL
-    # text, so the plan always reads the underlying tables' CURRENT
-    # snapshot — a temp view built once would freeze the file list at
-    # definition time). Fixed-point passes make view-over-view binding
-    # ORDER-FREE (a durable-registry replay or drop+recreate can list
-    # a dependent before its base); a view that still fails after
-    # convergence fails CLOSED — its previous binding is dropped, so a
-    # stale frozen plan can never keep serving data whose definition
-    # no longer analyzes. Zero cost for sessions with no views.
-    pending = [
-        (n, meta) for (s, n), meta in _VIEW_DEFS.items() if s == sid
-    ]
+            rebuilt.add(name)
+    # persistent VIEWS are SQL text re-analyzed here so the plan
+    # always reads the underlying tables' CURRENT snapshot (a temp
+    # view built once would freeze the file list at definition time).
+    # The sync is REFERENCED-ONLY and VERSION-KEYED — see _view_sync.
+    views = [(n, meta) for (s, n), meta in _VIEW_DEFS.items() if s == sid]
+    if views:
+        _view_sync(spark, sid, views, statement, cur_state, rebuilt)
+
+
+def _view_tokens(meta: dict) -> set[str]:
+    """The body's identifier tokens plus each dotted token's basename
+    (a body can spell a dependency either way), cached on the
+    definition — recomputed only when the stored SQL changes."""
+    cached = meta.get("_tokens")
+    if cached is None or meta.get("_tokens_sql") != meta["sql"]:
+        toks = identifier_tokens(meta["sql"])
+        cached = toks | {t.split(".")[-1] for t in toks}
+        meta["_tokens"] = cached
+        meta["_tokens_sql"] = meta["sql"]
+    return cached
+
+
+_MEMBER_RE = re.compile(
+    r"\b(?:is_account_group_member|engine_is_group_member)\s*\(",
+    re.IGNORECASE,
+)
+
+# (session, view_full_name) -> freshness key of the CURRENT binding:
+# (definition sql, cols, sorted (table_basename, version, root) over
+# the registered tables the body's tokens touch). A matching key
+# proves the bound plan still reads the same snapshots of everything
+# the engine versions; anything the engine cannot version (native
+# temp views / catalog tables in the body, membership UDF closures)
+# disqualifies the view from keyed skipping entirely.
+_BOUND_VIEWS: dict[tuple[str, str], tuple] = {}
+
+
+def _view_sync(
+    spark: SparkSession,
+    sid: str,
+    views: list[tuple[str, dict]],
+    statement: str | None,
+    cur_state: dict[str, tuple[int | None, str]],
+    rebuilt: set[str],
+) -> None:
+    """Bind the persistent views a statement needs, re-analyzing only
+    the stale ones. Need = the statement's identifier tokens name the
+    view (plus transitive view deps); stale = freshness key moved, a
+    dependency (table temp view or other view) rebuilt this pass, a
+    membership-gated body (the group UDF closure refreshes per
+    statement in masked sessions), or a body token naming a NON-engine
+    relation (user temp view / native catalog table — sources the
+    engine cannot version-key, so those views keep the re-analyze-
+    every-statement contract). Fixed-point passes keep view-over-view
+    binding ORDER-FREE; a view that still fails after convergence
+    fails CLOSED — its previous binding is dropped, so a stale frozen
+    plan can never keep serving data whose definition no longer
+    analyzes."""
+    bind_all = statement is None or re.search(
+        r"\bIDENTIFIER\s*\(|\bEXECUTE\s+IMMEDIATE\b", statement,
+        re.IGNORECASE,
+    )
+    if bind_all:
+        needed = list(views)
+    else:
+        assert statement is not None
+        stoks = identifier_tokens(statement)
+        stoks |= {t.split(".")[-1] for t in stoks}
+        needed = [
+            (n, meta)
+            for n, meta in views
+            if n in stoks or n.split(".")[-1] in stoks
+        ]
+        # transitive deps: a needed view's body tokens can name other
+        # views, which must be bound for its analysis to succeed
+        seen = {n for n, _ in needed}
+        frontier = list(needed)
+        while frontier:
+            deps: set[str] = set()
+            for _n, meta in frontier:
+                deps |= _view_tokens(meta)
+            frontier = [
+                (n, meta)
+                for n, meta in views
+                if n not in seen
+                and (n in deps or n.split(".")[-1] in deps)
+            ]
+            seen |= {n for n, _ in frontier}
+            needed.extend(frontier)
+    if not needed:
+        return
+    # relations the engine does NOT own (user temp views, native
+    # catalog tables): a view whose body tokens touch one re-analyzes
+    # every statement — the engine has no version to key on. Computed
+    # once per sync; on catalog failure every view is treated volatile
+    # (fail-safe: extra analyses, never staleness).
+    engine_owned = {b for b in cur_state} | {
+        n.split(".")[-1] for n, _ in views
+    }
+    try:
+        foreign = {
+            t.name.lower() for t in spark.catalog.listTables()
+        } - engine_owned
+    except Exception:  # noqa: BLE001
+        foreign = None
+
+    def key_for(meta: dict) -> tuple:
+        toks = _view_tokens(meta)
+        return (
+            meta["sql"],
+            tuple(meta.get("cols") or ()),
+            tuple(
+                sorted(
+                    (b, v, r)
+                    for b, (v, r) in cur_state.items()
+                    if b in toks
+                )
+            ),
+        )
+
+    def stale(n: str, meta: dict) -> bool:
+        toks = _view_tokens(meta)
+        if foreign is None or toks & foreign:
+            return True
+        if _MEMBER_RE.search(meta["sql"]):
+            return True
+        if toks & rebuilt:
+            return True
+        if _BOUND_VIEWS.get((sid, n)) != key_for(meta):
+            return True
+        try:
+            return not spark.catalog.tableExists(n.split(".")[-1])
+        except Exception:  # noqa: BLE001
+            return True
+
+    pending = [(n, meta) for n, meta in needed if stale(n, meta)]
+    fresh = [(n, meta) for n, meta in needed if (n, meta) not in pending]
     progressed = True
     while pending and progressed:
         progressed = False
@@ -187,10 +328,20 @@ def sync_views(spark: SparkSession) -> None:
                 if meta.get("cols"):
                     df = df.toDF(*meta["cols"])
                 df.createOrReplaceTempView(base)
+                _BOUND_VIEWS[(sid, n)] = key_for(meta)
+                rebuilt.add(base)
                 progressed = True
             except Exception:  # noqa: BLE001
                 still.append((n, meta))
         pending = still
+        # a rebuild can invalidate a previously-fresh dependent (its
+        # dep landed in `rebuilt` after the staleness check ran)
+        if progressed and fresh:
+            newly = [fm for fm in fresh if _view_tokens(fm[1]) & rebuilt]
+            if newly:
+                fresh = [fm for fm in fresh if fm not in newly]
+                pending.extend(newly)
+                progressed = True
     for n, _meta in pending:
         import warnings
 
@@ -199,6 +350,7 @@ def sync_views(spark: SparkSession) -> None:
             spark.catalog.dropTempView(base)
         except Exception:  # noqa: BLE001
             pass
+        _BOUND_VIEWS.pop((sid, n), None)
         # one broken view (an underlying table dropped since
         # definition) must not brick every later statement — but it
         # must not serve a stale frozen plan either

@@ -2154,3 +2154,92 @@ def test_extract_from_does_not_fabricate_lineage(spark, tag_world, tmp_path):
         sqldml._REGISTRY.pop(
             (session_key(spark), "tagcat.silver.order_date"), None
         )
+
+
+def test_column_lineage_scalar_subquery_items(spark, tmp_path):
+    """A scalar subquery in a select item attributes its projected
+    column's REAL ancestry (virtual-source scan — the same machinery
+    MERGE subquery sources use); the residual expression attributes
+    its own refs alongside; correlation predicates and count(*)
+    bodies contribute no extra edges; an unattributable body makes
+    only THAT item derive nothing (never the others, never a
+    fabrication)."""
+    from databricks_delta_lake_project_spark.queries import sqlpack
+
+    t1 = LakeTable.create(
+        spark,
+        str(tmp_path / "sqt"),
+        df=spark.sql("SELECT 1L AS id, 2.0D AS amount"),
+    )
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "sqs"),
+        df=spark.sql("SELECT 1L AS k, 5.0D AS price"),
+    )
+    sqldml.register_table(spark, "qcat.bronze.sqt", t1)
+    sqldml.register_table(spark, "qcat.bronze.sqs", t2)
+    try:
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE qcat.silver.sqout AS SELECT "
+            "id, "
+            "(SELECT max(price) FROM sqs) AS top_price, "
+            "amount * (SELECT min(price) FROM sqs WHERE k = id) AS scaled, "
+            "(SELECT count(*) FROM sqs) AS n_rows, "
+            "CASE WHEN id IN (SELECT k FROM sqs) THEN 1 ELSE 0 END AS flagged "
+            "FROM sqt",
+            "qcat.silver.sqout",
+        )
+        assert sorted(edges) == [
+            ("qcat.bronze.sqs", "k", "flagged"),
+            ("qcat.bronze.sqs", "price", "scaled"),
+            ("qcat.bronze.sqs", "price", "top_price"),
+            ("qcat.bronze.sqt", "amount", "scaled"),
+            ("qcat.bronze.sqt", "id", "flagged"),
+            ("qcat.bronze.sqt", "id", "id"),
+        ]
+        # an unattributable subquery body (unregistered table) kills
+        # only ITS item; siblings still derive
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE qcat.silver.sq2 AS SELECT "
+            "(SELECT x FROM nowhere_tbl) AS u, id AS id2 FROM sqt",
+            "qcat.silver.sq2",
+        )
+        assert edges == [("qcat.bronze.sqt", "id", "id2")]
+        # EXISTS stays function-shaped after group replacement — the
+        # keyword never resolves as a column guess
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE qcat.silver.sq3 AS SELECT "
+            "EXISTS (SELECT k FROM sqs) AS has_rows FROM sqt",
+            "qcat.silver.sq3",
+        )
+        assert edges == [("qcat.bronze.sqs", "k", "has_rows")]
+        # end-to-end: the CTAS runner records the edges in
+        # system.lineage.column_lineage
+        run_statement(
+            spark,
+            f"CREATE TABLE qcat.silver.sqtgt USING delta LOCATION "
+            f"'{tmp_path / 'sqtgt'}' AS SELECT "
+            "id, (SELECT max(price) FROM sqs) AS top_price FROM sqt",
+        )
+        rows = run_statement(
+            spark,
+            """
+            SELECT source_table_full_name, source_column_name,
+                   target_column_name
+            FROM system.lineage.column_lineage
+            WHERE target_table_full_name = 'qcat.silver.sqtgt'
+            ORDER BY target_column_name
+            """,
+        ).collect()
+        assert [tuple(r) for r in rows] == [
+            ("qcat.bronze.sqt", "id", "id"),
+            ("qcat.bronze.sqs", "price", "top_price"),
+        ]
+    finally:
+        for nm in (
+            "qcat.bronze.sqt", "qcat.bronze.sqs", "qcat.silver.sqtgt",
+        ):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)

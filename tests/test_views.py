@@ -504,3 +504,120 @@ def test_group_membership_view_stays_fresh(spark, view_world):
         )
     finally:
         spark.conf.unset(GROUPS_CONF_KEY)
+
+
+def test_view_sync_referenced_only_and_version_keyed(
+    spark, view_world, monkeypatch
+):
+    """The per-statement view sync is LAZY and VERSION-KEYED: a
+    statement re-analyzes only the views it references (plus their
+    transitive view deps), and only when their freshness key moved —
+    an unchanged underlying table re-analyzes nothing. Observed by
+    counting spark.sql calls that analyze a stored view body."""
+    sid = session_key(spark)
+    run_statement(
+        spark, "CREATE VIEW vcat.gold.lv1 AS SELECT id FROM vord"
+    )
+    run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.lv2 AS SELECT amount FROM vord",
+    )
+    run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.lvv AS SELECT id FROM lv1 WHERE id > 0",
+    )
+    bodies = {
+        n: meta["sql"]
+        for (s, n), meta in sqldml._VIEW_DEFS.items()
+        if s == sid and n.startswith("vcat.gold.lv")
+    }
+    by_body = {sql: n for n, sql in bodies.items()}
+    analyzed: list[str] = []
+    real_sql = spark.sql
+
+    def counting_sql(q, *a, **k):
+        if isinstance(q, str) and q in by_body:
+            analyzed.append(by_body[q])
+        return real_sql(q, *a, **k)
+
+    monkeypatch.setattr(spark, "sql", counting_sql)
+
+    # first touch after CREATE: exactly the referenced view analyzes
+    # (the CREATE-time bind carries no freshness key), siblings do not
+    run_statement(spark, "SELECT count(*) AS n FROM lv2")
+    assert analyzed == ["vcat.gold.lv2"]
+    # repeat with nothing changed: the keyed binding is reused
+    analyzed.clear()
+    run_statement(spark, "SELECT count(*) AS n FROM lv2")
+    assert analyzed == []
+    # a view-over-view statement binds the view; its dep lv1 was
+    # already analyzed and KEYED by lvv's own CREATE sync (the body
+    # references it), so the keyed binding is reused
+    analyzed.clear()
+    run_statement(spark, "SELECT count(*) AS n FROM lvv")
+    assert analyzed == ["vcat.gold.lvv"]
+    analyzed.clear()
+    run_statement(spark, "SELECT count(*) AS n FROM lvv")
+    assert analyzed == []
+    # the underlying table moves: the next statement referencing the
+    # view chain re-analyzes it (dep first propagation), the
+    # unreferenced sibling stays untouched
+    run_statement(spark, "DELETE FROM vord WHERE id >= 8")
+    analyzed.clear()
+    assert (
+        run_statement(
+            spark, "SELECT count(*) AS n FROM lvv"
+        ).collect()[0]["n"]
+        == 7
+    )
+    assert sorted(analyzed) == ["vcat.gold.lv1", "vcat.gold.lvv"]
+    # the sibling's key moved too — but only ITS statement pays
+    analyzed.clear()
+    run_statement(spark, "SELECT count(*) AS n FROM lv2")
+    assert analyzed == ["vcat.gold.lv2"]
+
+
+def test_view_self_reference_narrowed_to_from_position(
+    spark, view_world
+):
+    """The self-reference refusal scans FROM/USING/JOIN positions, not
+    all tokens: a COLUMN that merely shares the view's basename
+    creates fine; a FROM-position self-reference (bare or dotted)
+    still refuses; a CTE sharing the name shadows it legally."""
+    out = run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.amount AS SELECT amount FROM vord",
+    ).collect()[0]
+    assert out["created"] == 1
+    assert (
+        run_statement(
+            spark, "SELECT count(*) AS n FROM amount"
+        ).collect()[0]["n"]
+        == 10
+    )
+    with pytest.raises(ValueError, match="references itself"):
+        run_statement(
+            spark,
+            "CREATE OR REPLACE VIEW vcat.gold.amount AS "
+            "SELECT amount FROM amount",
+        )
+    with pytest.raises(ValueError, match="references itself"):
+        run_statement(
+            spark,
+            "CREATE OR REPLACE VIEW vcat.gold.amount AS "
+            "SELECT amount FROM vcat.gold.amount",
+        )
+    # a CTE named like the view shadows it inside the body — legal
+    out = run_statement(
+        spark,
+        "CREATE OR REPLACE VIEW vcat.gold.amount AS "
+        "WITH amount AS (SELECT id FROM vord WHERE id < 3) "
+        "SELECT id FROM amount",
+    ).collect()[0]
+    assert out["created"] == 1
+    assert (
+        run_statement(
+            spark, "SELECT count(*) AS n FROM amount"
+        ).collect()[0]["n"]
+        == 3
+    )
