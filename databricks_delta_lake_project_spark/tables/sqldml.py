@@ -1399,6 +1399,88 @@ def _copy_file_ident(p: "Path") -> str:
     return f"{p.resolve()}|{st.st_size}|{st.st_mtime_ns // 1_000_000}"
 
 
+# cumulative COPY INTO ledger snapshots: written once a replay had to
+# read this many commits, so steady-state replay is O(commits since
+# snapshot), not O(table lifetime) — a minutely ingest pipeline stays
+# bounded at ~this many driver-side JSON reads per run
+_COPY_LEDGER_DIR = "_copy_into_ledger"
+_COPY_LEDGER_EVERY = 20
+
+
+def _copy_ledger_load(root: str) -> tuple[int, set[str]]:
+    """Newest usable ledger snapshot as ``(version, file idents)``;
+    ``(-1, empty)`` when none. A snapshot is a pure CACHE of the fold
+    of ``copiedFiles`` over every COPY INTO commit ≤ its version — the
+    commits' operationParameters stay the crash-atomic source of
+    truth, so a missing/partial snapshot only costs a longer replay,
+    never correctness (a torn write is skipped for the next older
+    one)."""
+    import json as _json
+    from pathlib import Path as _P
+
+    d = _P(root) / _COPY_LEDGER_DIR
+    if not d.is_dir():
+        return -1, set()
+    for p in sorted(d.glob("ledger_*.json"), reverse=True):
+        try:
+            doc = _json.loads(p.read_text())
+            return int(doc["version"]), set(doc["files"])
+        except Exception:  # noqa: BLE001
+            continue
+    return -1, set()
+
+
+def _copy_replay(t: Any) -> tuple[set[str], int, int]:
+    """``(loaded idents, snapshot version, commits read)``: seed from
+    the newest ledger snapshot, then fold ``copiedFiles`` from only
+    the commits past it. The third element counts the driver-side
+    commit-JSON reads this replay performed — the quantity the ledger
+    bounds."""
+    base_v, loaded = _copy_ledger_load(t.root)
+    replayed = 0
+    for v in t._log.list_versions(t.root):
+        if v <= base_v:
+            continue
+        c = t._log.read_commit(t.root, v)
+        replayed += 1
+        if c.get("operation") == "COPY INTO":
+            loaded.update(
+                c.get("operationParameters", {}).get("copiedFiles") or []
+            )
+    return loaded, base_v, replayed
+
+
+def _copy_ledger_write(t: Any, version: int) -> None:
+    """Publish a cumulative snapshot AT ``version``. Race-correct by
+    construction: the fold re-reads the log's COPY INTO commits in
+    ``(snapshot, version]`` at write time (not a pre-append in-memory
+    set), so a concurrent COPY INTO that landed below ``version``
+    after this run's replay is still captured. Atomic publish via
+    rename; best-effort — failures leave replay on the commits."""
+    import json as _json
+    import uuid as _uuid
+    from pathlib import Path as _P
+
+    base_v, files = _copy_ledger_load(t.root)
+    for v in t._log.list_versions(t.root):
+        if base_v < v <= version:
+            c = t._log.read_commit(t.root, v)
+            if c.get("operation") == "COPY INTO":
+                files.update(
+                    c.get("operationParameters", {}).get("copiedFiles")
+                    or []
+                )
+    d = _P(t.root) / _COPY_LEDGER_DIR
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / f".ledger_{_uuid.uuid4().hex}.tmp"
+    tmp.write_text(
+        _json.dumps({"version": version, "files": sorted(files)})
+    )
+    tmp.replace(d / f"ledger_{version:020d}.json")
+    for old in sorted(d.glob("ledger_*.json"))[:-2]:
+        old.unlink(missing_ok=True)
+
+
 def _run_copy_into(spark: SparkSession, sql: str) -> dict[str, Any]:
     """``COPY INTO t FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
     [PATTERN = '<glob>'] [FORMAT_OPTIONS ('k'='v', ...)]
@@ -1409,8 +1491,12 @@ def _run_copy_into(spark: SparkSession, sql: str) -> dict[str, Any]:
     File-level exactly-once WITHOUT a table scan: each run's commit
     records the file identities it loaded (``copiedFiles`` in the
     commit's operationParameters, crash-atomic with the data), and a
-    re-run replays the log's COPY INTO commits — O(commits),
-    driver-side — to skip files already landed. ``'force' = 'true'``
+    re-run seeds from the newest cumulative ledger snapshot
+    (``_copy_into_ledger/``, written once a replay had to read
+    ``_COPY_LEDGER_EVERY`` commits) then replays only the commits
+    past it — O(commits since snapshot) driver-side, bounded for a
+    minutely pipeline. The snapshot is a cache; the commits stay the
+    source of truth (see ``_copy_ledger_load``). ``'force' = 'true'``
     reloads everything. CSV/JSON read under the TARGET schema (stable
     types without inference) unless ``mergeSchema`` asks for
     inference + schema evolution; parquet reads its own schema and the
@@ -1507,14 +1593,9 @@ def _run_copy_into(spark: SparkSession, sql: str) -> dict[str, Any]:
     force = str(copts.get("force", "false")).lower() in ("true", "1")
     merge = str(copts.get("mergeSchema", "false")).lower() in ("true", "1")
     loaded: set[str] = set()
+    base_v, replayed = -1, 0
     if not force:
-        for v in t._log.list_versions(t.root):
-            c = t._log.read_commit(t.root, v)
-            if c.get("operation") == "COPY INTO":
-                loaded.update(
-                    c.get("operationParameters", {}).get("copiedFiles")
-                    or []
-                )
+        loaded, base_v, replayed = _copy_replay(t)
     idents = [(p, _copy_file_ident(p)) for p in cands]
     new = [(p, i) for p, i in idents if i not in loaded]
     out = {
@@ -1524,6 +1605,15 @@ def _run_copy_into(spark: SparkSession, sql: str) -> dict[str, Any]:
         "numOutputRows": 0,
     }
     if not new:
+        # a no-op re-run still snapshots once the replay got long —
+        # otherwise a steady-state poller replays the whole log forever
+        if not force and replayed >= _COPY_LEDGER_EVERY:
+            try:
+                lv = t._log.latest_version(t.root)
+                if lv is not None:
+                    _copy_ledger_write(t, lv)
+            except Exception:  # noqa: BLE001
+                pass
         return out
     paths = [str(p) for p, _ in new]
     reader = spark.read.options(**fopts)
@@ -1544,6 +1634,14 @@ def _run_copy_into(spark: SparkSession, sql: str) -> dict[str, Any]:
         .get("operationMetrics", {})
         .get("numOutputRows", 0)
     )
+    if not force and replayed >= _COPY_LEDGER_EVERY:
+        # this replay had to read enough commits to be worth folding
+        # into a snapshot; a failed write just means the next run
+        # replays the same commits again (cache, never truth)
+        try:
+            _copy_ledger_write(t, v)
+        except Exception:  # noqa: BLE001
+            pass
     return out
 
 

@@ -204,3 +204,73 @@ def test_copy_into_from_volume(spark, tmp_path):
     finally:
         sqldml._REGISTRY.pop((session_key(spark), "vc.bronze.vtgt"), None)
         run_statement(spark, "DROP VOLUME vc.s.land")
+
+
+def test_copy_into_ledger_checkpoint_bounds_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Once a replay had to read _COPY_LEDGER_EVERY commits, a
+    cumulative ledger snapshot is published; later runs seed from it
+    and read only the commits past it — bounded JSON opens (counted
+    by wrapping read_commit) with replay correctness unchanged, and a
+    TORN snapshot is skipped for the commits (cache, never truth)."""
+    from pathlib import Path
+
+    monkeypatch.setattr(sqldml, "_COPY_LEDGER_EVERY", 4)
+    landing = tmp_path / "lland"
+    landing.mkdir()
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "ltgt"),
+        schema=spark.range(1).withColumn("v", F.col("id") * 2).schema,
+    )
+    sqldml.register_table(spark, "ccat.bronze.ltgt", t)
+    stmt = (
+        f"COPY INTO ccat.bronze.ltgt FROM '{landing}' "
+        "FILEFORMAT = PARQUET"
+    )
+    try:
+        for i in range(4):
+            spark.range(i * 10, i * 10 + 10).withColumn(
+                "v", F.col("id") * 2
+            ).coalesce(1).write.parquet(str(landing / f"batch{i}"))
+            r = run_statement(spark, stmt).collect()[0]
+            assert r["numFilesLoaded"] == 1
+        ldir = Path(t.root) / sqldml._COPY_LEDGER_DIR
+        snaps = sorted(ldir.glob("ledger_*.json"))
+        assert snaps, "4th replay read >= 4 commits: snapshot expected"
+        # next run: seeded replay reads only commits PAST the snapshot
+        seen: list[tuple[int, int]] = []
+        real_replay = sqldml._copy_replay
+
+        def spy_replay(tbl):
+            res = real_replay(tbl)
+            seen.append((res[1], res[2]))
+            return res
+
+        monkeypatch.setattr(sqldml, "_copy_replay", spy_replay)
+        spark.range(100, 110).withColumn("v", F.col("id") * 2).coalesce(
+            1
+        ).write.parquet(str(landing / "batch4"))
+        r = run_statement(spark, stmt).collect()[0]
+        assert (r["numFilesLoaded"], r["numSkippedFiles"]) == (1, 4)
+        snap_v = int(snaps[-1].stem.split("_")[-1])
+        # seeded from the snapshot; zero commit-JSON reads below it
+        assert seen == [(snap_v, t.version() - 1 - snap_v)]
+        assert t.to_df().count() == 50
+        # idempotent no-op re-run stays bounded and loads nothing
+        seen.clear()
+        r = run_statement(spark, stmt).collect()[0]
+        assert (r["numFilesLoaded"], r["numSkippedFiles"]) == (0, 5)
+        assert seen == [(snap_v, t.version() - snap_v)]
+        # a torn snapshot is skipped: corrupt every snapshot and
+        # replay falls back to the commits with identical answers
+        for p in ldir.glob("ledger_*.json"):
+            p.write_text("{ not json")
+        r = run_statement(spark, stmt).collect()[0]
+        assert (r["numFilesLoaded"], r["numSkippedFiles"]) == (0, 5)
+        assert t.to_df().count() == 50
+    finally:
+        sqldml._REGISTRY.pop(
+            (session_key(spark), "ccat.bronze.ltgt"), None
+        )
