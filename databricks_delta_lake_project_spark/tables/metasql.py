@@ -1351,6 +1351,38 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
             rows, "namespace string, tableName string, isTemporary boolean"
         )
 
+    m = re.match(rf"SHOW\s+PARTITIONS\s+{_TREF}\s*$", text, re.IGNORECASE)
+    if m:
+        t = _resolve(spark, m.group(1))
+        if t is None:
+            return None
+        _enforce(spark, "SELECT", m.group(1))
+        pcols = t._partition_columns()
+        if not pcols:
+            raise ValueError(
+                "SHOW PARTITIONS is not allowed on a table that is "
+                f"not partitioned: {m.group(1).strip('`')}"
+            )
+        # distinct partitionValues tuples straight from the commit
+        # log's active entries — O(files) driver metadata, no scan
+        # (the 100 TB answer: partitions are a log fact, not a data
+        # fact). Typed under the table schema like Delta's output.
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        live = {
+            tuple((e.get("partitionValues") or {}).get(c) for c in pcols)
+            for e in t._files()
+        }
+        str_schema = StructType(
+            [StructField(c, StringType(), True) for c in pcols]
+        )
+        types = {f.name: f.dataType for f in t.schema.fields}
+        return (
+            spark.createDataFrame(sorted(live, key=str), str_schema)
+            .select(*[F.col(c).cast(types[c]).alias(c) for c in pcols])
+            .orderBy(*pcols)
+        )
+
     m = re.match(
         rf"SHOW\s+TBLPROPERTIES\s+{_TREF}(?:\s*\(\s*'?(?P<key>[^')]+)'?\s*\))?\s*$",
         text,

@@ -757,6 +757,7 @@ def statement_kind(sql: str) -> str | None:
         ("optimize", "optimize"),
         ("vacuum", "vacuum"),
         ("restore", "restore"),
+        ("reorg", "reorg"),
         ("create table", "create"),
         ("create or replace table", "create"),
         ("create table if not exists", "create"),
@@ -777,6 +778,7 @@ TARGET_VERBS = (
     r"|INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
     r"|TRUNCATE\s+(?:TABLE\s+)?|ALTER\s+TABLE|OPTIMIZE"
     r"|VACUUM|RESTORE\s+(?:TABLE\s+)?|COPY\s+INTO\s+"
+    r"|REORG\s+(?:TABLE\s+)?"
 )
 # creation verbs, kept separate: statement_target deliberately
 # excludes them (CREATE is namespace-gated, not MODIFY-gated)
@@ -844,6 +846,8 @@ def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
         return _run_vacuum(spark, text)
     if kind == "restore":
         return _run_restore(spark, text)
+    if kind == "reorg":
+        return _run_reorg(spark, text)
     if kind == "copy":
         return _run_copy_into(spark, text)
     if kind == "convert":
@@ -1951,6 +1955,28 @@ def _run_vacuum(spark: SparkSession, sql: str) -> dict[str, Any]:
         dry_run=bool(m.group("dry")),
     )
     return {"operation": "VACUUM", "numDeletedFiles": len(victims)}
+
+
+def _run_reorg(spark: SparkSession, sql: str) -> dict[str, Any]:
+    """``REORG TABLE t [WHERE pred] APPLY (PURGE)`` — rewrite files
+    carrying deletion vectors so soft-deleted bytes are physically
+    gone (Databricks' documented GDPR-erasure prep; beyond the
+    reference repo's surface). Routed to :meth:`LakeTable.reorg_purge`
+    — O(DV'd files), never O(table)."""
+    m = re.match(
+        r"REORG\s+(?:TABLE\s+)?(?P<tref>`[^`]+`|[A-Za-z_][\w.]*)"
+        r"(?:\s+WHERE\s+(?P<where>.*?))?"
+        r"\s+APPLY\s*\(\s*PURGE\s*\)\s*$",
+        sql,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse REORG statement: {sql[:80]!r}")
+    table = resolve_table(spark, m.group("tref"))
+    return {
+        **table.reorg_purge(where=(m.group("where") or "").strip() or None),
+        "operation": "REORG",
+    }
 
 
 def _run_restore(spark: SparkSession, sql: str) -> dict[str, Any]:
