@@ -28,6 +28,7 @@ import re
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.masking import GROUPS_CONF_KEY
 from ..session import session_key
@@ -1943,6 +1944,133 @@ def from_position_refs(sql: str) -> set[str]:
     return out
 
 
+_TABLE_CHANGES_RE = re.compile(
+    r"\btable_changes\s*\(\s*(?P<args>[^()]*)\)", re.IGNORECASE
+)
+
+
+def _tc_bound(t, arg: str, start: bool) -> int:
+    """One table_changes version bound: an integer literal is a commit
+    version; a quoted timestamp resolves against the commit log —
+    start = first version AT OR AFTER the instant (Databricks'
+    starting_timestamp contract), end = last version at or before it
+    (plain time-travel semantics)."""
+    arg = arg.strip()
+    if re.fullmatch(r"\d+", arg):
+        return int(arg)
+    if not (arg.startswith("'") or arg.startswith('"')):
+        raise ValueError(
+            f"table_changes: bound must be a version int or a quoted "
+            f"timestamp, got {arg!r}"
+        )
+    dt = datetime.fromisoformat(arg[1:-1])
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    ts_ms = int(dt.timestamp() * 1000)
+    commits = list(t._log.read_log(t.root))
+    if start:
+        for c in commits:
+            if c["timestamp_ms"] >= ts_ms:
+                return c["version"]
+        raise ValueError(
+            f"table_changes: no commit at or after {arg}; the starting "
+            "timestamp is past the table's latest commit"
+        )
+    best = None
+    for c in commits:
+        if c["timestamp_ms"] <= ts_ms:
+            best = c["version"]
+    if best is None:
+        raise ValueError(f"table_changes: no commit at or before {arg}")
+    return best
+
+
+def _rewrite_table_changes(
+    spark: SparkSession, sql: str
+) -> tuple[str, list[str]]:
+    """Rewrite ``table_changes('t', start [, end])`` calls (Databricks'
+    SQL change-data-feed reader; beyond the reference's surface) to
+    statement-scoped temp views over :meth:`LakeTable.read_changes`,
+    with the ``_commit_timestamp`` column Databricks adds joined in
+    from the commit log (tiny broadcast frame — O(commits), never a
+    scan). Quote-aware: a call inside a string literal is untouched.
+    Caller drops the views after the statement (they hold
+    SELECT-gated snapshots)."""
+    if "table_changes" not in sql.lower():
+        return sql, []
+    from ..governance import access_control as acl
+    from ..tables import sqldml
+    from ..tables.table import CDF_TYPE_COL, CDF_VERSION_COL
+
+    mask = sqldml._mask(sql)
+    hits = [
+        m for m in _TABLE_CHANGES_RE.finditer(sql) if not mask[m.start()][1]
+    ]
+    if not hits:
+        return sql, []
+    import uuid as _uuid
+
+    created: list[str] = []
+    pieces: list[str] = []
+    prev = 0
+    try:
+        for m in hits:
+            args = sqldml._split_commas(m.group("args"))
+            if len(args) not in (2, 3):
+                raise ValueError(
+                    "table_changes expects (table, start [, end]), got "
+                    f"{m.group(0)[:80]!r}"
+                )
+            name = args[0].strip().strip("'\"")
+            t = sqldml.resolve_table(spark, name)
+            if acl.enabled(spark):
+                acl.enforce(
+                    spark, "SELECT", acl.canonical_name(spark, name)
+                )
+            start_v = _tc_bound(t, args[1], start=True)
+            end_v = (
+                _tc_bound(t, args[2], start=False) if len(args) == 3 else None
+            )
+            df = t.read_changes(start_v, end_v)
+            vts = [
+                (c["version"], c["timestamp_ms"])
+                for c in t._log.read_log(t.root)
+            ]
+            ts_df = spark.createDataFrame(
+                vts, f"{CDF_VERSION_COL} long, __ts_ms long"
+            )
+            data_cols = [
+                c
+                for c in df.columns
+                if c not in (CDF_TYPE_COL, CDF_VERSION_COL)
+            ]
+            df = (
+                df.join(F.broadcast(ts_df), CDF_VERSION_COL, "left")
+                .withColumn(
+                    "_commit_timestamp", F.timestamp_millis(F.col("__ts_ms"))
+                )
+                .select(
+                    *data_cols,
+                    CDF_TYPE_COL,
+                    CDF_VERSION_COL,
+                    "_commit_timestamp",
+                )
+            )
+            view = f"engine_tc_{_uuid.uuid4().hex[:12]}"
+            df.createOrReplaceTempView(view)
+            created.append(view)
+            pieces.append(sql[prev : m.start()])
+            pieces.append(view)
+            prev = m.end()
+    except Exception:
+        from ..governance import systables
+
+        systables.drop_views(spark, created)
+        raise
+    pieces.append(sql[prev:])
+    return "".join(pieces), created
+
+
 def _run_statement_impl(
     spark: SparkSession, sql: str, _qctx: dict | None = None
 ) -> DataFrame:
@@ -2245,7 +2373,10 @@ def _run_statement_impl(
     from ..quality import event_log as _event_log
 
     text, ev_views = _event_log.repoint(spark, text)
-    sys_views = list(sys_views) + ev_views
+    # table_changes('t', start [, end]) TVF (Databricks' SQL CDF
+    # reader) -> statement-scoped view over LakeTable.read_changes
+    text, tc_views = _rewrite_table_changes(spark, text)
+    sys_views = list(sys_views) + ev_views + tc_views
     try:
         # SQL scalar functions: 3-part CREATE FUNCTION DDL -> a temp
         # function under the basename; later full-name calls re-point

@@ -1272,6 +1272,78 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
             expected_version=snap,
         )
         return {"operation": "CLUSTER BY", "version": v}
+    mac = re.match(
+        r"ADD\s+CONSTRAINT\s+(`?)(?P<name>\w+)\1\s+CHECK\s*\(",
+        rest,
+        re.IGNORECASE,
+    )
+    if mac:
+        inner, tail = _balanced_paren(rest[mac.end() - 1 :])
+        if tail.strip():
+            raise ValueError(
+                f"ADD CONSTRAINT: trailing text {tail[:40]!r}"
+            )
+        v = table.add_constraint(mac.group("name"), inner.strip())
+        return {"operation": "ADD CONSTRAINT", "version": v}
+    mdc = re.match(
+        r"DROP\s+CONSTRAINT\s+(?:(?P<ie>IF\s+EXISTS)\s+)?"
+        r"(`?)(?P<name>\w+)\2\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if mdc:
+        v = table.drop_constraint(
+            mdc.group("name"), if_exists=bool(mdc.group("ie"))
+        )
+        return {
+            "operation": "DROP CONSTRAINT",
+            "version": v,
+            "dropped": v is not None,
+        }
+    mrt = re.match(
+        r"RENAME\s+TO\s+(?P<new>`[^`]+`|[\w.]+)\s*$", rest, re.IGNORECASE
+    )
+    if mrt:
+        # registry-level rebind: the NAME moves, data and log stay at
+        # the same location (the external-table RENAME contract —
+        # views/lineage referencing the old name break, like
+        # Databricks). Path tables have no name to rename.
+        new = mrt.group("new")
+        if tname.strip().startswith("`") or new.startswith("`"):
+            raise ValueError(
+                "ALTER TABLE ... RENAME TO operates on registered "
+                "names, not paths"
+            )
+        sid = session_key(spark)
+        old_keys = [
+            (s, n)
+            for (s, n), t in _REGISTRY.items()
+            if s == sid and t is table
+        ]
+        if not old_keys:
+            raise ValueError(
+                f"RENAME TO: {tname!r} is not a registered table"
+            )
+        if _REGISTRY.get(_skey(spark, new)) is not None:
+            raise ValueError(f"RENAME TO: {new!r} already exists")
+        # register_table runs the view-basename collision checks
+        register_table(spark, new, table)
+        for k in old_keys:
+            del _REGISTRY[k]
+            base = k[1].split(".")[-1]
+            if (sid, base) in _OWNED_VIEWS:
+                # the old name must stop resolving immediately
+                _OWNED_VIEWS.pop((sid, base), None)
+                try:
+                    spark.catalog.dropTempView(base)
+                except Exception:  # noqa: BLE001
+                    pass
+        return {
+            "operation": "RENAME TO",
+            "oldName": old_keys[0][1],
+            "newName": new.lower(),
+            "renamed": 1,
+        }
     mp = re.match(
         r"SET\s+TBLPROPERTIES\s*\((?P<body>.*)\)\s*$",
         rest,

@@ -324,3 +324,88 @@ def test_engine_partitioned_dml_protocol_cdc(spark, tmp_path):
         for r in it.read_changes(1).filter("_change_type = 'delete'").collect()
     ]
     assert dels == [("x", 2)]
+
+
+def test_table_changes_sql_tvf(spark, tmp_path):
+    """``SELECT ... FROM table_changes('t', start [, end])`` — the
+    Databricks SQL CDF reader — rewrites to a statement-scoped view
+    over read_changes, adds ``_commit_timestamp`` from the commit log,
+    and honors version AND timestamp bounds."""
+    from pyspark.sql import Row
+
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        run_statement,
+    )
+    from databricks_delta_lake_project_spark.tables import sqldml
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "tc_sql"),
+        df=spark.createDataFrame([Row(id=1, val="a"), Row(id=2, val="b")]),
+        format="delta",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    sqldml.register_table(spark, "tc_sql", t)
+    t.update("id = 2", {"val": "'B!'"})  # v1
+    t.delete("id = 1")  # v2
+
+    out = run_statement(
+        spark,
+        "SELECT id, val, _change_type, _commit_version "
+        "FROM table_changes('tc_sql', 1) ORDER BY _commit_version, id",
+    )
+    assert {tuple(r) for r in out.collect()} == {
+        (2, "b", "update_preimage", 1),
+        (2, "B!", "update_postimage", 1),
+        (1, "a", "delete", 2),
+    }
+
+    # end bound scopes the range; _commit_timestamp matches the log
+    one = run_statement(
+        spark, "SELECT * FROM table_changes('tc_sql', 2, 2)"
+    ).collect()
+    assert [(r["id"], r["_change_type"]) for r in one] == [(1, "delete")]
+    ts_ms = {
+        c["version"]: c["timestamp_ms"] for c in t._log.read_log(t.root)
+    }
+    got_ms = int(one[0]["_commit_timestamp"].timestamp() * 1000)
+    assert got_ms == ts_ms[2]
+
+    # timestamp bounds: start >= v1's instant excludes v0's inserts
+    from datetime import datetime, timezone
+
+    start_iso = (
+        datetime.fromtimestamp(ts_ms[1] / 1000, tz=timezone.utc)
+        .strftime("%Y-%m-%d %H:%M:%S.%f")
+    )
+    by_ts = run_statement(
+        spark,
+        f"SELECT _commit_version FROM table_changes('tc_sql', "
+        f"'{start_iso}+00:00')",
+    )
+    assert {r[0] for r in by_ts.collect()} == {1, 2}
+
+    # the statement-scoped view is dropped afterwards; a string
+    # literal containing the call shape is untouched
+    assert not [
+        v for v in spark.catalog.listTables() if v.name.startswith("engine_tc_")
+    ]
+    lit = run_statement(
+        spark, "SELECT 'use table_changes(''x'', 1) here' AS s"
+    ).collect()
+    assert "table_changes" in lit[0]["s"]
+
+
+def test_table_changes_sql_unknown_table_and_arity(spark):
+    import pytest as _pytest
+
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        run_statement,
+    )
+
+    with _pytest.raises(ValueError):
+        run_statement(
+            spark, "SELECT * FROM table_changes('no_such_tbl_xyz', 0)"
+        )
+    with _pytest.raises(ValueError, match="expects"):
+        run_statement(spark, "SELECT * FROM table_changes('x')")

@@ -321,7 +321,7 @@ def test_alter_table_sql_forms(spark, tmp_path):
     )
     assert t.properties()["delta.enableChangeDataFeed"] == "true"
     with pytest.raises(NotImplementedError, match="unsupported ALTER"):
-        run_statement(spark, "ALTER TABLE alter_t ADD CONSTRAINT c CHECK (a > 0)")
+        run_statement(spark, "ALTER TABLE alter_t SET LOCATION '/elsewhere'")
 
 
 def test_maintenance_sql_statements(spark, tmp_path):
