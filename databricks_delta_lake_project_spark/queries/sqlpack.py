@@ -1967,22 +1967,22 @@ def _tc_bound(t, arg: str, start: bool) -> int:
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
     ts_ms = int(dt.timestamp() * 1000)
-    commits = list(t._log.read_log(t.root))
-    if start:
-        for c in commits:
-            if c["timestamp_ms"] >= ts_ms:
-                return c["version"]
-        raise ValueError(
-            f"table_changes: no commit at or after {arg}; the starting "
-            "timestamp is past the table's latest commit"
-        )
-    best = None
-    for c in commits:
-        if c["timestamp_ms"] <= ts_ms:
-            best = c["version"]
-    if best is None:
-        raise ValueError(f"table_changes: no commit at or before {arg}")
-    return best
+    if not start:
+        # end bound = plain time-travel resolution; the log backend's
+        # helper already skips foreign commits without commitInfo
+        # (timestamp_ms None is protocol-legal)
+        try:
+            return t._log.version_at_timestamp(t.root, ts_ms)
+        except ValueError as e:
+            raise ValueError(f"table_changes: {e}") from e
+    for c in t._log.read_log(t.root):
+        cts = c.get("timestamp_ms")
+        if cts is not None and cts >= ts_ms:
+            return c["version"]
+    raise ValueError(
+        f"table_changes: no commit at or after {arg}; the starting "
+        "timestamp is past the table's latest commit"
+    )
 
 
 def _rewrite_table_changes(
@@ -2272,7 +2272,18 @@ def _run_statement_impl(
                 # is a read source and still needs SELECT
                 if name != target:
                     acl.enforce(spark, "SELECT", name)
-        metrics = sqldml.run_dml(spark, normalize_sql(sql))
+        # table_changes(...) in a DML SOURCE position (INSERT/CTAS
+        # SELECT, MERGE USING) resolves like on the SELECT path; DML
+        # executes eagerly inside run_dml, so the statement-scoped
+        # views can drop right after
+        text_dml, tc_dml = _rewrite_table_changes(spark, sql)
+        try:
+            metrics = sqldml.run_dml(spark, normalize_sql(text_dml))
+        finally:
+            if tc_dml:
+                from ..governance import systables as _st
+
+                _st.drop_views(spark, tc_dml)
         if _qctx is not None:
             _qctx["rows"] = _affected_rows(metrics)
         if kind in ("merge", "insert", "create") and not (

@@ -653,7 +653,10 @@ class DeltaLogBackend:
     ) -> int:
         parameters = parameters or {}
         now = int(time.time() * 1000)
-        data_change = operation not in ("OPTIMIZE",)
+        # physical-layout-only rewrites: logical data is unchanged, so
+        # CDF readers (ours and foreign) must see no changes and the
+        # delta.appendOnly gate must stay legal
+        data_change = operation not in ("OPTIMIZE", "REORG")
         # ONE state replay serves the whole commit (appendOnly gate,
         # mapping checks, metaData emission, protocol upgrade) — the
         # previous shape replayed the log ~5x per write; refreshed only

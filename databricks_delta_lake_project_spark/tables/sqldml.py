@@ -202,6 +202,21 @@ def _view_tokens(meta: dict) -> set[str]:
     return cached
 
 
+def _view_from_refs(meta: dict) -> set[str]:
+    """The body's FROM/JOIN/USING-position relation refs (lowered,
+    CTEs excluded), cached on the definition like ``_view_tokens`` —
+    the ownership test behind keyed skipping: every read relation must
+    be one the engine versions."""
+    cached = meta.get("_from_refs")
+    if cached is None or meta.get("_from_refs_sql") != meta["sql"]:
+        from ..queries.sqlpack import from_position_refs
+
+        cached = from_position_refs(meta["sql"])
+        meta["_from_refs"] = cached
+        meta["_from_refs_sql"] = meta["sql"]
+    return cached
+
+
 _MEMBER_RE = re.compile(
     r"\b(?:is_account_group_member|engine_is_group_member)\s*\(",
     re.IGNORECASE,
@@ -271,20 +286,34 @@ def _view_sync(
             needed.extend(frontier)
     if not needed:
         return
-    # relations the engine does NOT own (user temp views, native
-    # catalog tables): a view whose body tokens touch one re-analyzes
-    # every statement — the engine has no version to key on. Computed
-    # once per sync; on catalog failure every view is treated volatile
-    # (fail-safe: extra analyses, never staleness).
-    engine_owned = {b for b in cur_state} | {
-        n.split(".")[-1] for n, _ in views
+    # relations the engine does NOT own in READ position (user temp
+    # views, native catalog tables in ANY database, global_temp views,
+    # TVF sources): a view whose body reads one re-analyzes every
+    # statement — the engine has no version to key on. Judged on
+    # FROM/JOIN/USING-position refs, not raw tokens (a qualified
+    # column ``alias.col`` must not look foreign) and not the current
+    # database's listing (``db2.tbl`` / ``global_temp.g`` would hide).
+    engine_owned = set(cur_state) | {
+        n for (s, n) in _REGISTRY if s == sid
     }
+    for n, _m in views:
+        engine_owned.add(n)
+        engine_owned.add(n.split(".")[-1])
+    # SQL functions the engine registered (3-part CREATE FUNCTION):
+    # CREATE OR REPLACE FUNCTION changes a body the bound plan has
+    # already inlined, and no table version moves — a view CALLING one
+    # is volatile. (A TEMPORARY function created natively outside the
+    # engine's DDL path is invisible here — documented gap; the
+    # engine's own function surface is covered.)
     try:
-        foreign = {
-            t.name.lower() for t in spark.catalog.listTables()
-        } - engine_owned
+        from ..queries.sqlpack import _FUNCS
+
+        fmap = _FUNCS.get(sid, {})
+        engine_funcs: set[str] | None = {f.lower() for f in fmap} | {
+            b.lower() for b in fmap.values()
+        }
     except Exception:  # noqa: BLE001
-        foreign = None
+        engine_funcs = None  # fail-safe: volatile, never stale
 
     def key_for(meta: dict) -> tuple:
         toks = _view_tokens(meta)
@@ -302,7 +331,12 @@ def _view_sync(
 
     def stale(n: str, meta: dict) -> bool:
         toks = _view_tokens(meta)
-        if foreign is None or toks & foreign:
+        if any(
+            r not in engine_owned and r.split(".")[-1] not in engine_owned
+            for r in _view_from_refs(meta)
+        ):
+            return True
+        if engine_funcs is None or toks & engine_funcs:
             return True
         if _MEMBER_RE.search(meta["sql"]):
             return True
@@ -360,6 +394,29 @@ def _view_sync(
             f"dropped",
             stacklevel=2,
         )
+    if pending:
+        # fail-closed must PROPAGATE: a dependent bound on an earlier
+        # statement holds a frozen plan that reads THROUGH the view
+        # just dropped — left alone it would keep serving the old
+        # snapshot. Dropping its binding makes the next reference
+        # re-analyze (and fail loudly, since the dep is gone).
+        failed: set[str] = set()
+        for n, _m in pending:
+            failed |= {n, n.split(".")[-1]}
+        changed = True
+        while changed:
+            changed = False
+            for n, meta in views:
+                if n in failed or (sid, n) not in _BOUND_VIEWS:
+                    continue
+                if _view_tokens(meta) & failed:
+                    _BOUND_VIEWS.pop((sid, n), None)
+                    try:
+                        spark.catalog.dropTempView(n.split(".")[-1])
+                    except Exception:  # noqa: BLE001
+                        pass
+                    failed |= {n, n.split(".")[-1]}
+                    changed = True
 
 
 # persistent VIEW definitions (UC views: named, ACL-gated, durable
@@ -1315,32 +1372,45 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
                 "names, not paths"
             )
         sid = session_key(spark)
-        old_keys = [
-            (s, n)
-            for (s, n), t in _REGISTRY.items()
-            if s == sid and t is table
-        ]
-        if not old_keys:
-            raise ValueError(
-                f"RENAME TO: {tname!r} is not a registered table"
-            )
+        # rename ONLY the binding the statement named (exact key, else
+        # the unique suffix match resolve_table used) — the same table
+        # registered under OTHER aliases keeps those bindings
+        old_key = _skey(spark, tname)
+        if old_key not in _REGISTRY:
+            last = tname.strip().strip("`").split(".")[-1].lower()
+            hits = [
+                (s, n)
+                for (s, n), t in _REGISTRY.items()
+                if s == sid
+                and t is table
+                and (n.split(".")[-1] == last or n == last)
+            ]
+            if len(hits) != 1:
+                raise ValueError(
+                    f"RENAME TO: {tname!r} is not a registered table"
+                )
+            old_key = hits[0]
         if _REGISTRY.get(_skey(spark, new)) is not None:
             raise ValueError(f"RENAME TO: {new!r} already exists")
         # register_table runs the view-basename collision checks
         register_table(spark, new, table)
-        for k in old_keys:
-            del _REGISTRY[k]
-            base = k[1].split(".")[-1]
-            if (sid, base) in _OWNED_VIEWS:
-                # the old name must stop resolving immediately
-                _OWNED_VIEWS.pop((sid, base), None)
-                try:
-                    spark.catalog.dropTempView(base)
-                except Exception:  # noqa: BLE001
-                    pass
+        del _REGISTRY[old_key]
+        base = old_key[1].split(".")[-1]
+        # the old basename must stop resolving immediately — unless
+        # another alias of some table still owns that basename
+        still_bound = any(
+            s == sid and n.split(".")[-1] == base
+            for (s, n) in _REGISTRY
+        )
+        if (sid, base) in _OWNED_VIEWS and not still_bound:
+            _OWNED_VIEWS.pop((sid, base), None)
+            try:
+                spark.catalog.dropTempView(base)
+            except Exception:  # noqa: BLE001
+                pass
         return {
             "operation": "RENAME TO",
-            "oldName": old_keys[0][1],
+            "oldName": old_key[1],
             "newName": new.lower(),
             "renamed": 1,
         }

@@ -409,3 +409,82 @@ def test_table_changes_sql_unknown_table_and_arity(spark):
         )
     with _pytest.raises(ValueError, match="expects"):
         run_statement(spark, "SELECT * FROM table_changes('x')")
+
+
+def test_tc_bound_skips_none_timestamps():
+    """Foreign commits may lack commitInfo (timestamp_ms None, which
+    the protocol allows) — timestamp bounds must skip them, not crash."""
+    from databricks_delta_lake_project_spark.queries.sqlpack import _tc_bound
+
+    class _Log:
+        def read_log(self, root):
+            return [
+                {"version": 0, "timestamp_ms": 1_000},
+                {"version": 1, "timestamp_ms": None},
+                {"version": 2, "timestamp_ms": 3_000},
+            ]
+
+        def version_at_timestamp(self, root, ts_ms):
+            best = None
+            for c in self.read_log(root):
+                ts = c["timestamp_ms"]
+                if ts is not None and ts <= ts_ms:
+                    best = c["version"]
+            if best is None:
+                raise ValueError("no commit at or before")
+            return best
+
+    class _T:
+        root = "/x"
+        _log = _Log()
+
+    t = _T()
+    iso = "'1970-01-01 00:00:02+00:00'"  # 2000 ms epoch
+    assert _tc_bound(t, iso, start=True) == 2
+    assert _tc_bound(t, iso, start=False) == 0
+    with pytest.raises(ValueError, match="at or after"):
+        _tc_bound(t, "'1970-01-01 00:00:04+00:00'", start=True)
+    with pytest.raises(ValueError, match="table_changes"):
+        _tc_bound(t, "'1969-12-31 00:00:00+00:00'", start=False)
+
+
+def test_table_changes_in_dml_source(spark, tmp_path):
+    """table_changes(...) resolves in DML SOURCE positions too —
+    INSERT ... SELECT over the feed is the canonical CDC-apply shape."""
+    from pyspark.sql import Row
+
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        run_statement,
+    )
+    from databricks_delta_lake_project_spark.tables import sqldml
+
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "tc_src"),
+        df=spark.createDataFrame([Row(id=1, val="a")]),
+        format="delta",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    sqldml.register_table(spark, "tc_src", src)
+    src.delete("id = 1")  # v1
+
+    tgt = LakeTable.create(
+        spark,
+        str(tmp_path / "tc_tgt"),
+        df=spark.createDataFrame(
+            [], "id long, val string, _change_type string"
+        ),
+    )
+    sqldml.register_table(spark, "tc_tgt", tgt)
+    run_statement(
+        spark,
+        "INSERT INTO tc_tgt SELECT id, val, _change_type "
+        "FROM table_changes('tc_src', 1)",
+    )
+    assert [
+        (r["id"], r["_change_type"]) for r in tgt.to_df().collect()
+    ] == [(1, "delete")]
+    # the statement-scoped view dropped after the DML too
+    assert not [
+        v for v in spark.catalog.listTables() if v.name.startswith("engine_tc_")
+    ]

@@ -112,3 +112,16 @@ def test_rename_to_rebinds_name_only(spark, tmp_path):
     _mk(spark, tmp_path, "rn_other")
     with pytest.raises(ValueError, match="already exists"):
         run_statement(spark, "ALTER TABLE rn_new RENAME TO rn_other")
+
+
+def test_rename_preserves_other_aliases(spark, tmp_path):
+    """RENAME TO moves ONLY the named binding — the same table
+    registered under another alias keeps resolving."""
+    t = _mk(spark, tmp_path, "al_main")
+    sqldml.register_table(spark, "cat.sch.al_full", t)
+    res = sqldml.run_dml(spark, "ALTER TABLE al_main RENAME TO al_moved")
+    assert res["oldName"] == "al_main"
+    assert sqldml.resolve_table(spark, "cat.sch.al_full") is t
+    assert sqldml.resolve_table(spark, "al_moved") is t
+    with pytest.raises(ValueError, match="ambiguous|unknown"):
+        sqldml.resolve_table(spark, "al_main")

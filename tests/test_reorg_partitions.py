@@ -138,3 +138,51 @@ def test_show_partitions_refuses_unpartitioned(spark, tmp_path):
     sqldml.register_table(spark, "sp_flat", t)
     with pytest.raises(ValueError, match="not partitioned"):
         run_statement(spark, "SHOW PARTITIONS sp_flat")
+
+
+def test_reorg_is_invisible_to_cdf(spark, tmp_path):
+    """REORG swaps physical layout only — CDF readers (engine AND the
+    independent interop replay) must span the REORG version without
+    refusing and without phantom changes (dataChange=false adds)."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "reorg_cdf"),
+        df=spark.createDataFrame(
+            [Row(day="d1", id=i) for i in range(4)]
+        ).coalesce(1),
+        format="delta",
+        properties={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    sqldml.register_table(spark, "reorg_cdf", t)
+    t.delete("id = 2")  # v1: DV delete, cdc staged
+    t.reorg_purge()  # v2: physical purge, no logical change
+
+    expect = {(2, "delete", 1)}
+    got = {
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in t.read_changes(1).collect()
+    }
+    assert got == expect
+
+    from databricks_delta_lake_project_spark.tables import DeltaInteropTable
+
+    interop = {
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in DeltaInteropTable(spark, t.root).read_changes(1).collect()
+    }
+    assert interop == expect
+
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        run_statement,
+    )
+
+    sql_rows = {
+        (r["id"], r["_change_type"], r["_commit_version"])
+        for r in run_statement(
+            spark, "SELECT * FROM table_changes('reorg_cdf', 1)"
+        ).collect()
+    }
+    assert sql_rows == expect

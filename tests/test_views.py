@@ -621,3 +621,80 @@ def test_view_self_reference_narrowed_to_from_position(
         ).collect()[0]["n"]
         == 3
     )
+
+
+def test_failed_view_invalidates_bound_dependents(spark, tmp_path):
+    """Fail-closed must PROPAGATE: when a view's body stops analyzing
+    (its table is gone) the views bound OVER it must not keep serving
+    their frozen plans — the next reference re-analyzes and fails."""
+    import shutil
+    import warnings as _w
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "dep_t"), df=spark.range(5)
+    )
+    sqldml.register_table(spark, "vcat.gold.dep_t", t)
+    run_statement(
+        spark, "CREATE VIEW vcat.gold.dep_a AS SELECT * FROM dep_t"
+    )
+    run_statement(
+        spark, "CREATE VIEW vcat.gold.dep_b AS SELECT * FROM dep_a"
+    )
+    assert run_statement(spark, "SELECT * FROM dep_b").count() == 5
+
+    # the table vanishes out from under the chain
+    sid = session_key(spark)
+    sqldml._REGISTRY.pop((sid, "vcat.gold.dep_t"))
+    spark.catalog.dropTempView("dep_t")
+    shutil.rmtree(t.root)
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        with pytest.raises(Exception):
+            run_statement(spark, "SELECT * FROM dep_b").collect()
+    for key in [k for k in sqldml._VIEW_DEFS if k[0] == sid]:
+        sqldml._VIEW_DEFS.pop(key, None)
+    sqldml._BOUND_VIEWS.pop((sid, "vcat.gold.dep_a"), None)
+    sqldml._BOUND_VIEWS.pop((sid, "vcat.gold.dep_b"), None)
+
+
+def test_view_over_global_temp_stays_fresh(spark, tmp_path, view_world):
+    """A body reading a relation the engine cannot version (here a
+    global_temp view) re-analyzes per statement — replacing the
+    relation shows up immediately instead of serving the bound plan."""
+    spark.range(3).createOrReplaceGlobalTempView("gfresh")
+    run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.vg AS SELECT * FROM global_temp.gfresh",
+    )
+    assert run_statement(spark, "SELECT * FROM vg").count() == 3
+    spark.range(7).createOrReplaceGlobalTempView("gfresh")
+    assert run_statement(spark, "SELECT * FROM vg").count() == 7
+    spark.catalog.dropGlobalTempView("gfresh")
+
+
+def test_view_over_engine_function_stays_fresh(spark, view_world):
+    """CREATE OR REPLACE FUNCTION must reach views that call it: a
+    bound plan inlined the OLD body and no table version moves, so
+    function-calling views are volatile, never keyed-skipped."""
+    run_statement(
+        spark,
+        "CREATE FUNCTION vcat.gold.rate(x DOUBLE) RETURNS DOUBLE "
+        "RETURN x * 0.1",
+    )
+    run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.vrate AS "
+        "SELECT id, rate(amount) AS r FROM vord WHERE id = 1",
+    )
+    assert run_statement(spark, "SELECT r FROM vrate").collect()[0][
+        "r"
+    ] == pytest.approx(0.2)
+    run_statement(
+        spark,
+        "CREATE OR REPLACE FUNCTION vcat.gold.rate(x DOUBLE) "
+        "RETURNS DOUBLE RETURN x * 0.5",
+    )
+    assert run_statement(spark, "SELECT r FROM vrate").collect()[0][
+        "r"
+    ] == pytest.approx(1.0)
