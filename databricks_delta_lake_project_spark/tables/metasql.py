@@ -1351,6 +1351,82 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
             rows, "namespace string, tableName string, isTemporary boolean"
         )
 
+    m = re.match(
+        rf"SHOW\s+COLUMNS\s+(?:IN|FROM)\s+{_TREF}"
+        r"(?:\s+(?:IN|FROM)\s+(?P<ns>[\w.]+))?\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        ref = m.group(1)
+        if m.group("ns") and not ref.startswith("`"):
+            ref = f"{m.group('ns')}.{ref.strip('`')}"
+        t = _resolve(spark, ref)
+        if t is None:
+            return None  # native tables keep spark.sql behavior
+        _enforce(spark, "SELECT", ref)
+        return spark.createDataFrame(
+            [(f.name,) for f in t.schema.fields], "col_name string"
+        )
+
+    m = re.match(
+        rf"COMMENT\s+ON\s+TABLE\s+{_TREF}\s+IS\s+"
+        r"(?P<val>NULL|'(?:[^']|'')*')\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        t = _resolve(spark, m.group(1))
+        if t is None:
+            return None
+        _enforce(spark, "MODIFY", m.group(1))
+        if m.group("val").upper() == "NULL":
+            t.unset_properties(["comment"])
+        else:
+            snap = t._log.latest_version(t.root)
+            t._log.commit(
+                t.root,
+                "COMMENT ON TABLE",
+                [],
+                [],
+                t._log.schema_at(t.root),
+                parameters={"comment": m.group("val")[1:-1]},
+                properties={
+                    **t.properties(),
+                    "comment": m.group("val")[1:-1].replace("''", "'"),
+                },
+                expected_version=snap,
+            )
+        return spark.createDataFrame(
+            [("COMMENT ON TABLE", m.group(1).strip("`"))],
+            "operation string, target string",
+        )
+
+    m = re.match(
+        r"COMMENT\s+ON\s+COLUMN\s+(?P<tref>`[^`]+`|[\w.]+)\s*\.\s*"
+        r"(`?)(?P<col>\w+)\2\s+IS\s+(?P<val>NULL|'(?:[^']|'')*')\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if m:
+        # the column is the LAST dotted component; everything before
+        # it names the table
+        tref, col = m.group("tref"), m.group("col")
+        t = _resolve(spark, tref)
+        if t is None:
+            return None
+        _enforce(spark, "MODIFY", tref)
+        val = (
+            None
+            if m.group("val").upper() == "NULL"
+            else m.group("val")[1:-1].replace("''", "'")
+        )
+        t.set_column_comment(col, val)
+        return spark.createDataFrame(
+            [("COMMENT ON COLUMN", f"{tref.strip('`')}.{col}")],
+            "operation string, target string",
+        )
+
     m = re.match(rf"SHOW\s+PARTITIONS\s+{_TREF}\s*$", text, re.IGNORECASE)
     if m:
         t = _resolve(spark, m.group(1))

@@ -1233,6 +1233,16 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
             mc.group(2), mc.group("txt").replace("''", "'")
         )
         return {"operation": "ALTER COLUMN", "version": v}
+    mnn = re.match(
+        r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+(?P<verb>SET|DROP)\s+NOT\s+NULL\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if mnn:
+        v = table.set_column_nullability(
+            mnn.group(2), nullable=mnn.group("verb").upper() == "DROP"
+        )
+        return {"operation": "ALTER COLUMN", "version": v}
     mct = re.match(
         r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+(?P<un>UN)?SET\s+TAGS\s*"
         r"\((?P<body>.*)\)\s*$",
@@ -1414,6 +1424,24 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
             "newName": new.lower(),
             "renamed": 1,
         }
+    mup = re.match(
+        r"UNSET\s+TBLPROPERTIES\s*(?:(?P<ie>IF\s+EXISTS)\s*)?"
+        r"\((?P<body>.*)\)\s*$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mup:
+        keys = [
+            k.strip().strip("'\"") for k in _split_commas(mup.group("body"))
+        ]
+        missing = sorted(set(keys) - set(table.properties()))
+        if missing and not mup.group("ie"):
+            raise ValueError(
+                f"UNSET TBLPROPERTIES: unknown keys {missing}; "
+                "add IF EXISTS to ignore"
+            )
+        v = table.unset_properties(keys)
+        return {"operation": "UNSET TBLPROPERTIES", "version": v}
     mp = re.match(
         r"SET\s+TBLPROPERTIES\s*\((?P<body>.*)\)\s*$",
         rest,
@@ -1519,6 +1547,11 @@ def _parse_create_columns(cols_text: str):
                 meta = {"delta.generationExpression": inner.strip()}
                 item = (item[: mg.start()] + " " + after).strip()
         f = _ST.fromDDL(item).fields[0]
+        if not f.nullable:
+            # EXPLICIT `NOT NULL` in the DDL: mark it so writes enforce
+            # (the marker, not the bare flag, drives enforcement —
+            # see _collect_constraint_checks)
+            meta["engine.notNull"] = True
         if meta:
             fields.append(
                 _SF(f.name, f.dataType, f.nullable, {**dict(f.metadata or {}), **meta})
@@ -2005,6 +2038,15 @@ def _run_create(spark: SparkSession, sql: str) -> dict[str, Any]:
             inner, rest = _balanced_paren(rest[mt.end() - 1 :])
             props.update(_parse_properties(inner))
             rest = rest.lstrip()
+            continue
+        mcm = re.match(
+            r"COMMENT\s+'(?P<txt>(?:[^']|'')*)'\s*", rest, re.IGNORECASE
+        )
+        if mcm:
+            # table-level comment rides the `comment` property (the
+            # DESCRIBE EXTENDED / COMMENT ON TABLE surface)
+            props["comment"] = mcm.group("txt").replace("''", "'")
+            rest = rest[mcm.end() :]
             continue
         ma = re.match(r"AS\s+", rest, re.IGNORECASE)
         if ma:

@@ -1,0 +1,131 @@
+"""UNSET TBLPROPERTIES, SHOW COLUMNS, COMMENT ON TABLE/COLUMN,
+ALTER COLUMN SET/DROP NOT NULL, CREATE TABLE COMMENT — the small-DDL
+tail a real Databricks user expects (beyond the reference repo's
+surface; all public Databricks/Spark semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from databricks_delta_lake_project_spark.queries.sqlpack import run_statement
+from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
+
+
+def _mk(spark, tmp_path, name, fmt="delta"):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / name),
+        df=spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v=None)]),
+        format=fmt,
+        properties={"k1": "x", "k2": "y"},
+    )
+    sqldml.register_table(spark, name, t)
+    return t
+
+
+@pytest.mark.parametrize("fmt", ["delta", "engine"])
+def test_unset_tblproperties_both_backends(spark, tmp_path, fmt):
+    t = _mk(spark, tmp_path, f"unset_{fmt}", fmt=fmt)
+    res = sqldml.run_dml(
+        spark, f"ALTER TABLE unset_{fmt} UNSET TBLPROPERTIES ('k1')"
+    )
+    assert res["operation"] == "UNSET TBLPROPERTIES"
+    assert "k1" not in t.properties() and t.properties()["k2"] == "y"
+    # gone across a fresh handle too (the merge-on-replay fold must
+    # not resurrect it)
+    assert "k1" not in LakeTable(spark, t.root).properties()
+    with pytest.raises(ValueError, match="unknown keys"):
+        sqldml.run_dml(
+            spark, f"ALTER TABLE unset_{fmt} UNSET TBLPROPERTIES ('nope')"
+        )
+    sqldml.run_dml(
+        spark,
+        f"ALTER TABLE unset_{fmt} UNSET TBLPROPERTIES IF EXISTS "
+        "('nope', 'k2')",
+    )
+    assert "k2" not in t.properties()
+
+
+def test_show_columns(spark, tmp_path):
+    _mk(spark, tmp_path, "sc_t")
+    out = run_statement(spark, "SHOW COLUMNS IN sc_t")
+    assert out.columns == ["col_name"]
+    assert [r[0] for r in out.collect()] == ["id", "v"]
+    assert [
+        r[0] for r in run_statement(spark, "SHOW COLUMNS FROM sc_t").collect()
+    ] == ["id", "v"]
+
+
+def test_comment_on_table_and_column(spark, tmp_path):
+    t = _mk(spark, tmp_path, "cmt_t")
+    run_statement(
+        spark, "COMMENT ON TABLE cmt_t IS 'the ''gold'' table'"
+    )
+    assert t.properties()["comment"] == "the 'gold' table"
+    run_statement(spark, "COMMENT ON TABLE cmt_t IS NULL")
+    assert "comment" not in t.properties()
+
+    run_statement(spark, "COMMENT ON COLUMN cmt_t.v IS 'value col'")
+    assert t.schema["v"].metadata.get("comment") == "value col"
+    # DESCRIBE surfaces it
+    desc = run_statement(spark, "DESCRIBE cmt_t").collect()
+    assert ("v", "string", "value col") in [tuple(r) for r in desc]
+
+
+def test_create_table_comment_clause(spark, tmp_path):
+    run_statement(
+        spark,
+        f"CREATE TABLE cc_t (id INT) COMMENT 'made for tests' "
+        f"LOCATION '{tmp_path / 'cc_t'}'",
+    )
+    t = sqldml.resolve_table(spark, "cc_t")
+    assert t.properties()["comment"] == "made for tests"
+
+
+def test_set_not_null_validates_and_enforces(spark, tmp_path):
+    t = _mk(spark, tmp_path, "nn_t")
+    # v holds a NULL -> SET NOT NULL refuses
+    with pytest.raises(ValueError, match="existing rows hold NULLs"):
+        sqldml.run_dml(
+            spark, "ALTER TABLE nn_t ALTER COLUMN v SET NOT NULL"
+        )
+    # id is clean -> lands, and writes enforce from then on
+    sqldml.run_dml(spark, "ALTER TABLE nn_t ALTER COLUMN id SET NOT NULL")
+    assert t.schema["id"].nullable is False
+    with pytest.raises(ValueError, match="notnull__id"):
+        run_statement(spark, "INSERT INTO nn_t VALUES (NULL, 'z')")
+    run_statement(spark, "INSERT INTO nn_t VALUES (3, 'z')")
+    assert t.to_df().count() == 3
+    # DROP NOT NULL: metadata-only, enforcement gone
+    sqldml.run_dml(spark, "ALTER TABLE nn_t ALTER COLUMN id DROP NOT NULL")
+    assert t.schema["id"].nullable is True
+    run_statement(spark, "INSERT INTO nn_t VALUES (NULL, 'q')")
+    assert t.to_df().count() == 4
+
+
+def test_create_table_not_null_enforced(spark, tmp_path):
+    """Explicit NOT NULL in CREATE TABLE DDL enforces on writes — but
+    a DataFrame-created table's incidental non-nullability must NOT
+    (no surprise validation agg per write)."""
+    run_statement(
+        spark,
+        "CREATE TABLE ddlnn (id INT NOT NULL, v STRING) "
+        f"LOCATION '{tmp_path / 'ddlnn'}'",
+    )
+    with pytest.raises(ValueError, match="notnull__id"):
+        run_statement(spark, "INSERT INTO ddlnn VALUES (NULL, 'a')")
+    run_statement(spark, "INSERT INTO ddlnn VALUES (1, 'a')")
+
+    # spark.range's id is non-nullable but was never DECLARED: the
+    # schema keeps the flag, the writer pays no validation
+    t = LakeTable.create(
+        spark, str(tmp_path / "inc_nn"), df=spark.range(3)
+    )
+    from databricks_delta_lake_project_spark.tables.table import (
+        _collect_constraint_checks,
+    )
+
+    assert (
+        _collect_constraint_checks(t.properties(), t.schema) == {}
+    )
