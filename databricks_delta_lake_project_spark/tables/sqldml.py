@@ -831,7 +831,7 @@ def statement_kind(sql: str) -> str | None:
 # MODIFY gate and federation's read-only guard must never drift apart
 # (a verb in one list but not the other silently loses a check)
 TARGET_VERBS = (
-    r"MERGE\s+INTO|UPDATE|DELETE\s+FROM"
+    r"MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO|UPDATE|DELETE\s+FROM"
     r"|INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
     r"|TRUNCATE\s+(?:TABLE\s+)?|ALTER\s+TABLE|OPTIMIZE"
     r"|VACUUM|RESTORE\s+(?:TABLE\s+)?|COPY\s+INTO\s+"
@@ -968,7 +968,11 @@ def metrics_df(spark: SparkSession, metrics: dict[str, Any]) -> DataFrame:
 
 
 def _run_merge(spark: SparkSession, sql: str) -> dict[str, Any]:
-    m = re.match(r"MERGE\s+INTO\s+", sql, re.IGNORECASE)
+    m = re.match(
+        r"MERGE\s+(?P<se>WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+",
+        sql,
+        re.IGNORECASE,
+    )
     rest = sql[m.end() :]
     tname, rest = _read_table_ref(rest)
     talias, rest = _read_alias(rest)
@@ -1009,6 +1013,8 @@ def _run_merge(spark: SparkSession, sql: str) -> dict[str, Any]:
 
     table = resolve_table(spark, tname)
     builder = table.merge(source_df, rq(on_cond))
+    if m.group("se"):
+        builder.withSchemaEvolution()
 
     for chunk in chunks:
         chunk = chunk.strip()

@@ -837,3 +837,111 @@ def test_set_column_comment_case_insensitive(spark, tmp_path):
     assert fresh.schema["customer_id"].metadata["comment"] == (
         "resolved like Spark"
     )
+
+
+def test_merge_with_schema_evolution_rewrite(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION: source columns absent from the
+    target are added (nullable); UPDATE SET * / INSERT * populate
+    them; pre-existing untouched rows read NULL (old files read under
+    the evolved schema)."""
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "se_t"),
+        df=spark.createDataFrame(
+            [Row(id=1, v="a"), Row(id=2, v="b"), Row(id=3, v="c")]
+        ),
+        format="delta",
+    )
+    sqldml.register_table(spark, "se_t", t)
+    spark.createDataFrame(
+        [Row(id=2, v="B!", score=0.9), Row(id=4, v="d", score=0.4)]
+    ).createOrReplaceTempView("se_src")
+    res = run_statement(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO se_t AS t USING se_src AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    ).collect()[0]
+    assert (
+        res["numTargetRowsUpdated"],
+        res["numTargetRowsInserted"],
+    ) == (1, 1)
+    assert [f.name for f in t.schema.fields] == ["id", "v", "score"]
+    got = {
+        (r["id"], r["v"], r["score"]) for r in t.to_df().collect()
+    }
+    assert got == {
+        (1, "a", None),
+        (2, "B!", 0.9),
+        (3, "c", None),
+        (4, "d", 0.4),
+    }
+    # fresh handle reads the same evolved snapshot
+    assert {
+        (r["id"], r["score"])
+        for r in LakeTable(spark, t.root).to_df().collect()
+    } == {(1, None), (2, 0.9), (3, None), (4, 0.4)}
+
+
+def test_merge_schema_evolution_dv_and_cdf(spark, tmp_path):
+    """Evolution composes with the DV MERGE shape and the change feed:
+    post-images/inserts carry the new column, pre-images read NULL."""
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "se_dv"),
+        df=spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]),
+        format="delta",
+        properties={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
+    )
+    src = spark.createDataFrame([Row(id=2, v="B!", score=1.5)])
+    res = (
+        t.merge(src, "t.id = s.id")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert res["strategy"] == "dv" and res["numTargetRowsUpdated"] == 1
+    assert {
+        (r["id"], r["v"], r["score"]) for r in t.to_df().collect()
+    } == {(1, "a", None), (2, "B!", 1.5)}
+    changes = {
+        (r["id"], r["_change_type"], r["score"])
+        for r in t.read_changes(1).collect()
+    }
+    assert changes == {
+        (2, "update_preimage", None),
+        (2, "update_postimage", 1.5),
+    }
+
+
+def test_merge_automerge_conf_and_no_evolution_default(spark, tmp_path):
+    """Without the flag extra source columns are ignored (the Delta
+    contract); the OSS autoMerge conf turns evolution on globally."""
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "se_conf"),
+        df=spark.createDataFrame([Row(id=1, v="a")]),
+        format="delta",
+    )
+    src = spark.createDataFrame([Row(id=1, v="A!", extra=7)])
+    t.merge(src, "t.id = s.id").whenMatchedUpdateAll().execute()
+    assert [f.name for f in t.schema.fields] == ["id", "v"]
+
+    spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
+    try:
+        t.merge(src, "t.id = s.id").whenMatchedUpdateAll().execute()
+    finally:
+        spark.conf.unset("spark.databricks.delta.schema.autoMerge.enabled")
+    assert [f.name for f in t.schema.fields] == ["id", "v", "extra"]
+    assert t.to_df().collect()[0]["extra"] == 7
