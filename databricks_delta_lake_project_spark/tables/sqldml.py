@@ -1239,6 +1239,15 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
             mc.group(2), mc.group("txt").replace("''", "'")
         )
         return {"operation": "ALTER COLUMN", "version": v}
+    mdef = re.match(
+        r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+"
+        r"(?:SET\s+DEFAULT\s+(?P<expr>.+?)|DROP\s+DEFAULT)\s*$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mdef:
+        v = table.set_column_default(mdef.group(2), mdef.group("expr"))
+        return {"operation": "ALTER COLUMN", "version": v}
     mnn = re.match(
         r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+(?P<verb>SET|DROP)\s+NOT\s+NULL\s*$",
         rest,
@@ -1552,6 +1561,17 @@ def _parse_create_columns(cols_text: str):
                 inner, after = _balanced_paren(item[mg.end() - 1 :])
                 meta = {"delta.generationExpression": inner.strip()}
                 item = (item[: mg.start()] + " " + after).strip()
+        md = _find_top(item, r"\sDEFAULT\s+")
+        if md:
+            # `col TYPE DEFAULT <expr> [COMMENT ...]` — the default
+            # expression runs to the next depth-0 clause keyword;
+            # recorded under the protocol's CURRENT_DEFAULT column
+            # metadata key, applied when a write omits the column
+            tail_from = md.end()
+            mstop = _find_top(item, r"\s(?:COMMENT|NOT\s+NULL)\s", tail_from)
+            stop = mstop.start() if mstop else len(item)
+            meta["CURRENT_DEFAULT"] = item[tail_from:stop].strip()
+            item = (item[: md.start()] + " " + item[stop:]).strip()
         f = _ST.fromDDL(item).fields[0]
         if not f.nullable:
             # EXPLICIT `NOT NULL` in the DDL: mark it so writes enforce
@@ -2002,6 +2022,34 @@ def _run_create(spark: SparkSession, sql: str) -> dict[str, Any]:
     rest = rest.lstrip()
     if re.match(r"(?:(?:SHALLOW|DEEP)\s+)?CLONE\s+", rest, re.IGNORECASE):
         return _run_clone(spark, m, tname, rest)
+    mlike = re.match(
+        r"LIKE\s+(?P<src>`[^`]+`|[\w.]+)\s*"
+        r"(?:LOCATION\s+'(?P<loc>[^']+)')?\s*$",
+        rest,
+        re.IGNORECASE,
+    )
+    if mlike:
+        # CREATE TABLE t2 LIKE t1: copy schema, partitioning and
+        # properties — never data (Spark/Databricks contract). A
+        # metadata-only driver op at any scale.
+        src = resolve_table(spark, mlike.group("src"))
+        clean = tname.strip("`")
+        location = mlike.group("loc") or _default_location(spark, clean)
+        if _prepare_create_target(spark, m, clean, location) is not None:
+            return {"operation": "CREATE TABLE", "created": 0}
+        src_props = {
+            k: v for k, v in src.properties().items() if k != "comment"
+        }
+        t = LakeTable.create(
+            spark,
+            location,
+            schema=src.schema,
+            format="delta",
+            partition_by=src._partition_columns() or None,
+            properties=src_props or None,
+        )
+        register_table(spark, clean, t)
+        return {"operation": "CREATE TABLE", "created": 1, "numOutputRows": 0}
 
     schema: _ST | None = None
     if rest.startswith("("):

@@ -129,3 +129,82 @@ def test_create_table_not_null_enforced(spark, tmp_path):
     assert (
         _collect_constraint_checks(t.properties(), t.schema) == {}
     )
+
+
+def test_create_table_like(spark, tmp_path):
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "like_src"),
+        df=spark.createDataFrame([Row(day="d1", id=1)]),
+        format="delta",
+        partition_by=["day"],
+        properties={"k": "v", "comment": "src table"},
+    )
+    sqldml.register_table(spark, "like_src", src)
+    res = sqldml.run_dml(
+        spark,
+        f"CREATE TABLE like_tgt LIKE like_src "
+        f"LOCATION '{tmp_path / 'like_tgt'}'",
+    )
+    assert res["created"] == 1 and res["numOutputRows"] == 0
+    t = sqldml.resolve_table(spark, "like_tgt")
+    assert t.schema == src.schema
+    assert t._partition_columns() == ["day"]
+    assert t.properties().get("k") == "v"
+    # the COMMENT stays on the source, data is never copied
+    assert "comment" not in t.properties()
+    assert t.to_df().count() == 0
+    # the new table is fully writable with the copied layout
+    t.append(spark.createDataFrame([Row(day="d2", id=9)]))
+    assert t.to_df().count() == 1
+    with pytest.raises(ValueError, match="already exists"):
+        sqldml.run_dml(
+            spark,
+            f"CREATE TABLE like2 LIKE like_src "
+            f"LOCATION '{tmp_path / 'like_tgt'}'",
+        )
+
+
+def test_column_defaults(spark, tmp_path):
+    run_statement(
+        spark,
+        "CREATE TABLE def_t (id INT, status STRING DEFAULT 'active', "
+        "score DOUBLE DEFAULT 1.5 COMMENT 'scored') "
+        f"LOCATION '{tmp_path / 'def_t'}'",
+    )
+    t = sqldml.resolve_table(spark, "def_t")
+    assert t.schema["status"].metadata["CURRENT_DEFAULT"] == "'active'"
+    assert t.schema["score"].metadata["CURRENT_DEFAULT"] == "1.5"
+    assert t.schema["score"].metadata["comment"] == "scored"
+
+    # omitted columns take the default; explicit values win
+    run_statement(spark, "INSERT INTO def_t (id) VALUES (1)")
+    run_statement(
+        spark, "INSERT INTO def_t (id, status) VALUES (2, 'archived')"
+    )
+    got = {
+        (r["id"], r["status"], r["score"]) for r in t.to_df().collect()
+    }
+    assert got == {(1, "active", 1.5), (2, "archived", 1.5)}
+
+    # SET DEFAULT applies to future writes only; DROP reverts to NULL
+    sqldml.run_dml(
+        spark, "ALTER TABLE def_t ALTER COLUMN status SET DEFAULT 'new'"
+    )
+    run_statement(spark, "INSERT INTO def_t (id) VALUES (3)")
+    sqldml.run_dml(spark, "ALTER TABLE def_t ALTER COLUMN score DROP DEFAULT")
+    run_statement(spark, "INSERT INTO def_t (id) VALUES (4)")
+    got = {
+        (r["id"], r["status"], r["score"]) for r in t.to_df().collect()
+    }
+    assert (3, "new", 1.5) in got and (4, "new", None) in got
+    # existing rows untouched by the redefinition
+    assert (1, "active", 1.5) in got
+
+    # a default that does not analyze refuses at DDL time, not at the
+    # next INSERT
+    with pytest.raises(Exception):
+        sqldml.run_dml(
+            spark,
+            "ALTER TABLE def_t ALTER COLUMN status SET DEFAULT no_such_fn(1)",
+        )
