@@ -2264,6 +2264,21 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
         cols = [c.strip("`") for c in _split_commas(rest[1:close])]
         rest = rest[close + 1 :].lstrip()
     table = resolve_table(spark, tname)
+    replace_pred: str | None = None
+    mrw = re.match(r"REPLACE\s+WHERE\s+", rest, re.IGNORECASE)
+    if mrw:
+        if overwrite:
+            raise ValueError(
+                "REPLACE WHERE goes with INSERT INTO, not OVERWRITE"
+            )
+        body = _find_top(rest, r"\b(?:SELECT|VALUES|TABLE|FROM|WITH)\b",
+                         mrw.end())
+        if body is None:
+            raise ValueError(
+                "INSERT REPLACE WHERE: expected a SELECT/VALUES body"
+            )
+        replace_pred = rest[mrw.end() : body.start()].strip()
+        rest = rest[body.start() :]
     if re.match(r"VALUES\b", rest, re.IGNORECASE):
         df = spark.sql(f"SELECT * FROM ({rest})")
     else:
@@ -2272,6 +2287,11 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
     if len(names) != len(df.columns):
         raise ValueError("INSERT: column count mismatch")
     df = df.toDF(*names)
+    if replace_pred is not None:
+        return {
+            **table.replace_where(df, replace_pred),
+            "operation": "INSERT REPLACE WHERE",
+        }
     # append/overwrite return the commit VERSION; the row count lives
     # in the commit's operationMetrics
     v = table.overwrite(df) if overwrite else table.append(df)

@@ -208,3 +208,96 @@ def test_column_defaults(spark, tmp_path):
             spark,
             "ALTER TABLE def_t ALTER COLUMN status SET DEFAULT no_such_fn(1)",
         )
+
+
+def test_replace_where_atomic_partition_reload(spark, tmp_path):
+    """replaceWhere: one commit swaps the predicate's rows for the
+    incoming frame. A partition-complete predicate drops whole files
+    by log action alone (no old bytes read)."""
+    rows = (
+        [Row(day="d1", id=i) for i in range(3)]
+        + [Row(day="d2", id=i) for i in range(3, 6)]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "rw_t"),
+        df=spark.createDataFrame(rows),
+        format="delta",
+        partition_by=["day"],
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    sqldml.register_table(spark, "rw_t", t)
+    v0 = t._log.latest_version(t.root)
+
+    res = t.replace_where(
+        spark.createDataFrame(
+            [Row(day="d1", id=10), Row(day="d1", id=11)]
+        ),
+        "day = 'd1'",
+    )
+    # whole-partition drop: files removed by log action, none rewritten
+    assert res["numWholeFilesRemoved"] == res["numRemovedFiles"] >= 1
+    assert res["numDeletedRows"] == 3 and res["numOutputRows"] == 2
+    # exactly ONE commit
+    assert t._log.latest_version(t.root) == v0 + 1
+    assert {
+        (r["day"], r["id"]) for r in t.to_df().collect()
+    } == {("d1", 10), ("d1", 11), ("d2", 3), ("d2", 4), ("d2", 5)}
+    # time travel shows the pre-reload snapshot
+    assert t.to_df(version=v0).count() == 6
+    # the change feed records the swap
+    ch = {
+        (r["_change_type"], r["id"])
+        for r in t.read_changes(v0 + 1).collect()
+    }
+    assert ch == {
+        ("delete", 0), ("delete", 1), ("delete", 2),
+        ("insert", 10), ("insert", 11),
+    }
+
+    # constraint check: incoming rows outside the predicate refuse
+    with pytest.raises(ValueError, match="do not all satisfy"):
+        t.replace_where(
+            spark.createDataFrame([Row(day="d9", id=1)]), "day = 'd1'"
+        )
+    # boundary (non-partition) predicate: copy-on-write keeps the rest
+    res2 = t.replace_where(
+        spark.createDataFrame([Row(day="d2", id=30)]),
+        "day = 'd2' AND id >= 4",
+    )
+    assert res2["numDeletedRows"] == 2 and res2["numOutputRows"] == 1
+    assert {
+        r["id"] for r in t.to_df().filter("day = 'd2'").collect()
+    } == {3, 30}
+
+
+def test_insert_replace_where_sql(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "rw_sql"),
+        df=spark.createDataFrame(
+            [Row(day="d1", id=1), Row(day="d2", id=2)]
+        ),
+        format="delta",
+        partition_by=["day"],
+    )
+    sqldml.register_table(spark, "rw_sql", t)
+    res = run_statement(
+        spark,
+        "INSERT INTO rw_sql REPLACE WHERE day = 'd1' "
+        "SELECT 'd1' AS day, 99 AS id",
+    ).collect()[0]
+    assert res["numOutputRows"] == 1 and res["numDeletedRows"] == 1
+    assert {
+        (r["day"], r["id"]) for r in t.to_df().collect()
+    } == {("d1", 99), ("d2", 2)}
+    # VALUES body works too; idempotent re-run converges
+    for _ in range(2):
+        run_statement(
+            spark,
+            "INSERT INTO rw_sql REPLACE WHERE day = 'd2' "
+            "VALUES ('d2', 7)",
+        )
+    assert {
+        (r["day"], r["id"]) for r in t.to_df().collect()
+    } == {("d1", 99), ("d2", 7)}
