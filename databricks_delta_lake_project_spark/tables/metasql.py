@@ -1383,6 +1383,13 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
         if m.group("val").upper() == "NULL":
             t.unset_properties(["comment"])
         else:
+            # same writer-obligation gate every other metadata commit
+            # applies — a table with unhonored writerFeatures must not
+            # get a protocol-violating metaData commit from a comment
+            check = getattr(t._log, "check_writable", None)
+            if check is not None:
+                check(t.root)
+            comment = m.group("val")[1:-1].replace("''", "'")
             snap = t._log.latest_version(t.root)
             t._log.commit(
                 t.root,
@@ -1390,11 +1397,8 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
                 [],
                 [],
                 t._log.schema_at(t.root),
-                parameters={"comment": m.group("val")[1:-1]},
-                properties={
-                    **t.properties(),
-                    "comment": m.group("val")[1:-1].replace("''", "'"),
-                },
+                parameters={"comment": comment},
+                properties={**t.properties(), "comment": comment},
                 expected_version=snap,
             )
         return spark.createDataFrame(

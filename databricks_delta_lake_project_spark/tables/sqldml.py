@@ -1568,7 +1568,9 @@ def _parse_create_columns(cols_text: str):
             # recorded under the protocol's CURRENT_DEFAULT column
             # metadata key, applied when a write omits the column
             tail_from = md.end()
-            mstop = _find_top(item, r"\s(?:COMMENT|NOT\s+NULL)\s", tail_from)
+            mstop = _find_top(
+                item, r"\s(?:COMMENT|NOT\s+NULL)(?=\s|$)", tail_from
+            )
             stop = mstop.start() if mstop else len(item)
             meta["CURRENT_DEFAULT"] = item[tail_from:stop].strip()
             item = (item[: md.start()] + " " + item[stop:]).strip()

@@ -301,3 +301,123 @@ def test_insert_replace_where_sql(spark, tmp_path):
     assert {
         (r["day"], r["id"]) for r in t.to_df().collect()
     } == {("d1", 99), ("d2", 7)}
+
+
+def test_default_combined_with_not_null(spark, tmp_path):
+    """`DEFAULT expr NOT NULL` (either order): the default expression
+    must stop at the clause keyword — the constraint lands AND the
+    default applies."""
+    run_statement(
+        spark,
+        "CREATE TABLE dnn_t (id INT, status STRING DEFAULT 'new' NOT NULL, "
+        "kind STRING NOT NULL DEFAULT 'x') "
+        f"LOCATION '{tmp_path / 'dnn_t'}'",
+    )
+    t = sqldml.resolve_table(spark, "dnn_t")
+    assert t.schema["status"].metadata["CURRENT_DEFAULT"] == "'new'"
+    assert t.schema["status"].nullable is False
+    assert t.schema["status"].metadata.get("engine.notNull") is True
+    assert t.schema["kind"].metadata["CURRENT_DEFAULT"] == "'x'"
+    assert t.schema["kind"].nullable is False
+    # omitted NOT NULL column takes its default and passes the check
+    run_statement(spark, "INSERT INTO dnn_t (id) VALUES (1)")
+    got = t.to_df().collect()[0]
+    assert (got["status"], got["kind"]) == ("new", "x")
+    # an explicit NULL still refuses
+    with pytest.raises(ValueError, match="notnull__status"):
+        run_statement(spark, "INSERT INTO dnn_t VALUES (2, NULL, 'y')")
+
+
+def test_replace_where_identity_obligations(spark, tmp_path):
+    """replaceWhere honors the append path's identity contract:
+    omitted column -> generated values past the watermark; GENERATED
+    ALWAYS refuses explicit values; the watermark advances so later
+    appends never duplicate."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    meta = {
+        "delta.identity.start": 100,
+        "delta.identity.step": 10,
+        "delta.identity.allowExplicitInsert": False,
+    }
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "rw_ident"),
+        schema=StructType(
+            [
+                StructField("uid", LongType(), True, meta),
+                StructField("day", StringType(), True),
+            ]
+        ),
+        format="delta",
+    )
+    t.append(spark.createDataFrame([Row(day="d1"), Row(day="d2")]))
+    hwm0 = int(t.schema["uid"].metadata["delta.identity.highWaterMark"])
+
+    res = t.replace_where(
+        spark.createDataFrame([Row(day="d1"), Row(day="d1")]),
+        "day = 'd1'",
+    )
+    assert res["numOutputRows"] == 2
+    uids = {r["uid"] for r in t.to_df().collect()}
+    assert None not in uids and len(uids) == 3
+    assert all(u > hwm0 or u <= hwm0 for u in uids)  # all generated
+    hwm1 = int(t.schema["uid"].metadata["delta.identity.highWaterMark"])
+    assert hwm1 == max(uids)
+    # a later append generates ABOVE the replaceWhere rows
+    t.append(spark.createDataFrame([Row(day="d3")]))
+    uids2 = {r["uid"] for r in t.to_df().collect()}
+    assert len(uids2) == 4  # no duplicate identity values
+    # GENERATED ALWAYS refuses explicit values on this path too
+    with pytest.raises(ValueError, match="GENERATED ALWAYS"):
+        t.replace_where(
+            spark.createDataFrame([Row(uid=999, day="d1")]), "day = 'd1'"
+        )
+
+
+def test_replace_where_generated_column_cdf_agrees(spark, tmp_path):
+    """Generated columns recompute ONCE and the change feed matches
+    the table (no raw-frame divergence)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType(), True),
+            StructField("day", StringType(), True),
+            StructField(
+                "id2",
+                LongType(),
+                True,
+                {"delta.generationExpression": "id * 2"},
+            ),
+        ]
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "rw_gen"),
+        schema=schema,
+        format="delta",
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    t.append(spark.createDataFrame([Row(id=1, day="d1")]))
+    v0 = t._log.latest_version(t.root)
+    t.replace_where(
+        spark.createDataFrame([Row(id=5, day="d1")]), "day = 'd1'"
+    )
+    assert {(r["id"], r["id2"]) for r in t.to_df().collect()} == {(5, 10)}
+    ins = [
+        r
+        for r in t.read_changes(v0 + 1).collect()
+        if r["_change_type"] == "insert"
+    ]
+    assert [(r["id"], r["id2"]) for r in ins] == [(5, 10)]

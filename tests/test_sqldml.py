@@ -945,3 +945,32 @@ def test_merge_automerge_conf_and_no_evolution_default(spark, tmp_path):
         spark.conf.unset("spark.databricks.delta.schema.autoMerge.enabled")
     assert [f.name for f in t.schema.fields] == ["id", "v", "extra"]
     assert t.to_df().collect()[0]["extra"] == 7
+
+
+def test_merge_schema_evolution_explicit_set_clause(spark, tmp_path):
+    """Evolution with a NON-star UPDATE SET must not reference the
+    new column on the target side (it has no t-side yet): untouched
+    evolved columns stay NULL for matched rows."""
+    from pyspark.sql import Row
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "se_set"),
+        df=spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]),
+        format="delta",
+    )
+    sqldml.register_table(spark, "se_set", t)
+    spark.createDataFrame(
+        [Row(id=1, v="A!", score=0.7), Row(id=9, v="z", score=0.1)]
+    ).createOrReplaceTempView("se_set_src")
+    run_statement(
+        spark,
+        "MERGE WITH SCHEMA EVOLUTION INTO se_set AS t USING se_set_src AS s "
+        "ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    got = {(r["id"], r["v"], r["score"]) for r in t.to_df().collect()}
+    # matched row: v updated, evolved column NOT set by the clause ->
+    # NULL; inserted row carries the source value
+    assert got == {(1, "A!", None), (2, "b", None), (9, "z", 0.1)}
