@@ -2247,6 +2247,40 @@ def _run_restore(spark: SparkSession, sql: str) -> dict[str, Any]:
     return {"operation": "RESTORE", "restoredVersion": target, "version": v}
 
 
+def _expand_values_defaults(
+    body: str, names: list[str], table: "LakeTable"
+) -> str | None:
+    """Rewrite ``(1, DEFAULT), (2, 'x')`` with each bare DEFAULT
+    token replaced by the positional column's declared default
+    expression (CURRENT_DEFAULT metadata) or NULL. Returns None (no
+    rewrite, let Spark produce its own error) for any tuple shape the
+    conservative parse cannot follow."""
+    defaults = {
+        f.name: (f.metadata or {}).get("CURRENT_DEFAULT")
+        for f in table.schema.fields
+    }
+    groups: list[str] = []
+    for tup in _split_commas(body):
+        tup = tup.strip()
+        if not tup.startswith("("):
+            return None
+        inner, tail = _balanced_paren(tup)
+        if tail.strip():
+            return None
+        items = _split_commas(inner)
+        if len(items) != len(names):
+            return None
+        out_items = []
+        for i, it in enumerate(items):
+            if re.fullmatch(r"\s*DEFAULT\s*", it, re.IGNORECASE):
+                d = defaults.get(names[i])
+                out_items.append(str(d) if d is not None else "NULL")
+            else:
+                out_items.append(it)
+        groups.append("(" + ", ".join(out_items) + ")")
+    return ", ".join(groups)
+
+
 def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
     m = re.match(
         r"INSERT\s+(INTO|OVERWRITE)\s+(TABLE\s+)?", sql, re.IGNORECASE
@@ -2257,6 +2291,26 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
     rest = sql[m.end() :]
     tname, rest = _read_table_ref(rest)
     rest = rest.lstrip()
+    pins: list[tuple[str, str]] = []
+    mpart = re.match(r"PARTITION\s*\(", rest, re.IGNORECASE)
+    if mpart:
+        # static partition overwrite: `INSERT OVERWRITE t PARTITION
+        # (day = 'd1') SELECT ...` routes to replace_where — the
+        # metadata-only whole-partition swap. Dynamic specs (a column
+        # with no value) refuse loudly rather than overwrite the table.
+        inner, rest = _balanced_paren(rest[mpart.end() - 1 :])
+        rest = rest.lstrip()
+        for item in _split_commas(inner):
+            mkv = re.match(
+                r"\s*(`?)(\w+)\1\s*=\s*(.+?)\s*$", item, re.DOTALL
+            )
+            if not mkv:
+                raise NotImplementedError(
+                    "dynamic partition overwrite (PARTITION without "
+                    f"values: {item.strip()!r}) is not supported; pin "
+                    "values or use INSERT INTO ... REPLACE WHERE"
+                )
+            pins.append((mkv.group(2), mkv.group(3)))
     cols: list[str] | None = None
     if rest.startswith("("):
         mask = _mask(rest)
@@ -2281,14 +2335,44 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
             )
         replace_pred = rest[mrw.end() : body.start()].strip()
         rest = rest[body.start() :]
-    if re.match(r"VALUES\b", rest, re.IGNORECASE):
+    pinned = {k.lower() for k, _ in pins}
+    names = cols if cols is not None else [
+        f.name
+        for f in table.schema.fields
+        if f.name.lower() not in pinned
+    ]
+    mv = re.match(r"VALUES\s*", rest, re.IGNORECASE)
+    if mv:
+        body = rest[mv.end() :]
+        bmask = _mask(body)
+        if any(
+            not bmask[dm.start()][1]
+            for dm in re.finditer(r"\bDEFAULT\b", body, re.IGNORECASE)
+        ):
+            # standard-SQL explicit DEFAULT in a VALUES tuple: the
+            # position's declared default (else NULL) substitutes in
+            # before Spark parses — Spark has no DEFAULT literal
+            rewritten = _expand_values_defaults(body, names, table)
+            if rewritten is not None:
+                rest = "VALUES " + rewritten
         df = spark.sql(f"SELECT * FROM ({rest})")
     else:
         df = spark.sql(rest)
-    names = cols if cols is not None else [f.name for f in table.schema.fields]
     if len(names) != len(df.columns):
         raise ValueError("INSERT: column count mismatch")
     df = df.toDF(*names)
+    if pins:
+        from pyspark.sql import functions as F
+
+        for k, v in pins:
+            df = df.withColumn(k, F.expr(v))
+        if overwrite:
+            return {
+                **table.replace_where(
+                    df, " AND ".join(f"{k} = {v}" for k, v in pins)
+                ),
+                "operation": "INSERT OVERWRITE PARTITION",
+            }
     if replace_pred is not None:
         return {
             **table.replace_where(df, replace_pred),

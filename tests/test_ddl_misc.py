@@ -421,3 +421,60 @@ def test_replace_where_generated_column_cdf_agrees(spark, tmp_path):
         if r["_change_type"] == "insert"
     ]
     assert [(r["id"], r["id2"]) for r in ins] == [(5, 10)]
+
+
+def test_insert_overwrite_partition_static(spark, tmp_path):
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "iop"),
+        df=spark.createDataFrame(
+            [Row(day="d1", id=1), Row(day="d1", id=2), Row(day="d2", id=3)]
+        ),
+        format="delta",
+        partition_by=["day"],
+    )
+    sqldml.register_table(spark, "iop", t)
+    res = run_statement(
+        spark,
+        "INSERT OVERWRITE iop PARTITION (day = 'd1') VALUES (10), (11)",
+    ).collect()[0]
+    assert res["numOutputRows"] == 2 and res["numDeletedRows"] == 2
+    assert {
+        (r["day"], r["id"]) for r in t.to_df().collect()
+    } == {("d1", 10), ("d1", 11), ("d2", 3)}
+
+    # INSERT INTO ... PARTITION appends with the pinned value
+    run_statement(spark, "INSERT INTO iop PARTITION (day = 'd2') VALUES (9)")
+    assert {
+        r["id"] for r in t.to_df().filter("day = 'd2'").collect()
+    } == {3, 9}
+
+    # dynamic specs refuse loudly
+    with pytest.raises(NotImplementedError, match="dynamic partition"):
+        run_statement(
+            spark, "INSERT OVERWRITE iop PARTITION (day) SELECT 5, 'd9'"
+        )
+
+
+def test_insert_values_default_keyword(spark, tmp_path):
+    run_statement(
+        spark,
+        "CREATE TABLE dkw (id INT, status STRING DEFAULT 'active', "
+        "n INT) "
+        f"LOCATION '{tmp_path / 'dkw'}'",
+    )
+    t = sqldml.resolve_table(spark, "dkw")
+    run_statement(
+        spark,
+        "INSERT INTO dkw VALUES (1, DEFAULT, 5), (2, 'manual', DEFAULT)",
+    )
+    got = {
+        (r["id"], r["status"], r["n"]) for r in t.to_df().collect()
+    }
+    # DEFAULT takes the declared default; a column without one -> NULL
+    assert got == {(1, "active", 5), (2, "manual", None)}
+    # a string literal containing the word stays a literal
+    run_statement(spark, "INSERT INTO dkw VALUES (3, 'DEFAULT', 1)")
+    assert (3, "DEFAULT", 1) in {
+        (r["id"], r["status"], r["n"]) for r in t.to_df().collect()
+    }
