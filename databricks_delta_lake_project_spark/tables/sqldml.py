@@ -2149,6 +2149,7 @@ def _run_optimize(spark: SparkSession, sql: str) -> dict[str, Any]:
     ZORDER uses the interleaved-bit clustering)."""
     m = re.match(
         r"OPTIMIZE\s+(?P<tref>`[^`]+`|[A-Za-z_][\w.]*)"
+        r"(?:\s+(?P<full>FULL))?"
         r"(?:\s+WHERE\s+(?P<where>.*?))?"
         r"(?:\s+ZORDER\s+BY\s*\((?P<zcols>[^)]*)\))?\s*$",
         sql,
@@ -2168,6 +2169,20 @@ def _run_optimize(spark: SparkSession, sql: str) -> dict[str, Any]:
         declared = table.properties().get("engine.clusterBy")
         if declared:
             zorder = [c.strip() for c in str(declared).split(",") if c.strip()]
+    if m.group("full"):
+        # OPTIMIZE t FULL (Databricks liquid clustering): recluster
+        # ALL data by the declared keys — the incremental-compaction
+        # small-file filter does not apply (the zorder path already
+        # rewrites its whole scope). Only meaningful on a clustered
+        # table, like Databricks.
+        if not zorder:
+            raise ValueError(
+                "OPTIMIZE FULL requires clustering keys: declare them "
+                "with CREATE/ALTER TABLE ... CLUSTER BY (or ZORDER BY)"
+            )
+        if m.group("where"):
+            raise ValueError("OPTIMIZE FULL reclusters everything; "
+                             "drop the WHERE or drop FULL")
     return {
         **table.optimize(
             zorder_by=zorder,

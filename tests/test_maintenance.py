@@ -76,3 +76,31 @@ def test_analyze_table_feeds_cbo(spark):
         assert "Statistics" in rendered  # row count recorded for the CBO
     finally:
         spark.sql("DROP TABLE IF EXISTS analyzed_t")
+
+
+def test_optimize_full_reclusters_everything(spark, tmp_path):
+    """OPTIMIZE t FULL: recluster ALL data by the declared keys; only
+    meaningful on a clustered table (loud refusal otherwise)."""
+    import pytest
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        run_statement,
+    )
+    from databricks_delta_lake_project_spark.tables import sqldml
+
+    df = spark.range(500).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("x")
+    ).repartition(6)
+    t = LakeTable.create(spark, str(tmp_path / "ofull"), df=df)
+    sqldml.register_table(spark, "ofull", t)
+    with pytest.raises(ValueError, match="requires clustering keys"):
+        run_statement(spark, "OPTIMIZE ofull FULL")
+    run_statement(spark, "ALTER TABLE ofull CLUSTER BY (k)")
+    n_before = len(t._files())
+    res = run_statement(spark, "OPTIMIZE ofull FULL").collect()[0]
+    assert res["numFilesRemoved"] == n_before  # whole scope rewritten
+    assert t.to_df().count() == 500
+    # rows now ordered by the cluster key within the rewritten scope
+    ks = [r["k"] for r in t.to_df().collect()]
+    assert ks == sorted(ks)
+    with pytest.raises(ValueError, match="reclusters everything"):
+        run_statement(spark, "OPTIMIZE ofull FULL WHERE k = 1")
