@@ -1590,11 +1590,20 @@ def _parse_create_columns(cols_text: str):
 
 
 def _balanced_paren(s: str) -> tuple[str, str]:
-    """``s`` starts at '('; return (inner_text, rest_after_close)."""
+    """``s`` starts at '('; return (inner_text, rest_after_close).
+    Unbalanced input raises a parse-shaped ValueError, never a bare
+    StopIteration."""
     mask = _mask(s)
     close = next(
-        i for i, ch in enumerate(s) if ch == ")" and mask[i] == (1, False)
+        (
+            i
+            for i, ch in enumerate(s)
+            if ch == ")" and mask[i] == (1, False)
+        ),
+        None,
     )
+    if close is None:
+        raise ValueError(f"unbalanced parentheses at: {s[:60]!r}")
     return s[1:close], s[close + 1 :]
 
 
@@ -2171,14 +2180,20 @@ def _run_optimize(spark: SparkSession, sql: str) -> dict[str, Any]:
             zorder = [c.strip() for c in str(declared).split(",") if c.strip()]
     if m.group("full"):
         # OPTIMIZE t FULL (Databricks liquid clustering): recluster
-        # ALL data by the declared keys — the incremental-compaction
+        # ALL data by the DECLARED keys — the incremental-compaction
         # small-file filter does not apply (the zorder path already
         # rewrites its whole scope). Only meaningful on a clustered
-        # table, like Databricks.
+        # table, and never combined with ZORDER BY/WHERE, like
+        # Databricks.
+        if m.group("zcols"):
+            raise ValueError(
+                "OPTIMIZE FULL applies the table's DECLARED clustering; "
+                "it cannot combine with ZORDER BY"
+            )
         if not zorder:
             raise ValueError(
                 "OPTIMIZE FULL requires clustering keys: declare them "
-                "with CREATE/ALTER TABLE ... CLUSTER BY (or ZORDER BY)"
+                "with CREATE/ALTER TABLE ... CLUSTER BY"
             )
         if m.group("where"):
             raise ValueError("OPTIMIZE FULL reclusters everything; "
@@ -2316,16 +2331,22 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
         inner, rest = _balanced_paren(rest[mpart.end() - 1 :])
         rest = rest.lstrip()
         for item in _split_commas(inner):
-            mkv = re.match(
-                r"\s*(`?)(\w+)\1\s*=\s*(.+?)\s*$", item, re.DOTALL
-            )
-            if not mkv:
+            if re.fullmatch(r"\s*(`[^`]+`|\w+)\s*", item):
                 raise NotImplementedError(
                     "dynamic partition overwrite (PARTITION without "
                     f"values: {item.strip()!r}) is not supported; pin "
                     "values or use INSERT INTO ... REPLACE WHERE"
                 )
-            pins.append((mkv.group(2), mkv.group(3)))
+            mkv = re.match(
+                r"\s*(?:`(?P<q>[^`]+)`|(?P<b>\w+))\s*=\s*(?P<val>.+?)\s*$",
+                item,
+                re.DOTALL,
+            )
+            if not mkv:
+                raise ValueError(
+                    f"cannot parse PARTITION spec item: {item.strip()!r}"
+                )
+            pins.append((mkv.group("q") or mkv.group("b"), mkv.group("val")))
     cols: list[str] | None = None
     if rest.startswith("("):
         mask = _mask(rest)
@@ -2335,6 +2356,36 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
         cols = [c.strip("`") for c in _split_commas(rest[1:close])]
         rest = rest[close + 1 :].lstrip()
     table = resolve_table(spark, tname)
+    if pins:
+        # the spec must name actual PARTITION columns (the Spark
+        # contract — a typo'd name must not become a replace_where
+        # predicate on a data column), under their canonical spelling
+        # so _conform's case-sensitive alignment sees the real field
+        pcols = {c.lower(): c for c in (table._partition_columns() or [])}
+        if not pcols:
+            raise ValueError(
+                f"PARTITION spec on unpartitioned table {tname}"
+            )
+        fixed: list[tuple[str, str]] = []
+        for k, v in pins:
+            canon = pcols.get(k.lower())
+            if canon is None:
+                raise ValueError(
+                    f"PARTITION spec column {k!r} is not a partition "
+                    f"column of {tname} (partitioned by "
+                    f"{sorted(pcols.values())})"
+                )
+            fixed.append((canon, v))
+        pins = fixed
+        if cols is not None:
+            dup = [
+                c for c in cols if c.lower() in {p.lower() for p in pcols}
+            ]
+            if dup:
+                raise ValueError(
+                    f"columns {dup} appear in both the PARTITION spec "
+                    "and the column list"
+                )
     replace_pred: str | None = None
     mrw = re.match(r"REPLACE\s+WHERE\s+", rest, re.IGNORECASE)
     if mrw:
@@ -2382,10 +2433,17 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
         for k, v in pins:
             df = df.withColumn(k, F.expr(v))
         if overwrite:
+            # NULL pins need null-safe equality (`col = NULL` matches
+            # nothing); non-NULL keep plain `=` so the predicate stays
+            # stats-prunable (whole-partition metadata drop)
+            pred = " AND ".join(
+                f"{k} <=> NULL"
+                if v.strip().upper() == "NULL"
+                else f"{k} = {v}"
+                for k, v in pins
+            )
             return {
-                **table.replace_where(
-                    df, " AND ".join(f"{k} = {v}" for k, v in pins)
-                ),
+                **table.replace_where(df, pred),
                 "operation": "INSERT OVERWRITE PARTITION",
             }
     if replace_pred is not None:

@@ -478,3 +478,68 @@ def test_insert_values_default_keyword(spark, tmp_path):
     assert (3, "DEFAULT", 1) in {
         (r["id"], r["status"], r["n"]) for r in t.to_df().collect()
     }
+
+
+def test_insert_partition_spec_validation(spark, tmp_path):
+    """PARTITION specs validate like Spark: non-partition columns,
+    unpartitioned tables, and column-list overlaps refuse; case
+    mismatches resolve to the canonical spelling; NULL pins overwrite
+    the null partition via null-safe equality."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "psv"),
+        df=spark.createDataFrame(
+            [Row(day="d1", id=1), Row(day=None, id=2)]
+        ),
+        format="delta",
+        partition_by=["day"],
+    )
+    sqldml.register_table(spark, "psv", t)
+    with pytest.raises(ValueError, match="not a partition column"):
+        run_statement(
+            spark, "INSERT OVERWRITE psv PARTITION (id = 5) VALUES ('x')"
+        )
+    with pytest.raises(ValueError, match="both the PARTITION spec"):
+        run_statement(
+            spark,
+            "INSERT INTO psv PARTITION (day = 'd1') (day, id) "
+            "VALUES ('d9', 1)",
+        )
+    flat = LakeTable.create(
+        spark, str(tmp_path / "psv_flat"), df=spark.createDataFrame([Row(id=1)])
+    )
+    sqldml.register_table(spark, "psv_flat", flat)
+    with pytest.raises(ValueError, match="unpartitioned"):
+        run_statement(
+            spark, "INSERT OVERWRITE psv_flat PARTITION (id = 1) VALUES (2)"
+        )
+
+    # case-insensitive resolution to the canonical column spelling
+    run_statement(
+        spark, "INSERT OVERWRITE psv PARTITION (DAY = 'd1') VALUES (10)"
+    )
+    assert {
+        (r["day"], r["id"]) for r in t.to_df().collect()
+    } == {("d1", 10), (None, 2)}
+
+    # NULL pin swaps the null partition, leaves the rest
+    run_statement(
+        spark, "INSERT OVERWRITE psv PARTITION (day = NULL) VALUES (20)"
+    )
+    assert {
+        (r["day"], r["id"]) for r in t.to_df().collect()
+    } == {("d1", 10), (None, 20)}
+
+
+def test_optimize_full_rejects_zorder_combo(spark, tmp_path):
+    from databricks_delta_lake_project_spark.tables import sqldml
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "ofz"), df=spark.createDataFrame([Row(k=1)])
+    )
+    sqldml.register_table(spark, "ofz", t)
+    with pytest.raises(ValueError, match="cannot combine with ZORDER"):
+        run_statement(spark, "OPTIMIZE ofz FULL ZORDER BY (k)")
+    # unbalanced parens now surface as a parse error, not StopIteration
+    with pytest.raises(ValueError, match="unbalanced|cannot parse"):
+        run_statement(spark, "INSERT INTO ofz PARTITION (k='1' VALUES (1)")
