@@ -815,6 +815,7 @@ def statement_kind(sql: str) -> str | None:
         ("vacuum", "vacuum"),
         ("restore", "restore"),
         ("reorg", "reorg"),
+        ("fsck", "fsck"),
         ("create table", "create"),
         ("create or replace table", "create"),
         ("create table if not exists", "create"),
@@ -835,7 +836,7 @@ TARGET_VERBS = (
     r"|INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?"
     r"|TRUNCATE\s+(?:TABLE\s+)?|ALTER\s+TABLE|OPTIMIZE"
     r"|VACUUM|RESTORE\s+(?:TABLE\s+)?|COPY\s+INTO\s+"
-    r"|REORG\s+(?:TABLE\s+)?"
+    r"|REORG\s+(?:TABLE\s+)?|FSCK\s+REPAIR\s+(?:TABLE\s+)?"
 )
 # creation verbs, kept separate: statement_target deliberately
 # excludes them (CREATE is namespace-gated, not MODIFY-gated)
@@ -905,6 +906,21 @@ def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
         return _run_restore(spark, text)
     if kind == "reorg":
         return _run_reorg(spark, text)
+    if kind == "fsck":
+        m = re.match(
+            r"FSCK\s+REPAIR\s+TABLE\s+(?P<tref>`[^`]+`|[A-Za-z_][\w.]*)"
+            r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(f"cannot parse FSCK statement: {text[:80]!r}")
+        return {
+            **resolve_table(spark, m.group("tref")).fsck_repair(
+                dry_run=bool(m.group("dry"))
+            ),
+            "operation": "FSCK",
+        }
     if kind == "copy":
         return _run_copy_into(spark, text)
     if kind == "convert":

@@ -543,3 +543,38 @@ def test_optimize_full_rejects_zorder_combo(spark, tmp_path):
     # unbalanced parens now surface as a parse error, not StopIteration
     with pytest.raises(ValueError, match="unbalanced|cannot parse"):
         run_statement(spark, "INSERT INTO ofz PARTITION (k='1' VALUES (1)")
+
+
+def test_fsck_repair_table(spark, tmp_path):
+    """FSCK drops active entries whose files vanished from storage so
+    reads stop dying with FileNotFound; DRY RUN reports only."""
+    import os
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "fsck_t"),
+        df=spark.createDataFrame(
+            [Row(id=1), Row(id=2), Row(id=3)]
+        ).repartition(3),
+        format="delta",
+    )
+    sqldml.register_table(spark, "fsck_t", t)
+    victim = t._files()[0]
+    os.remove(f"{t.root}/{victim['path']}")
+    with pytest.raises(Exception):
+        t.to_df().collect()  # broken table
+
+    dry = sqldml.run_dml(spark, "FSCK REPAIR TABLE fsck_t DRY RUN")
+    assert dry["numMissingFiles"] == 1 and dry["numRemovedFiles"] == 0
+    with pytest.raises(Exception):
+        t.to_df().collect()  # DRY RUN committed nothing
+
+    res = sqldml.run_dml(spark, "FSCK REPAIR TABLE fsck_t")
+    assert res["numRemovedFiles"] == 1
+    assert t.to_df().count() == 2  # readable again, surviving rows
+    # idempotent; healthy table no-ops without a commit
+    v = t._log.latest_version(t.root)
+    assert sqldml.run_dml(spark, "FSCK REPAIR TABLE fsck_t")[
+        "numRemovedFiles"
+    ] == 0
+    assert t._log.latest_version(t.root) == v
