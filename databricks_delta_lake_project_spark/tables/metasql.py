@@ -152,6 +152,15 @@ def _describe(spark: SparkSession, t: "LakeTable", extended: bool) -> DataFrame:
         if created is not None:
             rows.append(("Created At (ms)", str(created), ""))
             rows.append(("Last Modified (ms)", str(modified), ""))
+        if props.get("comment"):
+            rows.append(("Comment", str(props["comment"]), ""))
+        cons = t.constraints()
+        if cons:
+            rows.append(("# Constraints", "", ""))
+            rows.extend((n, e, "") for n, e in sorted(cons.items()))
+        ccols = str(props.get("engine.clusterBy", ""))
+        if ccols:
+            rows.append(("Clustering Columns", f"[{ccols}]", ""))
         if props:
             kv = ", ".join(f"{k}={v}" for k, v in sorted(props.items()))
             rows.append(("Table Properties", f"[{kv}]", ""))

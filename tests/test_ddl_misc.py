@@ -578,3 +578,21 @@ def test_fsck_repair_table(spark, tmp_path):
         "numRemovedFiles"
     ] == 0
     assert t._log.latest_version(t.root) == v
+
+
+def test_describe_extended_surfaces_new_metadata(spark, tmp_path):
+    run_statement(
+        spark,
+        "CREATE TABLE dext (id INT) COMMENT 'doc table' "
+        f"CLUSTER BY (id) LOCATION '{tmp_path / 'dext'}'",
+    )
+    sqldml.run_dml(
+        spark, "ALTER TABLE dext ADD CONSTRAINT id_pos CHECK (id > 0)"
+    )
+    rows = {
+        r["col_name"]: r["data_type"]
+        for r in run_statement(spark, "DESCRIBE EXTENDED dext").collect()
+    }
+    assert rows.get("Comment") == "doc table"
+    assert rows.get("id_pos") == "id > 0"
+    assert rows.get("Clustering Columns") == "[id]"
