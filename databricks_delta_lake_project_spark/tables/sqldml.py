@@ -1255,6 +1255,15 @@ def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
             mc.group(2), mc.group("txt").replace("''", "'")
         )
         return {"operation": "ALTER COLUMN", "version": v}
+    mtt = re.match(
+        r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+(?:SET\s+DATA\s+)?TYPE\s+"
+        r"(?P<type>.+?)\s*$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mtt:
+        v = table.set_column_type(mtt.group(2), mtt.group("type"))
+        return {"operation": "ALTER COLUMN", "version": v}
     mdef = re.match(
         r"ALTER\s+COLUMN\s+(`?)(\w+)\1\s+"
         r"(?:SET\s+DEFAULT\s+(?P<expr>.+?)|DROP\s+DEFAULT)\s*$",

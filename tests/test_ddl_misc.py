@@ -596,3 +596,53 @@ def test_describe_extended_surfaces_new_metadata(spark, tmp_path):
     assert rows.get("Comment") == "doc table"
     assert rows.get("id_pos") == "id > 0"
     assert rows.get("Clustering Columns") == "[id]"
+
+
+def test_type_widening(spark, tmp_path):
+    """ALTER COLUMN c TYPE <wider>: metadata-only — no file rewritten,
+    old parquet upcasts at read time; gated on the public property;
+    narrowing and lossy changes refuse."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "tw"),
+        df=spark.sql(
+            "SELECT cast(id AS int) AS i, cast(id AS float) AS f, "
+            "cast(id AS decimal(5,2)) AS d FROM range(3)"
+        ),
+        format="delta",
+    )
+    sqldml.register_table(spark, "tw", t)
+    with pytest.raises(ValueError, match="widening is disabled"):
+        sqldml.run_dml(spark, "ALTER TABLE tw ALTER COLUMN i TYPE BIGINT")
+    sqldml.run_dml(
+        spark,
+        "ALTER TABLE tw SET TBLPROPERTIES "
+        "('delta.enableTypeWidening' = 'true')",
+    )
+    files_before = {e["path"] for e in t._files()}
+    sqldml.run_dml(spark, "ALTER TABLE tw ALTER COLUMN i TYPE BIGINT")
+    sqldml.run_dml(spark, "ALTER TABLE tw ALTER COLUMN f TYPE DOUBLE")
+    sqldml.run_dml(
+        spark, "ALTER TABLE tw ALTER COLUMN d SET DATA TYPE DECIMAL(10,4)"
+    )
+    # metadata-only: same files, new logical types, data intact
+    assert {e["path"] for e in t._files()} == files_before
+    assert dict((f.name, f.dataType.simpleString()) for f in t.schema.fields) == {
+        "i": "bigint", "f": "double", "d": "decimal(10,4)"
+    }
+    got = sorted((r["i"], r["f"]) for r in t.to_df().collect())
+    assert got == [(0, 0.0), (1, 1.0), (2, 2.0)]
+    # new writes land under the widened type and mix with old files
+    t.append(spark.sql(
+        "SELECT cast(5000000000 AS bigint) AS i, cast(1.5 AS double) AS f, "
+        "cast(1.5 AS decimal(10,4)) AS d"
+    ))
+    assert t.to_df().count() == 4
+    assert max(r["i"] for r in t.to_df().collect()) == 5_000_000_000
+    # unsafe changes refuse
+    for bad in ("ALTER COLUMN i TYPE INT",       # narrowing
+                "ALTER COLUMN f TYPE FLOAT",     # same/narrow
+                "ALTER COLUMN d TYPE DECIMAL(6,1)",  # scale shrink
+                "ALTER COLUMN i TYPE STRING"):   # lossy
+        with pytest.raises(ValueError, match="safe widening"):
+            sqldml.run_dml(spark, f"ALTER TABLE tw {bad}")
