@@ -498,7 +498,9 @@ def _parse_from_sources(
                 open_i = pos + pm.end() - 1
                 try:
                     inner, _rest = sqldml._balanced_paren(tail[open_i:])
-                except StopIteration:
+                except (StopIteration, ValueError):
+                    # unbalanced parens: derive nothing, never raise
+                    # (the lineage scanners' totality contract)
                     return None
                 src = tail[open_i: open_i + len(inner) + 2]
                 pos = open_i + len(inner) + 2

@@ -1164,8 +1164,10 @@ def _run_delete(spark: SparkSession, sql: str) -> dict[str, Any]:
 
 def _run_alter(spark: SparkSession, sql: str) -> dict[str, Any]:
     """ALTER TABLE <t> RENAME COLUMN a TO b | DROP COLUMN(S) a[, b] |
-    ADD COLUMNS (c TYPE, ...) | ALTER COLUMN c COMMENT '...' |
-    SET/UNSET TAGS (...) | CLUSTER BY (...) | SET TBLPROPERTIES (...) —
+    ADD COLUMNS (c TYPE, ...) | ALTER COLUMN c COMMENT '...' / SET
+    [DATA] TYPE <wider> / SET DEFAULT expr / DROP DEFAULT / SET|DROP
+    NOT NULL | ADD/DROP CONSTRAINT | RENAME TO | SET/UNSET TAGS (...) |
+    CLUSTER BY (...) | SET/UNSET TBLPROPERTIES (...) —
     the reference's schema-evolution, governance and feature-toggle
     surface (``delta_lake_features.py:182-262``,
     ``governance/unity_catalog_setup.py:80-124``). Also routes the

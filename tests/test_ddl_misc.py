@@ -646,3 +646,64 @@ def test_type_widening(spark, tmp_path):
                 "ALTER COLUMN i TYPE STRING"):   # lossy
         with pytest.raises(ValueError, match="safe widening"):
             sqldml.run_dml(spark, f"ALTER TABLE tw {bad}")
+
+
+def test_clone_carries_constraints_defaults_notnull(spark, tmp_path):
+    """SHALLOW CLONE composes with the r13 DDL tail: constraints ride
+    the cloned properties, defaults and NOT NULL ride the cloned
+    schema — the clone enforces them on ITS writes."""
+    run_statement(
+        spark,
+        "CREATE TABLE ccd_src (id INT NOT NULL, "
+        "status STRING DEFAULT 'fresh') "
+        f"LOCATION '{tmp_path / 'ccd_src'}'",
+    )
+    run_statement(spark, "INSERT INTO ccd_src (id) VALUES (1)")
+    sqldml.run_dml(
+        spark, "ALTER TABLE ccd_src ADD CONSTRAINT id_pos CHECK (id > 0)"
+    )
+    sqldml.run_dml(
+        spark,
+        f"CREATE TABLE ccd_cl SHALLOW CLONE ccd_src "
+        f"LOCATION '{tmp_path / 'ccd_cl'}'",
+    )
+    cl = sqldml.resolve_table(spark, "ccd_cl")
+    assert cl.constraints() == {"id_pos": "id > 0"}
+    with pytest.raises(ValueError, match="id_pos"):
+        run_statement(spark, "INSERT INTO ccd_cl VALUES (-1, 'x')")
+    with pytest.raises(ValueError, match="notnull__id"):
+        run_statement(spark, "INSERT INTO ccd_cl VALUES (NULL, 'x')")
+    run_statement(spark, "INSERT INTO ccd_cl (id) VALUES (2)")
+    assert {
+        (r["id"], r["status"]) for r in cl.to_df().collect()
+    } == {(1, "fresh"), (2, "fresh")}
+    # source untouched by the clone's write
+    src = sqldml.resolve_table(spark, "ccd_src")
+    assert src.to_df().count() == 1
+
+
+def test_reorg_purge_on_shallow_clone(spark, tmp_path):
+    """Clone-local DV deletes purge on the CLONE without touching the
+    source's bytes (write isolation holds through REORG)."""
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "rp_src"),
+        df=spark.createDataFrame([Row(id=i) for i in range(6)]).coalesce(1),
+        format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    sqldml.register_table(spark, "rp_src", src)
+    sqldml.run_dml(
+        spark,
+        f"CREATE TABLE rp_cl SHALLOW CLONE rp_src "
+        f"LOCATION '{tmp_path / 'rp_cl'}'",
+    )
+    cl = sqldml.resolve_table(spark, "rp_cl")
+    r = cl.delete("id = 2")
+    assert r["strategy"] == "dv"  # clone-local DV
+    res = cl.reorg_purge()
+    assert res["numFilesRemoved"] == 1 and res["numRowsRewritten"] == 5
+    assert not any(e.get("deletionVector") for e in cl._files())
+    assert sorted(x["id"] for x in cl.to_df().collect()) == [0, 1, 3, 4, 5]
+    # the source still reads all six rows from its own untouched file
+    assert sorted(x["id"] for x in src.to_df().collect()) == list(range(6))
