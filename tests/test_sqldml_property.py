@@ -163,3 +163,46 @@ def test_lineage_scanners_total_on_token_soup(toks, sep):
     sqlpack._split_item_alias(s)
     sqlpack._expr_source_cols(s, {"a": "T"}, set(), {"T": {"x": "x"}})
     sqldml._mask(s)
+
+
+# ---------------------------------------------------------------------------
+# r13 parser helpers: statement PARSE paths may refuse loudly, but only
+# with parse-shaped errors (ValueError/NotImplementedError) — never a
+# low-level Python exception (StopIteration, IndexError, KeyError) that
+# callers cannot distinguish from an engine bug. The r13 review caught
+# exactly one such escape (_balanced_paren's bare next()); this pins
+# the whole class.
+# ---------------------------------------------------------------------------
+
+_DDL_TOKENS = [
+    "PARTITION", "(", ")", ",", "=", "'d1'", "NULL", "DEFAULT",
+    "VALUES", "day", "`we ird`", "1", "''", "'a''b'", "DRY", "RUN",
+    "FULL", "WHERE", "CHECK", "CONSTRAINT", ".", "`", "'", "--x\n",
+    "/*c*/", "TYPE", "BIGINT", "DECIMAL(10,2)",
+]
+
+
+@settings(
+    max_examples=200,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(st.sampled_from(_DDL_TOKENS), min_size=1, max_size=16),
+    st.sampled_from([" ", ""]),
+)
+def test_r13_parse_helpers_raise_only_parse_errors(toks, sep):
+    from databricks_delta_lake_project_spark.tables import sqldml
+
+    s = sep.join(toks)
+    for fn in (
+        lambda: sqldml._balanced_paren("(" + s),
+        lambda: sqldml._split_commas(s),
+        lambda: sqldml._mask(s),
+        lambda: sqldml.statement_kind(s),
+        lambda: sqldml.statement_target("INSERT INTO t " + s),
+    ):
+        try:
+            fn()
+        except (ValueError, NotImplementedError):
+            pass  # parse-shaped refusals are the contract
