@@ -1165,6 +1165,31 @@ def run_metadata(spark: SparkSession, sql: str) -> DataFrame | None:
     if ns is not None:
         return ns
 
+    m = re.match(
+        r"ALTER\s+VIEW\s+(?P<name>`[^`]+`|[\w.]+)\s+AS\s+(?P<body>.+)$",
+        text,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        # in-place body redefinition (Spark/Databricks ALTER VIEW AS):
+        # requires the view to EXIST; the comment survives, the column
+        # list resets to the new query's output (the Spark contract).
+        # Routed through the replace path so the manage gate, the
+        # fail-closed analysis, and lineage all apply identically.
+        hit = sqldml.view_def(spark, m.group("name"))
+        if hit is None:
+            return None  # native catalog views keep spark.sql behavior
+        full, meta = hit
+        comment = (
+            " COMMENT '{}'".format(meta["comment"].replace("'", "''"))
+            if meta.get("comment")
+            else ""
+        )
+        return _run_create_view(
+            spark,
+            f"CREATE OR REPLACE VIEW {full}{comment} AS {m.group('body')}",
+        )
+
     if re.match(r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\b", text, re.IGNORECASE):
         made = _run_create_view(spark, text)
         if made is not None:

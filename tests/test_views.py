@@ -698,3 +698,29 @@ def test_view_over_engine_function_stays_fresh(spark, view_world):
     assert run_statement(spark, "SELECT r FROM vrate").collect()[0][
         "r"
     ] == pytest.approx(1.0)
+
+
+def test_alter_view_as_redefines_in_place(spark, view_world):
+    """ALTER VIEW v AS <query>: body swaps, comment survives, column
+    list resets to the new query's output; unknown views fall through
+    (native error); the manage gate applies via the replace path."""
+    run_statement(
+        spark,
+        "CREATE VIEW vcat.gold.av (a) COMMENT 'kept' AS "
+        "SELECT id FROM vord WHERE id < 3",
+    )
+    assert run_statement(spark, "SELECT * FROM av").columns == ["a"]
+    run_statement(
+        spark,
+        "ALTER VIEW vcat.gold.av AS SELECT id, amount FROM vord "
+        "WHERE id >= 8",
+    )
+    out = run_statement(spark, "SELECT * FROM av")
+    assert out.columns == ["id", "amount"] and out.count() == 2
+    # comment survived the redefinition
+    stmt = run_statement(
+        spark, "SHOW CREATE VIEW vcat.gold.av"
+    ).collect()[0][0]
+    assert "COMMENT 'kept'" in stmt and "id >= 8" in stmt
+    with pytest.raises(Exception):
+        run_statement(spark, "ALTER VIEW no_such_view_xyz AS SELECT 1")
