@@ -222,6 +222,103 @@ _MEMBER_RE = re.compile(
     re.IGNORECASE,
 )
 
+# identifier immediately before an opening paren — the call-position
+# shape. SQL keywords that legitimately precede '(' without being a
+# function (OVER (...), VALUES (...), AND (...), AS v(a,b), ...) are
+# excluded; most overlap-shaped words (IN, EXISTS, FILTER, DECIMAL)
+# are already in Spark's builtin registry so need no exclusion.
+_CALL_RE = re.compile(r"([A-Za-z_][\w.]*)\s*\(")
+_CALL_KEYWORDS = frozenset(
+    """over values on when then else and or not where select join
+    using as by all any some union except intersect distinct having
+    group order partition between like is case end with from varchar
+    interval row rows range lateral tablesample pivot unpivot for
+    within cluster distribute sort
+    """.split()
+)
+
+
+def call_position_refs(sql: str) -> set[str]:
+    """Lowered identifier tokens in call position (``name(``) outside
+    string literals, keyword-paren shapes and CTE names excluded.
+    Like :func:`identifier_tokens`, collected under both lexer
+    maskings and unioned — a data value can at worst ADD a spurious
+    token (forcing a harmless re-analysis), never hide one."""
+    out: set[str] = set()
+    ctes = _cte_basenames(sql)
+    for backslash in (True, False):
+        mask = _mask(sql, backslash_escapes=backslash)
+        for m in _CALL_RE.finditer(sql):
+            if mask[m.start()][1]:
+                continue
+            tok = m.group(1).lower()
+            if tok in _CALL_KEYWORDS or tok.split(".")[-1] in ctes:
+                continue
+            out.add(tok)
+    return out
+
+
+def _cte_basenames(sql: str) -> set[str]:
+    """CTE names declared in the statement — ``WITH t (a, b) AS``
+    puts ``t`` in call position textually, but it is a relation."""
+    try:
+        from ..queries.sqlpack import _cte_names
+
+        return _cte_names(sql)
+    except Exception:  # noqa: BLE001
+        return set()
+
+
+# static Spark builtin function names (FunctionRegistry.builtin() —
+# temp/catalog functions never enter it), probed once per process.
+# None = probe not yet run or failed; a failed probe fails SAFE: with
+# no builtin set, every call-position token is "unknown" and views
+# with calls re-analyze each statement (correct, just slower).
+_BUILTIN_FUNCS: set[str] | None = None
+_BUILTIN_PROBED = False
+
+
+def _spark_builtin_funcs(spark: SparkSession) -> set[str] | None:
+    global _BUILTIN_FUNCS, _BUILTIN_PROBED
+    if not _BUILTIN_PROBED:
+        _BUILTIN_PROBED = True
+        try:
+            reg = (
+                spark._jvm.org.apache.spark.sql.catalyst.analysis
+                .FunctionRegistry.builtin()
+            )
+            seq = reg.listFunction()
+            names = {
+                seq.apply(i).funcName().lower()
+                for i in range(seq.size())
+            }
+            try:  # generator TVFs (explode/range/... in FROM position)
+                tv = (
+                    spark._jvm.org.apache.spark.sql.catalyst.analysis
+                    .TableFunctionRegistry.builtin()
+                )
+                tseq = tv.listFunction()
+                names |= {
+                    tseq.apply(i).funcName().lower()
+                    for i in range(tseq.size())
+                }
+            except Exception:  # noqa: BLE001
+                pass
+            _BUILTIN_FUNCS = names
+        except Exception:  # noqa: BLE001
+            _BUILTIN_FUNCS = None
+    return _BUILTIN_FUNCS
+
+
+def _view_call_refs(meta: dict) -> set[str]:
+    """Call-position tokens of the body, cached on the definition."""
+    cached = meta.get("_call_refs")
+    if cached is None or meta.get("_call_refs_sql") != meta["sql"]:
+        cached = call_position_refs(meta["sql"])
+        meta["_call_refs"] = cached
+        meta["_call_refs_sql"] = meta["sql"]
+    return cached
+
 # (session, view_full_name) -> freshness key of the CURRENT binding:
 # (definition sql, cols, sorted (table_basename, version, root) over
 # the registered tables the body's tokens touch). A matching key
@@ -302,9 +399,11 @@ def _view_sync(
     # SQL functions the engine registered (3-part CREATE FUNCTION):
     # CREATE OR REPLACE FUNCTION changes a body the bound plan has
     # already inlined, and no table version moves — a view CALLING one
-    # is volatile. (A TEMPORARY function created natively outside the
-    # engine's DDL path is invisible here — documented gap; the
-    # engine's own function surface is covered.)
+    # is volatile. A TEMPORARY function created natively outside the
+    # engine's DDL path has no version the engine can key on either,
+    # so any call-position token that is neither a Spark builtin nor
+    # an engine function disqualifies the view from keyed skipping
+    # (same treatment as non-engine relations).
     try:
         from ..queries.sqlpack import _FUNCS
 
@@ -338,6 +437,20 @@ def _view_sync(
             return True
         if engine_funcs is None or toks & engine_funcs:
             return True
+        calls = _view_call_refs(meta)
+        if calls:
+            builtins = _spark_builtin_funcs(spark)
+            if builtins is None:
+                return True  # cannot classify calls — never skip
+            known = engine_funcs | builtins
+            if any(
+                c not in known and c.split(".")[-1] not in known
+                for c in calls
+            ):
+                # a natively-created temp function (or anything else
+                # the engine cannot version) — re-analyze every
+                # statement so CREATE OR REPLACE of it is never stale
+                return True
         if _MEMBER_RE.search(meta["sql"]):
             return True
         if toks & rebuilt:
@@ -1650,6 +1763,27 @@ _COPY_LEDGER_DIR = "_copy_into_ledger"
 _COPY_LEDGER_EVERY = 20
 
 
+def _copy_ledger_interval(t: Any) -> int:
+    """Replay length that triggers a ledger snapshot: the table
+    property ``engine.copyInto.snapshotInterval`` when set to a
+    positive int (1 = snapshot after every run), else the default.
+    Read at replay time so ALTER TABLE SET TBLPROPERTIES takes effect
+    on the next COPY INTO; garbage values fall back to the default
+    rather than disabling snapshots."""
+    try:
+        v = int(
+            str(
+                t.properties().get(
+                    "engine.copyInto.snapshotInterval",
+                    _COPY_LEDGER_EVERY,
+                )
+            )
+        )
+        return v if v >= 1 else _COPY_LEDGER_EVERY
+    except Exception:  # noqa: BLE001
+        return _COPY_LEDGER_EVERY
+
+
 def _copy_ledger_load(root: str) -> tuple[int, set[str]]:
     """Newest usable ledger snapshot as ``(version, file idents)``;
     ``(-1, empty)`` when none. A snapshot is a pure CACHE of the fold
@@ -1850,7 +1984,7 @@ def _run_copy_into(spark: SparkSession, sql: str) -> dict[str, Any]:
     if not new:
         # a no-op re-run still snapshots once the replay got long —
         # otherwise a steady-state poller replays the whole log forever
-        if not force and replayed >= _COPY_LEDGER_EVERY:
+        if not force and replayed >= _copy_ledger_interval(t):
             try:
                 lv = t._log.latest_version(t.root)
                 if lv is not None:
@@ -1877,10 +2011,11 @@ def _run_copy_into(spark: SparkSession, sql: str) -> dict[str, Any]:
         .get("operationMetrics", {})
         .get("numOutputRows", 0)
     )
-    if not force and replayed >= _COPY_LEDGER_EVERY:
-        # this replay had to read enough commits to be worth folding
-        # into a snapshot; a failed write just means the next run
-        # replays the same commits again (cache, never truth)
+    if not force and replayed + 1 >= _copy_ledger_interval(t):
+        # counting this run's own commit, the NEXT replay would read
+        # >= interval commits — fold now so it doesn't (interval 1 =
+        # snapshot after every run); a failed write just means the
+        # next run replays the same commits again (cache, never truth)
         try:
             _copy_ledger_write(t, v)
         except Exception:  # noqa: BLE001
@@ -2338,6 +2473,26 @@ def _expand_values_defaults(
     return ", ".join(groups)
 
 
+def _sql_literal(v: Any) -> str:
+    """A collected partition value as a SQL literal whose text form
+    both compares correctly in a predicate AND matches the engine's
+    hive-serialized partition stats (``coerce_partition_value``) so
+    the whole-partition metadata fast path fires: ints/floats render
+    bare, dates/everything-else render as quoted strings (ISO dates
+    compare correctly as strings; Spark casts in the comparison)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return f"'{str(v).lower()}'"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return "'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, _dt.date):
+        return "'" + v.isoformat() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
     m = re.match(
         r"INSERT\s+(INTO|OVERWRITE)\s+(TABLE\s+)?", sql, re.IGNORECASE
@@ -2349,21 +2504,23 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
     tname, rest = _read_table_ref(rest)
     rest = rest.lstrip()
     pins: list[tuple[str, str]] = []
+    dyn: list[str] = []
     mpart = re.match(r"PARTITION\s*\(", rest, re.IGNORECASE)
     if mpart:
         # static partition overwrite: `INSERT OVERWRITE t PARTITION
         # (day = 'd1') SELECT ...` routes to replace_where — the
-        # metadata-only whole-partition swap. Dynamic specs (a column
-        # with no value) refuse loudly rather than overwrite the table.
+        # metadata-only whole-partition swap. A column with no value
+        # is DYNAMIC (Spark's partitionOverwriteMode=dynamic): the
+        # incoming frame's own distinct tuples decide which
+        # partitions swap. Spark's grammar rule holds: static keys
+        # precede dynamic ones.
         inner, rest = _balanced_paren(rest[mpart.end() - 1 :])
         rest = rest.lstrip()
         for item in _split_commas(inner):
-            if re.fullmatch(r"\s*(`[^`]+`|\w+)\s*", item):
-                raise NotImplementedError(
-                    "dynamic partition overwrite (PARTITION without "
-                    f"values: {item.strip()!r}) is not supported; pin "
-                    "values or use INSERT INTO ... REPLACE WHERE"
-                )
+            mb = re.fullmatch(r"\s*(?:`([^`]+)`|(\w+))\s*", item)
+            if mb:
+                dyn.append(mb.group(1) or mb.group(2))
+                continue
             mkv = re.match(
                 r"\s*(?:`(?P<q>[^`]+)`|(?P<b>\w+))\s*=\s*(?P<val>.+?)\s*$",
                 item,
@@ -2372,6 +2529,13 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
             if not mkv:
                 raise ValueError(
                     f"cannot parse PARTITION spec item: {item.strip()!r}"
+                )
+            if dyn:
+                raise ValueError(
+                    "static partition spec "
+                    f"{(mkv.group('q') or mkv.group('b'))!r} after a "
+                    f"dynamic column {dyn[-1]!r}: static keys must "
+                    "precede dynamic ones"
                 )
             pins.append((mkv.group("q") or mkv.group("b"), mkv.group("val")))
     cols: list[str] | None = None
@@ -2383,7 +2547,7 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
         cols = [c.strip("`") for c in _split_commas(rest[1:close])]
         rest = rest[close + 1 :].lstrip()
     table = resolve_table(spark, tname)
-    if pins:
+    if pins or dyn:
         # the spec must name actual PARTITION columns (the Spark
         # contract — a typo'd name must not become a replace_where
         # predicate on a data column), under their canonical spelling
@@ -2404,14 +2568,40 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
                 )
             fixed.append((canon, v))
         pins = fixed
+        dyn_fixed: list[str] = []
+        for k in dyn:
+            canon = pcols.get(k.lower())
+            if canon is None:
+                raise ValueError(
+                    f"PARTITION spec column {k!r} is not a partition "
+                    f"column of {tname} (partitioned by "
+                    f"{sorted(pcols.values())})"
+                )
+            if canon in {p for p, _ in pins} or canon in dyn_fixed:
+                raise ValueError(
+                    f"PARTITION spec repeats column {canon!r}"
+                )
+            dyn_fixed.append(canon)
+        dyn = dyn_fixed
         if cols is not None:
             dup = [
-                c for c in cols if c.lower() in {p.lower() for p in pcols}
+                c
+                for c in cols
+                if c.lower() in {p.lower() for p, _ in pins}
             ]
             if dup:
                 raise ValueError(
                     f"columns {dup} appear in both the PARTITION spec "
                     "and the column list"
+                )
+            missing = [
+                c for c in dyn if c.lower() not in {x.lower() for x in cols}
+            ]
+            if missing:
+                raise ValueError(
+                    f"dynamic partition columns {missing} must appear "
+                    "in the column list (their values come from the "
+                    "query)"
                 )
     replace_pred: str | None = None
     mrw = re.match(r"REPLACE\s+WHERE\s+", rest, re.IGNORECASE)
@@ -2454,7 +2644,7 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
     if len(names) != len(df.columns):
         raise ValueError("INSERT: column count mismatch")
     df = df.toDF(*names)
-    if pins:
+    if pins or dyn:
         from pyspark.sql import functions as F
 
         for k, v in pins:
@@ -2463,14 +2653,62 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
             # NULL pins need null-safe equality (`col = NULL` matches
             # nothing); non-NULL keep plain `=` so the predicate stays
             # stats-prunable (whole-partition metadata drop)
-            pred = " AND ".join(
+            static_parts = [
                 f"{k} <=> NULL"
                 if v.strip().upper() == "NULL"
                 else f"{k} = {v}"
                 for k, v in pins
+            ]
+            if not dyn:
+                return {
+                    **table.replace_where(df, " AND ".join(static_parts)),
+                    "operation": "INSERT OVERWRITE PARTITION",
+                }
+            # DYNAMIC overwrite (partitionOverwriteMode=dynamic): one
+            # aggregation derives the incoming frame's distinct
+            # partition tuples, one replace_where commit swaps exactly
+            # those partitions — untouched partitions survive. Each
+            # tuple is its own conjunctive disjunct so the per-
+            # partition stats fast path (metadata-only whole-file
+            # drop) still fires; the driver-side tuple list is
+            # bounded by the number of INCOMING partitions, the same
+            # set Spark's own dynamic overwrite materializes.
+            tdt = {f.name: f.dataType for f in table.schema.fields}
+            tuples = (
+                df.select(
+                    *[F.col(c).cast(tdt[c]).alias(c) for c in dyn]
+                )
+                .distinct()
+                .collect()
             )
+            if not tuples:
+                # empty source: dynamic overwrite touches nothing
+                return {
+                    "numOutputRows": 0,
+                    "numRemovedFiles": 0,
+                    "numDynamicPartitions": 0,
+                    "operation": "INSERT OVERWRITE PARTITION",
+                }
+            if len(tuples) > 4096:
+                raise ValueError(
+                    f"dynamic partition overwrite with {len(tuples)} "
+                    "incoming partitions exceeds the 4096-disjunct "
+                    "predicate cap; overwrite in batches"
+                )
+            disjuncts = []
+            for r in tuples:
+                parts = list(static_parts)
+                for c in dyn:
+                    v = r[c]
+                    parts.append(
+                        f"{c} <=> NULL"
+                        if v is None
+                        else f"{c} = {_sql_literal(v)}"
+                    )
+                disjuncts.append(" AND ".join(parts))
             return {
-                **table.replace_where(df, pred),
+                **table.replace_where(df, disjuncts),
+                "numDynamicPartitions": len(disjuncts),
                 "operation": "INSERT OVERWRITE PARTITION",
             }
     if replace_pred is not None:

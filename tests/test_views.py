@@ -700,6 +700,71 @@ def test_view_over_engine_function_stays_fresh(spark, view_world):
     ] == pytest.approx(1.0)
 
 
+def test_view_over_native_temp_function_stays_fresh(
+    spark, view_world, monkeypatch
+):
+    """A view calling a temp function created NATIVELY (raw
+    spark.sql, outside the engine's DDL path) must never serve a
+    stale inlined body: such calls are neither Spark builtins nor in
+    the engine's function registry, so the view is disqualified from
+    keyed skipping — while a sibling view calling only builtins keeps
+    the keyed fast path (analysis-counter proven)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION nat_rate(x DOUBLE) "
+        "RETURNS DOUBLE RETURN x * 0.1"
+    )
+    try:
+        run_statement(
+            spark,
+            "CREATE VIEW vcat.gold.vnat AS "
+            "SELECT id, nat_rate(amount) AS r FROM vord WHERE id = 1",
+        )
+        run_statement(
+            spark,
+            "CREATE VIEW vcat.gold.vbuiltin AS "
+            "SELECT count(*) AS n, sum(amount) AS s FROM vord",
+        )
+        sid = session_key(spark)
+        bodies = {
+            meta["sql"]: n
+            for (s, n), meta in sqldml._VIEW_DEFS.items()
+            if s == sid and n.startswith("vcat.gold.v")
+        }
+        analyzed: list[str] = []
+        real_sql = spark.sql
+
+        def counting_sql(q, *a, **k):
+            if isinstance(q, str) and q in bodies:
+                analyzed.append(bodies[q])
+            return real_sql(q, *a, **k)
+
+        monkeypatch.setattr(spark, "sql", counting_sql)
+
+        assert run_statement(spark, "SELECT r FROM vnat").collect()[
+            0
+        ]["r"] == pytest.approx(0.2)
+        # REPLACE the function natively — no engine DDL, no table
+        # version moves; the next statement must see the new body
+        real_sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION nat_rate(x DOUBLE) "
+            "RETURNS DOUBLE RETURN x * 0.5"
+        )
+        assert run_statement(spark, "SELECT r FROM vnat").collect()[
+            0
+        ]["r"] == pytest.approx(1.0)
+        # the unknown-call view re-analyzed on BOTH statements
+        assert analyzed.count("vcat.gold.vnat") == 2
+        # ...while the builtin-only sibling still keyed-skips
+        analyzed.clear()
+        run_statement(spark, "SELECT n FROM vbuiltin")
+        assert analyzed == ["vcat.gold.vbuiltin"]
+        analyzed.clear()
+        run_statement(spark, "SELECT n FROM vbuiltin")
+        assert analyzed == []
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS nat_rate")
+
+
 def test_alter_view_as_redefines_in_place(spark, view_world):
     """ALTER VIEW v AS <query>: body swaps, comment survives, column
     list resets to the new query's output; unknown views fall through
