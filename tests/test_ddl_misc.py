@@ -449,10 +449,105 @@ def test_insert_overwrite_partition_static(spark, tmp_path):
         r["id"] for r in t.to_df().filter("day = 'd2'").collect()
     } == {3, 9}
 
-    # dynamic specs refuse loudly
-    with pytest.raises(NotImplementedError, match="dynamic partition"):
+    # dynamic spec: the incoming frame's own distinct day values
+    # decide which partitions swap (query columns in table order)
+    res = run_statement(
+        spark,
+        "INSERT OVERWRITE iop PARTITION (day) "
+        "SELECT 'd2', 77 UNION ALL SELECT 'd9', 88",
+    ).collect()[0]
+    assert res["numDynamicPartitions"] == 2
+    assert {
+        (r["day"], r["id"]) for r in t.to_df().collect()
+    } == {("d1", 10), ("d1", 11), ("d2", 77), ("d9", 88)}
+
+
+def test_insert_overwrite_partition_dynamic(spark, tmp_path):
+    """Spark's partitionOverwriteMode=dynamic semantics: ONE commit
+    swaps exactly the partitions present in the incoming frame;
+    untouched partitions survive; the swap is metadata-only per
+    partition (whole files drop by log action); CDF stages
+    delete+insert; empty source touches nothing; static keys must
+    precede dynamic ones."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "dyn"),
+        df=spark.createDataFrame(
+            [
+                Row(day="d1", region="eu", id=1),
+                Row(day="d1", region="us", id=2),
+                Row(day="d2", region="eu", id=3),
+            ]
+        ),
+        format="delta",
+        partition_by=["day", "region"],
+        properties={"delta.enableChangeDataFeed": "true"},
+    )
+    sqldml.register_table(spark, "dyn", t)
+    v0 = t._log.latest_version(t.root)
+    res = run_statement(
+        spark,
+        "INSERT OVERWRITE dyn PARTITION (day, region) "
+        "SELECT 'd1', 'eu', 10 UNION ALL SELECT 'd3', 'ap', 30",
+    ).collect()[0]
+    assert res["numDynamicPartitions"] == 2
+    assert res["numOutputRows"] == 2
+    # (d1, eu) swapped, (d3, ap) created; (d1, us) and (d2, eu) survive
+    assert {
+        (r["day"], r["region"], r["id"]) for r in t.to_df().collect()
+    } == {
+        ("d1", "eu", 10),
+        ("d1", "us", 2),
+        ("d2", "eu", 3),
+        ("d3", "ap", 30),
+    }
+    # the replaced partition dropped whole by stats (metadata-only)
+    assert res["numWholeFilesRemoved"] >= 1
+    # CDF: delete of the old (d1, eu) row, inserts of the new rows
+    ch = t.read_changes(v0 + 1).collect()
+    assert {
+        (r["_change_type"], r["day"], r["region"], r["id"]) for r in ch
+    } == {
+        ("delete", "d1", "eu", 1),
+        ("insert", "d1", "eu", 10),
+        ("insert", "d3", "ap", 30),
+    }
+    # ONE commit for the whole dynamic swap
+    assert t._log.latest_version(t.root) == v0 + 1
+
+    # mixed static + dynamic: day pinned, region from the query
+    res = run_statement(
+        spark,
+        "INSERT OVERWRITE dyn PARTITION (day = 'd1', region) "
+        "SELECT 'us', 20",
+    ).collect()[0]
+    assert res["numDynamicPartitions"] == 1
+    assert {
+        (r["day"], r["region"], r["id"])
+        for r in t.to_df().filter("day = 'd1'").collect()
+    } == {("d1", "eu", 10), ("d1", "us", 20)}
+
+    # empty source: nothing swaps, nothing lands
+    res = run_statement(
+        spark,
+        "INSERT OVERWRITE dyn PARTITION (day, region) "
+        "SELECT 'dx', 'xx', 0 WHERE 1 = 0",
+    ).collect()[0]
+    assert res["numDynamicPartitions"] == 0
+    assert t.to_df().count() == 4
+
+    # grammar: static after dynamic refuses
+    with pytest.raises(ValueError, match="static.*precede"):
         run_statement(
-            spark, "INSERT OVERWRITE iop PARTITION (day) SELECT 5, 'd9'"
+            spark,
+            "INSERT OVERWRITE dyn PARTITION (day, region = 'eu') "
+            "SELECT 'd1', 1",
+        )
+    # a dynamic column must be a partition column
+    with pytest.raises(ValueError, match="not a partition column"):
+        run_statement(
+            spark,
+            "INSERT OVERWRITE dyn PARTITION (id) SELECT 'd1', 'eu', 1",
         )
 
 
