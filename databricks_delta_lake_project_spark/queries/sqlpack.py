@@ -1334,6 +1334,197 @@ def _virtual_source(
     virtual[name] = {sn.lower(): sn for sn in snames}
 
 
+_PIVOT_HEAD_RE = re.compile(
+    r"\s*(`[^`]+`|[\w.]+)\s+(PIVOT|UNPIVOT)\s*"
+    r"(?P<nulls>(?:INCLUDE|EXCLUDE)\s+NULLS\s*)?\(",
+    re.IGNORECASE,
+)
+
+
+def _pivot_unpivot_rewrite(
+    spark: SparkSession,
+    tail: str,
+    target: str,
+    cache: dict[str, dict[str, str]],
+    ctx: dict,
+) -> tuple[bool, str] | None:
+    """``FROM <src> PIVOT (agg FOR col IN (vals)) [alias] <rest>`` →
+    register the pivoted relation as a virtual source whose ancestry
+    maps each output column to the REAL source columns it derives
+    from, and return ``(True, "<virtual> [alias] <rest>")`` so the
+    plain FROM grammar takes over. PIVOT output columns derive from
+    the aggregate's source column(s) PLUS the pivot column (the
+    values that became column names); pass-through group columns
+    derive from themselves. UNPIVOT's value/name columns derive from
+    every unpivoted column; surviving columns from themselves.
+
+    Returns None when the tail has no PIVOT/UNPIVOT head (caller
+    proceeds unchanged) and ``(False, "")`` for any shape outside the
+    supported grammar — multi-column pivots, unaliased multi-agg
+    lists, expression values, unknown sources — which keeps the
+    under-report-never-fabricate contract (derive nothing)."""
+    from ..governance import access_control as acl
+    from ..tables import sqldml
+
+    m = _PIVOT_HEAD_RE.match(tail)
+    if m is None:
+        return None
+    is_unpivot = m.group(2).lower() == "unpivot"
+    bail = (False, "")
+    try:
+        inner, rest = sqldml._balanced_paren(tail[m.end() - 1 :])
+    except (StopIteration, ValueError):
+        return bail
+    # resolve the pivoted source: a CTE/derived virtual already in
+    # ctx, or a registered table — anything else derives nothing
+    virtual, ancestry = ctx["virtual"], ctx["ancestry"]
+    bare = m.group(1).strip("`").lower()
+    if "." not in bare and bare in virtual:
+        if not virtual[bare]:
+            return bail
+        schema = virtual[bare]
+
+        def pairs(col_low: str) -> set[tuple[str, str]]:
+            return set(ancestry.get(bare, {}).get(col_low, set()))
+
+    else:
+        canon = acl.canonical_name(spark, bare)
+        if canon == target:
+            return bail
+        if canon in cache:
+            schema = cache[canon]
+        else:
+            try:
+                schema = {
+                    c.lower(): c
+                    for c in sqldml.resolve_table(
+                        spark, canon
+                    ).schema.fieldNames()
+                }
+            except Exception:  # noqa: BLE001
+                return bail
+            cache[canon] = schema
+
+        def pairs(col_low: str) -> set[tuple[str, str]]:
+            sp = schema.get(col_low)
+            return {(canon, sp)} if sp is not None else set()
+
+    imask = sqldml._mask(inner)
+    mfor = None
+    for fm in re.finditer(r"\bFOR\b", inner, re.IGNORECASE):
+        if imask[fm.start()] == (0, False):
+            mfor = fm
+            break
+    if mfor is None:
+        return bail
+    lhs, after = inner[: mfor.start()], inner[mfor.end() :]
+    mcol = re.match(r"\s*(?:`(\w+)`|(\w+))\s+IN\s*\(", after, re.IGNORECASE)
+    if mcol is None:
+        return bail  # multi-column FOR (a, b) — outside the grammar
+    for_col = (mcol.group(1) or mcol.group(2)).lower()
+    try:
+        vals_s, leftover = sqldml._balanced_paren(after[mcol.end() - 1 :])
+    except (StopIteration, ValueError):
+        return bail
+    if leftover.strip():
+        return bail
+    name = f"__pv_{ctx['n']}"
+    ctx["n"] += 1
+    while name in virtual:
+        name = f"__pv_{ctx['n']}"
+        ctx["n"] += 1
+    out_schema: dict[str, str] = {}
+    out_anc: dict[str, set[tuple[str, str]]] = {}
+    if is_unpivot:
+        # lhs = value column name; IN items = source columns to fold
+        vm = re.fullmatch(r"\s*(?:`(\w+)`|(\w+))\s*", lhs)
+        if vm is None:
+            return bail  # multi-value UNPIVOT ((a, b) FOR ...)
+        val_col = vm.group(1) or vm.group(2)
+        folded: list[str] = []
+        for it in sqldml._split_commas(vals_s):
+            im = re.match(
+                r"\s*(?:`(\w+)`|(\w+))\s*(?:AS\s+.+)?$",
+                it,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if im is None:
+                return bail
+            c = (im.group(1) or im.group(2)).lower()
+            if c not in schema:
+                return bail
+            folded.append(c)
+        fold_pairs: set[tuple[str, str]] = set()
+        for c in folded:
+            fold_pairs |= pairs(c)
+        for low, sp in schema.items():
+            if low not in folded and low != for_col:
+                out_schema[low] = sp
+                out_anc[low] = pairs(low)
+        out_schema[for_col] = mcol.group(1) or mcol.group(2)
+        out_anc[for_col] = set(fold_pairs)
+        out_schema[val_col.lower()] = val_col
+        out_anc[val_col.lower()] = set(fold_pairs)
+    else:
+        aggs: list[tuple[list[str], str | None]] = []  # (ref_cols, alias)
+        agg_items = sqldml._split_commas(lhs)
+        for it in agg_items:
+            expr, alias = _split_item_alias(it)
+            emask = sqldml._mask(expr)
+            refs: list[str] = []
+            for tm in re.finditer(r"[A-Za-z_][\w.]*", expr):
+                if emask[tm.start()][1]:
+                    continue
+                low = tm.group(0).lower().split(".")[-1]
+                if low in schema and low not in refs:
+                    refs.append(low)
+            aggs.append((refs, alias))
+        if len(aggs) > 1 and any(a is None for _r, a in aggs):
+            return bail  # Spark's multi-agg names need the aliases
+        val_names: list[str] = []
+        for it in sqldml._split_commas(vals_s):
+            expr, alias = _split_item_alias(it)
+            if alias is not None:
+                val_names.append(alias)
+                continue
+            expr = expr.strip()
+            ml = re.fullmatch(
+                r"'([^']*)'|\"([^\"]*)\"|(-?\d+(?:\.\d+)?)"
+                r"|(NULL|TRUE|FALSE)",
+                expr,
+                re.IGNORECASE,
+            )
+            if ml is None:
+                return bail  # tuple / expression value: no stable name
+            val_names.append(
+                ml.group(1)
+                if ml.group(1) is not None
+                else ml.group(2)
+                if ml.group(2) is not None
+                else ml.group(3)
+                if ml.group(3) is not None
+                else ml.group(4).lower()
+            )
+        agg_ref_low = {c for refs, _a in aggs for c in refs}
+        for low, sp in schema.items():
+            if low != for_col and low not in agg_ref_low:
+                out_schema[low] = sp
+                out_anc[low] = pairs(low)
+        for vn in val_names:
+            for refs, alias in aggs:
+                out_name = vn if len(aggs) == 1 else f"{vn}_{alias}"
+                anc: set[tuple[str, str]] = set(pairs(for_col))
+                for c in refs:
+                    anc |= pairs(c)
+                if out_name.lower() in out_schema:
+                    return bail  # colliding output names: unattributable
+                out_schema[out_name.lower()] = out_name
+                out_anc[out_name.lower()] = anc
+    virtual[name] = out_schema
+    ancestry[name] = out_anc
+    return True, f" {name}{rest}"
+
+
 def _edges_impl(
     spark: SparkSession,
     head: str,
@@ -1397,6 +1588,11 @@ def _edges_impl(
     if mfrom is None:
         return []
     items_s, tail = body[: mfrom.start()], body[mfrom.end():]
+    pv = _pivot_unpivot_rewrite(spark, tail, target, cache, ctx)
+    if pv is not None:
+        ok, tail = pv
+        if not ok:
+            return []  # PIVOT/UNPIVOT outside the supported grammar
     parsed = _parse_from_sources(tail)
     if parsed is None or not parsed[0]:
         return []
