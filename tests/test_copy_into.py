@@ -274,3 +274,68 @@ def test_copy_into_ledger_checkpoint_bounds_replay(
         sqldml._REGISTRY.pop(
             (session_key(spark), "ccat.bronze.ltgt"), None
         )
+
+
+def test_copy_into_snapshot_interval_property(spark, tmp_path):
+    """``engine.copyInto.snapshotInterval`` governs when the ledger
+    snapshots: 1 publishes after EVERY run (a pathological mix that
+    never reaches the default-20 replay still gets bounded), the
+    property is read at replay time (ALTER-able), garbage values fall
+    back to the default, and the torn-snapshot fallback still holds
+    at interval 1."""
+    from pathlib import Path
+
+    landing = tmp_path / "siland"
+    landing.mkdir()
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "sitgt"),
+        schema=spark.range(1).withColumn("v", F.col("id") * 2).schema,
+        properties={"engine.copyInto.snapshotInterval": "1"},
+    )
+    sqldml.register_table(spark, "ccat.bronze.sitgt", t)
+    stmt = (
+        f"COPY INTO ccat.bronze.sitgt FROM '{landing}' "
+        "FILEFORMAT = PARQUET"
+    )
+    ldir = Path(t.root) / sqldml._COPY_LEDGER_DIR
+    try:
+        prev_snap = -1
+        for i in range(3):
+            spark.range(i * 10, i * 10 + 10).withColumn(
+                "v", F.col("id") * 2
+            ).coalesce(1).write.parquet(str(landing / f"b{i}"))
+            run_statement(spark, stmt)
+            snaps = sorted(ldir.glob("ledger_*.json"))
+            assert snaps, f"run {i}: interval=1 must snapshot every run"
+            # every run advances the newest snapshot to its own commit
+            newest = int(snaps[-1].stem.split("_")[-1])
+            assert newest > prev_snap
+            prev_snap = newest
+        # retention: never more than the two newest snapshots
+        assert len(sorted(ldir.glob("ledger_*.json"))) <= 2
+        # torn snapshots at interval 1 still fall back to the commits
+        for p in ldir.glob("ledger_*.json"):
+            p.write_text("{ torn")
+        r = run_statement(spark, stmt).collect()[0]
+        assert (r["numFilesLoaded"], r["numSkippedFiles"]) == (0, 3)
+        assert t.to_df().count() == 30
+        # a garbage value falls back to the default interval: short
+        # replays stop snapshotting (no new VALID snapshot appears)
+        run_statement(
+            spark,
+            "ALTER TABLE ccat.bronze.sitgt SET TBLPROPERTIES "
+            "('engine.copyInto.snapshotInterval' = 'often')",
+        )
+        for p in ldir.glob("ledger_*.json"):
+            p.unlink()
+        spark.range(100, 110).withColumn("v", F.col("id") * 2).coalesce(
+            1
+        ).write.parquet(str(landing / "b3"))
+        r = run_statement(spark, stmt).collect()[0]
+        assert r["numFilesLoaded"] == 1
+        assert not list(ldir.glob("ledger_*.json"))
+    finally:
+        sqldml._REGISTRY.pop(
+            (session_key(spark), "ccat.bronze.sitgt"), None
+        )
