@@ -187,16 +187,18 @@ def q53_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # batch twin of F.session_window gap semantics: an event continues the
-# session iff its gap to the previous event is STRICTLY less than 30
-# minutes (session_window's end bound is exclusive); session_end is
-# last event + gap
+# session iff its gap to the previous event is AT MOST 30 minutes —
+# Spark merges sessions whose windows touch (next.start == prev.end
+# still merges; verified empirically and pinned by the batch/stream
+# parity property test) — so a new session needs gap > 30 minutes;
+# session_end is last event + gap
 Q53_SQL = """
 WITH flagged AS (
   SELECT user_id, ts,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
   FROM events
 ), sess AS (

@@ -170,6 +170,137 @@ def test_session_window_stream(spark, tmp_path):
     assert sessions == [(1, 2, 1), (1, 1, 0), (2, 1, 0)]
 
 
+def test_session_parity_batch_vs_stream_property(spark, tmp_path):
+    """PROPERTY (SURVEY "what's hard" #4): the manual lag/cumsum
+    batch sessionization and the streaming ``F.session_window`` plan
+    are the SAME function — randomized gap patterns (including exact
+    30-minute boundaries and zero gaps) produce identical session
+    boundaries even when a session's events straddle micro-batch
+    boundaries (time-ordered file chunks, one file per trigger).
+    Convention under test (probed empirically, r14): Spark merges
+    sessions whose windows TOUCH — an event exactly gap after the
+    previous one continues the session — so a new session starts iff
+    the gap is STRICTLY greater than 30 minutes; session_end = last
+    event + gap."""
+    import os
+    import random
+    import shutil
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Window
+
+    schema = "ts timestamp, user_id long, event_type string"
+    gap_pool = [0, 1, 60, 1799, 1800, 1801, 2400, 5400]
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        base = datetime(2024, 1, 1)
+        events = []
+        for user in range(1, 9):
+            t = base + timedelta(seconds=rng.randrange(0, 600))
+            for _ in range(rng.randrange(5, 25)):
+                events.append(
+                    (t, user, rng.choice(["view", "view", "purchase"]))
+                )
+                t += timedelta(seconds=rng.choice(gap_pool))
+        events.sort(key=lambda e: e[0])
+        src = tmp_path / f"sess_prop_{seed}"
+        src.mkdir()
+        chunks = 7
+        per = (len(events) + chunks - 1) // chunks
+        now = _time.time()
+        staged = [
+            events[i * per : (i + 1) * per] for i in range(chunks)
+        ]
+        # sentinel past every session end flushes append mode
+        staged.append(
+            [(events[-1][0] + timedelta(hours=2), -1, "view")]
+        )
+        for i, chunk in enumerate(staged):
+            if not chunk:
+                continue
+            tmp = src / f"_tmp{i}"
+            spark.createDataFrame(chunk, schema).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(tmp))
+            part = next(tmp.glob("part-*.parquet"))
+            dst = src / f"c{i:02d}.parquet"
+            part.rename(dst)
+            os.utime(dst, (now + i, now + i))
+            shutil.rmtree(tmp)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            sessionized_stream(stream, "ts", "user_id", gap="30 minutes")
+            .writeStream.format("memory")
+            .queryName(f"sess_prop_{seed}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+        got = {
+            (
+                r["user_id"],
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+                r["n_purchases"],
+            )
+            for r in spark.sql(
+                f"SELECT * FROM sess_prop_{seed} WHERE user_id >= 0"
+            ).collect()
+        }
+        # the manual lag/cumsum batch twin, same gap convention
+        w = Window.partitionBy("user_id").orderBy("ts")
+        bdf = (
+            spark.createDataFrame(events, schema)
+            .withColumn(
+                "_new",
+                F.when(
+                    F.lag("ts").over(w).isNull()
+                    | (
+                        F.unix_micros("ts")
+                        - F.unix_micros(F.lag("ts").over(w))
+                        > 1800 * 1_000_000
+                    ),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn(
+                "_sid",
+                F.sum("_new").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .groupBy("user_id", "_sid")
+            .agg(
+                F.min("ts").alias("session_start"),
+                (
+                    F.max("ts") + F.expr("INTERVAL 30 MINUTES")
+                ).alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("n_purchases"),
+            )
+        )
+        expected = {
+            (
+                r["user_id"],
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+                r["n_purchases"],
+            )
+            for r in bdf.collect()
+        }
+        assert got == expected, f"seed {seed}: batch/stream diverge"
+
+
 def test_stream_dedup_within_watermark(spark, tmp_path):
     rows = [
         ("2024-01-01 00:00:00", 100),
