@@ -1475,6 +1475,14 @@ def _pivot_unpivot_rewrite(
             for tm in re.finditer(r"[A-Za-z_][\w.]*", expr):
                 if emask[tm.start()][1]:
                     continue
+                # a token in CALL position is the aggregate/function
+                # NAME, never a column ref — a source column named
+                # avg/sum must not fabricate an edge
+                j = tm.end()
+                while j < len(expr) and expr[j].isspace():
+                    j += 1
+                if j < len(expr) and expr[j] == "(":
+                    continue
                 low = tm.group(0).lower().split(".")[-1]
                 if low in schema and low not in refs:
                     refs.append(low)

@@ -224,26 +224,32 @@ _MEMBER_RE = re.compile(
 
 # identifier immediately before an opening paren — the call-position
 # shape. SQL keywords that legitimately precede '(' without being a
-# function (OVER (...), VALUES (...), AND (...), AS v(a,b), ...) are
-# excluded; most overlap-shaped words (IN, EXISTS, FILTER, DECIMAL)
-# are already in Spark's builtin registry so need no exclusion.
+# function (OVER (...), VALUES (...), GROUPING SETS (...)) are
+# excluded, as is any identifier right after AS (a table alias's
+# column list: AS v(a, b)); most overlap-shaped words (IN, EXISTS,
+# FILTER, DECIMAL) are already in Spark's builtin registry so need no
+# exclusion. A bare alias-with-column-list (no AS) still reads as a
+# call — that only forfeits keyed skipping for that view (harmless
+# re-analysis), never a stale answer.
 _CALL_RE = re.compile(r"([A-Za-z_][\w.]*)\s*\(")
 _CALL_KEYWORDS = frozenset(
     """over values on when then else and or not where select join
     using as by all any some union except intersect distinct having
     group order partition between like is case end with from varchar
     interval row rows range lateral tablesample pivot unpivot for
-    within cluster distribute sort
+    within cluster distribute sort sets
     """.split()
 )
+_AS_BEFORE_RE = re.compile(r"(?i)\bAS\s+$")
 
 
 def call_position_refs(sql: str) -> set[str]:
     """Lowered identifier tokens in call position (``name(``) outside
-    string literals, keyword-paren shapes and CTE names excluded.
-    Like :func:`identifier_tokens`, collected under both lexer
-    maskings and unioned — a data value can at worst ADD a spurious
-    token (forcing a harmless re-analysis), never hide one."""
+    string literals, keyword-paren shapes, AS-aliased column lists,
+    and CTE names excluded. Like :func:`identifier_tokens`, collected
+    under both lexer maskings and unioned — a data value can at worst
+    ADD a spurious token (forcing a harmless re-analysis), never hide
+    one."""
     out: set[str] = set()
     ctes = _cte_basenames(sql)
     for backslash in (True, False):
@@ -254,6 +260,8 @@ def call_position_refs(sql: str) -> set[str]:
             tok = m.group(1).lower()
             if tok in _CALL_KEYWORDS or tok.split(".")[-1] in ctes:
                 continue
+            if _AS_BEFORE_RE.search(sql, 0, m.start()):
+                continue  # AS v(a, b): alias column list, not a call
             out.add(tok)
     return out
 
@@ -935,6 +943,7 @@ def statement_kind(sql: str) -> str | None:
         ("truncate", "truncate"),
         ("convert", "convert"),
         ("copy into", "copy"),
+        ("generate", "generate"),
     ):
         if head.startswith(kw):
             return kind
@@ -950,6 +959,7 @@ TARGET_VERBS = (
     r"|TRUNCATE\s+(?:TABLE\s+)?|ALTER\s+TABLE|OPTIMIZE"
     r"|VACUUM|RESTORE\s+(?:TABLE\s+)?|COPY\s+INTO\s+"
     r"|REORG\s+(?:TABLE\s+)?|FSCK\s+REPAIR\s+(?:TABLE\s+)?"
+    r"|GENERATE\s+\w+\s+FOR\s+TABLE\s+"
 )
 # creation verbs, kept separate: statement_target deliberately
 # excludes them (CREATE is namespace-gated, not MODIFY-gated)
@@ -1036,6 +1046,26 @@ def run_dml(spark: SparkSession, sql: str) -> dict[str, Any]:
         }
     if kind == "copy":
         return _run_copy_into(spark, text)
+    if kind == "generate":
+        m = re.match(
+            r"GENERATE\s+(?P<mode>\w+)\s+FOR\s+TABLE\s+"
+            r"(?P<tref>`[^`]+`|[A-Za-z_][\w.]*)\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if not m:
+            raise ValueError(
+                f"cannot parse GENERATE statement: {text[:80]!r}"
+            )
+        if m.group("mode").lower() != "symlink_format_manifest":
+            raise ValueError(
+                f"GENERATE: unknown mode {m.group('mode')!r} "
+                "(supported: symlink_format_manifest)"
+            )
+        return {
+            **resolve_table(spark, m.group("tref")).generate_manifest(),
+            "operation": "GENERATE",
+        }
     if kind == "convert":
         m = re.match(
             r"CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`"
@@ -2478,8 +2508,15 @@ def _sql_literal(v: Any) -> str:
     both compares correctly in a predicate AND matches the engine's
     hive-serialized partition stats (``coerce_partition_value``) so
     the whole-partition metadata fast path fires: ints/floats render
-    bare, dates/everything-else render as quoted strings (ISO dates
-    compare correctly as strings; Spark casts in the comparison)."""
+    bare, dates/strings render as quoted strings (ISO dates compare
+    correctly as strings; Spark casts in the comparison; backslashes
+    and quotes are escaped for the default lexer). Timestamps render
+    as typed TIMESTAMP literals: hive serialization TRIMS trailing
+    fraction zeros, so a padded quoted string would lexically
+    mis-compare against the synthesized partition stats and wrongly
+    PRUNE the matching files — the typed literal opts out of stats
+    pruning entirely (exact predicate evaluation decides), trading
+    the fast path for correctness."""
     import datetime as _dt
 
     if isinstance(v, bool):
@@ -2487,10 +2524,11 @@ def _sql_literal(v: Any) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, _dt.datetime):
-        return "'" + v.isoformat(sep=" ") + "'"
+        return "TIMESTAMP '" + v.isoformat(sep=" ") + "'"
     if isinstance(v, _dt.date):
         return "'" + v.isoformat() + "'"
-    return "'" + str(v).replace("'", "''") + "'"
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    return "'" + s + "'"
 
 
 def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
@@ -2583,6 +2621,24 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
                 )
             dyn_fixed.append(canon)
         dyn = dyn_fixed
+        if dyn:
+            # a DYNAMIC spec must cover every partition column: the
+            # per-tuple disjuncts constrain only the listed columns,
+            # so an omitted one would silently delete sibling
+            # sub-partitions the frame never provides (static-only
+            # partial specs keep Spark's static-mode contract: the
+            # whole matching subtree swaps)
+            missing_p = [
+                c
+                for c in pcols.values()
+                if c not in dyn and c not in {p for p, _ in pins}
+            ]
+            if missing_p:
+                raise ValueError(
+                    f"dynamic PARTITION spec omits partition columns "
+                    f"{missing_p}; list every partition column "
+                    "(static or dynamic)"
+                )
         if cols is not None:
             dup = [
                 c
@@ -2674,11 +2730,14 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
             # bounded by the number of INCOMING partitions, the same
             # set Spark's own dynamic overwrite materializes.
             tdt = {f.name: f.dataType for f in table.schema.fields}
+            # limit caps driver memory BEFORE collecting: the cap
+            # decision needs at most 4097 rows, never the full set
             tuples = (
                 df.select(
                     *[F.col(c).cast(tdt[c]).alias(c) for c in dyn]
                 )
                 .distinct()
+                .limit(4097)
                 .collect()
             )
             if not tuples:
@@ -2691,8 +2750,8 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
                 }
             if len(tuples) > 4096:
                 raise ValueError(
-                    f"dynamic partition overwrite with {len(tuples)} "
-                    "incoming partitions exceeds the 4096-disjunct "
+                    "dynamic partition overwrite with more than 4096 "
+                    "incoming partitions exceeds the disjunct "
                     "predicate cap; overwrite in batches"
                 )
             disjuncts = []

@@ -1099,6 +1099,34 @@ def test_column_lineage_pivot_unpivot(spark, tmp_path):
             "pcat.silver.p3",
         )
         assert edges == []
+        # a source column NAMED like the aggregate function must not
+        # fabricate an edge (call-position tokens are function names)
+        t2 = LakeTable.create(
+            spark,
+            str(tmp_path / "psrc2"),
+            df=spark.createDataFrame(
+                [("d1", 2.0, 1.0)], "day string, avg double, amt double"
+            ),
+        )
+        sqldml.register_table(spark, "pcat.bronze.psrc2", t2)
+        try:
+            edges = sqlpack._column_lineage_edges(
+                spark,
+                "CREATE TABLE pcat.silver.p4 AS SELECT * FROM psrc2 "
+                "PIVOT (avg(amt) FOR day IN ('d1' AS dcol))",
+                "pcat.silver.p4",
+            )
+            # avg passes through as a GROUP column (no avg -> dcol
+            # edge); dcol derives from amt + day only
+            assert sorted(edges) == [
+                ("pcat.bronze.psrc2", "amt", "dcol"),
+                ("pcat.bronze.psrc2", "avg", "avg"),
+                ("pcat.bronze.psrc2", "day", "dcol"),
+            ]
+        finally:
+            sqldml._REGISTRY.pop(
+                (session_key(spark), "pcat.bronze.psrc2"), None
+            )
     finally:
         for nm in (
             "pcat.bronze.psrc",

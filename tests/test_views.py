@@ -765,6 +765,28 @@ def test_view_over_native_temp_function_stays_fresh(
         spark.sql("DROP TEMPORARY FUNCTION IF EXISTS nat_rate")
 
 
+def test_call_position_refs_keyword_shapes():
+    """The call-position scanner must not read keyword-paren shapes
+    or AS-aliased column lists as function calls (each false positive
+    permanently forfeits keyed skipping for that view), while real
+    unknown calls are still caught."""
+    refs = sqldml.call_position_refs(
+        "SELECT a, count(*) FROM t GROUP BY GROUPING SETS ((a), (b))"
+    )
+    assert "sets" not in refs and "count" in refs
+    refs = sqldml.call_position_refs(
+        "SELECT v.a FROM (VALUES (1, 2)) AS v(a, b)"
+    )
+    assert "v" not in refs
+    refs = sqldml.call_position_refs(
+        "SELECT my_fn(x) OVER (PARTITION BY y) FROM t"
+    )
+    assert refs == {"my_fn"}
+    # string literals never contribute call tokens
+    refs = sqldml.call_position_refs("SELECT 'not_a_call(x)' FROM t")
+    assert "not_a_call" not in refs
+
+
 def test_alter_view_as_redefines_in_place(spark, view_world):
     """ALTER VIEW v AS <query>: body swaps, comment survives, column
     list resets to the new query's output; unknown views fall through
