@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from databricks_delta_lake_project_spark.queries.sqlpack import run_statement
 from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
@@ -549,6 +550,74 @@ def test_insert_overwrite_partition_dynamic(spark, tmp_path):
             spark,
             "INSERT OVERWRITE dyn PARTITION (id) SELECT 'd1', 'eu', 1",
         )
+    # a DYNAMIC spec must cover every partition column — an omitted
+    # one would silently delete sibling sub-partitions
+    with pytest.raises(ValueError, match="omits partition columns"):
+        run_statement(
+            spark,
+            "INSERT OVERWRITE dyn PARTITION (day) SELECT 'd1', 'eu', 1",
+        )
+
+
+def test_insert_overwrite_dynamic_typed_partition_values(
+    spark, tmp_path
+):
+    """Dynamic overwrite over non-string partition columns: integer
+    values keep the stats fast path; timestamp values (whose hive
+    serialization trims trailing fraction zeros — a padded literal
+    would lexically mis-compare and wrongly PRUNE) render as typed
+    TIMESTAMP literals and still replace exactly the right partition;
+    string values with quotes/backslashes escape correctly."""
+    from datetime import datetime
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "dynty"),
+        df=spark.createDataFrame(
+            [
+                Row(hr=datetime(2024, 1, 1, 0, 0, 0, 123000), n=5, id=1),
+                Row(hr=datetime(2024, 1, 1, 1, 0, 0), n=7, id=2),
+            ]
+        ),
+        format="delta",
+        partition_by=["hr", "n"],
+    )
+    sqldml.register_table(spark, "dynty", t)
+    res = run_statement(
+        spark,
+        "INSERT OVERWRITE dynty PARTITION (hr, n) "
+        "SELECT TIMESTAMP '2024-01-01 00:00:00.123', 5, 10",
+    ).collect()[0]
+    assert res["numDynamicPartitions"] == 1
+    # the old (hr=.123, n=5) row is GONE (no silent duplicate), the
+    # untouched (hr=1:00, n=7) partition survives
+    assert {
+        (r["hr"], r["n"], r["id"]) for r in t.to_df().collect()
+    } == {
+        (datetime(2024, 1, 1, 0, 0, 0, 123000), 5, 10),
+        (datetime(2024, 1, 1, 1, 0, 0), 7, 2),
+    }
+
+    # string values with quotes and backslashes round-trip
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "dynesc"),
+        df=spark.createDataFrame(
+            [Row(day="o'hare", id=1), Row(day="a\\b", id=2)]
+        ),
+        format="delta",
+        partition_by=["day"],
+    )
+    sqldml.register_table(spark, "dynesc", t2)
+    res = run_statement(
+        spark,
+        "INSERT OVERWRITE dynesc PARTITION (day) "
+        "SELECT 'o''hare', 9 UNION ALL SELECT 'a\\\\b', 8",
+    ).collect()[0]
+    assert res["numDynamicPartitions"] == 2
+    assert {
+        (r["day"], r["id"]) for r in t2.to_df().collect()
+    } == {("o'hare", 9), ("a\\b", 8)}
 
 
 def test_insert_values_default_keyword(spark, tmp_path):
@@ -802,3 +871,79 @@ def test_reorg_purge_on_shallow_clone(spark, tmp_path):
     assert sorted(x["id"] for x in cl.to_df().collect()) == [0, 1, 3, 4, 5]
     # the source still reads all six rows from its own untouched file
     assert sorted(x["id"] for x in src.to_df().collect()) == list(range(6))
+
+
+def test_generate_symlink_manifest(spark, tmp_path):
+    """GENERATE symlink_format_manifest: per-partition manifest files
+    list the CURRENT snapshot's data-file URIs (a symlink reader sees
+    exactly the table's rows); regeneration after DML replaces stale
+    manifests wholesale; live deletion vectors refuse loudly; unknown
+    modes refuse."""
+    from pathlib import Path
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "gsm"),
+        df=spark.createDataFrame(
+            [Row(day="d1", id=1), Row(day="d2", id=2)]
+        ),
+        format="delta",
+        partition_by=["day"],
+    )
+    sqldml.register_table(spark, "gsm", t)
+    res = run_statement(
+        spark, "GENERATE symlink_format_manifest FOR TABLE gsm"
+    ).collect()[0]
+    assert res["numManifestFiles"] == 2
+    mdir = Path(t.root) / "_symlink_format_manifest"
+    manifests = sorted(mdir.rglob("manifest"))
+    assert [m.parent.name for m in manifests] == ["day=d1", "day=d2"]
+    # the listed URIs read back to exactly the table's rows
+    from urllib.parse import unquote, urlparse
+
+    def _paths(lines):
+        return [unquote(urlparse(u).path) for u in lines if u]
+
+    uris = [
+        u for m in manifests for u in m.read_text().splitlines() if u
+    ]
+    assert {
+        (r["day"], r["id"])
+        for r in spark.read.parquet(*_paths(uris))
+        .withColumn(
+            "day",
+            F.regexp_extract(F.input_file_name(), r"day=([^/]+)", 1),
+        )
+        .collect()
+    } == {("d1", 1), ("d2", 2)}
+    # DML then regenerate: the swapped partition's manifest reflects
+    # the NEW file, the untouched partition's survives
+    run_statement(
+        spark,
+        "INSERT OVERWRITE gsm PARTITION (day = 'd1') VALUES (10)",
+    )
+    run_statement(
+        spark, "GENERATE symlink_format_manifest FOR TABLE gsm"
+    )
+    d1 = (mdir / "day=d1" / "manifest").read_text().splitlines()
+    assert {
+        r["id"] for r in spark.read.parquet(*_paths(d1)).collect()
+    } == {10}
+    # live DVs refuse (a manifest reader would resurrect the rows)
+    t2 = LakeTable.create(
+        spark,
+        str(tmp_path / "gsmdv"),
+        df=spark.createDataFrame(
+            [Row(id=i) for i in range(10)]
+        ).coalesce(1),
+        format="delta",
+        properties={"delta.enableDeletionVectors": "true"},
+    )
+    sqldml.register_table(spark, "gsmdv", t2)
+    t2.delete("id = 3", strategy="dv")
+    with pytest.raises(NotImplementedError, match="deletion vectors"):
+        run_statement(
+            spark, "GENERATE symlink_format_manifest FOR TABLE gsmdv"
+        )
+    with pytest.raises(ValueError, match="unknown mode"):
+        run_statement(spark, "GENERATE foo FOR TABLE gsm")
