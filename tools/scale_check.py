@@ -148,7 +148,157 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return timings
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def dml_tail(spark, n: int) -> None:
+    """Measure the r13 DML-tail verbs' cost envelopes at 1x vs n×
+    (judge-assigned r14 #5). Predicted shapes:
+
+    * replaceWhere whole-partition reload — FLAT vs table size: the
+      replaced partition's files drop by log action alone (stats
+      prove full match), and the incoming bytes are fixed.
+    * REORG APPLY (PURGE) — LINEAR in DV'd files, FLAT in table
+      size: only files carrying deletion vectors rewrite.
+    * COPY INTO no-op replay — BOUNDED with ledger snapshots vs
+      LINEAR in commit count without.
+    """
+    import tempfile
+
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        run_statement,
+    )
+    from databricks_delta_lake_project_spark.session import session_key
+    from databricks_delta_lake_project_spark.tables import LakeTable, sqldml
+
+    out: dict[str, dict] = {}
+
+    # ---- replaceWhere: table grows n×, reloaded partition fixed ----
+    def rw_probe(rows: int) -> float:
+        work = tempfile.mkdtemp(prefix="sc_rw_")
+        base = spark.range(rows).select(
+            F.concat(F.lit("d"), (F.col("id") % 20).cast("string")).alias(
+                "day"
+            ),
+            F.col("id").alias("k"),
+            (F.col("id") * 2).alias("v"),
+        )
+        t = LakeTable.create(
+            spark,
+            work + "/t",
+            df=base.repartition(20, "day"),
+            format="delta",
+            partition_by=["day"],
+        )
+        # FIXED-SIZE incoming reload of one partition (same frame at
+        # both scales): the op under test, not the table build
+        incoming = spark.range(50_000).select(
+            F.lit("d3").alias("day"),
+            F.col("id").alias("k"),
+            (F.col("id") * 3).alias("v"),
+        )
+        # warm the codegen/write paths on a DIFFERENT partition so the
+        # measured reload is pure steady-state
+        t.replace_where(
+            incoming.withColumn("day", F.lit("d7")), "day = 'd7'"
+        )
+        sec = _timed(lambda: t.replace_where(incoming, "day = 'd3'"))
+        shutil.rmtree(work, ignore_errors=True)
+        return sec
+
+    out["replace_where_partition_reload"] = {
+        "1x": rw_probe(1_000_000),
+        f"{n}x": rw_probe(1_000_000 * n),
+    }
+
+    # ---- REORG: DV'd-file count k vs table size ----
+    def reorg_probe(files: int, dv_files: int) -> float:
+        work = tempfile.mkdtemp(prefix="sc_reorg_")
+        rows_per = 100_000
+        t = LakeTable.create(
+            spark,
+            work + "/t",
+            df=spark.range(files * rows_per)
+            .select(
+                F.col("id"),
+                (F.col("id") % 97).alias("v"),
+                (F.col("id") / F.lit(float(rows_per)))
+                .cast("long")
+                .alias("bucket"),
+            )
+            .repartition("bucket"),
+            format="delta",
+            properties={"delta.enableDeletionVectors": "true"},
+        )
+        # DV a bounded row set in exactly dv_files buckets — O(rows)
+        # sidecars, no data file rewritten yet
+        t.delete(f"bucket < {dv_files} AND v = 7", strategy="dv")
+        sec = _timed(t.reorg_purge)
+        shutil.rmtree(work, ignore_errors=True)
+        return sec
+
+    out["reorg_purge"] = {
+        "k_files_1x_table": reorg_probe(20, 4),
+        f"k_files_{n}x_table": reorg_probe(20 * n, 4),
+        f"{n}k_files_{n}x_table": reorg_probe(20 * n, 4 * n),
+    }
+
+    # ---- COPY INTO: no-op replay, snapshots on vs off ----
+    def copy_probe(commits: int, snapshots: bool) -> dict:
+        work = tempfile.mkdtemp(prefix="sc_copy_")
+        landing = Path(work) / "land"
+        landing.mkdir()
+        props = (
+            {}
+            if snapshots
+            else {"engine.copyInto.snapshotInterval": "1000000000"}
+        )
+        t = LakeTable.create(
+            spark,
+            work + "/t",
+            schema=spark.range(1).select(
+                F.col("id"), (F.col("id") * 2).alias("v")
+            ).schema,
+            properties=props,
+        )
+        name = f"sc.copy.t{commits}{int(snapshots)}"
+        sqldml.register_table(spark, name, t)
+        stmt = f"COPY INTO {name} FROM '{landing}' FILEFORMAT = PARQUET"
+        try:
+            for i in range(commits):
+                spark.range(i * 10, i * 10 + 10).select(
+                    F.col("id"), (F.col("id") * 2).alias("v")
+                ).coalesce(1).write.parquet(str(landing / f"b{i}"))
+                run_statement(spark, stmt)
+            # the measured quantities: a steady-state no-op poll's
+            # wall plus the EXACT commit-JSON reads its replay does
+            # (the quantity the ledger bounds)
+            wall = _timed(lambda: run_statement(spark, stmt))
+            _, _, replayed = sqldml._copy_replay(t)
+            return {"sec": wall, "commits_replayed": replayed}
+        finally:
+            sqldml._REGISTRY.pop((session_key(spark), name), None)
+            shutil.rmtree(work, ignore_errors=True)
+
+    out["copy_into_noop_replay"] = {
+        "30_commits_snapshots": copy_probe(30, True),
+        "120_commits_snapshots": copy_probe(120, True),
+        "30_commits_no_snapshots": copy_probe(30, False),
+        "120_commits_no_snapshots": copy_probe(120, False),
+    }
+    print(json.dumps({"dml_tail": out}))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--dml-tail":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        spark = get_spark(app_name="scale_check_dml")
+        spark.sparkContext.setLogLevel("ERROR")
+        dml_tail(spark, n)
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     if len(sys.argv) > 2:  # comma-separated subset, e.g. q01,q17
         want = sys.argv[2].split(",")
