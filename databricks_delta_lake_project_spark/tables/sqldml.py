@@ -2730,46 +2730,53 @@ def _run_insert(spark: SparkSession, sql: str) -> dict[str, Any]:
             # bounded by the number of INCOMING partitions, the same
             # set Spark's own dynamic overwrite materializes.
             tdt = {f.name: f.dataType for f in table.schema.fields}
-            # limit caps driver memory BEFORE collecting: the cap
-            # decision needs at most 4097 rows, never the full set
-            tuples = (
-                df.select(
-                    *[F.col(c).cast(tdt[c]).alias(c) for c in dyn]
+            # the incoming SELECT feeds BOTH the tuple aggregation and
+            # the replace_where write — persist so an expensive source
+            # query computes once, not twice
+            df = df.persist()
+            try:
+                # limit caps driver memory BEFORE collecting: the cap
+                # decision needs at most 4097 rows, never the full set
+                tuples = (
+                    df.select(
+                        *[F.col(c).cast(tdt[c]).alias(c) for c in dyn]
+                    )
+                    .distinct()
+                    .limit(4097)
+                    .collect()
                 )
-                .distinct()
-                .limit(4097)
-                .collect()
-            )
-            if not tuples:
-                # empty source: dynamic overwrite touches nothing
+                if not tuples:
+                    # empty source: dynamic overwrite touches nothing
+                    return {
+                        "numOutputRows": 0,
+                        "numRemovedFiles": 0,
+                        "numDynamicPartitions": 0,
+                        "operation": "INSERT OVERWRITE PARTITION",
+                    }
+                if len(tuples) > 4096:
+                    raise ValueError(
+                        "dynamic partition overwrite with more than "
+                        "4096 incoming partitions exceeds the "
+                        "disjunct predicate cap; overwrite in batches"
+                    )
+                disjuncts = []
+                for r in tuples:
+                    parts = list(static_parts)
+                    for c in dyn:
+                        v = r[c]
+                        parts.append(
+                            f"{c} <=> NULL"
+                            if v is None
+                            else f"{c} = {_sql_literal(v)}"
+                        )
+                    disjuncts.append(" AND ".join(parts))
                 return {
-                    "numOutputRows": 0,
-                    "numRemovedFiles": 0,
-                    "numDynamicPartitions": 0,
+                    **table.replace_where(df, disjuncts),
+                    "numDynamicPartitions": len(disjuncts),
                     "operation": "INSERT OVERWRITE PARTITION",
                 }
-            if len(tuples) > 4096:
-                raise ValueError(
-                    "dynamic partition overwrite with more than 4096 "
-                    "incoming partitions exceeds the disjunct "
-                    "predicate cap; overwrite in batches"
-                )
-            disjuncts = []
-            for r in tuples:
-                parts = list(static_parts)
-                for c in dyn:
-                    v = r[c]
-                    parts.append(
-                        f"{c} <=> NULL"
-                        if v is None
-                        else f"{c} = {_sql_literal(v)}"
-                    )
-                disjuncts.append(" AND ".join(parts))
-            return {
-                **table.replace_where(df, disjuncts),
-                "numDynamicPartitions": len(disjuncts),
-                "operation": "INSERT OVERWRITE PARTITION",
-            }
+            finally:
+                df.unpersist()
     if replace_pred is not None:
         return {
             **table.replace_where(df, replace_pred),
