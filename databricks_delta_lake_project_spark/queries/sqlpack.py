@@ -58,11 +58,132 @@ _DETAILS_PATH_RE = re.compile(
 )
 
 
-def normalize_sql(sql: str) -> str:
+def _rewrite_qualify(sql: str, substitute_aliases: bool = False) -> str:
+    """Databricks/Snowflake ``QUALIFY <pred>`` -> OSS Spark (which has
+    no QUALIFY): compute the predicate as an extra select item inside
+    a subquery (post-WHERE/GROUP BY/HAVING, lateral aliases and named
+    WINDOWs resolve exactly as QUALIFY's contract requires), filter on
+    it outside, and drop the helper via ``SELECT * EXCEPT``. Only the
+    OUTERMOST select's depth-0 QUALIFY rewrites; shapes whose
+    semantics the wrap could change bail UNTOUCHED and surface
+    Spark's own parse error instead of a silent misread: depth-0 set
+    operations (QUALIFY binds per branch), SELECT DISTINCT (an added
+    item changes the distinct key), and subquery-level QUALIFYs.
+
+    ``substitute_aliases`` textually replaces bare select-list alias
+    references in the predicate with their defining expressions —
+    the retry path for predicates whose WINDOW references an alias
+    (OSS Spark refuses lateral aliases in windows, Databricks
+    resolves them). Only taken after the plain rewrite failed with
+    that exact error, so a genuine source column sharing an alias
+    name keeps native resolution."""
+    if not re.search(r"\bQUALIFY\b", sql, re.IGNORECASE):
+        return sql
+    from ..tables.sqldml import _mask
+
+    mask = _mask(sql)
+    quals = [
+        m
+        for m in re.finditer(r"\bQUALIFY\b", sql, re.IGNORECASE)
+        if mask[m.start()] == (0, False)
+    ]
+    if len(quals) != 1:
+        return sql
+    mq = quals[0]
+    msel = None
+    for m in re.finditer(r"\bSELECT\b", sql, re.IGNORECASE):
+        if mask[m.start()] == (0, False):
+            msel = m
+            break
+    if msel is None or msel.start() > mq.start():
+        return sql
+    if re.match(r"\s*DISTINCT\b", sql[msel.end():], re.IGNORECASE):
+        return sql
+    for m in re.finditer(
+        r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b", sql, re.IGNORECASE
+    ):
+        if mask[m.start()] != (0, False):
+            continue
+        k = m.start() - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        if k >= 0 and sql[k] == "*":
+            continue  # `* EXCEPT (c)` is star syntax, not a set op
+        return sql
+    mfrom = None
+    for m in re.finditer(r"\bFROM\b", sql, re.IGNORECASE):
+        if m.start() > msel.end() and mask[m.start()] == (0, False):
+            mfrom = m
+            break
+    if mfrom is None or mfrom.start() > mq.start():
+        return sql
+    # predicate runs to the next depth-0 tail clause (or statement end)
+    tail_at = len(sql)
+    for m in re.finditer(r"\b(ORDER|LIMIT|OFFSET)\b", sql, re.IGNORECASE):
+        if m.start() > mq.end() and mask[m.start()] == (0, False):
+            tail_at = m.start()
+            break
+    pred = sql[mq.end(): tail_at].strip().rstrip(";")
+    if not pred:
+        return sql
+    tail = sql[tail_at:].strip().rstrip(";")
+    head = sql[: msel.start()]
+    if substitute_aliases:
+        from ..tables import sqldml
+
+        amap: dict[str, str] = {}
+        for it in sqldml._split_commas(sql[msel.end(): mfrom.start()]):
+            expr, alias = _split_item_alias(it)
+            if alias is not None:
+                amap[alias.lower()] = expr.strip()
+        if amap:
+            pmask = sqldml._mask(pred)
+            outp: list[str] = []
+            prev = 0
+            for tm in re.finditer(r"[A-Za-z_]\w*", pred):
+                tok = tm.group(0).lower()
+                if (
+                    tok not in amap
+                    or pmask[tm.start()][1]
+                ):
+                    continue
+                k = tm.start() - 1
+                while k >= 0 and pred[k].isspace():
+                    k -= 1
+                if k >= 0 and pred[k] == ".":
+                    continue  # qualified: never an alias ref
+                j = tm.end()
+                while j < len(pred) and pred[j].isspace():
+                    j += 1
+                if j < len(pred) and pred[j] == "(":
+                    continue  # call position
+                outp.append(pred[prev: tm.start()])
+                outp.append("(" + amap[tok] + ")")
+                prev = tm.end()
+            outp.append(pred[prev:])
+            pred = "".join(outp)
+    inner = (
+        sql[msel.start(): mfrom.start()]
+        + f", ({pred}) AS __qualify_pred__ "
+        + sql[mfrom.start(): mq.start()]
+    )
+    out = (
+        head
+        + "SELECT * EXCEPT (__qualify_pred__) FROM ("
+        + inner
+        + ") WHERE __qualify_pred__"
+    )
+    if tail:
+        out += " " + tail
+    return out
+
+
+def normalize_sql(sql: str, qualify_aliases: bool = False) -> str:
     """Databricks dialect -> OSS Spark SQL."""
     out = sql
     for pat, repl in _RULES:
         out = re.sub(pat, repl, out, flags=re.IGNORECASE)
+    out = _rewrite_qualify(out, substitute_aliases=qualify_aliases)
     if _DETAILS_PATH_RE.search(out):
         from ..tables.sqldml import _mask
 
@@ -389,8 +510,10 @@ _FROM_TERMINATORS = frozenset(
     }
 )
 # keywords that make the whole FROM clause unattributable wherever
-# they appear: NATURAL/LATERAL change the source list implicitly,
-# TABLESAMPLE/PIVOT/UNPIVOT reshape rows or columns. (A WINDOW clause
+# they appear: LATERAL changes the source list implicitly,
+# TABLESAMPLE/PIVOT/UNPIVOT reshape rows or columns. NATURAL stays in
+# the set for the alias/condition-skip roles but is parsed as a join
+# connector by a dedicated branch BEFORE the bail check (r14). (A WINDOW clause
 # — which defines a NAME that select items reference bare (``OVER w``)
 # so a source column sharing that name would be fabricated as an edge
 # — is handled by a dedicated whole-tail pre-scan instead: its legal
@@ -441,10 +564,10 @@ def _clause_start_ok(w: str, tail: str, pos: int) -> bool:
 
 def _parse_from_sources(
     tail: str,
-) -> tuple[list[tuple[str, str | None]], bool] | None:
-    """``([(spelling, alias_or_None), ...], saw_using)`` for a FROM
-    clause made of plain table refs joined by explicit JOINs or
-    depth-0 commas (``FROM a, b`` — each comma source resolves exactly
+) -> tuple[list[tuple[str, str | None]], bool, set[str] | None] | None:
+    """``([(spelling, alias_or_None), ...], saw_using, equated)`` for
+    a FROM clause made of plain table refs joined by explicit JOINs,
+    NATURAL/USING JOINs, or depth-0 commas (``FROM a, b`` — each comma source resolves exactly
     like a CROSS JOIN one, including after an ON condition: ``FROM a
     JOIN b ON ..., c`` ends the condition at the comma); None for ANY
     shape outside that grammar. ``tail`` starts right after the
@@ -485,6 +608,18 @@ def _parse_from_sources(
         return None
     segs: list[tuple[str, str | None]] = []
     saw_using = False
+    # `equated` (the third return): the column names the JOIN LIST
+    # ITSELF equates across sources — every USING-list column, plus
+    # the "*" sentinel (any shared name) when NATURAL joins appear.
+    # Only meaningful when EVERY connector equates (all NATURAL or
+    # USING-with-parsed-list): one ON/comma/CROSS connector and a
+    # shared name is no longer provably one value, so the caller gets
+    # None and stays conservative. Sound because an equated column's
+    # holders all carry the SAME value (inner) or its coalesce
+    # arguments (outer) — every edge is real data flow.
+    n_connectors = 0
+    n_equating = 0
+    equated: set[str] = set()
     pos = 0
     expect_source = True
     via_skip = False  # connector position reached through an ON skip
@@ -537,6 +672,7 @@ def _parse_from_sources(
         if cm is not None:
             # comma join: the next source continues the list
             pos += cm.end()
+            n_connectors += 1
             expect_source = True
             via_skip = False
             continue
@@ -544,7 +680,15 @@ def _parse_from_sources(
         if wm is None:
             # end of statement is fine; a paren / anything else is
             # outside the grammar
-            return (segs, saw_using) if tail[pos:].strip() == "" else None
+            if tail[pos:].strip() == "":
+                return (
+                    segs,
+                    saw_using,
+                    equated
+                    if n_connectors > 0 and n_connectors == n_equating
+                    else None,
+                )
+            return None
         w = wm.group("w").lower()
         arrived_via_skip, via_skip = via_skip, False
         if w in _FROM_TERMINATORS:
@@ -573,7 +717,35 @@ def _parse_from_sources(
                 for ci in range(wm.end(), n):
                     if tail[ci] == "," and mask[ci] == (0, False):
                         return None
-            return segs, saw_using
+            return (
+                segs,
+                saw_using,
+                equated
+                if n_connectors > 0 and n_connectors == n_equating
+                else None,
+            )
+        if w == "natural":
+            # NATURAL [INNER|LEFT|RIGHT|FULL|CROSS] [OUTER] JOIN src:
+            # no ON clause follows; the common columns coalesce out of
+            # a bare star (same hazard as USING, so saw_using flips)
+            pos = wm.end()
+            wm = _SEG_WORD_RE.match(tail, pos)
+            if wm is None or wm.group("w").lower() not in _JOIN_INTRO:
+                return None
+            w = wm.group("w").lower()
+            while w != "join":
+                pos = wm.end()
+                wm = _SEG_WORD_RE.match(tail, pos)
+                if wm is None or wm.group("w").lower() not in _JOIN_INTRO:
+                    return None
+                w = wm.group("w").lower()
+            pos = wm.end()
+            saw_using = True
+            n_connectors += 1
+            n_equating += 1
+            equated.add("*")
+            expect_source = True
+            continue
         if w in _FROM_BAILERS:
             return None
         if w in _JOIN_INTRO:
@@ -585,8 +757,27 @@ def _parse_from_sources(
                     return None
                 w = wm.group("w").lower()
             pos = wm.end()
+            n_connectors += 1
             expect_source = True  # plain ref or parenthesized source
             continue
+        if w == "using":
+            # USING (a, b): capture the equated columns and continue
+            # at the close paren — nothing else sits inside the spec
+            um = re.match(r"\s*\(", tail[wm.end():])
+            if um is not None:
+                open_i = wm.end() + um.end() - 1
+                try:
+                    inner, _rest = sqldml._balanced_paren(tail[open_i:])
+                except (StopIteration, ValueError):
+                    return None
+                cols = [c.strip().strip("`") for c in inner.split(",")]
+                if all(re.fullmatch(r"\w+", c) for c in cols):
+                    saw_using = True
+                    n_equating += 1
+                    equated.update(c.lower() for c in cols)
+                    pos = open_i + len(inner) + 2
+                    continue
+                return None  # malformed USING list: outside grammar
         if w in ("on", "using"):
             saw_using = saw_using or w == "using"
             pos = wm.end()
@@ -642,7 +833,13 @@ def _parse_from_sources(
                 expect_source = True
                 continue
             if nxt is None:
-                return segs, saw_using
+                return (
+                    segs,
+                    saw_using,
+                    equated
+                    if n_connectors > 0 and n_connectors == n_equating
+                    else None,
+                )
             pos = nxt
             via_skip = True
             continue
@@ -1064,6 +1261,7 @@ def _expr_source_cols(
     dead_quals: set[str],
     schemas: dict[str, dict[str, str]],
     lateral: dict[str, list[tuple[str, str]]] | None = None,
+    equated: set[str] | None = None,
 ) -> list[tuple[str, str]] | None:
     """``(source, column)`` pairs referenced by ONE select-list
     expression: every identifier token outside string literals that
@@ -1166,6 +1364,23 @@ def _expr_source_cols(
         if hit is not None:
             if hit not in out:
                 out.append(hit)
+        elif (
+            equated is not None
+            and ("*" in equated or tok in equated)
+            and qual_low is None
+            and tok not in dead_quals
+            and sum(tok in sch for sch in schemas.values()) >= 2
+        ):
+            # the join list equates this name across its holders
+            # (NATURAL / USING column) — every holder is a true
+            # value source
+            for pair in (
+                (sch_s, sch[tok])
+                for sch_s, sch in schemas.items()
+                if tok in sch
+            ):
+                if pair not in out:
+                    out.append(pair)
         elif (
             lateral
             and qual_low is None
@@ -1604,7 +1819,7 @@ def _edges_impl(
     parsed = _parse_from_sources(tail)
     if parsed is None or not parsed[0]:
         return []
-    segs, saw_using = parsed
+    segs, saw_using, equated = parsed
     # a single-part source matching a CTE name reads the CTE, never a
     # same-named registered table: attributable CTEs become virtual
     # cte: sources; a shadow-only CTE (empty schema) makes the whole
@@ -1730,8 +1945,16 @@ def _edges_impl(
             else:
                 if saw_using:
                     if is_insert:
+                        # positions shift by the coalesced columns —
+                        # every positional mapping is suspect
                         return []
-                    continue
+                    if equated is None:
+                        continue  # mixed join list: side unknowable
+                    # ALL-equating join list (NATURAL / USING): the
+                    # star drops duplicate columns, but the NAME SET
+                    # and its sources are still exact — an equated
+                    # name flows from every holder (real value flow),
+                    # and CTAS edges map by name, not position
                 for s in srcs:
                     expand += [(s, c) for c in schemas[s].values()]
             if is_insert:
@@ -1781,6 +2004,22 @@ def _edges_impl(
                 # name, so the alias default below still holds
                 s_hits = [hit]
             elif (
+                equated is not None
+                and ("*" in equated or col_low in equated)
+                and qual is None
+                and col_low not in dead_quals
+                and sum(col_low in sch for sch in schemas.values()) >= 2
+            ):
+                # the join list itself EQUATES this name across its
+                # sources (NATURAL, or a USING-list column), so every
+                # holder is a true value source — both edges are real
+                # data flow, not a fabrication
+                s_hits = [
+                    (sch_s, sch[col_low])
+                    for sch_s, sch in schemas.items()
+                    if col_low in sch
+                ]
+            elif (
                 qual is None
                 and col_low in lateral
                 and all(col_low not in sch for sch in schemas.values())
@@ -1814,7 +2053,7 @@ def _edges_impl(
                     continue  # unattributable subquery body
                 expr, sub_hits = sq
             found = _expr_source_cols(
-                expr, alias_map, dead_quals, schemas, lateral
+                expr, alias_map, dead_quals, schemas, lateral, equated
             )
             if found is None:
                 if alias is not None:
@@ -2599,7 +2838,24 @@ def _run_statement_impl(
         # function under the basename; later full-name calls re-point
         text = _rewrite_functions(spark, text)
         final = normalize_sql(rewrite_time_travel(spark, text))
-        out = spark.sql(final)
+        try:
+            out = spark.sql(final)
+        except Exception as qe:  # noqa: BLE001
+            # QUALIFY predicates may reference select-list ALIASES
+            # inside their window (Databricks resolves them; OSS
+            # Spark refuses lateral aliases in windows). Retried with
+            # the aliases textually substituted — only on that exact
+            # error, so a real source column named like an alias
+            # keeps native resolution on the first attempt.
+            if "LATERAL_COLUMN_ALIAS_IN_WINDOW" not in str(qe):
+                raise
+            final2 = normalize_sql(
+                rewrite_time_travel(spark, text), qualify_aliases=True
+            )
+            if final2 == final:
+                raise
+            out = spark.sql(final2)
+            final = final2
         # detect on the COMMENT-FREE text (a leading /* .. */ hides
         # the verb from the anchored match, and the session binding
         # above succeeded on stripped text — the durable record must

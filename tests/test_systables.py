@@ -1136,13 +1136,118 @@ def test_column_lineage_pivot_unpivot(spark, tmp_path):
             sqldml._REGISTRY.pop((session_key(spark), nm), None)
 
 
+def test_column_lineage_natural_join(spark, tmp_path):
+    """NATURAL joins attribute: non-common columns resolve like any
+    join; a SHARED name is equated by the join itself, so it
+    attributes to EVERY holder (both edges are real value flow).
+    Mixed natural + ON joins keep the conservative single-holder
+    rule; a bare star over a natural join still derives nothing (the
+    common column coalesces out of it)."""
+    from databricks_delta_lake_project_spark.queries import sqlpack
+    from databricks_delta_lake_project_spark.tables import LakeTable
+
+    a = LakeTable.create(
+        spark,
+        str(tmp_path / "nat_a"),
+        df=spark.createDataFrame(
+            [(1, "x", 5.0)], "k long, av string, shared double"
+        ),
+    )
+    b = LakeTable.create(
+        spark,
+        str(tmp_path / "nat_b"),
+        df=spark.createDataFrame(
+            [(1, 7.0, 2.0)], "k long, bv double, shared double"
+        ),
+    )
+    sqldml.register_table(spark, "ncat.bronze.nat_a", a)
+    sqldml.register_table(spark, "ncat.bronze.nat_b", b)
+    try:
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE ncat.silver.n1 AS SELECT av, bv, "
+            "shared * 2 AS s2, k FROM nat_a NATURAL JOIN nat_b",
+            "ncat.silver.n1",
+        )
+        assert sorted(edges) == [
+            ("ncat.bronze.nat_a", "av", "av"),
+            ("ncat.bronze.nat_a", "k", "k"),
+            ("ncat.bronze.nat_a", "shared", "s2"),
+            ("ncat.bronze.nat_b", "bv", "bv"),
+            ("ncat.bronze.nat_b", "k", "k"),
+            ("ncat.bronze.nat_b", "shared", "s2"),
+        ]
+        # NATURAL LEFT OUTER JOIN parses the same connector chain
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE ncat.silver.n2 AS SELECT av FROM nat_a "
+            "NATURAL LEFT OUTER JOIN nat_b",
+            "ncat.silver.n2",
+        )
+        assert edges == [("ncat.bronze.nat_a", "av", "av")]
+        # mixed natural + ON join: shared names stay conservative
+        # (derive nothing), qualified refs still attribute
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE ncat.silver.n3 AS SELECT x.av AS av, shared "
+            "FROM nat_a x NATURAL JOIN nat_b y JOIN nat_a z ON "
+            "y.k = z.k",
+            "ncat.silver.n3",
+        )
+        assert edges == [("ncat.bronze.nat_a", "av", "av")]
+        # a bare star over NATURAL is derivable too (r14): the name
+        # set is exact, and every shared name flows from both holders
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE ncat.silver.n4 AS SELECT * FROM nat_a "
+            "NATURAL JOIN nat_b",
+            "ncat.silver.n4",
+        )
+        assert sorted(edges) == [
+            ("ncat.bronze.nat_a", "av", "av"),
+            ("ncat.bronze.nat_a", "k", "k"),
+            ("ncat.bronze.nat_a", "shared", "shared"),
+            ("ncat.bronze.nat_b", "bv", "bv"),
+            ("ncat.bronze.nat_b", "k", "k"),
+            ("ncat.bronze.nat_b", "shared", "shared"),
+        ]
+        # a USING-list column is equated the same way; a shared name
+        # NOT in the list stays conservative (it is ambiguous SQL)
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE ncat.silver.n5 AS SELECT k, av, shared "
+            "FROM nat_a JOIN nat_b USING (k)",
+            "ncat.silver.n5",
+        )
+        assert sorted(edges) == [
+            ("ncat.bronze.nat_a", "av", "av"),
+            ("ncat.bronze.nat_a", "k", "k"),
+            ("ncat.bronze.nat_b", "k", "k"),
+        ]
+        # an expression over the equated column attributes both sides
+        edges = sqlpack._column_lineage_edges(
+            spark,
+            "CREATE TABLE ncat.silver.n6 AS SELECT round(k, 0) AS rk "
+            "FROM nat_a JOIN nat_b USING (k)",
+            "ncat.silver.n6",
+        )
+        assert sorted(edges) == [
+            ("ncat.bronze.nat_a", "k", "rk"),
+            ("ncat.bronze.nat_b", "k", "rk"),
+        ]
+    finally:
+        for nm in ("ncat.bronze.nat_a", "ncat.bronze.nat_b"):
+            sqldml._REGISTRY.pop((session_key(spark), nm), None)
+
+
 def test_column_lineage_join_projections(spark, tmp_path):
     """Join statements attribute column lineage when every source is a
     plain registered table: qualified refs resolve through their FROM
     alias, an expression attributes refs across BOTH sides, an
     unqualified name attributes only when exactly one source schema
-    holds it (a name both sides share derives nothing — USING-join
-    coalescing is the common case), and stars expand in source-schema
+    holds it (a shared name derives nothing UNLESS the join list
+    itself equates it — a USING-list column attributes to both
+    holders since r14; an incidentally-shared name still bails), and stars expand in source-schema
     order. Out-of-grammar shapes (subquery sources, comma joins,
     NATURAL) still derive nothing."""
     from databricks_delta_lake_project_spark.queries import sqlpack
@@ -1211,13 +1316,20 @@ def test_column_lineage_join_projections(spark, tmp_path):
             "FROM jorders o JOIN jcust c ON o.cust_id = c.cust_id",
             "jcat.silver.x1",
         ) == [("jcat.bronze.jcust", "cname", "cname")]
-        assert edges(
-            "CREATE TABLE jcat.silver.x2 AS "
-            "SELECT country, cname, rate FROM jcust JOIN jrates "
-            "USING (country)",
-            "jcat.silver.x2",
+        # a USING-list column is EQUATED by the join itself, so it
+        # attributes to both holders (r14); other names resolve as
+        # before
+        assert sorted(
+            edges(
+                "CREATE TABLE jcat.silver.x2 AS "
+                "SELECT country, cname, rate FROM jcust JOIN jrates "
+                "USING (country)",
+                "jcat.silver.x2",
+            )
         ) == [
             ("jcat.bronze.jcust", "cname", "cname"),
+            ("jcat.bronze.jcust", "country", "country"),
+            ("jcat.bronze.jrates", "country", "country"),
             ("jcat.bronze.jrates", "rate", "rate"),
         ]
         # t.* expands that side's schema; bare * expands all sources
@@ -1244,14 +1356,23 @@ def test_column_lineage_join_projections(spark, tmp_path):
             ("jcat.bronze.jrates", "country", "country"),
             ("jcat.bronze.jrates", "rate", "rate"),
         ]
-        assert (
+        # r14: a bare star over an ALL-equating join list (USING /
+        # NATURAL) is derivable — the name set and its sources are
+        # exact even though duplicate columns drop, and the equated
+        # column flows from every holder
+        assert sorted(
             edges(
                 "CREATE TABLE jcat.silver.x5 AS SELECT * FROM jcust "
                 "JOIN jrates USING (country)",
                 "jcat.silver.x5",
             )
-            == []
-        )
+        ) == [
+            ("jcat.bronze.jcust", "cname", "cname"),
+            ("jcat.bronze.jcust", "country", "country"),
+            ("jcat.bronze.jcust", "cust_id", "cust_id"),
+            ("jcat.bronze.jrates", "country", "country"),
+            ("jcat.bronze.jrates", "rate", "rate"),
+        ]
         # INSERT over a join maps by position against the explicit
         # column list; a star mixed with other items shifts every
         # position, so the whole INSERT derives nothing
@@ -1274,10 +1395,11 @@ def test_column_lineage_join_projections(spark, tmp_path):
         )
         # out-of-grammar FROM shapes derive nothing —
         # PIVOT/UNPIVOT/TABLESAMPLE/WINDOW after the join, and
-        # MINUS as the EXCEPT synonym the set-op bail must also catch
+        # MINUS as the EXCEPT synonym the set-op bail must also catch.
+        # (NATURAL JOIN left this list in r14: it now parses as a
+        # connector — see test_column_lineage_natural_join.)
         for frm in (
             "(SELECT 1 AS x) q JOIN jcust ON true",
-            "jorders NATURAL JOIN jcust",
             "jorders a JOIN (SELECT * FROM jcust) b ON a.cust_id = b.cust_id",
             "jorders o JOIN jcust c ON o.cust_id = c.cust_id "
             "PIVOT (sum(amount) FOR country IN ('US'))",
