@@ -111,3 +111,60 @@ def test_version_as_of_external_delta(spark, tmp_path):
 def test_rewrite_leaves_plain_sql_alone(spark):
     sql = "SELECT COUNT(*) FROM orders WHERE o_custkey = 1"
     assert rewrite_time_travel(spark, sql) == sql
+
+
+def test_qualify_rewrite(spark):
+    """Databricks/Snowflake QUALIFY -> OSS Spark: the dedup idiom
+    (`QUALIFY ROW_NUMBER() OVER ... = 1`) runs; predicates may
+    reference select-list aliases inside their window (the retry path
+    substitutes the defining expression); semantic-changing shapes
+    (DISTINCT, set ops, subquery-level QUALIFY) bail untouched and
+    surface Spark's own error."""
+    from databricks_delta_lake_project_spark.queries.sqlpack import (
+        _rewrite_qualify,
+        run_statement,
+    )
+
+    out = run_statement(
+        spark,
+        "SELECT k, v FROM VALUES (1,'a'),(1,'b'),(2,'c') AS t(k,v) "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) = 1 "
+        "ORDER BY k",
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, "a"), (2, "c")]
+    assert out.columns == ["k", "v"]
+    # WHERE + GROUP BY + an ALIAS referenced inside the window (OSS
+    # Spark refuses lateral aliases in windows; the retry substitutes)
+    out = run_statement(
+        spark,
+        "SELECT k, count(*) AS n FROM "
+        "VALUES (1,'a'),(1,'b'),(2,'c'),(3,'d') AS t(k,v) "
+        "WHERE k < 3 GROUP BY k "
+        "QUALIFY RANK() OVER (ORDER BY n DESC) = 1",
+    )
+    assert [tuple(r) for r in out.collect()] == [(1, 2)]
+    # a CTE head attaches to the rewritten outer select
+    out = run_statement(
+        spark,
+        "WITH w AS (SELECT 1 AS k UNION ALL SELECT 1) "
+        "SELECT k FROM w QUALIFY ROW_NUMBER() OVER (ORDER BY k) = 1",
+    )
+    assert [tuple(r) for r in out.collect()] == [(1,)]
+    # `* EXCEPT (c)` is star syntax, not a set op: still rewrites
+    out = run_statement(
+        spark,
+        "SELECT * EXCEPT (v) FROM VALUES (1,'a'),(1,'b') AS t(k,v) "
+        "QUALIFY ROW_NUMBER() OVER (ORDER BY k) = 1",
+    )
+    assert [tuple(r) for r in out.collect()] == [(1,)]
+    # bail-outs stay textually untouched (loud native error beats a
+    # silent misread)
+    for sql in (
+        "SELECT DISTINCT k FROM t QUALIFY f() = 1",
+        "SELECT k FROM a QUALIFY f() = 1 UNION SELECT k FROM b",
+        "SELECT * FROM (SELECT k FROM t QUALIFY f() = 1)",
+    ):
+        assert _rewrite_qualify(sql) == sql
+    # a string literal containing QUALIFY never triggers the rewrite
+    sql = "SELECT 'use QUALIFY here' AS tip FROM t"
+    assert _rewrite_qualify(sql) == sql
