@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _cut(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _cut(df: DataFrame, eager: bool = False) -> tuple[DataFrame, DataFrame]:
     """Materialize ``df`` and CUT both lineage and cost statistics.
 
     ``localCheckpoint()`` alone is not enough for iterative algorithms:
@@ -54,8 +54,20 @@ def _cut(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     the handle owns the cached blocks; ``unpersist()`` it once the
     NEXT round's checkpoint has materialized, not before (the fresh
     frame reads those blocks).
+
+    The checkpoint is LAZY by default (``eager=False``): every loop
+    ``_cut`` is followed in the same round by a small driver-collected
+    action on the fresh frame (the convergence count / checksum),
+    which materializes the blocks then — one Spark job per round
+    instead of two (checkpoint job + count job). Later consumers read
+    the cached blocks exactly as with an eager checkpoint. Pass
+    ``eager=True`` for a frame whose FIRST action may run only after
+    some parent checkpoint has been unpersisted (the star variant's
+    ``all_nodes``): a lazy cut there would need the parent's blocks at
+    materialization time, after lineage truncation already discarded
+    the way to rebuild them.
     """
-    ck = df.localCheckpoint()
+    ck = df.localCheckpoint(eager=eager)
     spark = df.sparkSession
     try:
         return _rewrap_without_stats(spark, ck), ck
@@ -240,7 +252,10 @@ def _connected_components_star(
     all_nodes, nodes_ck = _cut(
         e.select(F.col("hi").alias("node"))
         .union(e.select(F.col("lo").alias("node")))
-        .distinct()
+        .distinct(),
+        # eager: first consumed only after the loop, when the initial
+        # edge checkpoint it derives from may already be unpersisted
+        eager=True,
     )
 
     def _checksum(df: DataFrame) -> tuple:

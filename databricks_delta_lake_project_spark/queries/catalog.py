@@ -74,6 +74,19 @@ def _ensure_shipped(spark: SparkSession) -> None:
     sc._ddlps_shipped = True
 
 
+# Per-(session, path) memo of the INFERRED read schema. Schema
+# inference on a schemaless ``spark.read.parquet`` submits a footer-read
+# Spark job on every call (~0.1-0.2 s warm), and every catalog query
+# pays it once per table it loads — pure metadata overhead the
+# optimization guide files under I/O (§6: "verify pruning/pushdown at
+# the scan"; a catalog-backed table at 100 TB carries its schema in the
+# metastore for exactly this reason). The memo holds STRUCTURE only
+# (never data or results); it is keyed by session so a session with
+# different reader confs (nanosAsLong) re-infers, and the fixture
+# parquet under sf_dir is immutable by driver contract.
+_SCHEMA_MEMO: dict[tuple[str, str], "StructType"] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes filters/projections into it.
 
@@ -81,11 +94,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     matter how the caller's session was built (the DuckDB oracle is
     timezone-naive).
     """
+    from ..session import session_key
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _ensure_shipped(spark)
     if name in _NANOS_TS_COLS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (session_key(spark), path)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    df = spark.read.schema(schema).parquet(path)
     return _normalize_timestamps(df, _NANOS_TS_COLS.get(name, ()))
 
 

@@ -51,7 +51,9 @@ def q48_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bench_fast():
         events = events.where("pmod(user_id, 4) = 0")
     events.repartition(2).write.mode("overwrite").parquet(str(src_dir))
-    schema = spark.read.parquet(str(src_dir)).schema
+    # the staged files carry exactly the frame's schema — re-inferring
+    # it with a schemaless read costs a footer-read Spark job
+    schema = events.schema
 
     table = LakeTable.create(
         spark,
@@ -127,6 +129,8 @@ def q53_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import time
 
+    from pyspark.sql import Observation
+
     from ..streaming.ops import sessionized_stream
 
     work = Path(tempfile.mkdtemp(prefix="q53_sessions_"))
@@ -139,22 +143,36 @@ def q53_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if bench_fast():
         events = events.where("pmod(user_id, 4) = 0")
-    events.repartition(2).write.mode("overwrite").parquet(str(src_dir))
+    # max(ts) rides the staging write as an Observation metric (epoch
+    # micros: integer, so no driver-timezone round trip) instead of a
+    # second full scan+agg job over events
+    obs = Observation()
+    events.observe(obs, F.max(F.unix_micros(F.col("ts"))).alias("max_us")) \
+        .repartition(2).write.mode("overwrite").parquet(str(src_dir))
 
     # sentinel: one event far past max(ts); staged strictly after the
     # real files (newer mtime) so it lands in the final micro-batch and
-    # advances the watermark over every real session end
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
-    sentinel = spark.createDataFrame(
-        [(-1, "view", max_ts)], "user_id long, event_type string, ts timestamp"
-    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 75 MINUTES"))
-    sentinel_path = src_dir / "zz_sentinel"
-    sentinel.coalesce(1).write.mode("overwrite").parquet(str(sentinel_path / "_tmp"))
-    # FileStreamSource globs *.parquet files in the top dir; move the
-    # sentinel part-file up with a bumped mtime
-    part = next((sentinel_path / "_tmp").glob("part-*.parquet"))
+    # advances the watermark over every real session end. One row —
+    # written driver-side (pyarrow) rather than spending a Spark job on
+    # a coalesce(1) write.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sentinel_us = int(obs.get["max_us"]) + 75 * 60 * 1_000_000
+    # FileStreamSource globs *.parquet files in the top dir
     dst = src_dir / "zz_sentinel.parquet"
-    part.rename(dst)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([-1], pa.int64()),
+                "event_type": pa.array(["view"], pa.string()),
+                "ts": pa.array([sentinel_us], pa.int64()).cast(
+                    pa.timestamp("us", tz="UTC")
+                ),
+            }
+        ),
+        dst,
+    )
     late = time.time() + 3600
     os.utime(dst, (late, late))
 
