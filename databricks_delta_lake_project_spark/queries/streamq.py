@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import LakeTable
-from .catalog import bench_fast, load, widen
+from .catalog import bench_fast, load
 
 
 def q48_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,8 +44,12 @@ def q48_streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage the stream input as two files so availableNow +
     # maxFilesPerTrigger exercises a genuinely multi-micro-batch MERGE
     # (each extra batch is ~1.5 s of fixed foreachBatch+commit overhead
-    # at fixture scale, so two batches is the cheapest honest shape)
-    events = widen(load(spark, sf_dir, "events")).select(
+    # at fixture scale, so two batches is the cheapest honest shape).
+    # No widen(): staging is a narrow select + repartition(2) + write —
+    # there is no CPU-heavy per-row derivation for widen to
+    # parallelize, and its repartition would only add a second full
+    # shuffle in front of the repartition(2)
+    events = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "ts"
     )
     if bench_fast():
@@ -138,7 +142,9 @@ def q53_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = work / "ckpt"
     out_dir = work / "out"
 
-    events = widen(load(spark, sf_dir, "events")).select(
+    # no widen() — staging is a narrow select + write, nothing for it
+    # to parallelize (see q48)
+    events = load(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
     if bench_fast():

@@ -85,6 +85,18 @@ def get_spark(
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
         )
+        # Changelog checkpointing: each state-store commit uploads only
+        # the delta since the last commit instead of a full RocksDB
+        # snapshot (snapshots still happen, asynchronously in the
+        # background). The production setting for large streaming state;
+        # measured 9.8->5.1 s on the session-window query (A/B in one
+        # warm session, guide §1). Safe to flip per-query: the format is
+        # recorded per checkpoint, and old checkpoints replay fine.
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -97,5 +109,10 @@ def get_spark(
     if os.environ.get("SPARK_GRAFT_STATE_STORE", "rocksdb").lower() != "hdfs":
         spark.conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
         )
     return spark

@@ -525,8 +525,10 @@ def test_rocksdb_state_store_engaged(spark, tmp_path):
     """The session factory pins the RocksDB state-store provider
     (disk-backed state — the 100 TB streaming-state survival path,
     SURVEY §4): the conf is set AND a stateful query's checkpoint
-    carries RocksDB artifacts (``<v>.zip`` snapshots), not the
-    default heap provider's ``<v>.delta`` files."""
+    carries RocksDB artifacts — ``<v>.changelog`` commit deltas under
+    changelog checkpointing (the r14 default; full ``<v>.zip``
+    snapshots are uploaded lazily in the background) — not the default
+    heap provider's ``<v>.delta`` files."""
     from databricks_delta_lake_project_spark.session import ROCKSDB_PROVIDER
     from databricks_delta_lake_project_spark.streaming import running_totals
 
@@ -553,5 +555,7 @@ def test_rocksdb_state_store_engaged(spark, tmp_path):
     )
     _drain(q)
     state_files = [p.name for p in (ckpt / "state").rglob("*") if p.is_file()]
-    assert any(n.endswith(".zip") for n in state_files), state_files
+    assert any(
+        n.endswith((".zip", ".changelog")) for n in state_files
+    ), state_files
     assert not any(n.endswith(".delta") for n in state_files), state_files
