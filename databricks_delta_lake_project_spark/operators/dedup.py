@@ -374,15 +374,19 @@ def incremental_near_dup_pairs(
     # The batch index feeds THREE consumers in one plan (the broadcast
     # probe, the within-batch bucket pass, and pair dedup); without a
     # materialization barrier Spark re-derives the signatures once per
-    # consumer. The batch side is O(|batch|) by contract, so an eager
+    # consumer. The batch side is O(|batch|) by contract, so a
     # localCheckpoint is a bounded executor-memory cost that removes
-    # two full re-derivations.
+    # two full re-derivations. LAZY: the broadcast build is the first
+    # consumer and materializes the blocks in its own job — an eager
+    # checkpoint would spend one extra pass over the batch derivation
+    # just to populate the cache (guide §1.2: don't compute things
+    # twice).
     new_idx = (
         batch_index
         if batch_index is not None
         else minhash_index(
             new_docs, id_col, text_col, num_hashes, bands, shingle_n, scheme
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     )
 
     def _jac(sa: Column, sb: Column) -> Column:
@@ -501,7 +505,9 @@ def minhash_index_probe(
     scheme = str(props.get("minhash.scheme", "fast"))
     new_idx = minhash_index(
         new_docs, id_col, text_col, num_hashes, bands, shingle_n, scheme
-    ).localCheckpoint()  # derive once: reused for the hash collect AND the probe
+    ).localCheckpoint(eager=False)  # derive once (lazy: the hash
+    # collect below materializes the blocks in its own job; the probe
+    # then reads them — an eager checkpoint would pay one extra pass)
     hashes = [r[0] for r in new_idx.select("band_hash").distinct().collect()]
     # prune_only: the probe join on (band_idx, band_hash) re-applies the
     # equality exactly, so the residual InSet filter would be pure waste

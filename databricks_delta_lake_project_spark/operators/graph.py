@@ -112,6 +112,34 @@ def _rewrap_without_stats(spark, ck: DataFrame) -> DataFrame:
     return ck.__class__(fresh, spark)
 
 
+def _local_components(edge_rows) -> dict:
+    """Min-union-find over an in-driver edge list: every union hangs
+    the larger root under the smaller, so each tree's root is the
+    component MINIMUM — the exact labeling the distributed loop
+    converges to. Path compression keeps it near-linear."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    seen = set()
+    for a, b in edge_rows:
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return {n: find(n) for n in seen}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -121,6 +149,7 @@ def connected_components(
     max_iter: int = 25,
     algorithm: str = "label",
     stats: dict | None = None,
+    local_edge_threshold: int | None = None,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id reachable from it
     (deterministic component id). ``nodes`` optionally supplies
@@ -131,8 +160,78 @@ def connected_components(
     (large-star/small-star, rounds ~ log diameter, best for long
     chains). ``stats``, if given, receives ``{"rounds": n}``.
 
+    Small graphs short-circuit the iterative loop entirely: a near-dup
+    edge set after thresholding is usually a tiny fraction of the
+    corpus (the sf0.1 Jaccard graph is FOUR edges), yet every
+    distributed round costs a fixed join+groupBy+count of Spark jobs —
+    ~20 jobs to close a 4-edge graph. A bounded
+    ``limit(threshold+1).collect()`` probe (a few MB at the default
+    100k edges — less than a routine broadcast, so no driver-memory
+    concern) detects this: when the DISTINCT edge set fits, components
+    come from an in-driver min-union-find (identical labels by
+    construction) and the loop never runs; when the probe hits the
+    limit, the distributed algorithms run unchanged — the 100 TB path
+    is untouched. Threshold: ``local_edge_threshold`` arg, else
+    ``$SPARK_GRAFT_CC_LOCAL_EDGES`` (default 100000); 0 disables the
+    short-circuit.
+
     Returns (node, component).
     """
+    import os
+
+    if local_edge_threshold is None:
+        local_edge_threshold = int(
+            os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "100000")
+        )
+    if local_edge_threshold > 0:
+        canon = (
+            edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+            .filter(F.col(src) != F.col(dst))
+            .select(
+                F.greatest("x", "y").alias("hi"),
+                F.least("x", "y").alias("lo"),
+            )
+            .distinct()
+        )
+        probe = canon.limit(local_edge_threshold + 1).collect()
+        if len(probe) <= local_edge_threshold:
+            comp = _local_components((r["hi"], r["lo"]) for r in probe)
+            if stats is not None:
+                stats["rounds"] = 0
+                stats["converged"] = True
+                stats["local"] = True
+            spark = edges.sparkSession
+            from pyspark.sql.types import StructField, StructType
+
+            id_type = canon.schema["hi"].dataType
+            schema = StructType(
+                [
+                    StructField("node", id_type),
+                    StructField("component", id_type),
+                ]
+            )
+            labels = spark.createDataFrame(
+                sorted(comp.items()), schema
+            )
+            if nodes is not None:
+                # the labeled side is bounded by 2x the edge threshold
+                # (a few MB) but arrives as an RDD scan with an UNKNOWN
+                # size estimate, which the planner turns into a
+                # sort-merge anti-join (2 exchanges + sorts); the
+                # explicit broadcast hint is provably safe here and
+                # keeps the corpus side shuffle-free (guide §3.1:
+                # estimates are often wrong — hint when you know)
+                isolated = (
+                    nodes.select(F.col(node_col).alias("node"))
+                    .join(
+                        F.broadcast(labels.select("node")),
+                        "node",
+                        "left_anti",
+                    )
+                    .select("node", F.col("node").alias("component"))
+                )
+                labels = labels.union(isolated)
+            return labels
     if algorithm == "star":
         return _connected_components_star(
             edges, src, dst, nodes, node_col, max_iter, stats

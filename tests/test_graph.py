@@ -50,12 +50,15 @@ def test_star_matches_label_on_random_graph(spark):
     )
     lab = {
         r["node"]: r["component"]
-        for r in connected_components(e, nodes=nodes, max_iter=60).collect()
+        for r in connected_components(
+            e, nodes=nodes, max_iter=60, local_edge_threshold=0
+        ).collect()
     }
     star = {
         r["node"]: r["component"]
         for r in connected_components(
-            e, nodes=nodes, algorithm="star", max_iter=60
+            e, nodes=nodes, algorithm="star", max_iter=60,
+            local_edge_threshold=0,
         ).collect()
     }
     assert star == lab
@@ -72,7 +75,10 @@ def test_star_converges_logarithmically_on_long_chain(spark):
         [(i, i + 1) for i in range(n - 1)], "src long, dst long"
     ).repartition(8)
     stats: dict = {}
-    comp = connected_components(e, algorithm="star", max_iter=40, stats=stats)
+    comp = connected_components(
+        e, algorithm="star", max_iter=40, stats=stats,
+        local_edge_threshold=0,
+    )
     assert stats["rounds"] <= math.ceil(math.log2(n)) + 5, stats
     rows = comp.collect()
     assert len(rows) == n
@@ -90,10 +96,14 @@ def test_convergence_surfaced_in_stats(spark):
         [(i, i + 1) for i in range(49)], "src long, dst long"
     )
     ok: dict = {}
-    connected_components(e, algorithm="star", max_iter=40, stats=ok).collect()
+    connected_components(
+        e, algorithm="star", max_iter=40, stats=ok, local_edge_threshold=0
+    ).collect()
     assert ok["converged"] is True
     short: dict = {}
-    connected_components(e, max_iter=2, stats=short).collect()
+    connected_components(
+        e, max_iter=2, stats=short, local_edge_threshold=0
+    ).collect()
     assert short["converged"] is False
 
 
@@ -119,10 +129,57 @@ def test_stats_cut_falls_back_when_internal_api_gone(spark, monkeypatch):
     )
     with _w.catch_warnings(record=True) as caught:
         _w.simplefilter("always")
-        out = connected_components(edges).collect()
+        out = connected_components(edges, local_edge_threshold=0).collect()
     got = {(r["node"], r["component"]) for r in out}
     assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
     hits = [
         w for w in caught if "internalCreateDataFrame" in str(w.message)
     ]
     assert len(hits) == 1  # loud, and exactly once per process
+
+
+def test_local_short_circuit_matches_distributed(spark):
+    """The small-graph driver-side union-find (r14) must produce the
+    exact labeling of the distributed loop on a mixed random graph —
+    chains, a clique, random noise, isolates — and report itself in
+    stats without consuming a round."""
+    import random
+
+    rng = random.Random(13)
+    edges = [(i, i + 1) for i in range(30)]                     # chain
+    edges += [(500 + a, 500 + b) for a in range(5) for b in range(a)]
+    edges += [
+        (rng.randrange(600, 680), rng.randrange(600, 680)) for _ in range(60)
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(0, 700)], "node long")
+    st_local: dict = {}
+    local = {
+        r["node"]: r["component"]
+        for r in connected_components(e, nodes=nodes, stats=st_local).collect()
+    }
+    assert st_local == {"rounds": 0, "converged": True, "local": True}
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            e, nodes=nodes, max_iter=60, local_edge_threshold=0
+        ).collect()
+    }
+    assert local == dist
+
+
+def test_local_gate_falls_back_above_threshold(spark):
+    """An edge set larger than the threshold must take the distributed
+    loop (the probe is a completeness check, never a truncation)."""
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    st: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            e, stats=st, local_edge_threshold=3
+        ).collect()
+    }
+    assert st.get("local") is None and st["rounds"] >= 1
+    assert got == {i: 0 for i in range(11)}
