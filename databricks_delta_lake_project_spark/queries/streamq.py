@@ -151,10 +151,15 @@ def q53_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = events.where("pmod(user_id, 4) = 0")
     # max(ts) rides the staging write as an Observation metric (epoch
     # micros: integer, so no driver-timezone round trip) instead of a
-    # second full scan+agg job over events
+    # second full scan+agg job over events. NO repartition: unlike q48
+    # (maxFilesPerTrigger=1 needs >=2 staged files for a multi-batch
+    # shape), q53's second micro-batch comes from the late-mtime
+    # SENTINEL file, so the round-robin exchange bought nothing — the
+    # scan's natural splits write straight out (guide §2.4: remove
+    # shuffles outright; measured 2 jobs -> 1, ~0.8 -> ~0.6 s warm)
     obs = Observation()
     events.observe(obs, F.max(F.unix_micros(F.col("ts"))).alias("max_us")) \
-        .repartition(2).write.mode("overwrite").parquet(str(src_dir))
+        .write.mode("overwrite").parquet(str(src_dir))
 
     # sentinel: one event far past max(ts); staged strictly after the
     # real files (newer mtime) so it lands in the final micro-batch and

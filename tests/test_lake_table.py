@@ -159,3 +159,65 @@ def test_overwrite_and_schema(spark, tbl):
     assert [f.name for f in tbl.schema.fields] == [
         "id", "name", "balance", "updated",
     ]
+
+
+def test_merge_into_empty_table_insert_only_fast_path(spark, tmp_path):
+    """A MERGE whose target snapshot has zero data files reduces to its
+    NOT MATCHED inserts (no probe/join — the empty-target fast path):
+    clause conditions still gate rows, matched clauses are no-ops, and
+    a follow-up MERGE on the now-populated table takes the general path
+    and sees the inserted state."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "empty_merge"),
+        schema=_users(spark, []).schema,
+    )
+    src = _users(
+        spark, [(1, "a", 1.0, 1), (2, "skip", 2.0, 1), (3, "c", 3.0, 1)]
+    )
+    jobs0 = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    m = (
+        t.merge(src, "t.id = s.id")
+        .whenMatchedUpdate({"balance": "s.balance"})
+        .whenNotMatchedInsertAll(condition="s.name != 'skip'")
+        .execute()
+    )
+    jobs = spark.sparkContext._jsc.sc().dagScheduler().nextJobId() - jobs0
+    assert m["numTargetRowsInserted"] == 2
+    assert m["numTargetRowsUpdated"] == 0
+    assert m["numRemovedFiles"] == 0
+    assert sorted(_as_dict(t.to_df())) == [1, 3]
+    # structural pin: insert-only shape = the write job(s) and nothing
+    # else (no source materialization, no bounds agg, no touched-file
+    # probe, no full-outer join); the general path runs 2-3x this
+    assert jobs <= 3
+    # the general path engages once files exist
+    m2 = (
+        t.merge(_users(spark, [(1, "a2", 9.0, 2)]), "t.id = s.id")
+        .whenMatchedUpdate({"name": "s.name", "balance": "s.balance"})
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert m2["numTargetRowsUpdated"] == 1
+    assert _as_dict(t.to_df())[1] == ("a2", 9.0, 1)
+
+
+def test_merge_into_empty_table_matched_only_commits_noop(spark, tmp_path):
+    """Empty target + only MATCHED clauses: nothing to insert, nothing
+    to join — the MERGE commits an empty version (history parity with
+    the general path) and the table stays empty."""
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "empty_merge2"),
+        schema=_users(spark, []).schema,
+    )
+    v0 = t.version()
+    m = (
+        t.merge(_users(spark, [(1, "a", 1.0, 1)]), "t.id = s.id")
+        .whenMatchedUpdateAll()
+        .execute()
+    )
+    assert m["numTargetRowsInserted"] == 0
+    assert m["numOutputRows"] == 0
+    assert t.version() == v0 + 1
+    assert t.to_df().count() == 0
