@@ -16,9 +16,13 @@ expression of customer columns, the patterns are RE2-compatible (no
 backreferences/lookaround), and every metric is an integer count or
 length sum — Spark's Java regex and DuckDB's RE2 agree exactly.
 
-Scale shape: one scan, zero shuffles before the |segments|-row rollup;
-synthesis + three ``regexp_replace`` + two ``regexp_extract_all`` all
-fuse into whole-stage codegen over the scan — no Python, no UDF.
+Scale shape: widen() then zero shuffles before the |segments|-row
+rollup; synthesis + three ``regexp_replace`` + two
+``regexp_extract_all`` all fuse into whole-stage codegen — no Python,
+no UDF. The widen matters at fixture scale only: the customer file is
+ONE split, so without it the whole 7-regex chain serializes through a
+single core (measured 0.72 -> 0.41-0.50 s warm, both A/B orders); at
+100 TB the scan is already wide and widen is a no-op.
 """
 
 from __future__ import annotations
@@ -27,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..governance.pii import PII_TEXT_PATTERNS, redact_pii
-from .catalog import load
+from .catalog import load, widen
 
 
 def _ticket_text(c):
@@ -50,7 +54,7 @@ def _ticket_text(c):
 
 
 def q51_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
+    c = widen(load(spark, sf_dir, "customer"))
     text = _ticket_text(c)
     with_text = c.select(
         "c_mktsegment",

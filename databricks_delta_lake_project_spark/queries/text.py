@@ -681,7 +681,12 @@ def q45_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.sampling import hash_split
 
-    d = widen(load(spark, sf_dir, "documents"))
+    # no widen(): the split assignment is one xxhash64 of the id —
+    # nothing CPU-heavy to parallelize, and the repartition would
+    # shuffle the full row (text included) just to reach a 3-group
+    # aggregate that partial-aggregates map-side anyway (guide §2.4;
+    # measured 0.32-0.36 -> 0.20-0.27 s warm without it)
+    d = load(spark, sf_dir, "documents")
     return (
         hash_split(d, "doc_id")
         .groupBy("split")
@@ -727,7 +732,10 @@ def q46_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..operators.sampling import mixture_sample
 
-    d = widen(load(spark, sf_dir, "documents"))
+    # no widen(): keep/drop is one hash-bucket comparison per row (see
+    # q45 — the exchange cost more than it parallelized; measured
+    # 0.46-0.56 -> 0.27-0.35 s warm without it)
+    d = load(spark, sf_dir, "documents")
     return (
         mixture_sample(d, "doc_id", "lang", _MIX_TARGETS)
         .groupBy("lang")
