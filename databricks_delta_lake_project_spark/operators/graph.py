@@ -213,6 +213,14 @@ def connected_components(
             labels = spark.createDataFrame(
                 sorted(comp.items()), schema
             )
+            if nodes is None:
+                # parallelized local rows carry no size estimate, so a
+                # caller joining this frame would get a sort-merge join;
+                # the label set is bounded by 2x the edge threshold (a
+                # few MB of longs), so the broadcast hint is provably
+                # safe and keeps the caller's big side shuffle-free
+                # (guide §3.1)
+                return F.broadcast(labels)
             if nodes is not None:
                 # the labeled side is bounded by 2x the edge threshold
                 # (a few MB) but arrives as an RDD scan with an UNKNOWN
@@ -455,17 +463,24 @@ def dedup_clusters(
     of its component; singletons cluster with themselves) and flag the
     canonical representative. The downstream dedup is then a single
     ``filter(is_canonical)`` — exactly-one-survivor semantics.
+
+    Isolated documents are labeled by ``coalesce`` in a single LEFT
+    join against the edge-node labels instead of passing ``nodes=`` to
+    ``connected_components`` (which computes them as a corpus
+    anti-join, unioned, then re-joined by this function — one extra
+    corpus-wide shuffle plus an extra corpus scan; guide §2.4). A doc
+    absent from the label frame IS an isolated node, so
+    ``coalesce(component, doc_id)`` produces the identical labeling.
     """
     comp = connected_components(
-        pairs,
-        src=id_a,
-        dst=id_b,
-        nodes=docs.select(F.col(doc_id).alias("node")),
-        algorithm=algorithm,
+        pairs, src=id_a, dst=id_b, algorithm=algorithm
     )
-    return docs.join(
-        comp.select(
-            F.col("node").alias(doc_id), F.col("component").alias("cluster_id")
-        ),
-        doc_id,
-    ).withColumn("is_canonical", F.col(doc_id) == F.col("cluster_id"))
+    lab = comp.select(
+        F.col("node").alias(doc_id), F.col("component").alias("__comp")
+    )
+    return (
+        docs.join(lab, doc_id, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("__comp"), F.col(doc_id)))
+        .drop("__comp")
+        .withColumn("is_canonical", F.col(doc_id) == F.col("cluster_id"))
+    )

@@ -211,7 +211,15 @@ def extract_features(
 
     The iterator-of-batches signature keeps peak memory at one Arrow
     batch of payloads per task regardless of partition size.
+
+    The function reads only (media_id, modality, payload), so the
+    input is projected to exactly those before the Python boundary:
+    ``mapInPandas`` is opaque to Catalyst — without the explicit
+    select, every other input column (e.g. the ``meta`` struct of a
+    MEDIA_SCHEMA row) is read from storage and Arrow-serialized into
+    the Python worker just to be dropped (guide §4.1).
     """
+    media = media.select("media_id", "modality", "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

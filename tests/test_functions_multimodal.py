@@ -256,6 +256,28 @@ def test_extract_features_fake_decoder(media):
     assert max(f2) == 1.0 and sum(1 for x in f2 if x > 0) == 1
 
 
+def test_extract_features_prunes_unused_input_columns(media):
+    """mapInPandas is opaque to Catalyst, so extract_features must
+    project its input to exactly (media_id, modality, payload) before
+    the Python boundary — otherwise every other column (the meta
+    struct here) is read and Arrow-serialized just to be dropped
+    (guide §4.1). Pinned on the physical plan: no `meta` reference
+    survives optimization."""
+    out = extract_features(media, decoder=fake_decoder)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the Project feeding the Python boundary carries exactly the three
+    # consumed columns (the in-memory RDD scan itself cannot prune, so
+    # assert on the MapInPandas/Project lines, not the whole plan)
+    boundary = [
+        ln for ln in plan.splitlines()
+        if "MapInPandas" in ln or "Project" in ln
+    ]
+    assert boundary and all("meta" not in ln for ln in boundary), plan
+    # and the results are unchanged by the projection
+    rows = {r["media_id"]: r["n_bytes"] for r in out.collect()}
+    assert rows == {1: 200, 2: 64, 3: 120}
+
+
 def test_resize_images(media):
     out = resize_images(media, width=4, height=3, decoder=fake_decoder).collect()
     assert len(out) == 1  # only the image row

@@ -35,6 +35,20 @@ def test_dedup_clusters_canonical_survivor(spark):
     assert canon == [3, 7]  # exactly one survivor per cluster
 
 
+def test_dedup_clusters_single_left_join_plan(spark):
+    """dedup_clusters labels isolated docs via coalesce in ONE left
+    join against the (broadcast-hinted, bounded) local label frame —
+    no anti-join, no union, one docs-side scan (guide §2.4). Pinned on
+    the physical plan."""
+    pairs = spark.createDataFrame([(5, 3), (3, 9)], "id_a long, id_b long")
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    out = dedup_clusters(pairs, docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan and "Union" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_star_matches_label_on_random_graph(spark):
     """large-star/small-star and label propagation must agree exactly
     on an arbitrary mixed graph (chains, a clique, pairs, isolates)."""

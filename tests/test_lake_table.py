@@ -202,6 +202,28 @@ def test_merge_into_empty_table_insert_only_fast_path(spark, tmp_path):
     assert _as_dict(t.to_df())[1] == ("a2", 9.0, 1)
 
 
+def test_partition_delete_is_metadata_only_zero_jobs(spark, tmp_path):
+    """A whole-partition DELETE on a CDF-off table is decided entirely
+    from partitionValues stats: no file read, no rewrite, and — pinned
+    structurally — ZERO Spark jobs (the CDF change frame is not built
+    when nothing consumes it, and the partitioned scan path never
+    re-infers the schema from footers)."""
+    df = _users(spark, [(1, "a", 1.0, 1), (2, "b", 2.0, 2), (3, "c", 3.0, 2)])
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "pdel"),
+        df=df.repartition(2, "updated"),
+        format="delta",
+        partition_by=["updated"],
+    )
+    jobs0 = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    m = t.delete("updated = 2")
+    jobs = spark.sparkContext._jsc.sc().dagScheduler().nextJobId() - jobs0
+    assert m["numDeletedRows"] == 2 and m["numWholeFilesRemoved"] >= 1
+    assert jobs == 0
+    assert sorted(_as_dict(t.to_df())) == [1]
+
+
 def test_merge_into_empty_table_matched_only_commits_noop(spark, tmp_path):
     """Empty target + only MATCHED clauses: nothing to insert, nothing
     to join — the MERGE commits an empty version (history parity with
