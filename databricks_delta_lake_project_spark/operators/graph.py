@@ -213,33 +213,24 @@ def connected_components(
             labels = spark.createDataFrame(
                 sorted(comp.items()), schema
             )
+            # parallelized local rows carry no size estimate, so a
+            # caller joining this frame would get a sort-merge join;
+            # the label set is bounded by 2x the edge threshold (a few
+            # MB of longs), so the broadcast hint is provably safe and
+            # keeps the caller's big side shuffle-free (guide §3.1:
+            # estimates are often wrong — hint when you know)
             if nodes is None:
-                # parallelized local rows carry no size estimate, so a
-                # caller joining this frame would get a sort-merge join;
-                # the label set is bounded by 2x the edge threshold (a
-                # few MB of longs), so the broadcast hint is provably
-                # safe and keeps the caller's big side shuffle-free
-                # (guide §3.1)
                 return F.broadcast(labels)
-            if nodes is not None:
-                # the labeled side is bounded by 2x the edge threshold
-                # (a few MB) but arrives as an RDD scan with an UNKNOWN
-                # size estimate, which the planner turns into a
-                # sort-merge anti-join (2 exchanges + sorts); the
-                # explicit broadcast hint is provably safe here and
-                # keeps the corpus side shuffle-free (guide §3.1:
-                # estimates are often wrong — hint when you know)
-                isolated = (
-                    nodes.select(F.col(node_col).alias("node"))
-                    .join(
-                        F.broadcast(labels.select("node")),
-                        "node",
-                        "left_anti",
-                    )
-                    .select("node", F.col("node").alias("component"))
+            isolated = (
+                nodes.select(F.col(node_col).alias("node"))
+                .join(
+                    F.broadcast(labels.select("node")),
+                    "node",
+                    "left_anti",
                 )
-                labels = labels.union(isolated)
-            return labels
+                .select("node", F.col("node").alias("component"))
+            )
+            return labels.union(isolated)
     if algorithm == "star":
         return _connected_components_star(
             edges, src, dst, nodes, node_col, max_iter, stats
@@ -479,7 +470,11 @@ def dedup_clusters(
         F.col("node").alias(doc_id), F.col("component").alias("__comp")
     )
     return (
-        docs.join(lab, doc_id, "left")
+        # NULL doc_ids never matched the previous inner join and are
+        # still excluded — a left join alone would retain them with a
+        # NULL label
+        docs.filter(F.col(doc_id).isNotNull())
+        .join(lab, doc_id, "left")
         .withColumn("cluster_id", F.coalesce(F.col("__comp"), F.col(doc_id)))
         .drop("__comp")
         .withColumn("is_canonical", F.col(doc_id) == F.col("cluster_id"))

@@ -49,6 +49,17 @@ def test_dedup_clusters_single_left_join_plan(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_dedup_clusters_drops_null_doc_ids(spark):
+    """A NULL doc_id never matched the pre-r14 inner join; the left
+    join must not resurrect it as a NULL-labeled row."""
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id long"
+    )
+    rows = dedup_clusters(pairs, docs).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+
+
 def test_star_matches_label_on_random_graph(spark):
     """large-star/small-star and label propagation must agree exactly
     on an arbitrary mixed graph (chains, a clique, pairs, isolates)."""
