@@ -79,11 +79,15 @@ def main() -> None:
             TABLES,
             load as _load,
         )
-
-        for _t in TABLES:
-            _load(spark, sf_dir, _t)
     except Exception:  # noqa: BLE001
-        pass
+        TABLES = ()
+    for _t in TABLES:
+        # per-table isolation: one missing/unreadable table must not
+        # abort warm-up for the tables after it
+        try:
+            _load(spark, sf_dir, _t)
+        except Exception:  # noqa: BLE001
+            pass
 
     # Per-query fault isolation: one broken query must never zero the
     # whole benchmark — record its error string and keep timing the rest.

@@ -216,15 +216,26 @@ def connected_components(
             # parallelized local rows carry no size estimate, so a
             # caller joining this frame would get a sort-merge join;
             # the label set is bounded by 2x the edge threshold (a few
-            # MB of longs), so the broadcast hint is provably safe and
-            # keeps the caller's big side shuffle-free (guide §3.1:
-            # estimates are often wrong — hint when you know)
+            # MB of longs at the default), so the broadcast hint is
+            # provably safe and keeps the caller's big side
+            # shuffle-free (guide §3.1: estimates are often wrong —
+            # hint when you know). GATED on the threshold: a caller/env
+            # override far above the default would force-broadcast an
+            # unboundedly large label frame into every consumer join,
+            # so past ~1M edges (2M label rows, tens of MB built) the
+            # frame is returned unhinted and the planner decides.
+            _BROADCAST_HINT_MAX_EDGES = 1_000_000
+            hint = (
+                F.broadcast
+                if local_edge_threshold <= _BROADCAST_HINT_MAX_EDGES
+                else (lambda df: df)
+            )
             if nodes is None:
-                return F.broadcast(labels)
+                return hint(labels)
             isolated = (
                 nodes.select(F.col(node_col).alias("node"))
                 .join(
-                    F.broadcast(labels.select("node")),
+                    hint(labels.select("node")),
                     "node",
                     "left_anti",
                 )

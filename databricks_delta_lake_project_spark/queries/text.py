@@ -228,12 +228,18 @@ def q30_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     )
     blocks = (
-        sh_arr.groupBy("lang", "source")
+        # ONE exchange: the explicit key repartition both spreads the
+        # quadratic pair work across the cluster (AQE never coalesces an
+        # explicit repartition, unlike the ENSURE_REQUIREMENTS exchange a
+        # bare groupBy gets) and satisfies the aggregation's clustering,
+        # so the doc->block shuffle and the pair stage share it. The old
+        # shape (groupBy, then round-robin repartition of the collected
+        # blocks) shuffled every block payload a second time (guide §2.4).
+        sh_arr.repartition(
+            spark.sparkContext.defaultParallelism, "lang", "source"
+        )
+        .groupBy("lang", "source")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
-        # spread the quadratic pair work back across the cluster: the
-        # grouped output is one row per block, which AQE would coalesce
-        # into a couple of partitions otherwise
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     n = F.size("ds")
     pair_structs = F.flatten(
@@ -354,9 +360,11 @@ def q31_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collect in tens of MB; beyond that, re-block on simhash prefix
     # bands (the standard SimHash index).
     blocks = (
-        fps.groupBy("source")
+        # one exchange shared by the block collect and the pair stage
+        # (see q30): key repartition instead of groupBy + round-robin
+        fps.repartition(spark.sparkContext.defaultParallelism, "source")
+        .groupBy("source")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     n = F.size("ds")
     pair_structs = F.flatten(
@@ -475,10 +483,15 @@ def q32_minhash_lsh(
     # scalar rows. LSH buckets are tiny by construction (that is the
     # point of banding), so collect_list per bucket is bounded.
     buckets = (
-        banded.groupBy("band", "band_hash")
+        # one exchange shared by the bucket collect and the verify stage
+        # (see q30): key repartition instead of groupBy + round-robin —
+        # the banded payload crosses the wire once, not twice
+        banded.repartition(
+            spark.sparkContext.defaultParallelism, "band", "band_hash"
+        )
+        .groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
         .filter(F.size("ds") > 1)
-        .repartition(spark.sparkContext.defaultParallelism)
     )
     n = F.size("ds")
 

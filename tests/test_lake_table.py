@@ -161,6 +161,49 @@ def test_overwrite_and_schema(spark, tbl):
     ]
 
 
+def test_merge_overlapping_conditional_inserts_first_clause_wins(
+    spark, tmp_path
+):
+    """Delta semantics: when several conditional NOT MATCHED clauses
+    match the same source row, the FIRST declared clause supplies the
+    inserted values. Pinned on both insert paths — the empty-target
+    fast path and the general join path."""
+    def _merge(t, rows):
+        return (
+            t.merge(_users(spark, rows), "t.id = s.id")
+            # both conditions true for balance >= 10: clause 1 must win
+            .whenNotMatchedInsert(
+                {"id": "s.id", "name": "'first'", "balance": "s.balance",
+                 "updated": "1"},
+                condition="s.balance >= 10",
+            )
+            .whenNotMatchedInsert(
+                {"id": "s.id", "name": "'second'", "balance": "s.balance",
+                 "updated": "2"},
+                condition="s.balance >= 0",
+            )
+            .execute()
+        )
+
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "first_wins"),
+        schema=_users(spark, []).schema,
+    )
+    # empty-target fast path: id 1 matches both clauses, id 2 only the second
+    m = _merge(t, [(1, "x", 50.0, 0), (2, "y", 5.0, 0)])
+    assert m["numTargetRowsInserted"] == 2
+    data = _as_dict(t.to_df())
+    assert data[1] == ("first", 50.0, 1)
+    assert data[2] == ("second", 5.0, 2)
+    # general join path (files now exist): same overlap, new keys
+    m2 = _merge(t, [(3, "x", 60.0, 0), (4, "y", 6.0, 0)])
+    assert m2["numTargetRowsInserted"] == 2
+    data = _as_dict(t.to_df())
+    assert data[3] == ("first", 60.0, 1)
+    assert data[4] == ("second", 6.0, 2)
+
+
 def test_merge_into_empty_table_insert_only_fast_path(spark, tmp_path):
     """A MERGE whose target snapshot has zero data files reduces to its
     NOT MATCHED inserts (no probe/join — the empty-target fast path):
