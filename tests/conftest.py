@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -17,7 +18,19 @@ SF_MED = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="engine-tests", shuffle_partitions=8)
+    # local[8], not local[$SPARK_GRAFT_CPUS]: the suite runs thousands
+    # of tiny Spark actions whose cost is task-launch overhead, not
+    # compute — measured 27% faster at 8 cores than 32 on the same
+    # tests (4 cores is no better than 8). Nothing in the suite asserts
+    # cluster width; the bench/driver contract keeps using
+    # SPARK_GRAFT_CPUS. Override with SPARK_GRAFT_TEST_CPUS if a probe
+    # needs a wider session.
+    cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "8")
+    spark = get_spark(
+        app_name="engine-tests",
+        master=f"local[{cpus}]",
+        shuffle_partitions=8,
+    )
     yield spark
 
 

@@ -43,6 +43,7 @@ def _tuples(df):
     }
 
 
+@pytest.mark.slow
 def test_stream_cdf_end_to_end_and_restart(spark, tmp_path):
     t = LakeTable.create(
         spark,

@@ -717,9 +717,12 @@ def test_fsck_repair_table(spark, tmp_path):
     t = LakeTable.create(
         spark,
         str(tmp_path / "fsck_t"),
+        # repartitionByRange, not repartition: round-robin placement of
+        # 3 rows depends on the session's core count, and the test needs
+        # every file non-empty so removing one leaves exactly 2 rows
         df=spark.createDataFrame(
             [Row(id=1), Row(id=2), Row(id=3)]
-        ).repartition(3),
+        ).repartitionByRange(3, "id"),
         format="delta",
     )
     sqldml.register_table(spark, "fsck_t", t)

@@ -39,19 +39,25 @@ def _schema_string() -> str:
 
 
 def _write_data(spark, root: Path, rel: str, rows) -> None:
-    """Write one parquet data file at root/rel holding `rows`."""
+    """Write one parquet data file at root/rel holding `rows`.
+
+    Driver-side pyarrow write with the same physical types Spark's
+    writer produces for SCHEMA (int64, utf8, int32) — each fixture file
+    used to be a coalesce(1) Spark write+rename job, which made every
+    ``delta_table`` fixture cost three Spark jobs of pure overhead."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     target = root / rel
-    tmp = root / f"_tmp_{rel.replace('/', '_')}"
-    df = spark.createDataFrame(rows, SCHEMA)
-    if "=" in rel:  # hive-style partition path: drop the partition col
-        df = df.drop("part")
-    df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
-    part = next(tmp.glob("part-*.parquet"))
     target.parent.mkdir(parents=True, exist_ok=True)
-    part.rename(target)
-    for leftover in tmp.glob("*"):
-        leftover.unlink()
-    tmp.rmdir()
+    cols = {
+        "id": pa.array([r[0] for r in rows], pa.int64()),
+        "name": pa.array([r[1] for r in rows], pa.string()),
+        "part": pa.array([r[2] for r in rows], pa.int32()),
+    }
+    if "=" in rel:  # hive-style partition path: drop the partition col
+        del cols["part"]
+    pq.write_table(pa.table(cols), str(target))
 
 
 def _commit(root: Path, version: int, actions) -> None:
@@ -385,6 +391,7 @@ def test_roaring_parser_container_shapes():
     assert sorted(got.tolist()) == positions
 
 
+@pytest.mark.slow
 def test_v2_checkpoint_sidecar_replay(spark, tmp_path):
     """A V2 checkpoint keeps file actions in sidecar parquet files; the
     replay must fold the sidecar adds or the table silently loses files."""

@@ -662,6 +662,7 @@ def test_column_mapped_dv_delete(spark, tmp_path):
     assert set(up["readerFeatures"]) >= {"columnMapping", "deletionVectors"}
 
 
+@pytest.mark.slow
 def test_writer_obligations_refused(spark, tmp_path):
     """The protocol obliges a writer to HONOR every declared writer
     feature: generated/identity expressions and unknown v7
@@ -765,6 +766,7 @@ def test_restore_across_dv_delete(spark, tmp_path):
     assert sorted(x["id"] for x in t.to_df().collect()) == [0, 1, 3, 4, 5]
 
 
+@pytest.mark.slow
 def test_dv_delete_under_symlinked_root_and_special_chars(spark, tmp_path):
     """DV row-position keys must match Spark's `_metadata.file_path`
     rendering: absolute but NOT symlink-resolved, percent-encoded like
@@ -975,6 +977,7 @@ def test_partitioned_column_mapped_roundtrip(spark, tmp_path):
     ] == [(3, "d2")]
 
 
+@pytest.mark.slow
 def test_merge_via_deletion_vectors(spark, tmp_path):
     """MERGE with DVs enabled runs the modern Delta shape: matched
     rows hit by update/delete clauses are DV-marked in place, only the

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from databricks_delta_lake_project_spark.operators.graph import (
     connected_components,
     dedup_clusters,
@@ -60,6 +62,7 @@ def test_dedup_clusters_drops_null_doc_ids(spark):
     assert sorted(r["doc_id"] for r in rows) == [1, 2]
 
 
+@pytest.mark.slow
 def test_star_matches_label_on_random_graph(spark):
     """large-star/small-star and label propagation must agree exactly
     on an arbitrary mixed graph (chains, a clique, pairs, isolates)."""
@@ -89,6 +92,7 @@ def test_star_matches_label_on_random_graph(spark):
     assert star == lab
 
 
+@pytest.mark.slow
 def test_star_converges_logarithmically_on_long_chain(spark):
     """A 10k-node chain (diameter 10k) must close in ~log2(n) rounds —
     the whole point of the star variant; label propagation would need

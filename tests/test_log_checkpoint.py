@@ -8,8 +8,10 @@ from pyspark.sql import functions as F
 
 from databricks_delta_lake_project_spark.tables import LakeTable
 from databricks_delta_lake_project_spark.tables import log as tlog
+import pytest
 
 
+@pytest.mark.slow
 def test_checkpoint_written_and_equivalent(spark, tmp_path):
     root = str(tmp_path / "t")
     t = LakeTable.create(
@@ -39,6 +41,7 @@ def test_checkpoint_written_and_equivalent(spark, tmp_path):
     assert t.to_df(version=20).count() == 21
 
 
+@pytest.mark.slow
 def test_checkpoint_preserves_properties_and_schema(spark, tmp_path):
     root = str(tmp_path / "t")
     t = LakeTable.create(
@@ -56,6 +59,7 @@ def test_checkpoint_preserves_properties_and_schema(spark, tmp_path):
     assert t.read_changes(starting_version=21).count() == 1
 
 
+@pytest.mark.slow
 def test_append_txn_idempotent_and_checkpointed(spark, tmp_path):
     """Idempotent-writer tracking (Delta txnAppId/txnVersion): a replayed
     (app_id, version) append is skipped, and the watermark survives
@@ -92,6 +96,7 @@ def test_append_txn_idempotent_and_checkpointed(spark, tmp_path):
     assert t.txn_version("absent") == -1
 
 
+@pytest.mark.slow
 def test_delete_after_checkpoint(spark, tmp_path):
     root = str(tmp_path / "t")
     t = LakeTable.create(
@@ -105,6 +110,7 @@ def test_delete_after_checkpoint(spark, tmp_path):
     assert t.to_df(version=20).count() == 21  # pre-delete snapshot intact
 
 
+@pytest.mark.slow
 def test_delta_checkpoint_preserves_dvs_and_partitioning(spark, tmp_path):
     """A Delta-format checkpoint must carry live deletionVector
     descriptors and the table's partitionColumns — dropping either
@@ -161,6 +167,7 @@ def test_delta_checkpoint_preserves_dvs_and_partitioning(spark, tmp_path):
     assert got2 == got
 
 
+@pytest.mark.slow
 def test_delta_checkpoint_carries_protocol_features_txn_and_id(spark, tmp_path):
     """The checkpoint parquet must be a complete protocol snapshot: a
     v3/v7 protocol row WITH its feature lists (dropping them writes an

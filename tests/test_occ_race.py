@@ -214,6 +214,7 @@ def test_concurrent_disjoint_deletes_and_updates_retry(spark, tmp_path):
     assert all(rows[k] == 0 for k in range(100, 300))
 
 
+@pytest.mark.slow
 def test_failed_dml_commit_unlinks_staged_files(spark, tmp_path, monkeypatch):
     """A DELETE that loses its OCC race must unlink the parquet it
     staged — the rewritten add files AND the _change_data cdc files —
@@ -274,6 +275,7 @@ def test_failed_dml_commit_unlinks_staged_files(spark, tmp_path, monkeypatch):
     assert after - before == set(), f"orphaned staged files: {after - before}"
 
 
+@pytest.mark.slow
 def test_failed_dv_delete_keeps_live_files(spark, tmp_path, monkeypatch):
     """A DV DELETE that loses its OCC race must unlink ONLY what it
     staged (fresh deletion-vector sidecars + cdc parquet). The DV

@@ -13,10 +13,12 @@ import time
 from pyspark.sql import functions as F
 
 from databricks_delta_lake_project_spark.tables import LakeTable
+import pytest
 
 N_PARTS = 1000
 
 
+@pytest.mark.slow
 def test_merge_touching_one_of_1000_partitions(spark, tmp_path):
     df = spark.range(N_PARTS * 10).select(
         F.col("id").alias("k"),

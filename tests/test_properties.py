@@ -39,6 +39,7 @@ rows_strategy = st.lists(
 
 @_slow
 @given(rows=rows_strategy)
+@pytest.mark.slow
 def test_merge_upsert_matches_dict_semantics(spark, tmp_path_factory, rows):
     """Folding batches through MERGE == folding through a python dict:
     last write per key wins, every key present exactly once."""
@@ -72,6 +73,7 @@ def test_merge_upsert_matches_dict_semantics(spark, tmp_path_factory, rows):
 
 @_slow
 @given(rows=rows_strategy)
+@pytest.mark.slow
 def test_dedup_idempotent_and_minimal(spark, rows):
     """dedup(dedup(x)) == dedup(x); exactly one row per key; the kept
     row is the max by ordering."""
@@ -101,6 +103,7 @@ def test_dedup_idempotent_and_minimal(spark, rows):
         max_size=3,
     )
 )
+@pytest.mark.slow
 def test_scd2_chain_invariants(spark, tmp_path_factory, batches):
     """After any sequence of SCD2 batches: exactly one current row per
     key; closed versions have end timestamps; the current row equals

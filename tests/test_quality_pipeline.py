@@ -411,6 +411,7 @@ def test_event_log_same_basename_distinct_pipelines(spark, tmp_path):
         sqldml._REGISTRY.pop(_skey(spark, "beta.gold.events_clean"), None)
 
 
+@pytest.mark.slow
 def test_event_log_probe_stays_bounded(spark, tmp_path, monkeypatch):
     """With MANY flows journaled to one durable event table, the TVF's
     durable probe for a path-resolvable reference is ONE prunable

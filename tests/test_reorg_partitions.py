@@ -140,6 +140,7 @@ def test_show_partitions_refuses_unpartitioned(spark, tmp_path):
         run_statement(spark, "SHOW PARTITIONS sp_flat")
 
 
+@pytest.mark.slow
 def test_reorg_is_invisible_to_cdf(spark, tmp_path):
     """REORG swaps physical layout only — CDF readers (engine AND the
     independent interop replay) must span the REORG version without

@@ -157,6 +157,7 @@ def test_share_external_delta_table(spark, shared_world, tmp_path):
         client.load_cdf(spark, "c360_share.external.events").collect()
 
 
+@pytest.mark.slow
 def test_share_cdf_over_partitioned_external_table(spark, shared_world, tmp_path):
     """CDF over a PARTITIONED external Delta table. Partitioned tables
     open WRITABLE since partitioned write-back landed, so this rides
@@ -256,6 +257,7 @@ def test_share_cdf_over_partitioned_external_table(spark, shared_world, tmp_path
         client.load_cdf(spark, "c360_share.external.partitioned").collect()
 
 
+@pytest.mark.slow
 def test_stream_shared_table_cdf_and_rows(spark, shared_world, tmp_path):
     """S9 streaming flavor (reference delta_sharing_recipient.py:144-191):
     a recipient streams a shared Delta table through its own checkpoint —

@@ -103,6 +103,7 @@ def _to_sql(ta, sa, clauses):
     sa=st.sampled_from(ALIASES),
     seed=st.integers(min_value=0, max_value=5),
 )
+@pytest.mark.slow
 def test_sql_merge_equals_builder_merge(spark, tmp_path_factory, clauses, ta, sa, seed):
     if ta == sa:
         sa = "other_side"

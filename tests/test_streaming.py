@@ -170,6 +170,7 @@ def test_session_window_stream(spark, tmp_path):
     assert sessions == [(1, 2, 1), (1, 1, 0), (2, 1, 0)]
 
 
+@pytest.mark.slow
 def test_session_parity_batch_vs_stream_property(spark, tmp_path):
     """PROPERTY (SURVEY "what's hard" #4): the manual lag/cumsum
     batch sessionization and the streaming ``F.session_window`` plan

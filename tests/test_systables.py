@@ -375,6 +375,7 @@ def test_query_history_durable_across_sessions(spark, audit_world, tmp_path):
         systables._AUDIT_NONCE = old_nonce
 
 
+@pytest.mark.slow
 def test_journal_flush_degradation_visible_and_heals(spark, tmp_path):
     """A persistently failing durable journal is VISIBLE, and nothing
     is ever trimmed from it: with the storage path broken and more
