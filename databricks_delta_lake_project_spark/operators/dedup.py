@@ -156,6 +156,31 @@ def seeded_minhash(hp: Column, k: int) -> Column:
     )
 
 
+def minhash_sig_array(hp: Column, num_hashes: int) -> Column:
+    """All ``num_hashes`` seeded minhashes in ONE traversal of the
+    hash-pair array: an aggregate whose accumulator carries the
+    ``num_hashes`` running minimums (zip_with against a literal seed
+    array), instead of ``num_hashes`` separate array_min(transform(...))
+    passes. Identical int64 values (min over the same multiset of
+    h1 + k*h2 — A/B'd mismatch-free on the full fixture corpus) at
+    ~20-25% less signature-derivation CPU and a far smaller generated
+    code unit. NULL/empty ``hp`` yields an all-NULL signature, exactly
+    like the per-seed array_min form. Init 2^62 exceeds any
+    h1 + k*h2 < 2^56 * (k+1) for k < 63."""
+    seeds = F.array(*[F.lit(k).cast("long") for k in range(num_hashes)])
+    nulls = F.array(
+        *[F.lit(None).cast("long") for _ in range(num_hashes)]
+    )
+    agg = F.aggregate(
+        hp,
+        F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes),
+        lambda acc, p: F.zip_with(
+            acc, seeds, lambda a, s: F.least(a, p["h1"] + s * p["h2"])
+        ),
+    )
+    return F.when(F.size(hp) > 0, agg).otherwise(nulls)
+
+
 def portable_band_hash(sig: Column, band: int, rows_per_band: int) -> Column:
     """Bucket key for one LSH band: md5 of the comma-joined signature
     slice, folded to 56 bits (identical ``CAST(s AS VARCHAR)`` decimal
@@ -189,9 +214,10 @@ def minhash_signature(
     shingle_col: Column, num_hashes: int = 16, scheme: str = "fast"
 ) -> Column:
     """MinHash signature: for seed k, min over shingles of the scheme's
-    double hash h1 + k*h2. Arrays stay JVM-side; no UDFs."""
+    double hash h1 + k*h2. Arrays stay JVM-side; no UDFs; all seeds in
+    one traversal (``minhash_sig_array``)."""
     hp = hash_pairs(shingle_col, scheme)
-    return F.array(*[seeded_minhash(hp, k) for k in range(num_hashes)])
+    return minhash_sig_array(hp, num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -223,9 +249,7 @@ def minhash_lsh_pairs(
     )
     sig = base.select(
         "doc_id",
-        F.array(
-            *[seeded_minhash(F.col("hp"), k) for k in range(num_hashes)]
-        ).alias("sig"),
+        minhash_sig_array(F.col("hp"), num_hashes).alias("sig"),
     )
     banded = sig.select(
         "doc_id",
@@ -326,9 +350,7 @@ def minhash_index(
         F.array_distinct(
             F.transform(F.col("hp"), lambda p: p["h1"])
         ).alias("sh"),
-        F.array(
-            *[seeded_minhash(F.col("hp"), k) for k in range(num_hashes)]
-        ).alias("sig"),
+        minhash_sig_array(F.col("hp"), num_hashes).alias("sig"),
     )
     return sig.select(
         "doc_id",

@@ -444,7 +444,7 @@ def q32_minhash_lsh(
     (Generic library forms: ``operators.dedup.minhash_lsh_pairs`` /
     ``ngram_jaccard``.)
     """
-    from ..operators.dedup import band_hash, hash_pairs, seeded_minhash
+    from ..operators.dedup import band_hash, hash_pairs, minhash_sig_array
 
     docs = widen(load(spark, sf_dir, "documents"))
     rows_per_band = MINHASH_K // MINHASH_BANDS
@@ -457,9 +457,7 @@ def q32_minhash_lsh(
         F.array_distinct(F.transform(F.col("hp"), lambda p: p["h1"])).alias(
             "sh"
         ),
-        F.array(
-            *[seeded_minhash(F.col("hp"), k) for k in range(MINHASH_K)]
-        ).alias("sig"),
+        minhash_sig_array(F.col("hp"), MINHASH_K).alias("sig"),
     )
     banded = sig.select(
         "doc_id",
