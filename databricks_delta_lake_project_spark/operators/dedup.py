@@ -146,37 +146,38 @@ def shingle_hash(s: Column, scheme: str = "fast") -> Column:
     return portable_hash56(s) if scheme == "portable" else fast_hash56(s)
 
 
-def seeded_minhash(hp: Column, k: int) -> Column:
-    """Seed-k minhash over a ``hash_pairs`` array: min(h1 + k*h2).
-    Duplicate shingles can't change the min, so no distinct pass is
-    needed first. Scheme-independent: both schemes emit 56-bit halves,
-    so the combination never overflows int64 for k < 256."""
-    return F.array_min(
-        F.transform(hp, lambda p: p["h1"] + F.lit(k).cast("long") * p["h2"])
-    )
-
-
 def minhash_sig_array(hp: Column, num_hashes: int) -> Column:
-    """All ``num_hashes`` seeded minhashes in ONE traversal of the
-    hash-pair array: an aggregate whose accumulator carries the
+    """All ``num_hashes`` seeded minhashes (seed k: min over shingles of
+    h1 + k*h2, duplicate shingles can't change the min) in ONE traversal
+    of the hash-pair array: an aggregate whose accumulator carries the
     ``num_hashes`` running minimums (zip_with against a literal seed
     array), instead of ``num_hashes`` separate array_min(transform(...))
-    passes. Identical int64 values (min over the same multiset of
-    h1 + k*h2 — A/B'd mismatch-free on the full fixture corpus) at
-    ~20-25% less signature-derivation CPU and a far smaller generated
-    code unit. NULL/empty ``hp`` yields an all-NULL signature, exactly
-    like the per-seed array_min form. Init 2^62 exceeds any
-    h1 + k*h2 < 2^56 * (k+1) for k < 63."""
+    passes. Identical int64 values (min over the same multiset —
+    A/B'd mismatch-free on the full fixture corpus) at ~20-25% less
+    signature-derivation CPU and a far smaller generated code unit.
+    NULL/empty ``hp`` and all-NULL pair elements yield NULL signature
+    slots, exactly like the per-seed array_min form (``least`` skips
+    NULLs, so a slot still at the init sentinel had no non-null
+    contribution — a true min is strictly below it). The init
+    ``num_hashes << 56`` exceeds any h1 + k*h2 < num_hashes * 2^56
+    (56-bit halves, k < num_hashes) and overflows int64 loudly past
+    num_hashes = 127 — the same bound the per-seed form had under ANSI.
+    """
+    init_val = num_hashes << 56
     seeds = F.array(*[F.lit(k).cast("long") for k in range(num_hashes)])
     nulls = F.array(
         *[F.lit(None).cast("long") for _ in range(num_hashes)]
     )
     agg = F.aggregate(
         hp,
-        F.array_repeat(F.lit(1 << 62).cast("long"), num_hashes),
+        F.array_repeat(F.lit(init_val).cast("long"), num_hashes),
         lambda acc, p: F.zip_with(
             acc, seeds, lambda a, s: F.least(a, p["h1"] + s * p["h2"])
         ),
+    )
+    agg = F.transform(
+        agg,
+        lambda v: F.when(v == init_val, F.lit(None).cast("long")).otherwise(v),
     )
     return F.when(F.size(hp) > 0, agg).otherwise(nulls)
 

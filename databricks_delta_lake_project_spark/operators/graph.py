@@ -219,15 +219,18 @@ def connected_components(
             # MB of longs at the default), so the broadcast hint is
             # provably safe and keeps the caller's big side
             # shuffle-free (guide §3.1: estimates are often wrong —
-            # hint when you know). GATED on the threshold: a caller/env
-            # override far above the default would force-broadcast an
-            # unboundedly large label frame into every consumer join,
-            # so past ~1M edges (2M label rows, tens of MB built) the
-            # frame is returned unhinted and the planner decides.
+            # hint when you know). GATED on the MEASURED edge count
+            # (len(probe), already in hand), not the configured
+            # threshold: a huge env override must not force-broadcast
+            # an unboundedly large label frame, but it must also not
+            # drop the hint for the tiny graphs the short-circuit
+            # exists for. Past ~1M actual edges (2M label rows, tens
+            # of MB built) the frame is returned unhinted and the
+            # planner decides.
             _BROADCAST_HINT_MAX_EDGES = 1_000_000
             hint = (
                 F.broadcast
-                if local_edge_threshold <= _BROADCAST_HINT_MAX_EDGES
+                if len(probe) <= _BROADCAST_HINT_MAX_EDGES
                 else (lambda df: df)
             )
             if nodes is None:
